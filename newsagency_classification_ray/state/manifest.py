@@ -1,0 +1,89 @@
+"""Per-partition lineage manifests → resumable, idempotent output.
+
+Design (FIXTURES.md F6; modeled on the reference's MANIFEST dedupe in
+``lib/inception_preprocessing/prepare_inception.py:122-141`` and its
+result-existence skip ``main.py:188-195``):
+
+* every output partition directory carries a ``_manifest.json`` with
+  ``{partition_key, input_fragments, row_count, content_hash, wall_s,
+  engine_version}``;
+* a partition is *complete* iff its manifest exists and parses — manifests are
+  written atomically (tmp + rename) **after** the partition's data files, so a
+  crashed run leaves no manifest and the partition is redone from lineage;
+* ``content_hash`` is an order-insensitive 64-bit sum of per-row hashes
+  (``pandas.util.hash_pandas_object`` — stable across processes, unlike
+  builtin ``hash``), so retried/resumed writes can be verified idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Iterable
+
+import pandas as pd
+import pyarrow as pa
+
+MANIFEST_NAME = "_manifest.json"
+_MASK = (1 << 64) - 1
+
+
+def batch_content_hash(batch: pa.Table | pd.DataFrame) -> int:
+    """Order-insensitive content hash of a batch (sum of row hashes mod 2^64)."""
+    df = batch.to_pandas() if isinstance(batch, pa.Table) else batch
+    if len(df) == 0:
+        return 0
+    return int(pd.util.hash_pandas_object(df, index=False).sum()) & _MASK
+
+
+def combine_hashes(hashes: Iterable[int]) -> int:
+    total = 0
+    for h in hashes:
+        total = (total + h) & _MASK
+    return total
+
+
+def write_manifest(
+    partition_dir: str,
+    partition_key: str,
+    row_count: int,
+    content_hash: int,
+    input_fragments: list[str] | None = None,
+    wall_s: float | None = None,
+    extra: dict[str, Any] | None = None,
+) -> str:
+    os.makedirs(partition_dir, exist_ok=True)
+    path = os.path.join(partition_dir, MANIFEST_NAME)
+    doc = {
+        "partition_key": partition_key,
+        "input_fragments": input_fragments or [],
+        "row_count": int(row_count),
+        "content_hash": int(content_hash),
+        "wall_s": wall_s,
+        "written_at": time.time(),
+        **(extra or {}),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, path)  # atomic publish: manifest presence == completion
+    return path
+
+
+def read_manifest(partition_dir: str) -> dict[str, Any] | None:
+    path = os.path.join(partition_dir, MANIFEST_NAME)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def is_complete(partition_dir: str) -> bool:
+    return read_manifest(partition_dir) is not None
+
+
+def incomplete_partitions(out_root: str, keys: Iterable[str]) -> list[str]:
+    """Partition keys under ``out_root`` that still need computing (resume set)."""
+    return [k for k in keys if not is_complete(os.path.join(out_root, k))]
