@@ -1,0 +1,138 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Headline: the flagship KG pipeline (synthetic Common-Crawl-style pages →
+mentions → triples + canonicalization + co-occurrence → partitioned graph
+write) at the scale factor of ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1
+→ 200k pages), plus representative operator pipelines over the sf tables.
+
+``python bench.py``            one timed run at $RAY_GRAFT_CPUS (default 32)
+``python bench.py --scaling``  same job in fresh processes at 8 and 32 CPUs →
+                               throughput at both + scaling efficiency
+                               (sandbox stand-in for the N vs 4N-node rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from newsagency_classification_ray.pipelines import graph, kg
+    from newsagency_classification_ray.sources.pages import (
+        ensure_pages, pages_count_for_sf, sf_of_dir,
+    )
+    import newsagency_classification_ray.queries as Q
+
+    # untimed: build/warm the synthetic pages corpus + OS page cache
+    pages_path = ensure_pages(sf_dir)
+    with open(pages_path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        queries[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # headline: full KG construction incl. partitioned graph write
+    out_root = f"/tmp/nacr_bench_out_{ncpu}"
+    shutil.rmtree(out_root, ignore_errors=True)
+    n_pages = pages_count_for_sf(sf_of_dir(sf_dir))
+    counts: dict[str, int] = {}
+
+    def flagship():
+        pages = kg.read_pages(pages_path)
+        mentions = kg.extract_mentions(
+            pages, tagger_concurrency=(2, max(2, ncpu - 4))
+        ).materialize()
+        trip = kg.triples(mentions)
+        canon = kg.canonicalize(mentions)
+        cooc = kg.cooccurrence_edges(mentions)
+        nodes = kg.build_nodes(canon, trip)
+        edges = kg.build_edges(trip, cooc)
+        graph.materialize_graph(nodes, edges, mentions, out_root,
+                                num_partitions=16, input_fragments=[pages_path])
+        counts["mentions"] = mentions.count()
+        counts["triples"] = trip.count()
+
+    timed("kg_flagship", flagship)
+    timed("pricing_summary", lambda: Q.q_pricing_summary(sf_dir).to_pandas())
+    timed("events_hourly", lambda: Q.q_events_hourly(sf_dir).to_pandas())
+    timed("docs_exact_dedup", lambda: Q.q_docs_exact_dedup(sf_dir).count())
+    timed("minhash_pairs", lambda: Q.q_minhash_pairs(sf_dir).count())
+    timed("ann_topk", lambda: Q.q_ann_topk(sf_dir).to_pandas())
+
+    headline = queries["kg_flagship"]
+    result = {
+        "metric": "kg_flagship_e2e",
+        "value": headline,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_of_dir(sf_dir),
+        "num_cpus": ncpu,
+        "n_pages": n_pages,
+        "n_mentions": counts.get("mentions"),
+        "n_triples": counts.get("triples"),
+        "pages_per_sec": round(n_pages / headline, 1),
+        "triples_per_sec": round(counts.get("triples", 0) / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "kg_flagship_scaling",
+        "unit": "sec",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "pages_per_sec_8": r_lo["pages_per_sec"],
+        "pages_per_sec_32": r_hi["pages_per_sec"],
+        "triples_per_sec_8": r_lo["triples_per_sec"],
+        "triples_per_sec_32": r_hi["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+        "value": r_hi["value"],
+        "queries": r_hi["queries"],
+        "num_cpus": hi,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

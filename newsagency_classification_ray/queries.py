@@ -1,0 +1,724 @@
+"""Driver-contract query registry: Ray pipelines + DuckDB oracle SQL.
+
+Every implemented operator family (SURVEY.md §2 + the training-data-pipeline
+extras) has an entry here; ``__ray_entry__.queries()`` / ``oracle_sql()``
+re-export these. Each Ray callable takes ``sf_dir`` and returns a Dataset /
+DataFrame / Arrow table; the oracle SQL runs on DuckDB views of the same
+parquet tables (plus the deterministic synthetic ``pages`` parquet, which the
+oracle reads directly from its /tmp cache path).
+
+Cross-engine value-hash discipline:
+* every aggregate/computed column has the SAME name on both sides;
+* integer results are int64 on both sides;
+* money/float sums are exposed as ``*_cents`` int64 (``round(sum*100)``) so
+  double summation order can never flip the hash;
+* top-k queries share an explicit deterministic tie-break.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from . import ops
+from .pipelines import kg
+from .sources import pages as pages_src
+from .stages import dedup as dd
+from .stages import multimodal as mm
+from .stages import similarity as sim
+from .stages import textstats as ts
+from .vocab import WIKIDATA_IDS
+
+# --------------------------------------------------------------------------
+# shared bits
+# --------------------------------------------------------------------------
+
+_MENTIONS_CACHE: dict[str, Any] = {}
+
+
+def _mentions(sf_dir: str):
+    """Materialized mentions Dataset for sf_dir's synthetic pages corpus."""
+    if sf_dir not in _MENTIONS_CACHE:
+        path = pages_src.ensure_pages(sf_dir)
+        ds = kg.extract_mentions(kg.read_pages(path))
+        _MENTIONS_CACHE[sf_dir] = ds.materialize()
+    return _MENTIONS_CACHE[sf_dir]
+
+
+def _i64(t: pa.Table, cols: list[str]) -> pa.Table:
+    for c in cols:
+        t = t.set_column(t.schema.get_field_index(c), c, pc.cast(t[c], pa.int64()))
+    return t
+
+
+def _cents(x):  # Arrow double array -> int64 cents, ulp-stable
+    return pc.cast(pc.round(pc.multiply(x, 100)), pa.int64())
+
+
+def _gen_alias_rows() -> list[tuple[str, str, str]]:
+    """(alias, canonical, qid) for every generator-injected alias —
+    single source of truth for the oracle's alias_map VALUES clause."""
+    rows = []
+    for canon, aliases in pages_src.GEN_ALIASES.items():
+        for a in aliases:
+            rows.append((a, canon, WIKIDATA_IDS[canon]))
+    return rows
+
+
+def _alias_values_sql() -> str:
+    rows = ", ".join(
+        f"('{a}', '{c}', '{q}')" for a, c, q in _gen_alias_rows()
+    )
+    return f"(VALUES {rows}) AS alias_map(alias, canonical, qid)"
+
+
+def _alias_pattern() -> str:
+    alts = "|".join(a for a, _, _ in _gen_alias_rows())
+    return rf"\b({alts})\b"
+
+
+def _pages_cte(sf_dir: str) -> str:
+    """WITH-clauses reconstructing the engine's page prep in SQL:
+    url dedup → text coalesce from html (byte-identical unwrap) → language
+    gate → truncation-affected pages excluded (``/long-`` — per-sentence
+    512-token truncation is not SQL-expressible; those pages contain their
+    only alias past the window, unit-tested on the Ray side)."""
+    path = pages_src.pages_path_for(sf_dir)
+    extract = (
+        "regexp_replace(replace(regexp_extract(decode(html), "
+        "'<body>(.*)</body>', 1), '</p><p>', chr(10)), '<[^>]+>', '', 'g')"
+    )
+    return f"""
+  raw_pages AS (SELECT * FROM read_parquet('{path}')),
+  dedup_pages AS (
+    SELECT url, min(warc_ts) AS warc_ts, min(lang) AS lang,
+           min(coalesce(text, {extract})) AS text
+    FROM raw_pages GROUP BY url
+  ),
+  clean_pages AS (
+    SELECT url,
+           regexp_replace(regexp_replace(url, '^[a-z]+://', ''), '/.*$', '') AS host,
+           CAST(year(warc_ts) AS BIGINT) AS year, lang, text
+    FROM dedup_pages
+    WHERE lang IN ('fr', 'de') AND url NOT LIKE '%/long-%'
+      AND text IS NOT NULL AND text <> ''
+  ),
+  hits AS (
+    SELECT p.url, p.host, p.year, u.alias
+    FROM clean_pages p,
+         unnest(regexp_extract_all(p.text, '{_alias_pattern()}', 1)) AS u(alias)
+  ),
+  sql_mentions AS (
+    SELECT h.url, h.host, h.year, alias_map.alias, alias_map.canonical, alias_map.qid
+    FROM hits h JOIN {_alias_values_sql()} ON h.alias = alias_map.alias
+  )"""
+
+
+# --------------------------------------------------------------------------
+# KG pipeline queries (flagship, over the synthetic pages corpus)
+# --------------------------------------------------------------------------
+
+def q_kg_triples(sf_dir: str):
+    t = kg.triples(_mentions(sf_dir)).map_batches(
+        lambda b: _i64(b.select(["url", "predicate", "qid", "year", "n_mentions"]),
+                       ["year", "n_mentions"]),
+        batch_format="pyarrow",
+    )
+    return t
+
+
+O_KG_TRIPLES = lambda sf: f"""WITH {_pages_cte(sf)}
+SELECT url, 'cites_agency' AS predicate, qid, max(year) AS year,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM sql_mentions WHERE qid <> 'NIL'
+GROUP BY url, qid"""
+
+
+def q_kg_canonical(sf_dir: str):
+    return kg.canonicalize(_mentions(sf_dir)).map_batches(
+        lambda b: _i64(b, ["n_mentions"]), batch_format="pyarrow"
+    )
+
+
+O_KG_CANONICAL = lambda sf: f"""WITH {_pages_cte(sf)}
+SELECT lower(alias) AS surface_norm, canonical, qid,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM sql_mentions GROUP BY 1, 2, 3"""
+
+
+def q_kg_cooccurrence(sf_dir: str):
+    return kg.cooccurrence_edges(_mentions(sf_dir)).map_batches(
+        lambda b: _i64(b, ["year", "weight", "freq_src", "freq_dst"]),
+        batch_format="pyarrow",
+    )
+
+
+O_KG_COOCCURRENCE = lambda sf: f"""WITH {_pages_cte(sf)},
+  counts AS (
+    SELECT host, year, qid, count(*) AS n FROM sql_mentions
+    WHERE qid <> 'NIL' GROUP BY host, year, qid
+  )
+SELECT a.qid AS src_qid, b.qid AS dst_qid, a.year AS year,
+       CAST(count(*) AS BIGINT) AS weight,
+       CAST(sum(a.n) AS BIGINT) AS freq_src,
+       CAST(sum(b.n) AS BIGINT) AS freq_dst,
+       'co_occurs_with' AS predicate
+FROM counts a JOIN counts b
+  ON a.host = b.host AND a.year = b.year AND a.qid < b.qid
+GROUP BY a.qid, b.qid, a.year"""
+
+
+def q_kg_nodes_agency(sf_dir: str):
+    m = _mentions(sf_dir)
+    nodes = kg.build_nodes(kg.canonicalize(m), kg.triples(m))
+    return nodes.map_batches(
+        lambda b: _i64(b.filter(pc.equal(b["kind"], "agency")), ["n_mentions"]),
+        batch_format="pyarrow",
+    )
+
+
+O_KG_NODES_AGENCY = lambda sf: f"""WITH {_pages_cte(sf)}
+SELECT CASE WHEN qid = 'NIL' THEN 'agency:' || canonical ELSE qid END AS node_id,
+       'agency' AS kind, qid, canonical AS label,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM sql_mentions GROUP BY canonical, qid"""
+
+
+def q_pages_lang_counts(sf_dir: str):
+    path = pages_src.ensure_pages(sf_dir)
+    return (
+        ray.data.read_parquet(path, columns=["lang"])
+        .groupby("lang").aggregate(Count(alias_name="n_pages"))
+        .map_batches(lambda b: _i64(b, ["n_pages"]), batch_format="pyarrow")
+    )
+
+
+O_PAGES_LANG_COUNTS = lambda sf: (
+    f"SELECT lang, CAST(count(*) AS BIGINT) AS n_pages FROM "
+    f"read_parquet('{pages_src.pages_path_for(sf)}') GROUP BY lang"
+)
+
+
+def q_pages_dedup_stats(sf_dir: str):
+    path = pages_src.ensure_pages(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["url"])
+    n_rows = ds.count()
+    n_urls = ops.distinct(ds, ["url"]).count()
+    return pa.table({"n_rows": pa.array([n_rows], type=pa.int64()),
+                     "n_urls": pa.array([n_urls], type=pa.int64())})
+
+
+O_PAGES_DEDUP_STATS = lambda sf: (
+    f"SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+    f"CAST(count(DISTINCT url) AS BIGINT) AS n_urls FROM "
+    f"read_parquet('{pages_src.pages_path_for(sf)}')"
+)
+
+
+# --------------------------------------------------------------------------
+# relational coverage over the TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_returnflag", "l_linestatus", "l_quantity",
+                         "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pa.scalar(pd.Timestamp("1998-09-01"), type=pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "qty": t["l_quantity"], "base": t["l_extendedprice"], "disc_price": disc,
+        })
+
+    g = li.map_batches(prep, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("qty", alias_name="sum_qty_raw"),
+        Sum("base", alias_name="base_raw"),
+        Sum("disc_price", alias_name="disc_raw"),
+        Count(alias_name="count_order"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "sum_qty": pc.cast(pc.round(t["sum_qty_raw"]), pa.int64()),
+            "sum_base_cents": _cents(t["base_raw"]),
+            # disc products carry 4 decimals -> scale 1e4 so the true sum is
+            # integral and cross-engine rounding can never straddle a .5
+            "sum_disc_e4": pc.cast(pc.round(pc.multiply(t["disc_raw"], 10000)), pa.int64()),
+            "count_order": pc.cast(t["count_order"], pa.int64()),
+        })
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+O_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_cents,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS sum_disc_e4,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_top_customers(sf_dir: str):
+    orders = ops.read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    rev = orders.groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="rev_raw"))
+    cust = ops.read_table(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    joined = ops.broadcast_join(rev, cust, on="o_custkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "c_name": t["c_name"],
+            "revenue_cents": _cents(t["rev_raw"]),
+        })
+
+    out = joined.map_batches(finish, batch_format="pyarrow")
+    return out.sort(["revenue_cents", "c_custkey"], descending=[True, False]).limit(10)
+
+
+O_TOP_CUSTOMERS = """
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+       CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue_cents DESC, c_custkey LIMIT 10"""
+
+
+def q_orders_by_segment(sf_dir: str):
+    orders = ops.read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = ops.read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    joined = ops.broadcast_join(orders, cust, on="o_custkey")
+    g = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_raw")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            "total_cents": _cents(t["total_raw"]),
+        })
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+O_ORDERS_BY_SEGMENT = """
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment"""
+
+
+def q_lineitem_by_flag(sf_dir: str):
+    li = ops.read_table(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_shipdate"])
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1998-01-01"), type=pa.timestamp("us"))
+    filt = li.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                                   pc.less(t["l_shipdate"], hi))),
+        batch_format="pyarrow",
+    )
+    g = filt.groupby("l_returnflag").aggregate(
+        Count(alias_name="n"), Sum("l_quantity", alias_name="qty_raw")
+    )
+    return g.map_batches(
+        lambda t: pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "sum_qty": pc.cast(pc.round(t["qty_raw"]), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+O_LINEITEM_BY_FLAG = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag"""
+
+
+def q_distinct_flag_status(sf_dir: str):
+    li = ops.read_table(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    return ops.distinct(li, ["l_returnflag", "l_linestatus"])
+
+
+O_DISTINCT_FLAG_STATUS = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q_customers_by_region(sf_dir: str):
+    cust = ops.read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = ops.read_table(sf_dir, "nation").to_pandas()
+    region = ops.read_table(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim.rename(columns={"n_nationkey": "c_nationkey"})[["c_nationkey", "r_name"]]
+    joined = ops.broadcast_join(cust, dim, on="c_nationkey")
+    g = joined.groupby("r_name").aggregate(Count(alias_name="n_customers"))
+    return g.map_batches(lambda t: _i64(t, ["n_customers"]), batch_format="pyarrow")
+
+
+O_CUSTOMERS_BY_REGION = """
+SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name"""
+
+
+# --------------------------------------------------------------------------
+# events (stream-shaped table): windows, json, top-k
+# --------------------------------------------------------------------------
+
+def q_events_hourly(sf_dir: str):
+    ev = ops.read_table(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return t.append_column("hour", ops.floor_to_hour(t["ts"])).drop_columns(["ts"])
+
+    g = ev.map_batches(add_hour, batch_format="pyarrow").groupby(
+        ["event_type", "hour"]
+    ).aggregate(Count(alias_name="n"), Sum("value", alias_name="value_raw"))
+    return g.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"], "hour": t["hour"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "value_cents": _cents(t["value_raw"]),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+O_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2"""
+
+
+def q_events_json_k(sf_dir: str):
+    ev = ops.read_table(sf_dir, "events", ["props"])
+
+    def extract(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["props"].str.extract(r'"k":\s*(\d+)')[0].astype("int64")
+        return pd.DataFrame({"k_bucket": (k % 10).astype("int64")})
+
+    g = ev.map_batches(extract, batch_format="pandas").groupby("k_bucket").aggregate(
+        Count(alias_name="n")
+    )
+    return g.map_batches(lambda t: _i64(t, ["n"]), batch_format="pyarrow")
+
+
+O_EVENTS_JSON_K = """
+SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1"""
+
+
+def q_events_top_values(sf_dir: str):
+    ev = ops.read_table(sf_dir, "events", ["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "value_cents": _cents(t["value"]),
+        })
+
+    return ev.map_batches(prep, batch_format="pyarrow").sort(
+        ["value_cents", "event_id"], descending=[True, False]
+    ).limit(10)
+
+
+O_EVENTS_TOP_VALUES = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM events ORDER BY value_cents DESC, event_id LIMIT 10"""
+
+
+# --------------------------------------------------------------------------
+# documents: dedup family, text stats, fingerprints
+# --------------------------------------------------------------------------
+
+def q_docs_exact_dedup(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    return dd.exact_dedup(docs).map_batches(
+        lambda t: _i64(t.select(["doc_id"]), ["doc_id"]), batch_format="pyarrow"
+    )
+
+
+O_DOCS_EXACT_DEDUP = (
+    "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text"
+)
+
+
+def q_docs_token_stats(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = ts.doc_stats(docs).map_batches(
+        lambda t: _i64(
+            t.select(["doc_id", "n_chars", "n_tokens", "n_ws_tokens",
+                      "n_punct", "n_unique_ws_tokens"]),
+            ["doc_id", "n_chars", "n_tokens", "n_ws_tokens", "n_punct",
+             "n_unique_ws_tokens"],
+        ),
+        batch_format="pyarrow",
+    )
+    return out
+
+
+O_DOCS_TOKEN_STATS = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+       CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS BIGINT)
+           AS n_unique_ws_tokens
+FROM documents"""
+
+
+def q_docs_quality_ids(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ts.quality_filter(docs).map_batches(
+        lambda t: _i64(t.select(["doc_id"]), ["doc_id"]), batch_format="pyarrow"
+    )
+
+
+O_DOCS_QUALITY_IDS = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE len(regexp_extract_all(text, '\S+')) >= 10
+  AND len(regexp_extract_all(text, '[^\w\s]'))
+      <= 0.3 * greatest(1, length(text))
+  AND len(list_distinct(regexp_extract_all(text, '\S+')))
+      >= 0.1 * greatest(1, len(regexp_extract_all(text, '\S+')))"""
+
+
+def q_docs_lang_dist(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["lang"])
+    return docs.groupby("lang").aggregate(Count(alias_name="n")).map_batches(
+        lambda t: _i64(t, ["n"]), batch_format="pyarrow"
+    )
+
+
+O_DOCS_LANG_DIST = "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang"
+
+
+def q_docs_fingerprint(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ts.fingerprints(docs).map_batches(
+        lambda t: _i64(t.select(["doc_id", "fp_md5"]), ["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+
+O_DOCS_FINGERPRINT = "SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS fp_md5 FROM documents"
+
+
+def q_docs_stats_by_source(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["source", "n_chars"])
+    g = docs.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+    return g.map_batches(lambda t: _i64(t, ["n_docs", "sum_chars"]), batch_format="pyarrow")
+
+
+O_DOCS_STATS_BY_SOURCE = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source"""
+
+
+# --------------------------------------------------------------------------
+# similarity search / embeddings
+# --------------------------------------------------------------------------
+
+_ANN_QUERY_IDS = list(range(8))
+_ANN_K = 5
+
+
+def q_ann_topk(sf_dir: str):
+    emb = ops.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.map_batches(
+        lambda t: t.filter(pc.is_in(pc.cast(t["vec_id"], pa.int64()),
+                                    value_set=pa.array(_ANN_QUERY_IDS, type=pa.int64()))),
+        batch_format="pyarrow",
+    ).take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qvecs = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in qrows]
+    out = sim.brute_force_topk(emb, qvecs, qids, k=_ANN_K)
+    return out.map_batches(
+        lambda t: _i64(t.select(["query_id", "vec_id", "rank"]),
+                       ["query_id", "vec_id", "rank"]),
+        batch_format="pyarrow",
+    )
+
+
+O_ANN_TOPK = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS s
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_ANN_K}"""
+
+
+def q_embeddings_by_label(sf_dir: str):
+    emb = ops.read_table(sf_dir, "embeddings", ["label"])
+    return emb.groupby("label").aggregate(Count(alias_name="n")).map_batches(
+        lambda t: _i64(t.select(["label", "n"]), ["label", "n"]), batch_format="pyarrow"
+    )
+
+
+O_EMBEDDINGS_BY_LABEL = (
+    "SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n "
+    "FROM embeddings GROUP BY label"
+)
+
+
+# ---- rows-only queries (no SQL-expressible oracle; driver records rows check)
+
+def q_minhash_pairs(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    return dd.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    return dd.simhash_pairs(docs, max_hamming=3)
+
+
+def q_jaccard_topk(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    return dd.ngram_jaccard_topk(docs, query_ids=list(range(5)), k=3)
+
+
+def q_embedding_dups(sf_dir: str):
+    emb = ops.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return sim.embedding_cosine_dups(emb, threshold=0.9)
+
+
+def q_lsh_ann_topk(sf_dir: str):
+    emb = ops.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.map_batches(
+        lambda t: t.filter(pc.is_in(pc.cast(t["vec_id"], pa.int64()),
+                                    value_set=pa.array(_ANN_QUERY_IDS, type=pa.int64()))),
+        batch_format="pyarrow",
+    ).take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qvecs = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in qrows]
+    return sim.lsh_topk(emb, qvecs, qids, k=_ANN_K)
+
+
+def q_docs_langid(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    scored = docs.map_batches(ts.LangIdStage, batch_format="pandas",
+                              batch_size=1024, concurrency=(1, 4), num_cpus=1)
+    return scored.groupby("lang_pred").aggregate(Count(alias_name="n"))
+
+
+def q_media_metadata(sf_dir: str):
+    media = ray.data.from_arrow(mm.make_media_table(256))
+    return mm.media_metadata(media)
+
+
+def q_kg_mentions(sf_dir: str):
+    return _mentions(sf_dir)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[str], Any]] = {
+    "kg_triples": q_kg_triples,
+    "kg_canonical": q_kg_canonical,
+    "kg_cooccurrence": q_kg_cooccurrence,
+    "kg_nodes_agency": q_kg_nodes_agency,
+    "kg_mentions": q_kg_mentions,
+    "pages_lang_counts": q_pages_lang_counts,
+    "pages_dedup_stats": q_pages_dedup_stats,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "orders_by_segment": q_orders_by_segment,
+    "lineitem_by_flag": q_lineitem_by_flag,
+    "distinct_flag_status": q_distinct_flag_status,
+    "customers_by_region": q_customers_by_region,
+    "events_hourly": q_events_hourly,
+    "events_json_k": q_events_json_k,
+    "events_top_values": q_events_top_values,
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_token_stats": q_docs_token_stats,
+    "docs_quality_ids": q_docs_quality_ids,
+    "docs_lang_dist": q_docs_lang_dist,
+    "docs_fingerprint": q_docs_fingerprint,
+    "docs_stats_by_source": q_docs_stats_by_source,
+    "ann_topk": q_ann_topk,
+    "embeddings_by_label": q_embeddings_by_label,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "jaccard_topk": q_jaccard_topk,
+    "embedding_dups": q_embedding_dups,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "docs_langid": q_docs_langid,
+    "media_metadata": q_media_metadata,
+}
+
+_SF001 = "/root/testdata/sf0.01"
+
+
+def oracles() -> dict[str, str]:
+    """Oracle SQL per query (driver runs these on DuckDB at sf0.01).
+
+    Calling this function also materializes the synthetic pages parquet for
+    sf0.01 so the pages-based oracle SQL can read it.
+    """
+    pages_src.ensure_pages(_SF001)
+    return {
+        "kg_triples": O_KG_TRIPLES(_SF001),
+        "kg_canonical": O_KG_CANONICAL(_SF001),
+        "kg_cooccurrence": O_KG_COOCCURRENCE(_SF001),
+        "kg_nodes_agency": O_KG_NODES_AGENCY(_SF001),
+        "pages_lang_counts": O_PAGES_LANG_COUNTS(_SF001),
+        "pages_dedup_stats": O_PAGES_DEDUP_STATS(_SF001),
+        "pricing_summary": O_PRICING_SUMMARY,
+        "top_customers": O_TOP_CUSTOMERS,
+        "orders_by_segment": O_ORDERS_BY_SEGMENT,
+        "lineitem_by_flag": O_LINEITEM_BY_FLAG,
+        "distinct_flag_status": O_DISTINCT_FLAG_STATUS,
+        "customers_by_region": O_CUSTOMERS_BY_REGION,
+        "events_hourly": O_EVENTS_HOURLY,
+        "events_json_k": O_EVENTS_JSON_K,
+        "events_top_values": O_EVENTS_TOP_VALUES,
+        "docs_exact_dedup": O_DOCS_EXACT_DEDUP,
+        "docs_token_stats": O_DOCS_TOKEN_STATS,
+        "docs_quality_ids": O_DOCS_QUALITY_IDS,
+        "docs_lang_dist": O_DOCS_LANG_DIST,
+        "docs_fingerprint": O_DOCS_FINGERPRINT,
+        "docs_stats_by_source": O_DOCS_STATS_BY_SOURCE,
+        "ann_topk": O_ANN_TOPK,
+        "embeddings_by_label": O_EMBEDDINGS_BY_LABEL,
+    }

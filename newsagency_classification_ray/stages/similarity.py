@@ -1,0 +1,186 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`brute_force_topk` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``), every batch does one numpy matmul against it
+  and emits only its *local* top-k per query (combiner), so the final shuffle
+  sees ``O(num_blocks · nq · k)`` rows regardless of corpus size.
+* :func:`lsh_topk` — the scale path: random-hyperplane LSH buckets the corpus
+  by signature prefix; only buckets that contain a query's signature are
+  scored exactly. Recall < 1 by design; parameterize bits/probes.
+* :func:`embedding_cosine_dups` — embedding-space near-duplicate pairs
+  (cosine ≥ τ) via the same LSH bucketing (first-class near-dup operator).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Min
+
+
+def _batch_matrix(t: pa.Table, col: str = "embedding",
+                  dtype=np.float32) -> np.ndarray:
+    return np.asarray(t[col].to_pylist(), dtype=dtype)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(
+    embeddings: Dataset, query_vecs: np.ndarray, query_ids: list[int], k: int = 5
+) -> Dataset:
+    """Exact cosine top-k: (query_id, vec_id, score, rank), rank 1-based.
+
+    Ties broken by vec_id ascending (deterministic, matches the SQL oracle's
+    ``ORDER BY score DESC, vec_id``). Self-matches (vec_id == query_id) are
+    excluded. float64 scoring so ranks agree bit-stably with the DuckDB
+    oracle's ``list_cosine_similarity``.
+    """
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qref = ray.put((qn, list(query_ids)))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        q, qids = ray.get(qref)
+        m = _normalize(_batch_matrix(t, dtype=np.float64))
+        ids = t["vec_id"].to_numpy()
+        scores = m @ q.T  # (batch, nq)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            col = scores[:, j].copy()
+            col[ids == qid] = -np.inf  # exclude self
+            kk = min(k, len(ids))
+            idx = np.lexsort((ids, -col))[:kk]  # score desc, vec_id asc
+            idx = idx[np.isfinite(col[idx])]
+            out_q.extend([qid] * len(idx))
+            out_v.extend(ids[idx].tolist())
+            out_s.extend(col[idx].astype(np.float64).tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "score": pa.array(out_s, type=pa.float64()),
+        })
+
+    local = embeddings.map_batches(local_topk, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return local.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+class HyperplaneLSH:
+    """Shared signed-random-projection signer (state built once per actor)."""
+
+    def __init__(self, dim: int = 64, bits: int = 12, seed: int = 11):
+        self.planes = np.random.RandomState(seed).randn(dim, bits).astype(np.float32)
+        self.bits = bits
+
+    def sign(self, m: np.ndarray) -> np.ndarray:
+        proj = m @ self.planes > 0
+        weights = (1 << np.arange(self.bits, dtype=np.int64))
+        return (proj.astype(np.int64) * weights).sum(axis=1)
+
+
+def lsh_topk(
+    embeddings: Dataset,
+    query_vecs: np.ndarray,
+    query_ids: list[int],
+    k: int = 5,
+    bits: int = 10,
+    dim: int = 64,
+) -> Dataset:
+    """Approximate cosine top-k: score only vectors whose LSH bucket matches a
+    query bucket. Single-probe (no multiprobe) — the documented recall trade."""
+    lsh = HyperplaneLSH(dim=dim, bits=bits)
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    qsig = lsh.sign(qn)
+    sig_to_q: dict[int, list[int]] = {}
+    for j, s in enumerate(qsig.tolist()):
+        sig_to_q.setdefault(s, []).append(j)
+    qref = ray.put((qn, list(query_ids), sig_to_q))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        q, qids, buckets = ray.get(qref)
+        m = _normalize(_batch_matrix(t))
+        ids = t["vec_id"].to_numpy()
+        sigs = lsh.sign(m)
+        out_q, out_v, out_s = [], [], []
+        for s, qjs in buckets.items():
+            mask = sigs == s
+            if not mask.any():
+                continue
+            sub_m, sub_ids = m[mask], ids[mask]
+            scores = sub_m @ q[qjs].T
+            kk = min(k, len(sub_ids))
+            for col_idx, j in enumerate(qjs):
+                col = scores[:, col_idx]
+                idx = np.lexsort((sub_ids, -col))[:kk]
+                out_q.extend([qids[j]] * len(idx))
+                out_v.extend(sub_ids[idx].tolist())
+                out_s.extend(col[idx].astype(np.float64).tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "score": pa.array(out_s, type=pa.float64()),
+        })
+
+    local = embeddings.map_batches(local_topk, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return local.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def embedding_cosine_dups(
+    embeddings: Dataset, threshold: float = 0.95, bits: int = 8, dim: int = 64
+) -> Dataset:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold).
+
+    LSH-bucket the corpus (random hyperplanes), compare all pairs *within*
+    each bucket exactly. High-cosine pairs collide with high probability at
+    few bits; exact within-bucket verification keeps precision 1.0.
+    """
+    lsh = HyperplaneLSH(dim=dim, bits=bits)
+
+    def sign_batch(t: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(t))
+        return pa.table({
+            "bucket": pa.array(lsh.sign(m), type=pa.int64()),
+            "vec_id": pa.array(t["vec_id"].to_numpy(), type=pa.int64()),
+            "embedding": t["embedding"],
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                              "vec_b": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values("vec_id").drop_duplicates("vec_id")
+        m = _normalize(np.asarray(g["embedding"].tolist(), dtype=np.float32))
+        ids = g["vec_id"].to_numpy()
+        sim = m @ m.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sim[ii, jj] >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"vec_a": ids[ii[keep]], "vec_b": ids[jj[keep]],
+                             "cosine": sim[ii[keep], jj[keep]].astype(np.float64)})
+
+    pairs = embeddings.map_batches(sign_batch, batch_format="pyarrow").groupby(
+        "bucket"
+    ).map_groups(bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("cosine", alias_name="cosine"))

@@ -1,0 +1,79 @@
+"""Dedup family: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from newsagency_classification_ray.stages.dedup import (
+    MinHashStage,
+    SimHashStage,
+    _token_ngrams,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_topk,
+    simhash_pairs,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away into "
+        "the green forest near the old river bank every single morning")
+
+
+def corpus():
+    """Docs 0/1 near-dups, 2 exact dup of 0, 3/4 unrelated."""
+    texts = [
+        BASE,
+        BASE.replace("quick", "fast"),              # near-dup of 0
+        BASE,                                       # exact dup of 0
+        "completely different words about machine learning pipelines and ray data",
+        "yet another unrelated string with its own vocabulary entirely apart",
+    ]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+
+
+def test_exact_dedup():
+    kept = set(exact_dedup(corpus()).to_pandas()["doc_id"])
+    assert kept == {0, 1, 3, 4}  # doc 2 collapses into doc 0 (min id)
+
+
+def test_minhash_signature_estimates_jaccard():
+    st = MinHashStage(num_perm=128)
+    a, b = st.signature(BASE), st.signature(BASE.replace("quick", "fast"))
+    est = (a == b).mean()
+    sa, sb = _token_ngrams(BASE, 3), _token_ngrams(BASE.replace("quick", "fast"), 3)
+    true = len(sa & sb) / len(sa | sb)
+    assert abs(est - true) < 0.2
+    assert (st.signature(BASE) == a).all()  # deterministic
+
+
+def test_minhash_lsh_finds_near_and_exact_dups():
+    pairs = minhash_lsh_pairs(corpus(), jaccard_threshold=0.5).to_pandas()
+    found = {tuple(r) for r in pairs[["doc_a", "doc_b"]].itertuples(index=False)}
+    assert (0, 2) in found  # exact dup → jaccard 1.0
+    assert (0, 1) in found or (1, 2) in found  # near-dup caught
+    # unrelated docs never pair with the BASE cluster
+    assert not any({a, b} & {3, 4} and {a, b} & {0, 1, 2} for a, b in found)
+
+
+def test_simhash_pairs():
+    pairs = simhash_pairs(corpus(), max_hamming=6).to_pandas()
+    found = {tuple(r) for r in pairs[["doc_a", "doc_b"]].itertuples(index=False)}
+    assert (0, 2) in found  # identical text → hamming 0
+    ham = pairs.set_index(["doc_a", "doc_b"])["hamming"]
+    assert ham[(0, 2)] == 0
+
+
+def test_simhash_unrelated_far():
+    st = SimHashStage()
+    h1, h2 = st.simhash(BASE), st.simhash("machine learning ray data pipelines")
+    assert bin(h1 ^ h2).count("1") > 10
+
+
+def test_ngram_jaccard_topk():
+    out = ngram_jaccard_topk(corpus(), query_ids=[0], k=2).to_pandas()
+    assert list(out["query_id"].unique()) == [0]
+    assert len(out) == 2
+    assert out.iloc[0]["doc_id"] == 2 and out.iloc[0]["jaccard"] == 1.0
+    assert out.iloc[1]["doc_id"] == 1  # near-dup second
