@@ -53,14 +53,48 @@ def read_pages(path: str, columns: list[str] | None = None, **kwargs) -> Dataset
     )
 
 
-def dedup_by_url(pages: Dataset) -> Dataset:
-    """Exact dedup: hash-partition on ``url`` + per-group first (D1).
+def _drop_dup_runs(key: str):
+    """Vectorized keep-first-of-run over a block sorted by ``key``."""
+    def fn(t: pa.Table) -> pa.Table:
+        if len(t) <= 1:
+            return t
+        col = t[key].combine_chunks()
+        neq = pc.not_equal(col.slice(1), col.slice(0, len(t) - 1))
+        keep = pa.chunked_array([pa.array([True]), pc.fill_null(neq, True)])
+        return t.filter(keep)
+    return fn
 
+
+def dedup_by_url(pages: Dataset) -> Dataset:
+    """Exact dedup: range-partition on ``url`` + vectorized keep-first (D1).
+
+    ``sort`` is Ray's one keyed exchange whose partitioner is value-
+    deterministic (every block maps a key to the same output partition via the
+    shared boundaries), so all copies of a url land in one block and a
+    vectorized run-compare drops the duplicates — no per-group Python.
     Duplicate rows in this corpus are exact copies (generator invariant,
     mirroring the reference's 7 duplicated FR test articles README.md:86), so
     "first" is value-deterministic regardless of shuffle order.
+    ``batch_size=None`` ⇒ one batch per block, so runs never straddle a batch.
     """
-    return pages.groupby("url").map_groups(lambda g: g.head(1), batch_format="pandas")
+    return pages.sort("url").map_batches(
+        _drop_dup_runs("url"), batch_format="pyarrow", batch_size=None
+    )
+
+
+def dedup_mentions(mentions: Dataset) -> Dataset:
+    """Exact dedup of mention rows by ``mention_id`` (same sort+run pattern).
+
+    The scale-correct place to defuse duplicate pages: mention rows are ~10³×
+    smaller than page rows, and exact-duplicate pages (same url ⇒ same text)
+    produce byte-identical mention rows, so deduping here equals page-level
+    ``dedup_by_url`` on the result while shuffling only the small side. The
+    price is tagging each duplicate page once more — ε compute vs moving the
+    full page payload through an exchange.
+    """
+    return mentions.sort("mention_id").map_batches(
+        _drop_dup_runs("mention_id"), batch_format="pyarrow", batch_size=None
+    )
 
 
 def extract_mentions(
@@ -69,11 +103,23 @@ def extract_mentions(
     tagger_concurrency: int | tuple[int, int] = (1, 8),
     linker_concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 256,
-    dedup: bool = True,
+    dedup: bool | str = True,
+    mention_rows_per_block: int | None = 65_536,
 ) -> Dataset:
-    """pages → mentions (tag + link), the hot actor-pool section."""
+    """pages → mentions (tag + link), the hot actor-pool section.
+
+    ``dedup``: ``"mentions"`` / ``True`` dedups duplicate pages on the *small*
+    side (identical mention rows, see :func:`dedup_mentions`); ``"pages"``
+    shuffles the full page payload through :func:`dedup_by_url` first
+    (needed only when duplicate pages are NOT exact copies); ``False`` skips.
+
+    ``mention_rows_per_block``: mention output is ~10³× smaller than the page
+    input, so blocks inherited from the read are tiny; coalescing them (no
+    shuffle) keeps every downstream exchange from paying per-partition task
+    overhead proportional to the *input* block count.
+    """
     ds = pages.map_batches(filter_pages, batch_format="pyarrow")
-    if dedup:
+    if dedup == "pages":
         ds = dedup_by_url(ds)
     ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
     ds = ds.map_batches(
@@ -90,7 +136,12 @@ def extract_mentions(
         concurrency=linker_concurrency,
         num_cpus=1,
     )
-    return ds.map_batches(_derive_mention_meta, batch_format="pyarrow")
+    ds = ds.map_batches(_derive_mention_meta, batch_format="pyarrow")
+    if dedup in (True, "mentions"):
+        ds = dedup_mentions(ds)
+    if mention_rows_per_block:
+        ds = ds.repartition(target_num_rows_per_block=mention_rows_per_block)
+    return ds
 
 
 def _derive_mention_meta(batch: pa.Table) -> pa.Table:

@@ -6,44 +6,68 @@ the standard web-corpus toolkit: MinHash+LSH, SimHash, n-gram Jaccard).
 
 All operators follow the same scale shape:
 
-1. *per-batch vectorized sketch* (``map_batches`` — shingles/minhash/simhash
-   computed with numpy, no Python loop over characters),
-2. *explode to small key rows* ((band_id, band_hash, doc_id) — tiny vs text),
-3. *groupby on the band key* (the only shuffle; banded keys are uniform by
-   construction, so no salting needed),
-4. *verify candidates exactly* inside ``map_groups`` (Jaccard / Hamming).
+1. *per-batch vectorized sketch* (``map_batches`` — shingles hashed with
+   crc32 + a uint64 rolling polynomial, minhash/simhash in numpy; no Python
+   loop over characters or n-grams),
+2. *explode to tiny key rows* ((band, band_hash, doc_id) — ids only, the
+   signatures themselves never ride through the band shuffle),
+3. *one keyed exchange* (sort by the band key; banded keys are uniform by
+   construction so no salting is needed; buckets are detected as runs in the
+   sorted blocks — vectorized, no per-group Python),
+4. *verify candidates exactly* by joining the candidate pairs back to the
+   signature table (two hash joins over the small sketch side; Jaccard /
+   Hamming computed vectorized per batch).
 
-so the text itself never moves through a shuffle — only fingerprints do.
+so the text moves never, and the signatures move only for the candidate set.
 """
 
 from __future__ import annotations
 
-import hashlib
+import zlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Min
 
 _MERSENNE31 = (1 << 31) - 1
+_FNV64 = np.uint64(1099511628211)
 
 
-def _token_ngrams(text: str, n: int) -> set[int]:
-    """Word n-gram shingle set, hashed to 32-bit ints (stable md5 basis).
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Unique word n-gram shingle hashes, each < 2^31 (vectorized).
 
-    32-bit shingle ids keep the (a·x+b) mod p minhash products inside int64 —
-    fully vectorizable in numpy without object-dtype bignums.
+    Token hashes (crc32) combined with a rolling uint64 polynomial over each
+    window — no per-n-gram string building. 31-bit outputs keep the
+    (a·x+b) mod p minhash products inside int64 downstream.
     """
     toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.int64)
     if len(toks) < n:
         toks = toks + [""] * (n - len(toks))
-    out = set()
-    for i in range(len(toks) - n + 1):
-        h = hashlib.md5(" ".join(toks[i:i + n]).encode()).digest()[:4]
-        out.add(int.from_bytes(h, "little"))
-    return out
+    th = np.fromiter(
+        (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
+    )
+    win = np.lib.stride_tricks.sliding_window_view(th, n)
+    coef = np.power(_FNV64, np.arange(n, dtype=np.uint64))  # wraps mod 2^64
+    h = (win * coef[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique((h >> np.uint64(33)).astype(np.int64))
+
+
+def _hash_rows_u64(mat: np.ndarray) -> np.ndarray:
+    """Deterministic uint64 hash of each row of a 2-D integer matrix."""
+    coef = np.power(_FNV64, np.arange(mat.shape[1], dtype=np.uint64))
+    return (mat.astype(np.uint64) * coef[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def _sig_matrix(col: pa.ChunkedArray | pa.Array, num_perm: int) -> np.ndarray:
+    """binary signature column → (n, num_perm) uint32 matrix, one allocation."""
+    blobs = col.to_pylist()
+    if not blobs:
+        return np.empty((0, num_perm), dtype=np.uint32)
+    return np.frombuffer(b"".join(blobs), dtype="<u4").reshape(len(blobs), num_perm)
 
 
 # ---------------------------------------------------------------- exact dedup
@@ -55,6 +79,8 @@ def exact_dedup(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
     Shuffles only (text_hash, id) pairs — the text column never moves.
     Oracle-equivalent SQL: ``SELECT min(id) FROM t GROUP BY text``.
     """
+    import hashlib
+
     def hash_batch(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
         hashes = [hashlib.sha1((s or "").encode()).hexdigest() for s in texts]
@@ -70,7 +96,12 @@ def exact_dedup(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
 # ------------------------------------------------------------- MinHash + LSH
 
 class MinHashStage:
-    """Actor: per-batch MinHash signatures (state = the permutation params)."""
+    """Actor: per-batch MinHash signatures (state = the permutation params).
+
+    Output ``sig`` is a fixed ``4*num_perm``-byte binary blob (uint32 LE) —
+    ~4× smaller than a list<int64> column and decodable with one
+    ``np.frombuffer`` per batch.
+    """
 
     def __init__(self, num_perm: int = 64, shingle_n: int = 3, seed: int = 7):
         rng = np.random.RandomState(seed)
@@ -80,21 +111,58 @@ class MinHashStage:
         self.shingle_n = shingle_n
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _token_ngrams(text, self.shingle_n)
-        if not sh:
+        sh = _shingle_hashes(text, self.shingle_n)
+        if sh.size == 0:
             return np.full(self.num_perm, _MERSENNE31, dtype=np.int64)
-        x = np.fromiter(sh, dtype=np.int64, count=len(sh))
-        # (a*x + b) mod p, all perms at once: (len(sh), num_perm); fits int64
-        vals = (x[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE31
+        # (a*x + b) mod p for all perms at once: (n_shingles, num_perm) int64
+        vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE31
         return vals.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        sigs = [self.signature(s or "") for s in batch["text"].to_pylist()]
+        texts = batch["text"].to_pylist()
+        sigs = [self.signature(s or "").astype("<u4").tobytes() for s in texts]
         return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "sig": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.int64())),
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "sig": pa.array(sigs, type=pa.binary()),
         })
+
+
+def _pairs_from_sorted_buckets(bucket_cols: list[str]):
+    """Vectorized candidate-pair emitter over a block sorted by bucket key.
+
+    Detects key runs with a run-boundary compare (no per-group calls); only
+    runs of ≥2 docs — the actual collision buckets, a tiny minority — loop.
+    """
+    def fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                          "doc_b": pa.array([], type=pa.int64())})
+        n = len(t)
+        if n < 2:
+            return empty
+        key = _hash_rows_u64(
+            np.column_stack([t[c].to_numpy(zero_copy_only=False).astype(np.uint64)
+                             for c in bucket_cols])
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+        ends = np.append(starts[1:], n)
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            run = np.unique(ids[s:e])
+            if run.size < 2:
+                continue
+            ii, jj = np.triu_indices(run.size, k=1)
+            out_a.append(run[ii])
+            out_b.append(run[jj])
+        if not out_a:
+            return empty
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+        })
+    return fn
 
 
 def minhash_lsh_pairs(
@@ -104,70 +172,84 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    num_partitions: int | None = None,
 ) -> Dataset:
-    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+    """MinHash+LSH near-duplicate pairs with exact-signature verification.
 
-    shingle → minhash (actor pool) → explode to (band, band_hash, doc_id) →
-    band groupby → candidate pairs → verify estimated Jaccard from full
-    signatures (signature agreement rate — unbiased estimator) → pairs with
-    ``jaccard >= threshold``, canonical ``doc_a < doc_b``.
+    shingle → minhash (actor pool) → explode to (band, band_hash, doc_id)
+    *ids only* → sort on the band key + vectorized run-pairing → global pair
+    dedup → join the (small) signature table back on each endpoint → estimated
+    Jaccard = signature agreement rate → pairs ≥ threshold, ``doc_a < doc_b``.
+
+    The signature table is materialized once (it is the reduced sketch —
+    ``4*num_perm`` bytes/doc, ~10³× smaller than the text) because two join
+    consumers read it; everything text-sized stays streaming.
     """
+    if num_partitions is None:
+        # Ray's hash join spawns `num_partitions` aggregator actors per join;
+        # two chained joins on a small-CPU session must not starve the pools.
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_partitions = max(2, min(16, cpus // 4))
     rows_per_band = num_perm // bands
     sigs = docs.map_batches(
         MinHashStage, batch_format="pyarrow", batch_size=1024,
-        concurrency=(1, 4), num_cpus=1,
+        concurrency=(1, 8), num_cpus=1,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_n": shingle_n},
-    )
+    ).materialize()
 
     def explode_bands(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy()
-        sig = np.asarray(t["sig"].to_pylist(), dtype=np.int64)
-        band_ids, band_hashes, doc_ids, sig_rows = [], [], [], []
-        for b in range(bands):
-            chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
-            hs = [hashlib.md5(c.tobytes()).hexdigest()[:16] for c in chunk]
-            band_ids.extend([b] * len(ids))
-            band_hashes.extend(hs)
-            doc_ids.extend(ids.tolist())
-            sig_rows.extend(sig.tolist())
+        mat = _sig_matrix(t["sig"], num_perm)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        band_ids = np.repeat(np.arange(bands, dtype=np.int64), len(ids))
+        band_hash = np.concatenate([
+            _hash_rows_u64(mat[:, b * rows_per_band:(b + 1) * rows_per_band])
+            .view(np.int64)
+            for b in range(bands)
+        ]) if len(ids) else np.empty(0, dtype=np.int64)
         return pa.table({
-            "band": pa.array(band_ids, type=pa.int32()),
-            "band_hash": pa.array(band_hashes, type=pa.string()),
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "sig": pa.array(sig_rows, type=pa.list_(pa.int64())),
+            "band": pa.array(band_ids, type=pa.int64()),
+            "band_hash": pa.array(band_hash, type=pa.int64()),
+            "doc_id": pa.array(np.tile(ids, bands), type=pa.int64()),
         })
 
     banded = sigs.map_batches(explode_bands, batch_format="pyarrow")
+    pairs = banded.sort(["band", "band_hash"]).map_batches(
+        _pairs_from_sorted_buckets(["band", "band_hash"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    # a pair can surface from several bands → global dedup on (doc_a, doc_b)
+    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb"))
+    uniq = uniq.map_batches(lambda t: t.drop_columns(["_nb"]), batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sig = np.asarray(g["sig"].tolist(), dtype=np.int64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        jac = (sig[ii] == sig[jj]).mean(axis=1)
-        return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj], "jaccard": jac})
+    sig_a = sigs.map_batches(lambda t: t.rename_columns(["doc_a", "sig_a"]),
+                             batch_format="pyarrow")
+    sig_b = sigs.map_batches(lambda t: t.rename_columns(["doc_b", "sig_b"]),
+                             batch_format="pyarrow")
+    joined = uniq.join(sig_a, "inner", num_partitions, on=("doc_a",)).join(
+        sig_b, "inner", num_partitions, on=("doc_b",)
+    )
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    # a pair can surface from several bands → dedup with a (doc_a, doc_b) groupby
-    verified = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("jaccard", alias_name="jaccard")
-    )
-    return verified.map_batches(
-        lambda t, th=jaccard_threshold: t.filter(pc.greater_equal(t["jaccard"], th)),
-        batch_format="pyarrow",
-    )
+    def verify(t: pa.Table) -> pa.Table:
+        a = _sig_matrix(t["sig_a"], num_perm)
+        b = _sig_matrix(t["sig_b"], num_perm)
+        jac = (a == b).mean(axis=1) if len(t) else np.empty(0)
+        out = pa.table({
+            "doc_a": pc.cast(t["doc_a"], pa.int64()),
+            "doc_b": pc.cast(t["doc_b"], pa.int64()),
+            "jaccard": pa.array(jac, type=pa.float64()),
+        })
+        return out.filter(pc.greater_equal(out["jaccard"], jaccard_threshold))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------------- SimHash
 
 class SimHashStage:
-    """Actor: 64-bit SimHash over word unigrams (stable md5 token hashing)."""
+    """Actor: 64-bit SimHash over word unigrams (stable crc32 token hashing,
+    widened to 64 bits with the FNV fold used throughout this module)."""
 
     def __init__(self):
         self._cache: dict[str, int] = {}
@@ -175,7 +257,8 @@ class SimHashStage:
     def _tok_hash(self, tok: str) -> int:
         h = self._cache.get(tok)
         if h is None:
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+            c = np.uint64(zlib.crc32(tok.encode()))
+            h = int((c * _FNV64) ^ (c << np.uint64(32)))
             if len(self._cache) < 1_000_000:
                 self._cache[tok] = h
         return h
@@ -191,62 +274,85 @@ class SimHashStage:
         return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
         hs = [self.simhash(s or "") for s in batch["text"].to_pylist()]
         return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
             "simhash": pa.array(hs, type=pa.uint64()),
         })
 
 
 def simhash_pairs(docs: Dataset, max_hamming: int = 3) -> Dataset:
-    """SimHash near-dup candidate pairs with Hamming verification.
+    """SimHash near-dup pairs with Hamming verification.
 
     Banding: 4 16-bit chunks — any pair within Hamming distance 3 shares at
-    least one exact chunk (pigeonhole), so bucket-groupby on (chunk_idx,
-    chunk_value) finds all such pairs without an all-pairs scan.
+    least one exact chunk (pigeonhole), so bucketing on (chunk_idx, chunk)
+    finds all such pairs without an all-pairs scan. Buckets are sorted runs
+    (same vectorized pattern as MinHash); the 8-byte simhash rides along for
+    in-place verification — no join needed at this payload size.
     """
     sigs = docs.map_batches(SimHashStage, batch_format="pyarrow",
-                            batch_size=1024, concurrency=(1, 4), num_cpus=1)
+                            batch_size=1024, concurrency=(1, 8), num_cpus=1)
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy()
-        h = t["simhash"].to_numpy().astype(np.uint64)
-        out_idx, out_chunk, out_id, out_h = [], [], [], []
-        for c in range(4):
-            chunk = (h >> np.uint64(16 * c)) & np.uint64(0xFFFF)
-            out_idx.extend([c] * len(ids))
-            out_chunk.extend(chunk.tolist())
-            out_id.extend(ids.tolist())
-            out_h.extend(h.tolist())
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        chunks = [((h >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+                  for c in range(4)]
         return pa.table({
-            "chunk_idx": pa.array(out_idx, type=pa.int32()),
-            "chunk": pa.array(out_chunk, type=pa.int64()),
-            "doc_id": pa.array(out_id, type=pa.int64()),
-            "simhash": pa.array(out_h, type=pa.uint64()),
+            "chunk_idx": pa.array(np.repeat(np.arange(4, dtype=np.int64), len(ids))),
+            "chunk": pa.array(np.concatenate(chunks) if len(ids) else
+                              np.empty(0, dtype=np.int64)),
+            "doc_id": pa.array(np.tile(ids, 4), type=pa.int64()),
+            "simhash": pa.array(np.tile(h, 4), type=pa.uint64()),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                              "doc_b": pd.Series([], dtype="int64"),
-                              "hamming": pd.Series([], dtype="int64")})
-        if len(g) < 2:
+    def pairs_in_block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                          "doc_b": pa.array([], type=pa.int64()),
+                          "hamming": pa.array([], type=pa.int64())})
+        n = len(t)
+        if n < 2:
             return empty
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy()
-        h = g["simhash"].to_numpy().astype(np.uint64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        x = h[ii] ^ h[jj]
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
-        keep = ham <= max_hamming
-        if not keep.any():
+        key = _hash_rows_u64(np.column_stack([
+            t["chunk_idx"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            t["chunk"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        ]))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+        ends = np.append(starts[1:], n)
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            order = np.argsort(ids[s:e], kind="stable")
+            run_ids, run_hs = ids[s:e][order], hs[s:e][order]
+            keep_first = np.concatenate(([True], run_ids[1:] != run_ids[:-1]))
+            run_ids, run_hs = run_ids[keep_first], run_hs[keep_first]
+            if run_ids.size < 2:
+                continue
+            ii, jj = np.triu_indices(run_ids.size, k=1)
+            x = run_hs[ii] ^ run_hs[jj]
+            ham = np.zeros(x.size, dtype=np.int64)
+            while x.any():
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x = x >> np.uint64(1)
+            keep = ham <= max_hamming
+            if keep.any():
+                out_a.append(run_ids[ii][keep])
+                out_b.append(run_ids[jj][keep])
+                out_h.append(ham[keep])
+        if not out_a:
             return empty
-        return pd.DataFrame({"doc_a": ids[ii][keep], "doc_b": ids[jj][keep],
-                             "hamming": ham[keep]})
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            "hamming": pa.array(np.concatenate(out_h), type=pa.int64()),
+        })
 
-    pairs = sigs.map_batches(explode, batch_format="pyarrow").groupby(
+    pairs = sigs.map_batches(explode, batch_format="pyarrow").sort(
         ["chunk_idx", "chunk"]
-    ).map_groups(bucket_pairs, batch_format="pandas")
+    ).map_batches(pairs_in_block, batch_format="pyarrow", batch_size=None)
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
@@ -257,10 +363,12 @@ def ngram_jaccard_topk(
 ) -> Dataset:
     """Exact n-gram-Jaccard top-k neighbours for a small query set.
 
-    Broadcast pattern: the query shingle sets ride into every task via the fn
-    closure (``ray.put`` under the hood); each batch scores locally and emits
-    its local top-k per query; a tiny final groupby takes the global top-k.
+    Broadcast pattern: the query shingle sets ride into every task via
+    ``ray.put``; each batch scores locally (vectorized set intersection on
+    sorted hash arrays) and emits its local top-k per query; a tiny final
+    groupby takes the global top-k.
     """
+    import pandas as pd
     import ray
 
     qids = pa.array(list(query_ids), type=pa.int64())
@@ -269,7 +377,7 @@ def ngram_jaccard_topk(
         .select(["doc_id", "text"]),
         batch_format="pyarrow",
     ).take_all()
-    qsh = {r["doc_id"]: _token_ngrams(r["text"] or "", shingle_n) for r in qrows}
+    qsh = {r["doc_id"]: _shingle_hashes(r["text"] or "", shingle_n) for r in qrows}
     qref = ray.put(qsh)
 
     def score(t: pa.Table) -> pa.Table:
@@ -278,13 +386,14 @@ def ngram_jaccard_topk(
         texts = t["text"].to_pylist()
         out_q, out_d, out_j = [], [], []
         for did, text in zip(ids, texts):
-            sh = _token_ngrams(text or "", shingle_n)
+            sh = _shingle_hashes(text or "", shingle_n)
             for qid, qs in q.items():
                 if qid == did:
                     continue
-                u = len(qs | sh)
-                j = (len(qs & sh) / u) if u else 0.0
-                out_q.append(qid); out_d.append(did); out_j.append(j)
+                inter = np.intersect1d(qs, sh, assume_unique=True).size
+                u = qs.size + sh.size - inter
+                out_q.append(qid); out_d.append(did)
+                out_j.append(inter / u if u else 0.0)
         tl = pa.table({"query_id": pa.array(out_q, type=pa.int64()),
                        "doc_id": pa.array(out_d, type=pa.int64()),
                        "jaccard": pa.array(out_j, type=pa.float64())})
@@ -296,7 +405,7 @@ def ngram_jaccard_topk(
 
     local = docs.map_batches(score, batch_format="pyarrow")
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+    def final_topk(g):
         return g.sort_values(["jaccard", "doc_id"], ascending=[False, True]).head(k)
 
     return local.groupby("query_id").map_groups(final_topk, batch_format="pandas")

@@ -80,8 +80,23 @@ class AliasModel:
     sys_id = "ALIAS BERT MODEL"  # reference tests/na_tagger_out.jsonl sys_id
 
     def __init__(self, max_tokens: int = MAX_TOKENS_PER_SENTENCE):
+        import re
+
         self.max_tokens = max_tokens
         self.lexicon = ALIAS_TO_CANONICAL  # surface -> canonical agency
+        # Candidate pre-gate: a token can only match the lexicon if the raw
+        # text contains that alias as a substring, so one compiled alternation
+        # scan is a sound superset test (no false negatives; a false positive
+        # just takes the full segment+tokenize+tag path). Prunes the ~85 % of
+        # articles/sentences with no alias at C speed — the surrogate's
+        # stand-in for batching cheap "no entity here" rejections before the
+        # expensive model forward.
+        self._gate = re.compile(
+            "|".join(re.escape(a) for a in sorted(self.lexicon, key=len, reverse=True))
+        )
+
+    def has_candidates(self, text: str) -> bool:
+        return self._gate.search(text) is not None
 
     def tag(self, tokens: list[Span]) -> tuple[list[str], list[float]]:
         tags = ["O"] * len(tokens)
@@ -136,7 +151,12 @@ class TaggerStage:
         return pa.Table.from_pydict(cols, schema=MENTIONS_SCHEMA)
 
     def _tag_article(self, cols: dict[str, list], url: str, text: str, lang: str, ts) -> None:
+        gate = getattr(self.model, "has_candidates", None)
+        if gate is not None and not gate(text):
+            return
         for sent_idx, sent in enumerate(segment_sentences(text)):
+            if gate is not None and not gate(sent.text):
+                continue
             tokens = tokenize_with_spans(sent.text)
             if not tokens:
                 continue

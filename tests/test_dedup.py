@@ -7,7 +7,7 @@ import ray.data
 from newsagency_classification_ray.stages.dedup import (
     MinHashStage,
     SimHashStage,
-    _token_ngrams,
+    _shingle_hashes,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_topk,
@@ -42,8 +42,9 @@ def test_minhash_signature_estimates_jaccard():
     st = MinHashStage(num_perm=128)
     a, b = st.signature(BASE), st.signature(BASE.replace("quick", "fast"))
     est = (a == b).mean()
-    sa, sb = _token_ngrams(BASE, 3), _token_ngrams(BASE.replace("quick", "fast"), 3)
-    true = len(sa & sb) / len(sa | sb)
+    sa, sb = _shingle_hashes(BASE, 3), _shingle_hashes(BASE.replace("quick", "fast"), 3)
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    true = inter / (sa.size + sb.size - inter)
     assert abs(est - true) < 0.2
     assert (st.signature(BASE) == a).all()  # deterministic
 
