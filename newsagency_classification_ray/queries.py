@@ -413,11 +413,13 @@ FROM events GROUP BY 1, 2"""
 def q_events_json_k(sf_dir: str):
     ev = ops.read_table(sf_dir, "events", ["props"])
 
-    def extract(batch: pd.DataFrame) -> pd.DataFrame:
-        k = batch["props"].str.extract(r'"k":\s*(\d+)')[0].astype("int64")
-        return pd.DataFrame({"k_bucket": (k % 10).astype("int64")})
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        bucket = pc.subtract(k, pc.multiply(pc.divide(k, 10), 10))  # k % 10
+        return pa.table({"k_bucket": bucket})
 
-    g = ev.map_batches(extract, batch_format="pandas").groupby("k_bucket").aggregate(
+    g = ev.map_batches(extract, batch_format="pyarrow").groupby("k_bucket").aggregate(
         Count(alias_name="n")
     )
     return g.map_batches(lambda t: _i64(t, ["n"]), batch_format="pyarrow")
@@ -637,7 +639,9 @@ def q_docs_langid(sf_dir: str):
     docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
     scored = docs.map_batches(ts.LangIdStage, batch_format="pandas",
                               batch_size=1024, concurrency=(1, 4), num_cpus=1)
-    return scored.groupby("lang_pred").aggregate(Count(alias_name="n"))
+    # back to Arrow blocks before the exchange (pandas blocks sort slowly)
+    arrow = scored.map_batches(lambda t: t.select(["lang_pred"]), batch_format="pyarrow")
+    return arrow.groupby("lang_pred").aggregate(Count(alias_name="n"))
 
 
 def q_media_metadata(sf_dir: str):

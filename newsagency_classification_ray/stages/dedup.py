@@ -405,7 +405,10 @@ def ngram_jaccard_topk(
 
     local = docs.map_batches(score, batch_format="pyarrow")
 
-    def final_topk(g):
-        return g.sort_values(["jaccard", "doc_id"], ascending=[False, True]).head(k)
+    def final_topk(g: pa.Table) -> pa.Table:
+        jac = g["jaccard"].to_numpy(zero_copy_only=False)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((did, -jac))[: min(k, len(g))]
+        return g.take(idx)
 
-    return local.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return local.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")

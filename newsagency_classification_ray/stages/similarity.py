@@ -14,7 +14,6 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 from ray.data import Dataset
@@ -67,14 +66,24 @@ def brute_force_topk(
         })
 
     local = embeddings.map_batches(local_topk, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(_final_topk(k), batch_format="pyarrow")
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
 
-    return local.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+def _final_topk(k: int):
+    """Per-query global top-k with 1-based rank (Arrow in/out — pandas-format
+    blocks would knock every downstream exchange off the fast sort path)."""
+    def fn(g: pa.Table) -> pa.Table:
+        qid = g["query_id"].to_numpy(zero_copy_only=False)
+        vid = g["vec_id"].to_numpy(zero_copy_only=False)
+        sc = g["score"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((vid, -sc))[: min(k, len(g))]
+        return pa.table({
+            "query_id": pa.array(qid[idx], type=pa.int64()),
+            "vec_id": pa.array(vid[idx], type=pa.int64()),
+            "score": pa.array(sc[idx], type=pa.float64()),
+            "rank": pa.array(np.arange(1, len(idx) + 1, dtype=np.int64)),
+        })
+    return fn
 
 
 class HyperplaneLSH:
@@ -134,14 +143,7 @@ def lsh_topk(
         })
 
     local = embeddings.map_batches(local_topk, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return local.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return local.groupby("query_id").map_groups(_final_topk(k), batch_format="pyarrow")
 
 
 def embedding_cosine_dups(
@@ -163,24 +165,32 @@ def embedding_cosine_dups(
             "embedding": t["embedding"],
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                              "vec_b": pd.Series([], dtype="int64"),
-                              "cosine": pd.Series([], dtype="float64")})
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_a": pa.array([], type=pa.int64()),
+                          "vec_b": pa.array([], type=pa.int64()),
+                          "cosine": pa.array([], type=pa.float64())})
         if len(g) < 2:
             return empty
-        g = g.sort_values("vec_id").drop_duplicates("vec_id")
-        m = _normalize(np.asarray(g["embedding"].tolist(), dtype=np.float32))
-        ids = g["vec_id"].to_numpy()
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        keep_first = np.concatenate(([True], ids[order][1:] != ids[order][:-1]))
+        sel = order[keep_first]
+        if sel.size < 2:
+            return empty
+        m = _normalize(_batch_matrix(g, dtype=np.float32)[sel])
+        ids = ids[sel]
         sim = m @ m.T
         ii, jj = np.triu_indices(len(ids), k=1)
         keep = sim[ii, jj] >= threshold
         if not keep.any():
             return empty
-        return pd.DataFrame({"vec_a": ids[ii[keep]], "vec_b": ids[jj[keep]],
-                             "cosine": sim[ii[keep], jj[keep]].astype(np.float64)})
+        return pa.table({
+            "vec_a": pa.array(ids[ii[keep]], type=pa.int64()),
+            "vec_b": pa.array(ids[jj[keep]], type=pa.int64()),
+            "cosine": pa.array(sim[ii[keep], jj[keep]].astype(np.float64)),
+        })
 
     pairs = embeddings.map_batches(sign_batch, batch_format="pyarrow").groupby(
         "bucket"
-    ).map_groups(bucket_pairs, batch_format="pandas")
+    ).map_groups(bucket_pairs, batch_format="pyarrow")
     return pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("cosine", alias_name="cosine"))
