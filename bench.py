@@ -24,6 +24,13 @@ import time
 def run_bench() -> dict:
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # --scaling boosts the corpus (same input at both CPU levels) so the
+    # measured efficiency reflects compute scaling, not fixed per-stage cost
+    mult = int(os.environ.get("GRAFT_PAGES_MULT", "1"))
+    # "alias" = fast surrogate (headline); "simbert" = same outputs plus a
+    # BERT-shaped per-sentence forward — the compute profile the north-star
+    # metric targets (reference: model ≈ 99 % of wall-time). --scaling uses it.
+    model = os.environ.get("GRAFT_TAGGER_MODEL", "alias")
 
     import ray
 
@@ -42,7 +49,7 @@ def run_bench() -> dict:
     import newsagency_classification_ray.queries as Q
 
     # untimed: build/warm the synthetic pages corpus + OS page cache
-    pages_path = ensure_pages(sf_dir)
+    pages_path = ensure_pages(sf_dir, mult=mult)
     with open(pages_path, "rb") as f:
         while f.read(1 << 24):
             pass
@@ -58,17 +65,26 @@ def run_bench() -> dict:
     # headline: full KG construction incl. partitioned graph write
     out_root = f"/tmp/nacr_bench_out_{ncpu}"
     shutil.rmtree(out_root, ignore_errors=True)
-    n_pages = pages_count_for_sf(sf_of_dir(sf_dir))
+    n_pages = pages_count_for_sf(sf_of_dir(sf_dir)) * mult
     counts: dict[str, int] = {}
 
     def flagship():
-        pages = kg.read_pages(pages_path)
+        # ~2 blocks per CPU: enough parallelism without paying driver
+        # dispatch for hundreds of micro-tasks per stage
+        pages = kg.read_pages(pages_path, override_num_blocks=ncpu * 2)
         mentions = kg.extract_mentions(
-            pages, tagger_concurrency=(2, max(2, ncpu - 4))
+            pages,
+            # fixed pool at 3/4 of the CPUs: the 8→32 comparison then holds
+            # the actor ratio at exactly 4× (autoscaling pools drift)
+            tagger_concurrency=max(2, (ncpu * 3) // 4),
+            batch_size=1024 if model == "alias" else 256,
+            model=model,
         ).materialize()
-        trip = kg.triples(mentions)
-        canon = kg.canonicalize(mentions)
-        cooc = kg.cooccurrence_edges(mentions)
+        # the aggregates are ~10^4x smaller than the input and each has two
+        # downstream consumers (nodes + edges) — pin them once
+        trip = kg.triples(mentions).materialize()
+        canon = kg.canonicalize(mentions).materialize()
+        cooc = kg.cooccurrence_edges(mentions).materialize()
         nodes = kg.build_nodes(canon, trip)
         edges = kg.build_edges(trip, cooc)
         graph.materialize_graph(nodes, edges, mentions, out_root,
@@ -96,14 +112,19 @@ def run_bench() -> dict:
         "n_triples": counts.get("triples"),
         "pages_per_sec": round(n_pages / headline, 1),
         "triples_per_sec": round(counts.get("triples", 0) / headline, 1),
+        "tagger_model": model,
     }
     ray.shutdown()
     return result
 
 
 def run_scaling() -> dict:
+    mult = os.environ.get("GRAFT_PAGES_MULT", "1")
+    model = os.environ.get("GRAFT_TAGGER_MODEL", "simbert")
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_PAGES_MULT=mult,
+                   GRAFT_TAGGER_MODEL=model)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,
@@ -124,6 +145,7 @@ def run_scaling() -> dict:
         "triples_per_sec_8": r_lo["triples_per_sec"],
         "triples_per_sec_32": r_hi["triples_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "tagger_model": model,
         "sf": r_hi["sf"],
         "value": r_hi["value"],
         "queries": r_hi["queries"],

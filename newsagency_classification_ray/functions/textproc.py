@@ -116,6 +116,24 @@ def tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text)
 
 
+def scrub_control_chars(text: str) -> str:
+    """Length-preserving control-character scrub (M17).
+
+    Replaces every Unicode control/format character (category ``C*``) with a
+    space, 1-for-1 — the reference's model for byte-offset-safe cleanup
+    (``retokenization.py:107-141``, which asserts
+    ``len(text) == len(text_clean)`` at :141). Offsets computed before or
+    after the scrub are interchangeable by construction.
+    """
+    out = [
+        " " if unicodedata.category(c)[0] == "C" and c != " " else c
+        for c in text
+    ]
+    cleaned = "".join(out)
+    assert len(cleaned) == len(text)  # the reference's invariant, kept hard
+    return cleaned
+
+
 def normalize_surface(surface: str) -> str:
     """Normalization for alias lookup / canonicalization shuffle key.
 

@@ -89,3 +89,81 @@ def floor_to_hour(ts: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Tumbling-window key: timestamp floored to the hour (streaming-table
     analogue; oracle: ``date_trunc('hour', ts)``)."""
     return pc.floor_temporal(ts, multiple=1, unit="hour")
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog approximate distinct-count (sketch aggregate)
+# --------------------------------------------------------------------------
+
+class HyperLogLog:
+    """Fixed-width HLL sketch (2^p registers, numpy-vectorized updates).
+
+    The sketch shape every approximate aggregate in this engine follows:
+    per-batch vectorized accumulate → tiny fixed-size state through the
+    merge → driver-side finalize. Standard HLL with the small-range linear
+    counting correction; ~1.04/sqrt(m) relative error (p=12 → ~1.6 %).
+    """
+
+    def __init__(self, p: int = 12):
+        import numpy as np
+
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+        self._np = np
+
+    def add_hashes(self, h: "np.ndarray") -> None:  # noqa: F821
+        np = self._np
+        h = h.astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        # rank = leading zeros of the remaining bits + 1, vectorized via log2
+        fl = np.floor(np.log2(rest.astype(np.float64) + 1.0))
+        rank = (64 - fl).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        self._np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        np = self._np
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.power(2.0, -self.registers.astype(np.float64)).sum()
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # linear counting, small range
+        return float(est)
+
+
+def approx_distinct(ds: Dataset, col: str, p: int = 12) -> int:
+    """Approximate COUNT(DISTINCT col) via per-batch HLL sketches reduced on
+    the driver — one pass, O(2^p) state, no shuffle at all (contrast:
+    ``distinct()`` is exact but pays a full exchange)."""
+    import hashlib
+
+    import numpy as np
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        hll = HyperLogLog(p)
+        vals = t[col].to_pylist()
+        if vals:
+            h = np.fromiter(
+                (int.from_bytes(
+                    hashlib.blake2b(str(v).encode(), digest_size=8).digest(),
+                    "little") for v in vals),
+                dtype=np.uint64, count=len(vals),
+            )
+            hll.add_hashes(h)
+        return pa.table({"registers": pa.array([hll.registers.tobytes()],
+                                               type=pa.binary())})
+
+    merged = HyperLogLog(p)
+    for row in ds.map_batches(sketch_batch, batch_format="pyarrow").take_all():
+        other = HyperLogLog(p)
+        import numpy as np
+
+        other.registers = np.frombuffer(row["registers"], dtype=np.uint8).copy()
+        merged.merge(other)
+    return int(round(merged.estimate()))

@@ -86,23 +86,35 @@ def write_partitioned(
         parted = parted.sort(sort_by)
     parted.write_parquet(out_dir, partition_cols=["part"])
 
-    # manifest pass: small per-partition aggregate (row count + content hash)
-    written = []
-    total = 0
-    for k in sorted(todo_ids):
-        pdir = os.path.join(out_dir, f"part={k}")
-        if not os.path.isdir(pdir):
-            os.makedirs(pdir, exist_ok=True)
-            write_manifest(pdir, f"part={k}", 0, 0, input_fragments, time.time() - t0)
-            written.append(f"part={k}")
-            continue
+    # manifest pass: per-partition row count + content hash, one Ray task per
+    # partition (a serial driver loop here was a fixed cost that scaled with
+    # partition count, not CPUs)
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def _hash_partition(pdir: str) -> tuple[int, int]:
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(pdir)
-        h = combine_hashes([batch_content_hash(tbl)])
-        write_manifest(pdir, f"part={k}", len(tbl), h, input_fragments, time.time() - t0)
+        return len(tbl), combine_hashes([batch_content_hash(tbl)])
+
+    written = []
+    total = 0
+    pending: dict[int, object] = {}
+    for k in sorted(todo_ids):
+        pdir = os.path.join(out_dir, f"part={k}")
+        if os.path.isdir(pdir):
+            pending[k] = _hash_partition.remote(pdir)
+    for k in sorted(todo_ids):
+        pdir = os.path.join(out_dir, f"part={k}")
+        if k in pending:
+            nrows, h = ray.get(pending[k])
+        else:
+            os.makedirs(pdir, exist_ok=True)
+            nrows, h = 0, 0
+        write_manifest(pdir, f"part={k}", nrows, h, input_fragments, time.time() - t0)
         written.append(f"part={k}")
-        total += len(tbl)
+        total += nrows
     return {"written": written, "skipped": skipped, "row_count": total}
 
 
@@ -115,22 +127,48 @@ def materialize_graph(
     num_partitions: int = 8,
     input_fragments: list[str] | None = None,
 ) -> dict:
-    """Write the full graph (nodes sorted by node_id, edges by (src,dst))."""
-    summary = {}
-    summary["nodes"] = write_partitioned(
-        nodes, os.path.join(out_root, "nodes"), "node_id",
-        num_partitions=num_partitions, sort_by=["node_id"],
-        input_fragments=input_fragments,
-    )
-    summary["edges"] = write_partitioned(
-        edges, os.path.join(out_root, "edges"), "src",
-        num_partitions=num_partitions, sort_by=["src", "dst", "year"],
-        input_fragments=input_fragments,
-    )
+    """Write the full graph (nodes sorted by node_id, edges by (src,dst)).
+
+    The three table writes are independent Dataset executions — run them
+    concurrently from driver threads so their (small) exchanges and write
+    tasks interleave instead of serializing.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    # write_parquet lazily imports fsspec.implementations.http, which fails
+    # here (no aiohttp) — harmless single-threaded (caught upstream), but
+    # concurrent first-imports from writer threads race into a partial-module
+    # state that surfaces as a spurious ImportError. Register a stub with a
+    # sentinel class so no thread ever executes the failing import.
+    import sys
+    import types
+
+    if "fsspec.implementations.http" not in sys.modules:
+        try:
+            import fsspec.implementations.http  # noqa: F401
+        except ImportError:
+            stub = types.ModuleType("fsspec.implementations.http")
+
+            class _NoHTTPFileSystem:  # nothing is an instance → correct False
+                pass
+
+            stub.HTTPFileSystem = _NoHTTPFileSystem
+            sys.modules["fsspec.implementations.http"] = stub
+
+    jobs = {
+        "nodes": (nodes, os.path.join(out_root, "nodes"), "node_id", ["node_id"]),
+        "edges": (edges, os.path.join(out_root, "edges"), "src", ["src", "dst", "year"]),
+    }
     if mentions is not None:
-        summary["mentions"] = write_partitioned(
-            mentions, os.path.join(out_root, "mentions"), "url",
-            num_partitions=num_partitions, sort_by=None,
-            input_fragments=input_fragments,
+        jobs["mentions"] = (mentions, os.path.join(out_root, "mentions"), "url", None)
+
+    def run(job):
+        ds, out_dir, key, sort_by = job
+        return write_partitioned(
+            ds, out_dir, key, num_partitions=num_partitions,
+            sort_by=sort_by, input_fragments=input_fragments,
         )
-    return summary
+
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futures = {name: pool.submit(run, job) for name, job in jobs.items()}
+        return {name: f.result() for name, f in futures.items()}

@@ -104,6 +104,7 @@ def extract_mentions(
     batch_size: int = 256,
     dedup: bool | str = True,
     mention_rows_per_block: int | None = 65_536,
+    model: str = "alias",
 ) -> Dataset:
     """pages → mentions (tag + link), the hot actor-pool section.
 
@@ -127,6 +128,7 @@ def extract_mentions(
         batch_size=batch_size,
         concurrency=tagger_concurrency,
         num_cpus=1,
+        fn_constructor_kwargs={"model": model},
     )
     ds = ds.map_batches(
         LinkerStage,

@@ -654,6 +654,221 @@ def q_kg_mentions(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# KG rollups / dimensional filters (A1, A4, A5, M16)
+# --------------------------------------------------------------------------
+
+def _linked(sf_dir: str):
+    return _mentions(sf_dir).map_batches(
+        lambda t: t.filter(pc.not_equal(t["qid"], "NIL")), batch_format="pyarrow"
+    )
+
+
+def q_kg_article_rollup(sf_dir: str):
+    """A1: per-article rollup — sorted distinct agency QIDs + mention count
+    (reference import_data.ipynb cell 10 list-agg, stable-string form)."""
+    def rollup(g: pa.Table) -> pa.Table:
+        qids = sorted(set(g["qid"].to_pylist()))
+        return pa.table({
+            "url": pa.array([g["url"][0].as_py()], type=pa.string()),
+            "agencies": pa.array([",".join(qids)], type=pa.string()),
+            "n_mentions": pa.array([len(g)], type=pa.int64()),
+        })
+
+    return _linked(sf_dir).groupby("url").map_groups(rollup, batch_format="pyarrow")
+
+
+O_KG_ARTICLE_ROLLUP = lambda sf: f"""WITH {_pages_cte(sf)}
+SELECT url, string_agg(DISTINCT qid, ',' ORDER BY qid) AS agencies,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM sql_mentions WHERE qid <> 'NIL' GROUP BY url"""
+
+
+def q_kg_agency_langs(sf_dir: str):
+    """A4: per-agency sorted distinct language set (network_analysis cell 7)."""
+    def rollup(g: pa.Table) -> pa.Table:
+        langs = sorted(set(g["lang"].to_pylist()))
+        return pa.table({
+            "qid": pa.array([g["qid"][0].as_py()], type=pa.string()),
+            "languages": pa.array([",".join(langs)], type=pa.string()),
+        })
+
+    return _linked(sf_dir).groupby("qid").map_groups(rollup, batch_format="pyarrow")
+
+
+O_KG_AGENCY_LANGS = lambda sf: f"""WITH {_pages_cte(sf)}
+SELECT m.qid, string_agg(DISTINCT p.lang, ',' ORDER BY p.lang) AS languages
+FROM sql_mentions m JOIN clean_pages p USING (url)
+WHERE m.qid <> 'NIL' GROUP BY m.qid"""
+
+
+def q_kg_decade_agency_counts(sf_dir: str):
+    """A5 pivot source: mention counts per (decade, agency) — the engine-side
+    long form of the reference's decade × agency pivot_table."""
+    def add_decade(t: pa.Table) -> pa.Table:
+        dec = pc.multiply(pc.divide(pc.cast(t["year"], pa.int64()), 10), 10)
+        return t.append_column("decade", dec).select(["decade", "qid"])
+
+    g = _linked(sf_dir).map_batches(add_decade, batch_format="pyarrow") \
+        .groupby(["decade", "qid"]).aggregate(Count(alias_name="n"))
+    return g.map_batches(lambda t: _i64(t, ["n"]), batch_format="pyarrow")
+
+
+O_KG_DECADE_AGENCY = lambda sf: f"""WITH {_pages_cte(sf)}
+SELECT (year // 10) * 10 AS decade, qid, CAST(count(*) AS BIGINT) AS n
+FROM sql_mentions WHERE qid <> 'NIL' GROUP BY 1, 2"""
+
+
+def q_kg_mentions_in_span(sf_dir: str):
+    """M16: existence-span filter — drop mentions outside the agency's
+    lifetime (broadcast AGENCY_EXISTENCE dim, network_analysis cells 7-9),
+    then count per agency."""
+    from .vocab import AGENCY_EXISTENCE, WIKIDATA_IDS
+
+    spans = {WIKIDATA_IDS[c]: se for c, se in AGENCY_EXISTENCE.items()
+             if WIKIDATA_IDS[c] != "NIL"}
+
+    def in_span(t: pa.Table) -> pa.Table:
+        qids = t["qid"].to_pylist()
+        years = t["year"].to_pylist()
+        keep = [
+            q in spans and spans[q][0] <= y <= spans[q][1]
+            for q, y in zip(qids, years)
+        ]
+        return t.filter(pa.array(keep)).select(["qid"])
+
+    g = _linked(sf_dir).map_batches(in_span, batch_format="pyarrow") \
+        .groupby("qid").aggregate(Count(alias_name="n_in_span"))
+    return g.map_batches(lambda t: _i64(t, ["n_in_span"]), batch_format="pyarrow")
+
+
+def _existence_values_sql() -> str:
+    from .vocab import AGENCY_EXISTENCE, WIKIDATA_IDS
+
+    rows = ", ".join(
+        f"('{WIKIDATA_IDS[c]}', {s}, {e})"
+        for c, (s, e) in AGENCY_EXISTENCE.items() if WIKIDATA_IDS[c] != "NIL"
+    )
+    return f"(VALUES {rows}) AS spans(qid, start_year, end_year)"
+
+
+O_KG_MENTIONS_IN_SPAN = lambda sf: f"""WITH {_pages_cte(sf)}
+SELECT m.qid, CAST(count(*) AS BIGINT) AS n_in_span
+FROM sql_mentions m JOIN {_existence_values_sql()} ON m.qid = spans.qid
+WHERE m.year BETWEEN spans.start_year AND spans.end_year
+GROUP BY m.qid"""
+
+
+# --------------------------------------------------------------------------
+# windows / sessions / sampling (streaming-table + O4 patterns)
+# --------------------------------------------------------------------------
+
+def q_events_sliding_window(sf_dir: str):
+    """2-hour sliding window (step 1h) counts per event_type: each event maps
+    to the two windows [floor(ts)-1h, +2h) and [floor(ts), +2h)."""
+    ev = ops.read_table(sf_dir, "events", ["ts", "event_type"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        w0 = pc.cast(ops.floor_to_hour(t["ts"]), pa.timestamp("us"))
+        w1 = pc.subtract(w0, pa.scalar(3_600_000_000, type=pa.duration("us")))
+        types = pc.cast(t["event_type"], pa.string())
+        return pa.concat_tables([
+            pa.table({"w_start": w0, "event_type": types}),
+            pa.table({"w_start": w1, "event_type": types}),
+        ])
+
+    g = ev.map_batches(explode, batch_format="pyarrow").groupby(
+        ["w_start", "event_type"]
+    ).aggregate(Count(alias_name="n"))
+    return g.map_batches(lambda t: _i64(t, ["n"]), batch_format="pyarrow")
+
+
+O_EVENTS_SLIDING = """
+SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT date_trunc('hour', ts) AS w_start, event_type FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS w_start, event_type FROM events
+) GROUP BY 1, 2"""
+
+
+def q_events_sessions(sf_dir: str):
+    """Sessionization: per-user 30-minute-gap sessions (the one genuinely
+    order-dependent per-key operator; key-partitioned groupby + in-group
+    vectorized gap scan — the Ray shape for any windowed per-key state)."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts = ts[order]
+        gaps = np.diff(ts)
+        n_sessions = 1 + int((gaps > 30 * 60 * 1_000_000).sum()) if len(ts) else 0
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], type=pa.int64()),
+            "n_sessions": pa.array([n_sessions], type=pa.int64()),
+            "n_events": pa.array([len(g)], type=pa.int64()),
+        })
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+O_EVENTS_SESSIONS = """
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) GROUP BY user_id"""
+
+
+def q_docs_stratified_sample(sf_dir: str):
+    """O4: deterministic proportionate stratified sample with a min-per-group
+    floor — selection rule is a multiplicative hash of doc_id (≈10 %) plus
+    the 3 smallest doc_ids per source (floor), so the DuckDB oracle can
+    reproduce it exactly (seeded-rng sampling is not cross-engine-stable)."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "source"])
+
+    def sample(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        hashed = (ids * 2654435761) % 4294967296 % 10 == 0
+        keep = hashed.copy()
+        keep[:3] = True  # min-per-group floor
+        return pa.table({
+            "doc_id": pa.array(ids[keep], type=pa.int64()),
+            "source": pa.array([g["source"][0].as_py()] * int(keep.sum()),
+                               type=pa.string()),
+        })
+
+    return docs.groupby("source").map_groups(sample, batch_format="pyarrow")
+
+
+O_DOCS_STRATIFIED = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM ranked
+WHERE rn <= 3 OR (doc_id * 2654435761) % 4294967296 % 10 = 0"""
+
+
+def q_kg_eval_strict(sf_dir: str):
+    """North-star conformance: strict (url, span, qid) P/R of the pipeline
+    vs an independent regex gold (eval.linking_conformance). Rows-only oracle
+    (the scorer itself is the check: precision must be 1.0 here)."""
+    from .eval import linking_conformance
+
+    return linking_conformance(pages_src.ensure_pages(sf_dir))
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -663,6 +878,14 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
+    "kg_eval_strict": q_kg_eval_strict,
+    "kg_article_rollup": q_kg_article_rollup,
+    "kg_agency_langs": q_kg_agency_langs,
+    "kg_decade_agency_counts": q_kg_decade_agency_counts,
+    "kg_mentions_in_span": q_kg_mentions_in_span,
+    "events_sliding_window": q_events_sliding_window,
+    "events_sessions": q_events_sessions,
+    "docs_stratified_sample": q_docs_stratified_sample,
     "pages_lang_counts": q_pages_lang_counts,
     "pages_dedup_stats": q_pages_dedup_stats,
     "pricing_summary": q_pricing_summary,
@@ -725,4 +948,11 @@ def oracles() -> dict[str, str]:
         "docs_stats_by_source": O_DOCS_STATS_BY_SOURCE,
         "ann_topk": O_ANN_TOPK,
         "embeddings_by_label": O_EMBEDDINGS_BY_LABEL,
+        "kg_article_rollup": O_KG_ARTICLE_ROLLUP(_SF001),
+        "kg_agency_langs": O_KG_AGENCY_LANGS(_SF001),
+        "kg_decade_agency_counts": O_KG_DECADE_AGENCY(_SF001),
+        "kg_mentions_in_span": O_KG_MENTIONS_IN_SPAN(_SF001),
+        "events_sliding_window": O_EVENTS_SLIDING,
+        "events_sessions": O_EVENTS_SESSIONS,
+        "docs_stratified_sample": O_DOCS_STRATIFIED,
     }

@@ -1,0 +1,170 @@
+"""HIPE CoNLL TSV source (SURVEY.md §2.1 S7) + doc-level rollups (A6).
+
+The reference's gold corpora are 13-column CoNLL-style TSVs with per-document
+``# key = value`` metadata comment lines and sentence boundaries marked by
+blank lines or an ``EndOfSentence`` flag in the SEG column
+(``lib/bert_classification/dataset.py:4-118``; written by
+``convert_xmi2clef_format.py:417-442``; column list ``dataset.py:4-16``).
+``read_csv`` cannot carry the comment-line metadata onto the token rows, so
+the reader is file-atomic: one parse task per file (files are small annotation
+corpora; parallelism = #files), emitting one Arrow row per token with the doc
+metadata denormalized onto it — the columnar re-expression of the reference's
+comment-line regime (FIXTURES.md F4).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+from ray.data import Dataset
+
+HIPE_COLUMNS = [
+    "TOKEN", "NE-COARSE-LIT", "NE-COARSE-METO", "NE-FINE-LIT", "NE-FINE-METO",
+    "NE-FINE-COMP", "NE-NESTED", "NEL-LIT", "NEL-METO", "RENDER", "SEG",
+    "OCR-INFO", "MISC",
+]  # reference dataset.py:4-16
+
+_META_KEYS = ("language", "newspaper", "date", "document_id")
+
+TOKENS_SCHEMA = pa.schema(
+    [
+        ("document_id", pa.string()),
+        ("language", pa.string()),
+        ("newspaper", pa.string()),
+        ("date", pa.string()),
+        ("seg_idx", pa.int32()),    # sentence index within the document
+        ("tok_idx", pa.int32()),    # token index within the sentence
+        ("token", pa.string()),
+    ]
+    + [(c.lower().replace("-", "_"), pa.string()) for c in HIPE_COLUMNS[1:]]
+)
+
+
+def parse_hipe_text(text: str) -> pa.Table:
+    """Parse one HIPE TSV file's content → token rows (pure function).
+
+    Reference parse semantics (``dataset.py:19-118``): ``#`` lines carry doc
+    metadata (``# key = value``); a blank line or an ``EndOfSentence`` flag in
+    SEG closes the current sentence; metadata resets apply to following rows.
+    """
+    cols: dict[str, list] = {name: [] for name in TOKENS_SCHEMA.names}
+    meta = {k: None for k in _META_KEYS}
+    seg_idx = 0
+    tok_idx = 0
+    ncols = len(HIPE_COLUMNS)
+    for line in text.splitlines():
+        if not line.strip():
+            if tok_idx:
+                seg_idx += 1
+                tok_idx = 0
+            continue
+        if line.startswith("#"):
+            body = line.lstrip("# ").strip()
+            if "=" in body:
+                key, _, val = body.partition("=")
+                key = key.strip()
+                if key in _META_KEYS:
+                    if key == "document_id":
+                        # new document → reset sentence numbering
+                        seg_idx = 0
+                        tok_idx = 0
+                    meta[key] = val.strip()
+            continue
+        fields = line.split("\t")
+        if len(fields) < ncols:
+            fields = fields + [""] * (ncols - len(fields))
+        cols["document_id"].append(meta["document_id"])
+        cols["language"].append(meta["language"])
+        cols["newspaper"].append(meta["newspaper"])
+        cols["date"].append(meta["date"])
+        cols["seg_idx"].append(seg_idx)
+        cols["tok_idx"].append(tok_idx)
+        cols["token"].append(fields[0])
+        for name, val in zip(HIPE_COLUMNS[1:], fields[1:ncols]):
+            cols[name.lower().replace("-", "_")].append(val)
+        tok_idx += 1
+        if "EndOfSentence" in fields[10]:  # SEG column, dataset.py:59-99
+            seg_idx += 1
+            tok_idx = 0
+    return pa.Table.from_pydict(cols, schema=TOKENS_SCHEMA)
+
+
+def read_hipe_tsv(paths: str | list[str]) -> Dataset:
+    """TSV file(s) → token-row Dataset (one parse task per file)."""
+    files = ray.data.read_binary_files(paths, include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = [
+            parse_hipe_text(b.decode("utf-8"))
+            for b in batch["bytes"].to_pylist()
+        ]
+        return pa.concat_tables(tables) if tables else parse_hipe_text("")
+
+    return files.map_batches(parse, batch_format="pyarrow")
+
+
+def merge_predictions(tokens: Dataset, preds: Dataset,
+                      num_partitions: int | None = None) -> Dataset:
+    """S8: merge predicted labels back into the gold token table.
+
+    The reference zips flattened predicted labels positionally against the
+    gold TSV lines (``utils.py:81-127``; fragile — SURVEY.md §2.4 J4); here
+    both sides carry the explicit key (document_id, seg_idx, tok_idx) and
+    meet in a left-outer hash join. Tokens without a prediction (e.g. beyond
+    the truncation window) get ``'O'`` — the reference's truncation labeling
+    (``cli_tagger_no_torch_serve.py:219-224``). The coarse label is derived
+    from the fine one (``fine.split('.')[0]``, ``utils.py:107-112``).
+
+    ``preds`` schema: (document_id, seg_idx, tok_idx, pred_fine).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_partitions = max(2, min(16, cpus // 4))
+
+    joined = tokens.join(
+        preds, "left_outer", num_partitions,
+        on=("document_id", "seg_idx", "tok_idx"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        fine = pc.fill_null(pc.cast(t["pred_fine"], pa.string()), "O")
+        # coarse = fine.split('.')[0] with the B-/I- prefix preserved
+        coarse = pc.replace_substring_regex(fine, pattern=r"^((?:[BI]-)?[^.]*)\..*$",
+                                            replacement=r"\1")
+        out = t.drop_columns(["pred_fine"])
+        return out.append_column("pred_fine", fine).append_column("pred_coarse", coarse)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def doc_agency_labels(tokens: Dataset) -> Dataset:
+    """Per-document set of linked agency QIDs — the reference's
+    ``news-agency-as-source`` doc summary (A6,
+    ``convert_xmi2clef_format.py:395-409``): distinct non-null NEL-LIT values
+    per document, sorted and comma-joined for a stable scalar column."""
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.and_(
+            pc.invert(pc.is_in(t["nel_lit"], value_set=pa.array(["", "_", "-"]))),
+            pc.is_valid(t["nel_lit"]),
+        )
+        return t.filter(mask).select(["document_id", "nel_lit"])
+
+    def rollup(g: pa.Table) -> pa.Table:
+        qids = sorted(set(g["nel_lit"].to_pylist()))
+        return pa.table({
+            "document_id": pa.array([g["document_id"][0].as_py()], type=pa.string()),
+            "agencies": pa.array([",".join(qids)], type=pa.string()),
+            "n_agencies": pa.array([len(qids)], type=pa.int64()),
+        })
+
+    # per-batch local dedup (combiner) before the per-doc group
+    local = tokens.map_batches(project, batch_format="pyarrow").map_batches(
+        lambda t: t.group_by(["document_id", "nel_lit"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    return local.groupby("document_id").map_groups(rollup, batch_format="pyarrow")

@@ -173,23 +173,25 @@ def sf_of_dir(sf_dir: str) -> float:
     return float(base.removeprefix("sf")) if base.startswith("sf") else 0.001
 
 
-def pages_path_for(sf_dir: str, cache_root: str = "/tmp/nacr_pages") -> str:
-    n = pages_count_for_sf(sf_of_dir(sf_dir))
+def pages_path_for(sf_dir: str, cache_root: str = "/tmp/nacr_pages",
+                   mult: int = 1) -> str:
+    n = pages_count_for_sf(sf_of_dir(sf_dir)) * mult
     return os.path.join(cache_root, f"pages_n{n}_seed{SEED}.parquet")
 
 
-def ensure_pages(sf_dir: str, cache_root: str = "/tmp/nacr_pages") -> str:
+def ensure_pages(sf_dir: str, cache_root: str = "/tmp/nacr_pages",
+                 mult: int = 1) -> str:
     """Write (once) and return the parquet path of the pages corpus for sf_dir.
 
     Written as one row-group-chunked file for determinism; at real scale the
     input arrives as many parquet shards from the crawl, so readers must not
     assume a single file.
     """
-    path = pages_path_for(sf_dir, cache_root)
+    path = pages_path_for(sf_dir, cache_root, mult)
     if os.path.exists(path):
         return path
     os.makedirs(cache_root, exist_ok=True)
-    n = pages_count_for_sf(sf_of_dir(sf_dir))
+    n = pages_count_for_sf(sf_of_dir(sf_dir)) * mult
     tmp = path + ".tmp"
     writer = pq.ParquetWriter(tmp, PAGES_SCHEMA)
     chunk = 20_000

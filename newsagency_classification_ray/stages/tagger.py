@@ -112,6 +112,45 @@ class AliasModel:
         return tags, confs
 
 
+class SimulatedBertModel(AliasModel):
+    """AliasModel outputs + a BERT-shaped compute load (scaling benchmark).
+
+    The north-star job is token-classification-inference-bound (reference
+    timing files: model forward ≈ 99 % of batch wall-time, SURVEY.md §6), but
+    the alias surrogate with its candidate pre-gate is ~10³× lighter than
+    BERT, so a scaling run against it measures Ray overhead instead of the
+    production regime. This backend keeps outputs byte-identical to
+    :class:`AliasModel` while running a deterministic dense forward per
+    sentence (seq×256 @ 256×256, twice — ~1 ms/sentence at seq≈60, scaling
+    with token count like a real transformer layer) and disabling the
+    lexicon gate (BERT sees every sentence). Used by ``bench.py --scaling``.
+    """
+
+    sys_id = "SIM BERT MODEL"
+    has_candidates = None  # no pre-gate: every sentence pays the forward
+
+    def __init__(self, max_tokens: int = MAX_TOKENS_PER_SENTENCE, hidden: int = 384):
+        super().__init__(max_tokens)
+        import numpy as np
+
+        rng = np.random.RandomState(1234)
+        self._w1 = rng.randn(hidden, hidden).astype(np.float32)
+        self._w2 = rng.randn(hidden, hidden).astype(np.float32)
+        self._hidden = hidden
+        self._np = np
+
+    def tag(self, tokens: list[Span]) -> tuple[list[str], list[float]]:
+        np = self._np
+        # padded sequence floor of 64, like real padded batch inference
+        # (the reference runs max_length 512 at batch size 1,
+        # cli_tagger_no_torch_serve.py:255,293 — far heavier than this)
+        seq = max(64, min(len(tokens), self.max_tokens))
+        x = np.ones((seq, self._hidden), dtype=np.float32)
+        x = np.tanh(x @ self._w1) @ self._w2  # the simulated forward
+        _ = float(x[0, 0])  # keep the computation observable
+        return super().tag(tokens)
+
+
 class BertModel:
     """Real HF token-classification backend (unavailable in this sandbox).
 
@@ -136,7 +175,12 @@ class TaggerStage:
     """``map_batches`` actor: pages (url, text, lang, warc_ts) → mentions table."""
 
     def __init__(self, model: str = "alias", max_tokens: int = MAX_TOKENS_PER_SENTENCE):
-        self.model = AliasModel(max_tokens) if model == "alias" else BertModel(model, max_tokens)
+        if model == "alias":
+            self.model = AliasModel(max_tokens)
+        elif model == "simbert":
+            self.model = SimulatedBertModel(max_tokens)
+        else:
+            self.model = BertModel(model, max_tokens)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols: dict[str, list] = {name: [] for name in MENTIONS_SCHEMA.names}

@@ -107,6 +107,25 @@ ALIAS_TO_CANONICAL_NORM: dict[str, str] = {
 }
 
 
+# Agency existence spans (start_year, end_year) — the small dimension table
+# behind the existence-span filter (SURVEY.md §2.2 M16,
+# network_analysis.ipynb cells 7-9: mentions outside an agency's lifetime are
+# dropped before graph analysis). Deterministic engine fixture loosely based
+# on the agencies' public founding/merger dates; broadcast, never shuffled.
+AGENCY_EXISTENCE: dict[str, tuple[int, int]] = {
+    "AFP": (1944, 2999), "ANP": (1934, 2999), "ANSA": (1945, 2999),
+    "AP": (1846, 2999), "APA": (1946, 2999), "ATS-SDA": (1894, 2999),
+    "Belga": (1920, 2999), "BTA": (1898, 2999), "CTK": (1918, 2999),
+    "DDP-DAPD": (1949, 2012), "DNB": (1933, 1945), "Domei": (1936, 1945),
+    "DPA": (1949, 2999), "Europapress": (1953, 2999), "Extel": (1872, 2008),
+    "Havas": (1835, 1944), "Interfax": (1989, 2999), "Kipa": (1917, 2999),
+    "PAP": (1944, 2999), "Reuters": (1851, 2999), "SPK-SMP": (1917, 1999),
+    "Stefani": (1853, 1945), "TANJUG": (1943, 2999), "TASS": (1925, 2999),
+    "Telunion": (1913, 1933), "TT": (1921, 2999), "UP-UPI": (1907, 1999),
+    "Wolff": (1849, 1934), "Xinhua": (1931, 2999),
+}
+
+
 def fine_label(canonical: str) -> str:
     """Fine entity label for a canonical agency, e.g. ``org.ent.pressagency.Havas``.
 
