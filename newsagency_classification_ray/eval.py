@@ -33,6 +33,69 @@ from ray.data.aggregate import Sum
 _KEY = ["doc", "l", "r", "label"]
 
 
+def ent_type_span_prf(
+    pred: Dataset,
+    gold: Dataset,
+    *,
+    doc_col: str = "url",
+    l_col: str = "l_art",
+    r_col: str = "r_art",
+    label_col: str = "entity",
+) -> pa.Table:
+    """Type-match-with-overlap regime (reference ``ner_eval`` *ent_type*):
+    a prediction is TP iff it overlaps an unmatched gold span of the same
+    type (greedy 1-1 matching in start order); spurious → FP, unmatched
+    gold → FN.
+
+    Unlike the strict regime this needs both sides of a document together,
+    so it shuffles once on the doc key and sweeps each doc's (tiny) span
+    lists in-group — the per-doc Counter shape of the reference scorer
+    (``ner_eval.py:104-110``), distributed.
+    """
+    p = _as_keyed(pred, doc_col, l_col, r_col, label_col, True)
+    g = _as_keyed(gold, doc_col, l_col, r_col, label_col, False)
+
+    def match_doc(t: pa.Table) -> pa.Table:
+        rows = sorted(
+            ((r["l"], r["r"], r["label"], bool(r["pred"])) for r in t.to_pylist()),
+        )
+        preds = [x for x in rows if x[3]]
+        golds = [list(x) + [False] for x in rows if not x[3]]  # + matched flag
+        tp = fp = 0
+        for pl, pr, plabel, _ in preds:
+            hit = None
+            for gspan in golds:
+                if not gspan[4] and gspan[2] == plabel and pl < gspan[1] and gspan[0] < pr:
+                    hit = gspan
+                    break
+            if hit is not None:
+                hit[4] = True
+                tp += 1
+            else:
+                fp += 1
+        fn = sum(1 for gspan in golds if not gspan[4])
+        return pa.table({
+            "tp": pa.array([tp], type=pa.int64()),
+            "fp": pa.array([fp], type=pa.int64()),
+            "fn": pa.array([fn], type=pa.int64()),
+        })
+
+    counts = p.union(g).groupby("doc").map_groups(match_doc, batch_format="pyarrow")
+    sums = counts.sum(["tp", "fp", "fn"])
+    tp, fp, fn = (int(sums[f"sum({c})"]) for c in ("tp", "fp", "fn"))
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return pa.table({
+        "tp": pa.array([tp], type=pa.int64()),
+        "fp": pa.array([fp], type=pa.int64()),
+        "fn": pa.array([fn], type=pa.int64()),
+        "precision": pa.array([round(prec, 6)], type=pa.float64()),
+        "recall": pa.array([round(rec, 6)], type=pa.float64()),
+        "f1": pa.array([round(f1, 6)], type=pa.float64()),
+    })
+
+
 def reference_gold_mentions(clean_pages: Dataset) -> Dataset:
     """Independent gold derivation for conformance scoring.
 

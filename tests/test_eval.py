@@ -49,3 +49,27 @@ def test_linking_conformance_meets_north_star_threshold():
     assert out["recall"] >= 0.95
     assert out["f1"] >= 0.95
     assert out["tp"] > 100
+
+
+def test_ent_type_overlap_regime():
+    from newsagency_classification_ray.eval import ent_type_span_prf
+
+    gold = _ds([("a", 0, 5, "X"), ("a", 10, 15, "Y")])
+    pred = _ds([
+        ("a", 1, 4, "X"),    # overlaps gold X, same type -> TP (strict would FP)
+        ("a", 10, 15, "Z"),  # exact boundary, wrong type -> FP
+    ])
+    out = ent_type_span_prf(pred, gold).to_pylist()[0]
+    assert (out["tp"], out["fp"], out["fn"]) == (1, 1, 1)
+    strict = strict_span_prf(pred, gold).to_pylist()[0]
+    assert (strict["tp"], strict["fp"], strict["fn"]) == (0, 2, 2)
+
+
+def test_ent_type_one_to_one_matching():
+    from newsagency_classification_ray.eval import ent_type_span_prf
+
+    gold = _ds([("a", 0, 10, "X")])
+    # two predictions overlap the same gold span: only one may match
+    pred = _ds([("a", 0, 4, "X"), ("a", 5, 9, "X")])
+    out = ent_type_span_prf(pred, gold).to_pylist()[0]
+    assert (out["tp"], out["fp"], out["fn"]) == (1, 1, 0)
