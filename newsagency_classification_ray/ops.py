@@ -91,6 +91,24 @@ def floor_to_hour(ts: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.floor_temporal(ts, multiple=1, unit="hour")
 
 
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    on: tuple[str, ...],
+    how: str = "inner",
+    num_partitions: int | None = None,
+    right_on: tuple[str, ...] | None = None,
+) -> Dataset:
+    """Distributed hash join (both sides large — contrast
+    :func:`broadcast_join` for small dimension tables). Partition count
+    adapts to the session CPU budget: Ray's join spawns that many aggregator
+    actors per join, and over-provisioning starves small sessions."""
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_partitions = max(2, min(32, cpus // 2))
+    return left.join(right, how, num_partitions, on=on, right_on=right_on)
+
+
 # --------------------------------------------------------------------------
 # HyperLogLog approximate distinct-count (sketch aggregate)
 # --------------------------------------------------------------------------

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import os
 import time
-import zlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -36,9 +35,15 @@ from ..state.manifest import (
 
 
 def _crc_bucket_col(col: pa.ChunkedArray | pa.Array, buckets: int) -> pa.Array:
-    return pa.array(
-        [zlib.crc32(str(v).encode()) % buckets for v in col.to_pylist()], type=pa.int32()
-    )
+    """Deterministic partition id per key — vectorized (a per-row Python
+    crc32 loop here would serialize the write path at scale). Uses pandas'
+    stable siphash (``hash_pandas_object``, fixed default key — identical
+    across processes and reruns, which is what resume requires)."""
+    import pandas as pd
+
+    s = pd.Series(col.to_pandas(), copy=False).astype(str)
+    h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+    return pa.array((h % buckets).astype("int32"))
 
 
 def write_partitioned(
@@ -131,9 +136,17 @@ def materialize_graph(
 
     The three table writes are independent Dataset executions — run them
     concurrently from driver threads so their (small) exchanges and write
-    tasks interleave instead of serializing.
+    tasks interleave instead of serializing. On small CPU budgets the writes
+    run serially instead: concurrent executions whose upstream pipelines hold
+    actor pools can starve each other for CPU slots (observed as a stall at
+    8 CPUs with three un-materialized flagship branches).
     """
     from concurrent.futures import ThreadPoolExecutor
+
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    workers = 3 if cpus >= 16 else 1
 
     # write_parquet lazily imports fsspec.implementations.http, which fails
     # here (no aiohttp) — harmless single-threaded (caught upstream), but
@@ -169,6 +182,6 @@ def materialize_graph(
             sort_by=sort_by, input_fragments=input_fragments,
         )
 
-    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+    with ThreadPoolExecutor(max_workers=min(workers, len(jobs))) as pool:
         futures = {name: pool.submit(run, job) for name, job in jobs.items()}
         return {name: f.result() for name, f in futures.items()}

@@ -826,6 +826,50 @@ FROM (
 ) GROUP BY user_id"""
 
 
+def q_orders_lineitem_join(sf_dir: str):
+    """Distributed hash join of two *large* tables (orders ⋈ lineitem on
+    orderkey) — the shuffle-join counterpart of the broadcast joins
+    (ops.hash_join; J-family beyond the reference's small-side lookups)."""
+    orders = ops.read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_orderkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "rev": pc.multiply(t["l_extendedprice"],
+                               pc.subtract(pa.scalar(1.0), t["l_discount"])),
+        }),
+        batch_format="pyarrow",
+    )
+    orders = orders.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_orderpriority": pc.cast(t["o_orderpriority"], pa.string()),
+        }),
+        batch_format="pyarrow",
+    )
+    joined = ops.hash_join(li, orders, on=("o_orderkey",))
+    g = joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_items"), Sum("rev", alias_name="rev_raw")
+    )
+    return g.map_batches(
+        lambda t: pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "n_items": pc.cast(t["n_items"], pa.int64()),
+            "revenue_cents": _cents(t["rev_raw"]),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+O_ORDERS_LINEITEM_JOIN = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority"""
+
+
 def q_docs_stratified_sample(sf_dir: str):
     """O4: deterministic proportionate stratified sample with a min-per-group
     floor — selection rule is a multiplicative hash of doc_id (≈10 %) plus
@@ -886,6 +930,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_sliding_window": q_events_sliding_window,
     "events_sessions": q_events_sessions,
     "docs_stratified_sample": q_docs_stratified_sample,
+    "orders_lineitem_join": q_orders_lineitem_join,
     "pages_lang_counts": q_pages_lang_counts,
     "pages_dedup_stats": q_pages_dedup_stats,
     "pricing_summary": q_pricing_summary,
@@ -955,4 +1000,5 @@ def oracles() -> dict[str, str]:
         "events_sliding_window": O_EVENTS_SLIDING,
         "events_sessions": O_EVENTS_SESSIONS,
         "docs_stratified_sample": O_DOCS_STRATIFIED,
+        "orders_lineitem_join": O_ORDERS_LINEITEM_JOIN,
     }

@@ -104,3 +104,32 @@ def test_zipf_head_skew_present(mentions):
     share = df["canonical"].value_counts(normalize=True)
     assert share.iloc[0] >= 0.2
     assert share.index[0] in ("Reuters", "Havas")
+
+
+def test_multi_file_input_equivalent(tmp_path):
+    """Readers must not assume a single parquet file (real input = many
+    crawl shards): the flagship over a 3-file split of the corpus equals
+    the single-file run row for row."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from newsagency_classification_ray.pipelines import kg
+    from newsagency_classification_ray.sources.pages import ensure_pages
+
+    single = ensure_pages("/root/testdata/sf0.001")
+    tbl = pq.read_table(single)
+    shard_dir = os.path.join(tmp_path, "shards")
+    os.makedirs(shard_dir)
+    n = len(tbl)
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        pq.write_table(tbl.slice(lo, hi - lo), os.path.join(shard_dir, f"shard-{i}.parquet"))
+
+    a = kg.extract_mentions(kg.read_pages(single)).to_pandas()
+    b = kg.extract_mentions(kg.read_pages(shard_dir)).to_pandas()
+    a = a.sort_values("mention_id").reset_index(drop=True)
+    b = b.sort_values("mention_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
