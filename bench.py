@@ -50,9 +50,12 @@ def run_bench() -> dict:
 
     # untimed: build/warm the synthetic pages corpus + OS page cache
     pages_path = ensure_pages(sf_dir, mult=mult)
-    with open(pages_path, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    import glob as _glob
+
+    for shard in _glob.glob(os.path.join(pages_path, "*.parquet")):
+        with open(shard, "rb") as f:
+            while f.read(1 << 24):
+                pass
 
     queries: dict[str, float] = {}
 

@@ -95,7 +95,7 @@ def _pages_cte(sf_dir: str) -> str:
         "'<body>(.*)</body>', 1), '</p><p>', chr(10)), '<[^>]+>', '', 'g')"
     )
     return f"""
-  raw_pages AS (SELECT * FROM read_parquet('{path}')),
+  raw_pages AS (SELECT * FROM read_parquet('{path}/*.parquet')),
   dedup_pages AS (
     SELECT url, min(warc_ts) AS warc_ts, min(lang) AS lang,
            min(coalesce(text, {extract})) AS text
@@ -201,7 +201,7 @@ def q_pages_lang_counts(sf_dir: str):
 
 O_PAGES_LANG_COUNTS = lambda sf: (
     f"SELECT lang, CAST(count(*) AS BIGINT) AS n_pages FROM "
-    f"read_parquet('{pages_src.pages_path_for(sf)}') GROUP BY lang"
+    f"read_parquet('{pages_src.pages_path_for(sf)}/*.parquet') GROUP BY lang"
 )
 
 
@@ -217,7 +217,7 @@ def q_pages_dedup_stats(sf_dir: str):
 O_PAGES_DEDUP_STATS = lambda sf: (
     f"SELECT CAST(count(*) AS BIGINT) AS n_rows, "
     f"CAST(count(DISTINCT url) AS BIGINT) AS n_urls FROM "
-    f"read_parquet('{pages_src.pages_path_for(sf)}')"
+    f"read_parquet('{pages_src.pages_path_for(sf)}/*.parquet')"
 )
 
 
@@ -635,6 +635,15 @@ def q_lsh_ann_topk(sf_dir: str):
     return sim.lsh_topk(emb, qvecs, qids, k=_ANN_K)
 
 
+def q_docs_near_dedup_keep(sf_dir: str):
+    """Near-dup keep-list (MinHash clusters → min-id representative); returns
+    kept (doc_id, source). Rows-only check (cluster formation is LSH-based)."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    kept = dd.near_dedup_keep(docs, jaccard_threshold=0.85)
+    return kept.map_batches(lambda t: t.select(["doc_id", "source"]),
+                            batch_format="pyarrow")
+
+
 def q_docs_langid(sf_dir: str):
     docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
     scored = docs.map_batches(ts.LangIdStage, batch_format="pandas",
@@ -931,6 +940,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_sessions": q_events_sessions,
     "docs_stratified_sample": q_docs_stratified_sample,
     "orders_lineitem_join": q_orders_lineitem_join,
+    "docs_near_dedup_keep": q_docs_near_dedup_keep,
     "pages_lang_counts": q_pages_lang_counts,
     "pages_dedup_stats": q_pages_dedup_stats,
     "pricing_summary": q_pricing_summary,

@@ -356,6 +356,54 @@ def simhash_pairs(docs: Dataset, max_hamming: int = 3) -> Dataset:
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
+def near_dedup_keep(
+    docs: Dataset,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.85,
+) -> Dataset:
+    """Near-duplicate *keep-list*: one representative (min doc_id) per
+    near-dup cluster — the operator a training-data pipeline actually applies.
+
+    Clusters are connected components over the verified MinHash pair graph.
+    The pair set is ~duplicate-rate-sized (≪ corpus), so the union-find runs
+    on the driver over the collected pairs and the resulting victim set is
+    broadcast back as an anti-filter — the standard small-side pattern; the
+    corpus itself streams through untouched.
+    """
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+    ).take_all()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(int(r["doc_a"])), find(int(r["doc_b"]))
+        if a != b:
+            if a > b:
+                a, b = b, a
+            parent[b] = a  # root = min id
+
+    victims = [x for x in parent if find(x) != x]
+    if not victims:
+        return docs
+    vset = pa.array(victims, type=pa.int64())
+    return docs.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(pc.cast(t["doc_id"], pa.int64()),
+                                              value_set=vset))),
+        batch_format="pyarrow",
+    )
+
+
 # ------------------------------------------------------- n-gram Jaccard (topk)
 
 def ngram_jaccard_topk(

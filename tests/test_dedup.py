@@ -78,3 +78,12 @@ def test_ngram_jaccard_topk():
     assert len(out) == 2
     assert out.iloc[0]["doc_id"] == 2 and out.iloc[0]["jaccard"] == 1.0
     assert out.iloc[1]["doc_id"] == 1  # near-dup second
+
+
+def test_near_dedup_keep():
+    from newsagency_classification_ray.stages.dedup import near_dedup_keep
+
+    kept = sorted(r["doc_id"] for r in near_dedup_keep(
+        corpus(), jaccard_threshold=0.5).take_all())
+    # cluster {0,1,2} collapses to representative 0; 3 and 4 survive
+    assert kept == [0, 3, 4]
