@@ -151,24 +151,66 @@ class SimulatedBertModel(AliasModel):
         return super().tag(tokens)
 
 
-class BertModel:
-    """Real HF token-classification backend (unavailable in this sandbox).
+class BertModel:  # pragma: no cover - torch/transformers absent in this sandbox
+    """Real HF token-classification backend (torch-gated).
 
-    Interface-compatible with :class:`AliasModel`; construction verifies the
-    dependency so actor init fails fast rather than at first batch.
+    Interface-compatible with :class:`AliasModel`: ``tag(tokens) -> (tags,
+    confs)``. Loads the fine-tuned checkpoint once per actor (the Ray-native
+    replacement for the reference's TorchServe ``initialize``,
+    ``model_handler.py:103-124``) and reproduces the reference's realignment
+    semantics (``cli_tagger_no_torch_serve.py:208-226``): the prediction of
+    the FIRST wordpiece of each word is the word's tag; words whose first
+    wordpiece falls beyond ``max_length`` are silently ``'O'``. Confidence is
+    the softmax probability of the argmax class at that wordpiece
+    (``single_task/newsagency_ner.py:221-231``).
+
+    Construction verifies the dependency so actor init fails fast rather
+    than at first batch. Exercised only where torch+transformers exist.
     """
 
     sys_id = "BERT MODEL"
 
     def __init__(self, model_path: str, max_tokens: int = MAX_TOKENS_PER_SENTENCE):
         try:
-            import torch  # noqa: F401
-            import transformers  # noqa: F401
-        except ImportError as e:  # pragma: no cover - sandbox has no torch
+            import torch
+            from transformers import AutoModelForTokenClassification, AutoTokenizer
+        except ImportError as e:
             raise NotImplementedError(
                 "BertModel needs torch+transformers; use AliasModel in this environment"
             ) from e
-        raise NotImplementedError("BERT backend: load AutoModelForTokenClassification here")
+        self._torch = torch
+        self.max_tokens = max_tokens
+        self.tokenizer = AutoTokenizer.from_pretrained(model_path)
+        self.model = AutoModelForTokenClassification.from_pretrained(model_path)
+        self.model.eval()
+        self.device = "cuda" if torch.cuda.is_available() else "cpu"
+        self.model.to(self.device)
+        self.id2label = {int(k): v for k, v in self.model.config.id2label.items()}
+
+    def tag(self, tokens: list[Span]) -> tuple[list[str], list[float]]:
+        torch = self._torch
+        words = [t.text for t in tokens]
+        enc = self.tokenizer(
+            words, is_split_into_words=True, truncation=True,
+            max_length=self.max_tokens, return_tensors="pt",
+        ).to(self.device)
+        with torch.no_grad():
+            logits = self.model(**enc).logits[0]  # (seq, n_labels)
+        probs = torch.softmax(logits, dim=-1)
+        pred = probs.argmax(dim=-1)
+        tags = ["O"] * len(words)
+        confs = [0.0] * len(words)
+        seen: set[int] = set()
+        for pos, wid in enumerate(enc.word_ids(0)):
+            # first wordpiece of each word carries the word's prediction
+            # (cli_tagger_no_torch_serve.py:208-226); later words truncated
+            # away stay 'O'
+            if wid is None or wid in seen:
+                continue
+            seen.add(wid)
+            tags[wid] = self.id2label[int(pred[pos])]
+            confs[wid] = float(probs[pos, pred[pos]])
+        return tags, confs
 
 
 class TaggerStage:
