@@ -123,6 +123,35 @@ def write_partitioned(
     return {"written": written, "skipped": skipped, "row_count": total}
 
 
+def export_gexf(nodes: Dataset, edges: Dataset, path: str,
+                max_rows: int = 500_000) -> str:
+    """Driver-side GEXF export of a (small) graph — reference parity for the
+    ``nx.write_gexf`` analysis exports (``network_analysis.ipynb`` cells
+    59-60; SURVEY.md §2.1 S10, "GEXF optional driver-side export").
+
+    The partitioned Parquet tables are the engine's real output; this is a
+    convenience for graph tooling and refuses rows beyond ``max_rows`` — at
+    scale, export a filtered subgraph instead.
+    """
+    import networkx as nx
+
+    n_nodes, n_edges = nodes.count(), edges.count()
+    if n_nodes + n_edges > max_rows:
+        raise ValueError(
+            f"graph too large for driver-side GEXF ({n_nodes}+{n_edges} rows > "
+            f"{max_rows}); filter to a subgraph first"
+        )
+    g = nx.MultiGraph()
+    for r in nodes.take_all():
+        g.add_node(r["node_id"], kind=r["kind"], label=r["label"] or "",
+                   qid=r["qid"] or "", n_mentions=int(r["n_mentions"] or 0))
+    for r in edges.take_all():
+        g.add_edge(r["src"], r["dst"], predicate=r["predicate"],
+                   year=int(r["year"] or 0), weight=int(r["weight"] or 0))
+    nx.write_gexf(g, path)
+    return path
+
+
 def materialize_graph(
     nodes: Dataset,
     edges: Dataset,

@@ -635,6 +635,21 @@ def q_lsh_ann_topk(sf_dir: str):
     return sim.lsh_topk(emb, qvecs, qids, k=_ANN_K)
 
 
+def q_ivf_ann_topk(sf_dir: str):
+    """IVF (k-means inverted-file) approximate top-k — the ANN scale path
+    beyond LSH bucketing. Rows-only check (approximate by design)."""
+    emb = ops.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.map_batches(
+        lambda t: t.filter(pc.is_in(pc.cast(t["vec_id"], pa.int64()),
+                                    value_set=pa.array(_ANN_QUERY_IDS, type=pa.int64()))),
+        batch_format="pyarrow",
+    ).take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qvecs = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in qrows]
+    return sim.ivf_topk(emb, qvecs, qids, k=_ANN_K)
+
+
 def q_docs_near_dedup_keep(sf_dir: str):
     """Near-dup keep-list (MinHash clusters → min-id representative); returns
     kept (doc_id, source). Rows-only check (cluster formation is LSH-based)."""
@@ -941,6 +956,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_stratified_sample": q_docs_stratified_sample,
     "orders_lineitem_join": q_orders_lineitem_join,
     "docs_near_dedup_keep": q_docs_near_dedup_keep,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "pages_lang_counts": q_pages_lang_counts,
     "pages_dedup_stats": q_pages_dedup_stats,
     "pricing_summary": q_pricing_summary,

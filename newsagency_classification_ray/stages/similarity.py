@@ -146,6 +146,80 @@ def lsh_topk(
     return local.groupby("query_id").map_groups(_final_topk(k), batch_format="pyarrow")
 
 
+def ivf_topk(
+    embeddings: Dataset,
+    query_vecs: np.ndarray,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    seed: int = 13,
+) -> Dataset:
+    """IVF (inverted-file) approximate cosine top-k — the k-means scale path.
+
+    Train: k-means centroids on a small reservoir sample (driver-side numpy,
+    a few Lloyd iterations — the coarse quantizer is tiny and broadcast).
+    Search: each batch assigns its vectors to nearest centroids (one matmul)
+    and scores only vectors whose centroid is among a query's ``n_probe``
+    closest lists, emitting local top-k (combiner) before the final per-query
+    groupby. Recall grows with ``n_probe``; ``n_probe == n_centroids``
+    degenerates to exact brute force.
+    """
+    rng = np.random.RandomState(seed)
+    sample = embeddings.random_sample(1.0, seed=seed).limit(train_sample).take_all()
+    train = _normalize(np.asarray([r["embedding"] for r in sample], dtype=np.float32))
+    n_centroids = min(n_centroids, len(train))
+    centroids = train[rng.choice(len(train), n_centroids, replace=False)]
+    for _ in range(8):  # Lloyd iterations on the sample
+        assign = (train @ centroids.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = train[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    probe = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    cent_to_q: dict[int, list[int]] = {}
+    for j in range(len(query_ids)):
+        for c in probe[j]:
+            cent_to_q.setdefault(int(c), []).append(j)
+    qref = ray.put((qn, list(query_ids), centroids, cent_to_q))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        q, qids, cents, lists = ray.get(qref)
+        m32 = _normalize(_batch_matrix(t))
+        m = _normalize(_batch_matrix(t, dtype=np.float64))
+        ids = t["vec_id"].to_numpy()
+        assign = (m32 @ cents.T).argmax(axis=1)  # coarse quantizer in f32
+        out_q, out_v, out_s = [], [], []
+        for c, qjs in lists.items():
+            mask = assign == c
+            if not mask.any():
+                continue
+            sub_m, sub_ids = m[mask], ids[mask]
+            # f64 scoring + self-exclusion: rank-identical to brute force
+            scores = sub_m @ q[qjs].astype(np.float64).T
+            kk = min(k, len(sub_ids))
+            for col_idx, j in enumerate(qjs):
+                col = scores[:, col_idx].copy()
+                col[sub_ids == qids[j]] = -np.inf
+                sel = np.lexsort((sub_ids, -col))[:kk]
+                sel = sel[np.isfinite(col[sel])]
+                out_q.extend([qids[j]] * len(sel))
+                out_v.extend(sub_ids[sel].tolist())
+                out_s.extend(col[sel].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "score": pa.array(out_s, type=pa.float64()),
+        })
+
+    local = embeddings.map_batches(local_topk, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(_final_topk(k), batch_format="pyarrow")
+
+
 def embedding_cosine_dups(
     embeddings: Dataset, threshold: float = 0.95, bits: int = 8, dim: int = 64
 ) -> Dataset:

@@ -54,3 +54,64 @@ def test_embedding_cosine_dups():
     found = {tuple(r) for r in pairs[["vec_a", "vec_b"]].itertuples(index=False)}
     assert (0, 10) in found
     assert (0, 11) in found
+
+
+def test_ivf_topk_recall_vs_bruteforce():
+    from newsagency_classification_ray.stages.similarity import ivf_topk
+
+    emb, vecs = make_embeddings()
+    qids = [0, 5, 42]
+    qvecs = vecs[qids]
+    exact = brute_force_topk(emb, qvecs, qids, k=5).to_pandas()
+    approx = ivf_topk(emb, qvecs, qids, k=5, n_centroids=8, n_probe=4).to_pandas()
+    recalls = []
+    for q in qids:
+        e = set(exact[exact.query_id == q]["vec_id"])
+        a = set(approx[approx.query_id == q]["vec_id"])
+        recalls.append(len(e & a) / max(1, len(e)))
+    assert sum(recalls) / len(recalls) >= 0.6  # probing half the lists
+
+
+def test_ivf_full_probe_equals_bruteforce():
+    from newsagency_classification_ray.stages.similarity import ivf_topk
+
+    emb, vecs = make_embeddings()
+    qids = [0, 5, 42]
+    qvecs = vecs[qids]
+    exact = brute_force_topk(emb, qvecs, qids, k=5).to_pandas()
+    full = ivf_topk(emb, qvecs, qids, k=5, n_centroids=8, n_probe=8).to_pandas()
+    for df in (exact, full):
+        df.sort_values(["query_id", "rank"], inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    assert (exact["vec_id"].to_numpy() == full["vec_id"].to_numpy()).all()
+
+
+def test_export_gexf(tmp_path):
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from newsagency_classification_ray.pipelines.graph import export_gexf
+
+    nodes = ray.data.from_arrow(pa.table({
+        "node_id": pa.array(["Q1", "u1"], type=pa.string()),
+        "kind": pa.array(["agency", "article"], type=pa.string()),
+        "qid": pa.array(["Q1", None], type=pa.string()),
+        "label": pa.array(["Havas", "u1"], type=pa.string()),
+        "n_mentions": pa.array([3, 1], type=pa.int64()),
+    }))
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(["u1"], type=pa.string()),
+        "dst": pa.array(["Q1"], type=pa.string()),
+        "predicate": pa.array(["cites_agency"], type=pa.string()),
+        "year": pa.array([1950], type=pa.int32()),
+        "weight": pa.array([3], type=pa.int64()),
+    }))
+    p = os.path.join(tmp_path, "g.gexf")
+    export_gexf(nodes, edges, p)
+    import networkx as nx
+
+    g = nx.read_gexf(p)
+    assert set(g.nodes) == {"Q1", "u1"}
+    assert g.number_of_edges() == 1
