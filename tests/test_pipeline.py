@@ -133,3 +133,23 @@ def test_multi_file_input_equivalent(tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_empty_corpus_survives_every_stage(tmp_path):
+    """0-row input must flow through the whole flagship without error
+    (stable schemas on empty blocks are a recurring Ray Data trap)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from newsagency_classification_ray.pipelines import kg
+    from newsagency_classification_ray.sources.pages import PAGES_SCHEMA
+
+    p = os.path.join(tmp_path, "empty.parquet")
+    pq.write_table(PAGES_SCHEMA.empty_table(), p)
+    mentions = kg.extract_mentions(kg.read_pages(p)).materialize()
+    assert mentions.count() == 0
+    assert kg.triples(mentions).count() == 0
+    assert kg.canonicalize(mentions).count() == 0
+    assert kg.cooccurrence_edges(mentions).count() == 0
