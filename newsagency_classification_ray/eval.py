@@ -33,6 +33,68 @@ from ray.data.aggregate import Sum
 _KEY = ["doc", "l", "r", "label"]
 
 
+def strict_span_prf_by_label(
+    pred: Dataset,
+    gold: Dataset,
+    *,
+    doc_col: str = "url",
+    l_col: str = "l_art",
+    r_col: str = "r_art",
+    label_col: str = "entity",
+) -> pa.Table:
+    """Strict P/R/F1 broken down per label (the reference scorer's per-type
+    report, ``ner_eval.py:714-906``) — one row per label, sorted by label."""
+    keyed = _as_keyed(pred, doc_col, l_col, r_col, label_col, True).union(
+        _as_keyed(gold, doc_col, l_col, r_col, label_col, False)
+    )
+    partial = keyed.map_batches(_partial_sum, batch_format="pyarrow")
+    per_span = partial.groupby(_KEY).aggregate(
+        Sum("pred", alias_name="pred"), Sum("gold", alias_name="gold")
+    )
+
+    def to_counts(t: pa.Table) -> pa.Table:
+        has_p = pc.greater(t["pred"], 0)
+        has_g = pc.greater(t["gold"], 0)
+        return pa.table({
+            "label": pc.cast(t["label"], pa.string()),
+            "tp": pc.cast(pc.and_(has_p, has_g), pa.int64()),
+            "fp": pc.cast(pc.and_(has_p, pc.invert(has_g)), pa.int64()),
+            "fn": pc.cast(pc.and_(has_g, pc.invert(has_p)), pa.int64()),
+        })
+
+    grouped = per_span.map_batches(to_counts, batch_format="pyarrow").groupby(
+        "label"
+    ).aggregate(Sum("tp", alias_name="tp"), Sum("fp", alias_name="fp"),
+                Sum("fn", alias_name="fn"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        tp = t["tp"].to_numpy(zero_copy_only=False).astype(float)
+        fp = t["fp"].to_numpy(zero_copy_only=False).astype(float)
+        fn = t["fn"].to_numpy(zero_copy_only=False).astype(float)
+        import numpy as np
+
+        p = np.divide(tp, tp + fp, out=np.zeros_like(tp), where=(tp + fp) > 0)
+        r = np.divide(tp, tp + fn, out=np.zeros_like(tp), where=(tp + fn) > 0)
+        f1 = np.divide(2 * p * r, p + r, out=np.zeros_like(tp), where=(p + r) > 0)
+        return pa.table({
+            "label": t["label"],
+            "tp": pc.cast(t["tp"], pa.int64()),
+            "fp": pc.cast(t["fp"], pa.int64()),
+            "fn": pc.cast(t["fn"], pa.int64()),
+            "precision": pa.array(np.round(p, 6)),
+            "recall": pa.array(np.round(r, 6)),
+            "f1": pa.array(np.round(f1, 6)),
+        })
+
+    rows = grouped.sort("label").take_all()
+    if not rows:
+        return finish(pa.table({"label": pa.array([], type=pa.string()),
+                                "tp": pa.array([], type=pa.int64()),
+                                "fp": pa.array([], type=pa.int64()),
+                                "fn": pa.array([], type=pa.int64())}))
+    return finish(pa.Table.from_pylist(rows))
+
+
 def ent_type_span_prf(
     pred: Dataset,
     gold: Dataset,

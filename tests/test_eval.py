@@ -73,3 +73,15 @@ def test_ent_type_one_to_one_matching():
     pred = _ds([("a", 0, 4, "X"), ("a", 5, 9, "X")])
     out = ent_type_span_prf(pred, gold).to_pylist()[0]
     assert (out["tp"], out["fp"], out["fn"]) == (1, 1, 0)
+
+
+def test_strict_prf_by_label():
+    from newsagency_classification_ray.eval import strict_span_prf_by_label
+
+    gold = _ds([("a", 0, 5, "X"), ("a", 10, 15, "Y"), ("b", 0, 3, "X")])
+    pred = _ds([("a", 0, 5, "X"), ("b", 0, 3, "X"), ("b", 9, 12, "Y")])
+    out = {r["label"]: r for r in strict_span_prf_by_label(pred, gold).to_pylist()}
+    assert out["X"]["tp"] == 2 and out["X"]["fp"] == 0 and out["X"]["fn"] == 0
+    assert out["X"]["f1"] == 1.0
+    assert out["Y"]["tp"] == 0 and out["Y"]["fp"] == 1 and out["Y"]["fn"] == 1
+    assert out["Y"]["f1"] == 0.0
