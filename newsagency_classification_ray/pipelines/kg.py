@@ -16,9 +16,11 @@ Scale notes (the 100 TB story):
   Arrow blocks — no driver materialization; mention rows are ~10³× smaller
   than page rows, so all shuffles below happen on the *small* side of the
   funnel.
-* The only full-input shuffle is the exact dedup by url (hash-partition +
-  per-group first). It is optional (``dedup=False``) for inputs known
-  deduplicated upstream.
+* Nothing page-sized ever enters an exchange: duplicate pages are deduped on
+  the mention side (``dedup_mentions`` — identical pages yield byte-identical
+  mention rows), so the default pipeline has NO full-input shuffle at all;
+  ``dedup="pages"`` opts into the payload-moving ``dedup_by_url`` only for
+  inputs whose duplicates are not exact copies.
 * Canonicalization pre-aggregates inside ``map_batches`` (combiner), salts the
   Zipfian surface-form key (Reuters/Havas head — reference README.md:88-90),
   merges partials, then de-salts: two cheap shuffles over partial rows instead
@@ -27,14 +29,13 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Max, Sum
 
 from ..functions.ids import host_of_urls
 from ..functions.textproc import normalize_surface
