@@ -25,17 +25,67 @@ from ..vocab import ALIAS_TO_CANONICAL_NORM, WIKIDATA_IDS, qid_for_label
 
 
 class LinkerStage:
-    """mentions table → + (canonical: string, qid: string, link_score: float32)."""
+    """mentions table → + (canonical: string, qid: string, link_score: float32).
 
-    def __init__(self, max_edit_distance: int = 2):
+    Resolution order (north-star "alias-trie + embedding scores": the trie is
+    realized as an exact map + length-bucketed index — equivalent candidate
+    generation with better cache behavior than a pointer trie; the embedding
+    score is a character-trigram cosine):
+
+    1. exact normalized-alias lookup (score 1.0),
+    2. banded Levenshtein over same-length-bucket aliases (OCR noise ≤ 2
+       edits, e.g. ``Havaas`` → ``Havas``),
+    3. char-trigram embedding cosine against the alias matrix (vectorized
+       numpy; catches corruption beyond the edit band, e.g. ``Reuuterss``),
+       accepted above ``min_cosine``.
+    """
+
+    def __init__(self, max_edit_distance: int = 2, min_cosine: float = 0.55):
+        import numpy as np
+
         self.max_ed = max_edit_distance
+        self.min_cosine = min_cosine
         self.exact = dict(ALIAS_TO_CANONICAL_NORM)  # normalized alias -> canonical
         # length-bucketed alias list for the banded-Levenshtein fallback
         self.by_len: dict[int, list[tuple[str, str]]] = {}
         for alias, canon in self.exact.items():
             for ln in range(len(alias) - max_edit_distance, len(alias) + max_edit_distance + 1):
                 self.by_len.setdefault(ln, []).append((alias, canon))
+        # char-trigram embedding matrix over the alias vocabulary (built once
+        # per actor; ~|aliases| × 4096 hashed-trigram dims, L2-normalized)
+        self._np = np
+        self._dims = 4096
+        self._alias_list = list(self.exact.items())
+        mat = np.zeros((len(self._alias_list), self._dims), dtype=np.float32)
+        for i, (alias, _) in enumerate(self._alias_list):
+            for d in self._trigram_ids(alias):
+                mat[i, d] += 1.0
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        self._alias_mat = mat / norms
         self.cache: dict[str, tuple[str, str, float]] = {}
+
+    def _trigram_ids(self, s: str) -> list[int]:
+        import zlib
+
+        padded = f"##{s}##"
+        return [zlib.crc32(padded[i:i + 3].encode()) % self._dims
+                for i in range(len(padded) - 2)]
+
+    def _embed_score(self, norm: str) -> tuple[str, float] | None:
+        np = self._np
+        ids = self._trigram_ids(norm)
+        if not ids:
+            return None
+        v = np.zeros(self._dims, dtype=np.float32)
+        for d in ids:
+            v[d] += 1.0
+        v /= np.linalg.norm(v)
+        sims = self._alias_mat @ v
+        best = int(sims.argmax())
+        if float(sims[best]) < self.min_cosine:
+            return None
+        return self._alias_list[best][1], float(sims[best])
 
     def resolve(self, surface: str) -> tuple[str, str, float]:
         """→ (canonical name | '', qid | 'NIL', score∈[0,1])."""
@@ -57,6 +107,11 @@ class LinkerStage:
                         break
             if best is not None and best_d <= self.max_ed:
                 out = (best, qid_for_label(best), 1.0 - best_d / (self.max_ed + 1))
+            else:
+                emb = self._embed_score(norm)
+                if emb is not None:
+                    canon2, score = emb
+                    out = (canon2, qid_for_label(canon2), round(score, 4))
         if len(self.cache) < 1_000_000:  # bound actor memory on hostile inputs
             self.cache[surface] = out
         return out

@@ -101,3 +101,17 @@ def test_empty_batch_schema_stable():
     out = run_tag_link(pages_batch([{"text": "", "lang": "fr"}]))
     assert out.num_rows == 0
     assert "qid" in out.column_names and "canonical" in out.column_names
+
+
+def test_linker_embedding_fallback_beyond_edit_band():
+    """Corruption past the 2-edit Levenshtein band resolves via the
+    char-trigram embedding cosine (T5 'embedding score' path)."""
+    from newsagency_classification_ray.stages.linker import LinkerStage
+
+    lk = LinkerStage()
+    canon, qid, score = lk.resolve("Reuutersss")  # 3 edits from 'reuters'
+    assert canon == "Reuters" and qid == "Q130879"
+    assert 0.55 <= score < 1.0
+    # garbage still refuses to link
+    canon, qid, score = lk.resolve("Zqxwvy")
+    assert qid == "NIL" and canon == ""
