@@ -103,6 +103,53 @@ def read_hipe_tsv(paths: str | list[str]) -> Dataset:
     return files.map_batches(parse, batch_format="pyarrow")
 
 
+def token_spans(tokens: Dataset, col: str = "ne_fine_lit") -> Dataset:
+    """IOB token rows → entity spans keyed by global token position.
+
+    Emits (document_id, l, r, label) per entity, where l/r are token indices
+    in document order (seg_idx, tok_idx) — the span form our scorer consumes.
+    Tag normalization matches the tagger decode: ``S-→B-``, ``E-→I-``,
+    ``_``/``-``/empty → O (reference ``cli_tagger_no_torch_serve.py:164-205``).
+    Feeding the reference's own gold + prediction TSVs through this and
+    ``eval.strict_span_prf`` reproduces the reference scorer's published
+    strict micro numbers bit-exactly (see tests/test_reference_scorer_parity).
+    """
+    import numpy as np
+
+    def per_doc(g: pa.Table) -> pa.Table:
+        seg = g["seg_idx"].to_numpy(zero_copy_only=False)
+        tok = g["tok_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, seg))
+        labels = np.asarray(g[col].to_pylist(), dtype=object)[order]
+        doc = g["document_id"][0].as_py()
+        out_l, out_r, out_lab = [], [], []
+        cur = None
+        start = -1
+        for i, raw in enumerate(list(labels) + ["O"]):
+            tag = raw or "O"
+            tag = "O" if tag in ("_", "-", "") else tag
+            tag = tag.replace("S-", "B-").replace("E-", "I-")
+            if tag == "O":
+                if cur is not None:
+                    out_l.append(start); out_r.append(i); out_lab.append(cur)
+                    cur = None
+                continue
+            pre, _, lab = tag.partition("-")
+            if pre == "B" or cur != lab:
+                if cur is not None:
+                    out_l.append(start); out_r.append(i); out_lab.append(cur)
+                cur = lab
+                start = i
+        return pa.table({
+            "document_id": pa.array([doc] * len(out_l), type=pa.string()),
+            "l": pa.array(out_l, type=pa.int64()),
+            "r": pa.array(out_r, type=pa.int64()),
+            "label": pa.array([s.upper() for s in out_lab], type=pa.string()),
+        })
+
+    return tokens.groupby("document_id").map_groups(per_doc, batch_format="pyarrow")
+
+
 def merge_predictions(tokens: Dataset, preds: Dataset,
                       num_partitions: int | None = None) -> Dataset:
     """S8: merge predicted labels back into the gold token table.

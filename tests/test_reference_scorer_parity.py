@@ -1,0 +1,71 @@
+"""Bit-exact parity with the reference scorer on the reference's own data.
+
+The reference ships its fine-tuned model's prediction TSVs and the HIPE
+scorer's frozen result JSONs. Our stack (read_hipe_tsv → token_spans →
+strict_span_prf) must reproduce the published strict micro numbers from the
+raw TSVs. One deliberate divergence is asserted too: the reference scorer
+parses tags with ``label.split("-")[-1]`` (``HIPE-scorer/hipe_evaluation/
+utils.py:52``), which mangles hyphen-named agencies (ATS-SDA → "SDA",
+UP-UPI → "UPI") and silently drops their spans from its reports; our scorer
+keeps them. Restricting to the label set the reference actually evaluated
+reproduces its numbers exactly.
+"""
+
+import json
+import os
+
+import pyarrow.compute as pc
+import pytest
+
+BASE = "/root/reference/data"
+GOLD = f"{BASE}/annotated_data/fr/newsagency-data-test-fr.tsv"
+PRED = (f"{BASE}/results_2024/model_dbmdz_bert_base_french_europeana_cased_"
+        f"max_sequence_length_256_epochs_3_run_fr_1/newsagency-data-test-fr_pred.tsv")
+REF_JSON = PRED.replace("_pred.tsv", "_pred_nerc_fine.json")
+
+
+@pytest.mark.skipif(not (os.path.exists(GOLD) and os.path.exists(PRED)),
+                    reason="reference corpora absent")
+def test_reproduce_reference_strict_micro_exactly(ray_session):
+    from newsagency_classification_ray.eval import strict_span_prf
+    from newsagency_classification_ray.sources.hipe import read_hipe_tsv, token_spans
+
+    gold = token_spans(read_hipe_tsv(GOLD))
+    pred = token_spans(read_hipe_tsv(PRED))
+
+    # the reference scorer's effective tag set (hyphen-named agencies dropped)
+    def ref_labels_only(ds):
+        return ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.match_substring(t["label"], "-"))),
+            batch_format="pyarrow",
+        )
+
+    ours = strict_span_prf(
+        ref_labels_only(pred), ref_labels_only(gold),
+        doc_col="document_id", l_col="l", r_col="r", label_col="label",
+    ).to_pylist()[0]
+
+    ref = json.load(open(REF_JSON))["NE-FINE-LIT"]["TIME-ALL"]["LED-ALL"]["ALL"]["strict"]
+    assert ours["tp"] == ref["TP"] == 96
+    assert ours["fp"] == ref["FP"] == 34
+    assert ours["fn"] == ref["FN"] == 30
+    assert abs(ours["precision"] - ref["P_micro"]) < 1e-6
+    assert abs(ours["recall"] - ref["R_micro"]) < 1e-6
+    assert abs(ours["f1"] - ref["F1_micro"]) < 1e-6
+
+
+@pytest.mark.skipif(not (os.path.exists(GOLD) and os.path.exists(PRED)),
+                    reason="reference corpora absent")
+def test_hyphen_named_agencies_are_kept_by_our_scorer(ray_session):
+    """The 37 gold spans the reference scorer silently drops (ATB-SDA,
+    UP-UPI) are evaluated by ours."""
+    from newsagency_classification_ray.sources.hipe import read_hipe_tsv, token_spans
+
+    gold = token_spans(read_hipe_tsv(GOLD))
+    hyphened = gold.map_batches(
+        lambda t: t.filter(pc.match_substring(t["label"], "-")),
+        batch_format="pyarrow",
+    )
+    labels = {r["label"] for r in hyphened.take_all()}
+    assert labels == {"ORG.ENT.PRESSAGENCY.ATB-SDA", "ORG.ENT.PRESSAGENCY.UP-UPI"}
+    assert hyphened.count() == 37
