@@ -18,10 +18,48 @@ import pyarrow.compute as pc
 import pytest
 
 BASE = "/root/reference/data"
-GOLD = f"{BASE}/annotated_data/fr/newsagency-data-test-fr.tsv"
-PRED = (f"{BASE}/results_2024/model_dbmdz_bert_base_french_europeana_cased_"
-        f"max_sequence_length_256_epochs_3_run_fr_1/newsagency-data-test-fr_pred.tsv")
+RUNS = {
+    "fr": (f"{BASE}/annotated_data/fr/newsagency-data-test-fr.tsv",
+           f"{BASE}/results_2024/model_dbmdz_bert_base_french_europeana_cased_"
+           f"max_sequence_length_256_epochs_3_run_fr_1/newsagency-data-test-fr_pred.tsv"),
+    "de": (f"{BASE}/annotated_data/de/newsagency-data-test-de.tsv",
+           f"{BASE}/results_2024/model_bert_base_cased_max_sequence_length_128_"
+           f"epochs_3_run_de_1/newsagency-data-test-de_pred.tsv"),
+}
+GOLD, PRED = RUNS["fr"]
 REF_JSON = PRED.replace("_pred.tsv", "_pred_nerc_fine.json")
+
+EXPECT = {"fr": (96, 34, 30), "de": (42, 7, 12)}
+
+
+@pytest.mark.skipif(not os.path.exists(BASE), reason="reference corpora absent")
+@pytest.mark.parametrize("lang", ["fr", "de"])
+def test_reproduce_reference_strict_micro_exactly_both_langs(lang, ray_session):
+    from newsagency_classification_ray.eval import strict_span_prf
+    from newsagency_classification_ray.sources.hipe import read_hipe_tsv, token_spans
+
+    gold_p, pred_p = RUNS[lang]
+    if not (os.path.exists(gold_p) and os.path.exists(pred_p)):
+        pytest.skip("reference corpora absent")
+    ref = json.load(open(pred_p.replace("_pred.tsv", "_pred_nerc_fine.json")))[
+        "NE-FINE-LIT"]["TIME-ALL"]["LED-ALL"]["ALL"]["strict"]
+
+    def keep(ds):
+        return ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.match_substring(t["label"], "-"))),
+            batch_format="pyarrow",
+        )
+
+    ours = strict_span_prf(
+        keep(token_spans(read_hipe_tsv(pred_p))),
+        keep(token_spans(read_hipe_tsv(gold_p))),
+        doc_col="document_id", l_col="l", r_col="r", label_col="label",
+    ).to_pylist()[0]
+    tp, fp, fn = EXPECT[lang]
+    assert (ours["tp"], ours["fp"], ours["fn"]) == (ref["TP"], ref["FP"], ref["FN"]) == (tp, fp, fn)
+    assert abs(ours["precision"] - ref["P_micro"]) < 1e-6
+    assert abs(ours["recall"] - ref["R_micro"]) < 1e-6
+    assert abs(ours["f1"] - ref["F1_micro"]) < 1e-6
 
 
 @pytest.mark.skipif(not (os.path.exists(GOLD) and os.path.exists(PRED)),
