@@ -107,3 +107,21 @@ def test_hyphen_named_agencies_are_kept_by_our_scorer(ray_session):
     labels = {r["label"] for r in hyphened.take_all()}
     assert labels == {"ORG.ENT.PRESSAGENCY.ATB-SDA", "ORG.ENT.PRESSAGENCY.UP-UPI"}
     assert hyphened.count() == 37
+
+
+@pytest.mark.skipif(not (os.path.exists(GOLD) and os.path.exists(PRED)),
+                    reason="reference corpora absent")
+def test_reproduce_reference_coarse_strict_micro_exactly(ray_session):
+    """Coarse NERC regime: bit-exact too (coarse labels have no hyphens, so
+    no exclusion is needed at all)."""
+    from newsagency_classification_ray.eval import strict_span_prf
+    from newsagency_classification_ray.sources.hipe import read_hipe_tsv, token_spans
+
+    gold = token_spans(read_hipe_tsv(GOLD), col="ne_coarse_lit")
+    pred = token_spans(read_hipe_tsv(PRED), col="ne_coarse_lit")
+    ours = strict_span_prf(pred, gold, doc_col="document_id",
+                           l_col="l", r_col="r", label_col="label").to_pylist()[0]
+    ref = json.load(open(PRED.replace("_pred.tsv", "_pred_nerc_coarse.json")))[
+        "NE-COARSE-LIT"]["TIME-ALL"]["LED-ALL"]["ALL"]["strict"]
+    assert (ours["tp"], ours["fp"], ours["fn"]) == (ref["TP"], ref["FP"], ref["FN"]) == (135, 29, 28)
+    assert abs(ours["f1"] - ref["F1_micro"]) < 1e-6
