@@ -100,6 +100,8 @@ def run_bench() -> dict:
     timed("kg_flagship", flagship)
     timed("pricing_summary", lambda: Q.q_pricing_summary(sf_dir).to_pandas())
     timed("events_hourly", lambda: Q.q_events_hourly(sf_dir).to_pandas())
+    timed("events_sessions", lambda: Q.q_events_sessions(sf_dir).count())
+    timed("orders_lineitem_join", lambda: Q.q_orders_lineitem_join(sf_dir).to_pandas())
     timed("docs_exact_dedup", lambda: Q.q_docs_exact_dedup(sf_dir).count())
     timed("minhash_pairs", lambda: Q.q_minhash_pairs(sf_dir).count())
     timed("ann_topk", lambda: Q.q_ann_topk(sf_dir).to_pandas())

@@ -105,7 +105,9 @@ def hash_join(
     actors per join, and over-provisioning starves small sessions."""
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        num_partitions = max(2, min(32, cpus // 2))
+        # measured sweet spot at this scale: ~cpus/4 (more partitions just
+        # spin up more aggregator actors than the data feeds)
+        num_partitions = max(2, min(16, cpus // 4))
     return left.join(right, how, num_partitions, on=on, right_on=right_on)
 
 

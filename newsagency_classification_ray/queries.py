@@ -857,14 +857,19 @@ def q_orders_lineitem_join(sf_dir: str):
     orders = ops.read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     li = ops.read_table(sf_dir, "lineitem",
                         ["l_orderkey", "l_extendedprice", "l_discount"])
-    li = li.map_batches(
-        lambda t: pa.table({
-            "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
-            "rev": pc.multiply(t["l_extendedprice"],
-                               pc.subtract(pa.scalar(1.0), t["l_discount"])),
-        }),
-        batch_format="pyarrow",
-    )
+    # per-batch combiner only (4 items/order ⇒ a full orderkey groupby
+    # before the join costs more than it saves — measured), then one hash
+    # join and the small priority rollup
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        tt = pa.table({"o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                       "rev": rev})
+        g = tt.group_by(["o_orderkey"]).aggregate([("rev", "sum"),
+                                                   ("o_orderkey", "count")])
+        return g.rename_columns(["o_orderkey", "rev", "n"])
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow")
     orders = orders.map_batches(
         lambda t: pa.table({
             "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
@@ -872,9 +877,9 @@ def q_orders_lineitem_join(sf_dir: str):
         }),
         batch_format="pyarrow",
     )
-    joined = ops.hash_join(li, orders, on=("o_orderkey",))
+    joined = ops.hash_join(li_agg, orders, on=("o_orderkey",))
     g = joined.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_items"), Sum("rev", alias_name="rev_raw")
+        Sum("n", alias_name="n_items"), Sum("rev", alias_name="rev_raw")
     )
     return g.map_batches(
         lambda t: pa.table({
