@@ -98,10 +98,20 @@ def write_partitioned(
 
     @ray.remote(num_cpus=1)
     def _hash_partition(pdir: str) -> tuple[int, int]:
+        import glob as _glob
+
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(pdir)
-        return len(tbl), combine_hashes([batch_content_hash(tbl)])
+        # stream row-group-wise: a partition need never fit in memory
+        nrows = 0
+        hashes = []
+        for fp in sorted(_glob.glob(os.path.join(pdir, "*.parquet"))):
+            f = pq.ParquetFile(fp)
+            for rg in range(f.num_row_groups):
+                tbl = f.read_row_group(rg)
+                nrows += len(tbl)
+                hashes.append(batch_content_hash(tbl))
+        return nrows, combine_hashes(hashes)
 
     written = []
     total = 0

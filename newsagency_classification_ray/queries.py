@@ -932,6 +932,38 @@ SELECT doc_id, source FROM ranked
 WHERE rn <= 3 OR (doc_id * 2654435761) % 4294967296 % 10 = 0"""
 
 
+def q_hipe_scorer_parity(sf_dir: str):
+    """Bit-exact parity with the reference scorer on the reference's own
+    fr test gold + its fine-tuned model's shipped predictions (rows-only;
+    the numbers themselves are the check — must equal the frozen
+    TP 96 / FP 34 / FN 30 of the reference's published results JSON).
+    ``sf_dir`` is unused: the inputs are the reference corpora."""
+    import os
+
+    from .eval import strict_span_prf
+    from .sources.hipe import read_hipe_tsv, token_spans
+
+    base = "/root/reference/data"
+    gold_p = f"{base}/annotated_data/fr/newsagency-data-test-fr.tsv"
+    pred_p = (f"{base}/results_2024/model_dbmdz_bert_base_french_europeana_cased_"
+              f"max_sequence_length_256_epochs_3_run_fr_1/"
+              f"newsagency-data-test-fr_pred.tsv")
+    if not (os.path.exists(gold_p) and os.path.exists(pred_p)):
+        return pa.table({"tp": pa.array([], type=pa.int64())})
+
+    def keep(ds):
+        return ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.match_substring(t["label"], "-"))),
+            batch_format="pyarrow",
+        )
+
+    return strict_span_prf(
+        keep(token_spans(read_hipe_tsv(pred_p))),
+        keep(token_spans(read_hipe_tsv(gold_p))),
+        doc_col="document_id", l_col="l", r_col="r", label_col="label",
+    )
+
+
 def q_kg_eval_strict(sf_dir: str):
     """North-star conformance: strict (url, span, qid) P/R of the pipeline
     vs an independent regex gold (eval.linking_conformance). Rows-only oracle
@@ -952,6 +984,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
     "kg_eval_strict": q_kg_eval_strict,
+    "hipe_scorer_parity": q_hipe_scorer_parity,
     "kg_article_rollup": q_kg_article_rollup,
     "kg_agency_langs": q_kg_agency_langs,
     "kg_decade_agency_counts": q_kg_decade_agency_counts,
