@@ -107,7 +107,9 @@ def test_written_partitions_are_sorted_and_complete(tmp_path):
         "node_id": pa.array([f"n{i:03d}" for i in range(200)][::-1]),  # reversed
         "weight": pa.array(list(range(200)), type=pa.int64()),
     })
-    ds = ray.data.from_arrow(tbl)
+    # multiple input blocks → multiple files per partition dir; sortedness
+    # must survive the file split (sorted blocks write in name order)
+    ds = ray.data.from_arrow(tbl).repartition(8)
     out = os.path.join(tmp_path, "nodes")
     s = write_partitioned(ds, out, "node_id", num_partitions=4, sort_by=["node_id"])
     assert s["row_count"] == 200
