@@ -22,7 +22,7 @@ SMALL_TEXT = st.text(
 )
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(SMALL_TEXT)
 def test_token_spans_slice_exactly_and_never_overlap(text):
     toks = tokenize_with_spans(text)
@@ -34,7 +34,7 @@ def test_token_spans_slice_exactly_and_never_overlap(text):
         prev_end = t.end
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(SMALL_TEXT)
 def test_sentence_spans_slice_exactly_ordered(text):
     spans = segment_sentences(text)
@@ -54,7 +54,7 @@ def test_sentence_spans_slice_exactly_ordered(text):
             assert covered[i]
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(SMALL_TEXT, st.randoms())
 def test_decode_bio_spans_always_slice_exactly(text, rnd):
     toks = tokenize_with_spans(text)
@@ -66,7 +66,7 @@ def test_decode_bio_spans_always_slice_exactly(text, rnd):
         assert span.label  # never empty
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 @given(SMALL_TEXT)
 def test_scrub_is_length_preserving_and_idempotent(text):
     out = scrub_control_chars(text)
@@ -74,7 +74,7 @@ def test_scrub_is_length_preserving_and_idempotent(text):
     assert scrub_control_chars(out) == out
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 @given(SMALL_TEXT)
 def test_normalize_surface_is_idempotent(text):
     n = normalize_surface(text)
