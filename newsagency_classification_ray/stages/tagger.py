@@ -24,6 +24,17 @@ Model backends
   word, words beyond ``max_length`` → ``'O'``. Raises ``NotImplementedError``
   when torch is unavailable.
 
+Batched inference (the reference's documented bottleneck, fixed)
+----------------------------------------------------------------
+The reference runs the model at batch size 1 — one forward per sentence
+(``cli_tagger_no_torch_serve.py:298``), which its own timing files show is
+>99 % of wall-time. Every backend here exposes
+``tag_batch(list_of_token_lists) -> list[(tags, confs)]``: the stage
+collects ALL gated sentences of an Arrow batch first, then the model runs
+ONE padded forward per length-sorted chunk (length bucketing keeps padding
+waste minimal). Per-sentence ``tag`` remains for tests/tools; the hot path
+is ``tag_batch``.
+
 Reference decode parity: sentence-local offsets are exact span arithmetic
 (vs the reference's ``sentence.find(surface)`` first-occurrence bias,
 ``cli_tagger.py:177-187`` — ours is correct on repeated surfaces and equal
@@ -111,6 +122,14 @@ class AliasModel:
                 confs[i] = 0.99 if tok.text == canon else 0.95
         return tags, confs
 
+    def tag_batch(
+        self, token_lists: list[list[Span]]
+    ) -> list[tuple[list[str], list[float]]]:
+        """Batched entry point. The alias surrogate is dict lookups — no
+        forward to batch — so this is a plain loop; compute-bound backends
+        override it with a padded multi-sentence forward."""
+        return [self.tag(toks) for toks in token_lists]
+
 
 class SimulatedBertModel(AliasModel):
     """AliasModel outputs + a BERT-shaped compute load (scaling benchmark).
@@ -128,6 +147,10 @@ class SimulatedBertModel(AliasModel):
 
     sys_id = "SIM BERT MODEL"
     has_candidates = None  # no pre-gate: every sentence pays the forward
+    # padded-row budget per forward: ~2k×hidden float32 keeps both GEMM
+    # operands cache-resident (measured sweep: 1.3-2.5k rows is the knee;
+    # one giant flat GEMM goes memory-bound and is 4× slower)
+    chunk_rows = 2048
 
     def __init__(self, max_tokens: int = MAX_TOKENS_PER_SENTENCE, hidden: int = 384):
         super().__init__(max_tokens)
@@ -149,6 +172,44 @@ class SimulatedBertModel(AliasModel):
         x = np.tanh(x @ self._w1) @ self._w2  # the simulated forward
         _ = float(x[0, 0])  # keep the computation observable
         return super().tag(tokens)
+
+    def tag_batch(
+        self, token_lists: list[list[Span]]
+    ) -> list[tuple[list[str], list[float]]]:
+        """ONE padded forward per length-sorted chunk (vs the reference's
+        per-sentence batch-size-1 forward, cli_tagger_no_torch_serve.py:298).
+
+        Length bucketing: sentences are sorted by token count before
+        chunking, so each chunk pads to ≈ its own max length instead of the
+        global one — the standard padded-batch-inference layout. Outputs are
+        byte-identical to :class:`AliasModel` (the forward is the compute
+        load; the labels come from the deterministic lexicon scan).
+        """
+        np = self._np
+        n = len(token_lists)
+        order = sorted(range(n), key=lambda i: len(token_lists[i]))
+        # chunk by padded-row budget: length-sorted sentences pack until
+        # n_sentences × chunk-max-seq hits chunk_rows, then one flat
+        # (rows, hidden) GEMM covers the whole chunk
+        pos = 0
+        while pos < n:
+            # pad to the chunk's own max length — no per-sentence floor-64
+            # (the floor in :meth:`tag` models batch-1 kernel overhead,
+            # which is precisely what batching amortizes away)
+            seq = 8
+            end = pos
+            while end < n:
+                cand = max(seq, min(len(token_lists[order[end]]), self.max_tokens))
+                if (end - pos + 1) * cand > self.chunk_rows and end > pos:
+                    break
+                seq = cand
+                end += 1
+            x = np.ones(((end - pos) * seq, self._hidden), dtype=np.float32)
+            x = np.tanh(x @ self._w1) @ self._w2  # one forward per chunk
+            _ = float(x[0, 0])
+            pos = end
+        lex_tag = AliasModel.tag
+        return [lex_tag(self, toks) for toks in token_lists]
 
 
 class BertModel:  # pragma: no cover - torch/transformers absent in this sandbox
@@ -187,30 +248,55 @@ class BertModel:  # pragma: no cover - torch/transformers absent in this sandbox
         self.model.to(self.device)
         self.id2label = {int(k): v for k, v in self.model.config.id2label.items()}
 
+    chunk_sentences = 32  # sentences per padded forward
+
     def tag(self, tokens: list[Span]) -> tuple[list[str], list[float]]:
+        return self.tag_batch([tokens])[0]
+
+    def tag_batch(
+        self, token_lists: list[list[Span]]
+    ) -> list[tuple[list[str], list[float]]]:
+        """ONE padded tokenizer+forward call per length-sorted chunk.
+
+        The reference runs one forward per sentence
+        (cli_tagger_no_torch_serve.py:298, its documented bottleneck at >99 %
+        of batch wall-time); here all sentences of the Arrow batch share
+        padded forwards. Realign semantics are per sentence via
+        ``enc.word_ids(i)`` — first wordpiece carries the word's prediction,
+        words truncated beyond ``max_length`` stay ``'O'`` (reference
+        cli_tagger_no_torch_serve.py:208-226), identical to the per-sentence
+        path because truncation/padding are per-row in a batched tokenizer.
+        """
         torch = self._torch
-        words = [t.text for t in tokens]
-        enc = self.tokenizer(
-            words, is_split_into_words=True, truncation=True,
-            max_length=self.max_tokens, return_tensors="pt",
-        ).to(self.device)
-        with torch.no_grad():
-            logits = self.model(**enc).logits[0]  # (seq, n_labels)
-        probs = torch.softmax(logits, dim=-1)
-        pred = probs.argmax(dim=-1)
-        tags = ["O"] * len(words)
-        confs = [0.0] * len(words)
-        seen: set[int] = set()
-        for pos, wid in enumerate(enc.word_ids(0)):
-            # first wordpiece of each word carries the word's prediction
-            # (cli_tagger_no_torch_serve.py:208-226); later words truncated
-            # away stay 'O'
-            if wid is None or wid in seen:
-                continue
-            seen.add(wid)
-            tags[wid] = self.id2label[int(pred[pos])]
-            confs[wid] = float(probs[pos, pred[pos]])
-        return tags, confs
+        n = len(token_lists)
+        out: list = [None] * n
+        order = sorted(range(n), key=lambda i: len(token_lists[i]))
+        ch = self.chunk_sentences
+        for c0 in range(0, n, ch):
+            idxs = order[c0:c0 + ch]
+            words = [[t.text for t in token_lists[i]] for i in idxs]
+            enc = self.tokenizer(
+                words, is_split_into_words=True, truncation=True, padding=True,
+                max_length=self.max_tokens, return_tensors="pt",
+            ).to(self.device)
+            with torch.no_grad():
+                logits = self.model(**enc).logits  # (b, seq, n_labels)
+            probs = torch.softmax(logits, dim=-1)
+            pred = probs.argmax(dim=-1)
+            for bi, i in enumerate(idxs):
+                tags = ["O"] * len(words[bi])
+                confs = [0.0] * len(words[bi])
+                seen: set[int] = set()
+                for pos, wid in enumerate(enc.word_ids(bi)):
+                    # first wordpiece of each word carries the word's
+                    # prediction; padding positions have wid None
+                    if wid is None or wid in seen:
+                        continue
+                    seen.add(wid)
+                    tags[wid] = self.id2label[int(pred[bi, pos])]
+                    confs[wid] = float(probs[bi, pos, pred[bi, pos]])
+                out[i] = (tags, confs)
+        return out
 
 
 class TaggerStage:
@@ -230,47 +316,56 @@ class TaggerStage:
         texts = batch["text"].to_pylist()
         langs = batch["lang"].to_pylist()
         tss = batch["warc_ts"].to_pylist() if "warc_ts" in batch.column_names else [None] * len(urls)
+        gate = getattr(self.model, "has_candidates", None)
+        # phase 1: segment + gate + tokenize every article of the batch
+        sents: list[tuple] = []  # (url, lang, ts, sent_idx, sent Span, tokens)
         for url, text, lang, ts in zip(urls, texts, langs, tss):
             if not text:
                 continue
-            self._tag_article(cols, url, text, lang, ts)
+            if gate is not None and not gate(text):
+                continue
+            for sent_idx, sent in enumerate(segment_sentences(text)):
+                if gate is not None and not gate(sent.text):
+                    continue
+                tokens = tokenize_with_spans(sent.text)
+                if tokens:
+                    sents.append((url, lang, ts, sent_idx, sent, tokens))
+        # phase 2: ONE batched model call over all gated sentences (the
+        # backend chunks + pads internally) — not one forward per sentence
+        if sents:
+            tagged = self.model.tag_batch([s[5] for s in sents])
+            # phase 3: BIO decode + mention emit per sentence
+            for (url, lang, ts, sent_idx, sent, tokens), (tags, confs) in zip(
+                sents, tagged
+            ):
+                self._emit(cols, url, lang, ts, sent_idx, sent, tokens, tags, confs)
         return pa.Table.from_pydict(cols, schema=MENTIONS_SCHEMA)
 
-    def _tag_article(self, cols: dict[str, list], url: str, text: str, lang: str, ts) -> None:
-        gate = getattr(self.model, "has_candidates", None)
-        if gate is not None and not gate(text):
-            return
-        for sent_idx, sent in enumerate(segment_sentences(text)):
-            if gate is not None and not gate(sent.text):
+    def _emit(self, cols, url, lang, ts, sent_idx, sent, tokens, tags, confs) -> None:
+        for span in decode_bio(sent.text, tokens, tags):
+            surface = span.surface
+            # mention post-filter (M7)
+            if len(surface) <= 1 or is_punct_only(surface):
                 continue
-            tokens = tokenize_with_spans(sent.text)
-            if not tokens:
-                continue
-            tags, confs = self.model.tag(tokens)
-            for span in decode_bio(sent.text, tokens, tags):
-                surface = span.surface
-                # mention post-filter (M7)
-                if len(surface) <= 1 or is_punct_only(surface):
-                    continue
-                fine = span.label
-                if "ATB" in fine:  # M9 typo fix
-                    fine = fine.replace("ATB", "ATS")
-                short = fine.split(".")[-1]
-                l_sent, r_sent = span.start, span.end
-                l_art, r_art = sent.start + l_sent, sent.start + r_sent
-                conf = sum(confs[span.tok_start:span.tok_end]) / (span.tok_end - span.tok_start)
-                cols["url"].append(url)
-                cols["lang"].append(lang)
-                cols["warc_ts"].append(ts)
-                cols["entity"].append(fine)
-                cols["surface"].append(surface)
-                cols["qid"].append(qid_for_label(short))
-                cols["sentence_idx"].append(sent_idx)
-                cols["l_sent"].append(l_sent)
-                cols["r_sent"].append(r_sent)
-                cols["l_art"].append(l_art)
-                cols["r_art"].append(r_art)
-                cols["confidence"].append(conf)
-                cols["mention_id"].append(
-                    mention_id(url, sent_idx, l_sent, r_sent, l_art, r_art, lang)
-                )
+            fine = span.label
+            if "ATB" in fine:  # M9 typo fix
+                fine = fine.replace("ATB", "ATS")
+            short = fine.split(".")[-1]
+            l_sent, r_sent = span.start, span.end
+            l_art, r_art = sent.start + l_sent, sent.start + r_sent
+            conf = sum(confs[span.tok_start:span.tok_end]) / (span.tok_end - span.tok_start)
+            cols["url"].append(url)
+            cols["lang"].append(lang)
+            cols["warc_ts"].append(ts)
+            cols["entity"].append(fine)
+            cols["surface"].append(surface)
+            cols["qid"].append(qid_for_label(short))
+            cols["sentence_idx"].append(sent_idx)
+            cols["l_sent"].append(l_sent)
+            cols["r_sent"].append(r_sent)
+            cols["l_art"].append(l_art)
+            cols["r_art"].append(r_art)
+            cols["confidence"].append(conf)
+            cols["mention_id"].append(
+                mention_id(url, sent_idx, l_sent, r_sent, l_art, r_art, lang)
+            )
