@@ -257,8 +257,10 @@ class SimHashStage:
     def _tok_hash(self, tok: str) -> int:
         h = self._cache.get(tok)
         if h is None:
-            c = np.uint64(zlib.crc32(tok.encode()))
-            h = int((c * _FNV64) ^ (c << np.uint64(32)))
+            # Python ints with an explicit 64-bit mask: same wraparound value
+            # as uint64 arithmetic without numpy's scalar-overflow warning
+            c = zlib.crc32(tok.encode())
+            h = ((c * 1099511628211) ^ (c << 32)) & 0xFFFFFFFFFFFFFFFF
             if len(self._cache) < 1_000_000:
                 self._cache[tok] = h
         return h
@@ -356,6 +358,99 @@ def simhash_pairs(docs: Dataset, max_hamming: int = 3) -> Dataset:
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
+def connected_components(
+    pairs: Dataset,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    num_partitions: int | None = None,
+    max_rounds: int = 64,
+) -> Dataset:
+    """Distributed connected components over an edge Dataset → (node, label)
+    with ``label`` = the component's minimum node id.
+
+    Iterative min-label propagation as pure Dataset ops (no driver-side
+    graph): each round every node takes the min of its own label, its
+    neighbours' labels, and — via *label-pointer edges* (node ↔ label) — the
+    label of its current representative. The pointer edges give the
+    hash-to-min contraction (O(log n) rounds on chains, vs O(diameter) for
+    plain neighbour propagation); convergence is detected by the monotone
+    non-increasing label sum going stable. Each round is one hash join on
+    the (tiny, id-only) edge/label tables + one groupby-min — the pair set
+    is duplicate-rate-sized, so nothing corpus-sized ever enters a round.
+
+    Partitioning assumption: labels/edges co-partition by the join key each
+    round (Ray's hash join); skew is bounded because a hot component's rows
+    key by *member* node id, not by the component id.
+    """
+    import ray
+    from ray.data import from_arrow
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_partitions = max(2, min(16, cpus // 4))
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = pc.cast(t[a_col], pa.int64())
+        b = pc.cast(t[b_col], pa.int64())
+        return pa.table({
+            "node": pa.chunked_array([a, b]).combine_chunks(),
+            "nbr": pa.chunked_array([b, a]).combine_chunks(),
+        })
+
+    def _local_min(t: pa.Table) -> pa.Table:
+        # per-batch combiner before every groupby-min
+        if len(t) == 0:
+            return t
+        g = t.group_by(["node"]).aggregate([("cand", "min")])
+        return pa.table({"node": g["node"], "cand": g["cand_min"]})
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return from_arrow(pa.table({"node": pa.array([], type=pa.int64()),
+                                    "label": pa.array([], type=pa.int64())}))
+
+    # round 0: label(x) = min(x, neighbours)
+    cand0 = edges.map_batches(
+        lambda t: pa.table({
+            "node": pa.chunked_array([t["node"], t["node"]]).combine_chunks(),
+            "cand": pa.chunked_array([t["node"], t["nbr"]]).combine_chunks(),
+        }),
+        batch_format="pyarrow",
+    ).map_batches(_local_min, batch_format="pyarrow")
+    labels = cand0.groupby("node").aggregate(Min("cand", alias_name="label")).materialize()
+    prev_sum = labels.sum("label")
+
+    for _ in range(max_rounds):
+        # pointer edges node↔label (the contraction step)
+        lab_edges = labels.map_batches(
+            lambda t: pa.table({
+                "node": pa.chunked_array([t["node"], t["label"]]).combine_chunks(),
+                "nbr": pa.chunked_array([t["label"], t["node"]]).combine_chunks(),
+            }),
+            batch_format="pyarrow",
+        )
+        all_edges = edges.union(lab_edges)
+        nbr_lab = labels.map_batches(
+            lambda t: pa.table({"nbr": t["node"], "nbr_label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        prop = all_edges.join(nbr_lab, "inner", num_partitions, on=("nbr",))
+        cand = prop.map_batches(
+            lambda t: pa.table({"node": t["node"], "cand": t["nbr_label"]}),
+            batch_format="pyarrow",
+        ).union(labels.map_batches(
+            lambda t: pa.table({"node": t["node"], "cand": t["label"]}),
+            batch_format="pyarrow",
+        )).map_batches(_local_min, batch_format="pyarrow")
+        labels = cand.groupby("node").aggregate(Min("cand", alias_name="label")).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:  # labels only ever decrease → stable = converged
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 def near_dedup_keep(
     docs: Dataset,
     *,
@@ -363,40 +458,81 @@ def near_dedup_keep(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.85,
+    driver_pair_threshold: int = 100_000,
+    broadcast_victim_threshold: int = 4_000_000,
 ) -> Dataset:
     """Near-duplicate *keep-list*: one representative (min doc_id) per
     near-dup cluster — the operator a training-data pipeline actually applies.
 
     Clusters are connected components over the verified MinHash pair graph.
-    The pair set is ~duplicate-rate-sized (≪ corpus), so the union-find runs
-    on the driver over the collected pairs and the resulting victim set is
-    broadcast back as an anti-filter — the standard small-side pattern; the
-    corpus itself streams through untouched.
+    Below ``driver_pair_threshold`` pairs the union-find runs on the driver
+    (collected pairs are tiny); above it :func:`connected_components` runs
+    the same contraction as distributed Dataset ops, so the pair set never
+    has to fit on the driver — at web dup rates it is corpus-proportional.
+    Victim filtering: the victim id set is broadcast (``ray.put`` once,
+    vectorized ``is_in`` per batch — the corpus itself never shuffles) while
+    it fits ``broadcast_victim_threshold``; beyond that the docs take one
+    hash-partitioned left-anti join on ``doc_id``.
     """
-    pairs = minhash_lsh_pairs(
+    pairs_ds = minhash_lsh_pairs(
         docs, num_perm=num_perm, bands=bands, shingle_n=shingle_n,
         jaccard_threshold=jaccard_threshold,
-    ).take_all()
-
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for r in pairs:
-        a, b = find(int(r["doc_a"])), find(int(r["doc_b"]))
-        if a != b:
-            if a > b:
-                a, b = b, a
-            parent[b] = a  # root = min id
-
-    victims = [x for x in parent if find(x) != x]
-    if not victims:
+    ).materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         return docs
-    vset = pa.array(victims, type=pa.int64())
+
+    if n_pairs <= driver_pair_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs_ds.take_all():
+            a, b = find(int(r["doc_a"])), find(int(r["doc_b"]))
+            if a != b:
+                if a > b:
+                    a, b = b, a
+                parent[b] = a  # root = min id
+        victims = [x for x in parent if find(x) != x]
+        if not victims:
+            return docs
+        return _drop_victims_broadcast(docs, pa.array(victims, type=pa.int64()))
+
+    labels = connected_components(pairs_ds)
+    victims_ds = labels.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.filter(pc.not_equal(t["node"], t["label"]))["node"]}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    if victims_ds.count() <= broadcast_victim_threshold:
+        ids = [r["doc_id"] for r in victims_ds.take_all()]
+        return _drop_victims_broadcast(docs, pa.array(ids, type=pa.int64()))
+    # anti join: one hash exchange of the docs, victims co-partitioned
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nparts = max(2, min(16, cpus // 4))
+    marked = victims_ds.map_batches(
+        lambda t: t.append_column("_victim", pa.array([1] * len(t), type=pa.int8())),
+        batch_format="pyarrow",
+        # groupby/join operators emit empty blocks with a ZERO-COLUMN schema
+        # (UDFs are skipped on them); a join partition fed only such blocks
+        # loses the key column and acero errors. repartition coalesces them
+        # away before the schema-sensitive join.
+    ).repartition(nparts)
+    joined = docs.join(marked, "left_outer", nparts, on=("doc_id",))
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["_victim"])).drop_columns(["_victim"]),
+        batch_format="pyarrow",
+    )
+
+
+def _drop_victims_broadcast(docs: Dataset, vset: pa.Array) -> Dataset:
     return docs.map_batches(
         lambda t: t.filter(pc.invert(pc.is_in(pc.cast(t["doc_id"], pa.int64()),
                                               value_set=vset))),

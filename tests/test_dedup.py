@@ -87,3 +87,60 @@ def test_near_dedup_keep():
         corpus(), jaccard_threshold=0.5).take_all())
     # cluster {0,1,2} collapses to representative 0; 3 and 4 survive
     assert kept == [0, 3, 4]
+
+
+def _uf_roots(edges, nodes):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra > rb:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_matches_union_find():
+    """Distributed min-label propagation == driver union-find on random
+    pair graphs (chains, stars, cliques, singleton-free random mixes)."""
+    from newsagency_classification_ray.stages.dedup import connected_components
+
+    rng = np.random.RandomState(7)
+    cases = [
+        [(i, i + 1) for i in range(40)],                      # one long chain
+        [(0, i) for i in range(1, 30)],                       # star
+        [(i, j) for i in range(8) for j in range(i + 1, 8)],  # clique
+    ]
+    for seed in range(3):                                     # random graphs
+        rng = np.random.RandomState(seed)
+        e = rng.randint(0, 60, size=(50, 2))
+        cases.append([(int(a), int(b)) for a, b in e if a != b])
+    for edges in cases:
+        nodes = sorted({x for e in edges for x in e})
+        pairs = ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([a for a, _ in edges], type=pa.int64()),
+            "doc_b": pa.array([b for _, b in edges], type=pa.int64()),
+        }))
+        got = {r["node"]: r["label"]
+               for r in connected_components(pairs).take_all()}
+        assert got == _uf_roots(edges, nodes)
+
+
+def test_near_dedup_keep_distributed_path_matches_driver_path():
+    from newsagency_classification_ray.stages.dedup import near_dedup_keep
+
+    driver = sorted(r["doc_id"] for r in near_dedup_keep(
+        corpus(), jaccard_threshold=0.5).take_all())
+    dist = sorted(r["doc_id"] for r in near_dedup_keep(
+        corpus(), jaccard_threshold=0.5, driver_pair_threshold=0).take_all())
+    dist_anti = sorted(r["doc_id"] for r in near_dedup_keep(
+        corpus(), jaccard_threshold=0.5, driver_pair_threshold=0,
+        broadcast_victim_threshold=0).take_all())
+    assert driver == dist == dist_anti == [0, 3, 4]
