@@ -242,8 +242,11 @@ def _as_keyed(ds: Dataset, doc_col: str, l_col: str, r_col: str, label_col: str,
 def _partial_sum(t: pa.Table) -> pa.Table:
     if len(t) == 0:
         return t
-    return t.group_by(_KEY).aggregate([("pred", "sum"), ("gold", "sum")]) \
-        .rename_columns(_KEY + ["pred", "gold"])
+    g = t.group_by(_KEY).aggregate([("pred", "sum"), ("gold", "sum")])
+    # select by NAME — pyarrow's key/aggregate column order is
+    # version-dependent (older releases emitted aggregates first)
+    return pa.table({**{k: g[k] for k in _KEY},
+                     "pred": g["pred_sum"], "gold": g["gold_sum"]})
 
 
 def strict_span_prf(

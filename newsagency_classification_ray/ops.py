@@ -85,6 +85,28 @@ def distinct(ds: Dataset, cols: list[str]) -> Dataset:
     )
 
 
+def uniform_group_sample(
+    ds: Dataset, group_col: str, n: int, id_col: str = "doc_id"
+) -> Dataset:
+    """O5: standalone deterministic uniform n-per-group sampler (reference
+    ``sampling.ipynb`` cells 78-79 ``groupby().sample(n)``, made
+    cross-engine-stable): rank rows inside each group by a multiplicative
+    hash of the id (Knuth 2654435761 mod 2^32, uniform wrt any natural row
+    order) with the id as total-order tie-break, keep the n smallest.
+    Oracle-equivalent: ``row_number() OVER (PARTITION BY g ORDER BY
+    (id*2654435761)%4294967296, id) <= n``.
+    """
+    import numpy as np
+
+    def sample(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * 2654435761) % 4294967296
+        order = np.lexsort((ids, h))[: min(n, len(ids))]
+        return g.take(order)
+
+    return ds.groupby(group_col).map_groups(sample, batch_format="pyarrow")
+
+
 def floor_to_hour(ts: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Tumbling-window key: timestamp floored to the hour (streaming-table
     analogue; oracle: ``date_trunc('hour', ts)``)."""

@@ -191,7 +191,8 @@ def _partial_count_batch(keys: list[str]):
             return pa.table({**{k: t[k] for k in keys},
                              "n": pa.array([], type=pa.int64())})
         g = t.select(keys).group_by(keys).aggregate([([], "count_all")])
-        return g.rename_columns(keys + ["n"])
+        # select by NAME (pyarrow key/aggregate order is version-dependent)
+        return pa.table({**{k: g[k] for k in keys}, "n": g["count_all"]})
     return fn
 
 

@@ -206,12 +206,22 @@ O_PAGES_LANG_COUNTS = lambda sf: (
 
 
 def q_pages_dedup_stats(sf_dir: str):
+    """Single read pass: per-batch (url, n) partials (combiner), one shuffle
+    over the unique-url-sized partials, then a tiny global
+    (count, sum) aggregate — vs the naive two full input scans."""
     path = pages_src.ensure_pages(sf_dir)
     ds = ray.data.read_parquet(path, columns=["url"])
-    n_rows = ds.count()
-    n_urls = ops.distinct(ds, ["url"]).count()
-    return pa.table({"n_rows": pa.array([n_rows], type=pa.int64()),
-                     "n_urls": pa.array([n_urls], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["url"]).aggregate([([], "count_all")])
+        return pa.table({"url": g["url"], "n": g["count_all"]})
+
+    per_url = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "url"
+    ).aggregate(Sum("n", alias_name="n"))
+    res = per_url.aggregate(Count(alias_name="n_urls"), Sum("n", alias_name="n_rows"))
+    return pa.table({"n_rows": pa.array([res["n_rows"]], type=pa.int64()),
+                     "n_urls": pa.array([res["n_urls"]], type=pa.int64())})
 
 
 O_PAGES_DEDUP_STATS = lambda sf: (
@@ -614,7 +624,46 @@ def q_simhash_pairs(sf_dir: str):
 
 def q_jaccard_topk(sf_dir: str):
     docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
-    return dd.ngram_jaccard_topk(docs, query_ids=list(range(5)), k=3)
+    out = dd.ngram_jaccard_topk(docs, query_ids=list(range(5)), k=3)
+
+    def finish(t: pa.Table) -> pa.Table:
+        # floor(j*1e6) int64: identical on both engines for the same IEEE
+        # double (round() would differ at .5 between banker's and half-away)
+        return pa.table({
+            "query_id": pc.cast(t["query_id"], pa.int64()),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "jaccard_e6": pc.cast(pc.floor(pc.multiply(t["jaccard"], 1_000_000.0)),
+                                  pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+O_JACCARD_TOPK = r"""
+WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+       WHEN len(t) = 1 THEN [t[1] || '  ']
+       WHEN len(t) = 2 THEN [t[1] || ' ' || t[2] || ' ']
+       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+  END AS s FROM tk),
+q AS (SELECT doc_id AS query_id, s AS qs FROM sh WHERE doc_id IN (0, 1, 2, 3, 4)),
+scored AS (
+  SELECT q.query_id, d.doc_id,
+         len(list_intersect(q.qs, d.s)) AS inter,
+         len(q.qs) + len(d.s) - len(list_intersect(q.qs, d.s)) AS u
+  FROM q CROSS JOIN sh d WHERE d.doc_id <> q.query_id
+),
+jac AS (SELECT query_id, doc_id,
+               CASE WHEN u = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE) / u END AS j
+        FROM scored),
+ranked AS (SELECT query_id, doc_id, j,
+                  row_number() OVER (PARTITION BY query_id ORDER BY j DESC, doc_id) AS rn
+           FROM jac)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(floor(j * 1000000) AS BIGINT) AS jaccard_e6
+FROM ranked WHERE rn <= 3"""
 
 
 def q_embedding_dups(sf_dir: str):
@@ -661,20 +710,87 @@ def q_docs_near_dedup_keep(sf_dir: str):
 
 def q_docs_langid(sf_dir: str):
     docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
-    scored = docs.map_batches(ts.LangIdStage, batch_format="pandas",
+    scored = docs.map_batches(ts.LangIdStage, batch_format="pyarrow",
                               batch_size=1024, concurrency=(1, 4), num_cpus=1)
-    # back to Arrow blocks before the exchange (pandas blocks sort slowly)
-    arrow = scored.map_batches(lambda t: t.select(["lang_pred"]), batch_format="pyarrow")
-    return arrow.groupby("lang_pred").aggregate(Count(alias_name="n"))
+    g = scored.map_batches(lambda t: t.select(["lang_pred"]), batch_format="pyarrow") \
+        .groupby("lang_pred").aggregate(Count(alias_name="n"))
+    return g.map_batches(lambda t: _i64(t, ["n"]), batch_format="pyarrow")
+
+
+def _stopword_values_sql() -> str:
+    rows = ", ".join(
+        "('{}', [{}])".format(lang, ", ".join(f"'{w}'" for w in sorted(sw)))
+        for lang, sw in sorted(ts._STOPWORDS.items())
+    )
+    return f"(VALUES {rows}) AS profiles(lang, sw)"
+
+
+def O_DOCS_LANGID() -> str:
+    return rf"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+              FROM documents),
+scores AS (
+  SELECT t.doc_id, profiles.lang,
+         CASE WHEN len(t.tk) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(t.tk, x -> list_contains(profiles.sw, x)))
+                        AS DOUBLE) / len(t.tk) END AS s
+  FROM toks t CROSS JOIN {_stopword_values_sql()}
+),
+best AS (SELECT doc_id, lang, s,
+                row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang DESC) AS rn
+         FROM scores)
+SELECT CASE WHEN s > 0 THEN lang ELSE 'und' END AS lang_pred,
+       CAST(count(*) AS BIGINT) AS n
+FROM best WHERE rn = 1 GROUP BY 1"""
 
 
 def q_media_metadata(sf_dir: str):
     media = ray.data.from_arrow(mm.make_media_table(256))
-    return mm.media_metadata(media)
+    out = mm.media_metadata(media)
+    return out.map_batches(
+        lambda t: _i64(t, ["media_id", "width", "height", "channels",
+                           "n_frames", "payload_bytes"]),
+        batch_format="pyarrow",
+    )
+
+
+def O_MEDIA_METADATA() -> str:
+    """Oracle = fixed VALUES computed by the same PURE functions (generator +
+    header decode) with no Ray involved — the check verifies the actor-pool
+    plumbing reproduces the pure computation."""
+    t = mm.make_media_table(256)
+    rows = []
+    for i in range(len(t)):
+        meta = mm._decode_payload(t["blob"][i].as_py())
+        rows.append(
+            f"({t['media_id'][i].as_py()}, '{t['kind'][i].as_py()}', "
+            f"{meta['width']}, {meta['height']}, {meta['channels']}, "
+            f"{meta['n_frames']}, {meta['payload_bytes']})"
+        )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, kind, "
+        "CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height, "
+        "CAST(channels AS BIGINT) AS channels, "
+        "CAST(n_frames AS BIGINT) AS n_frames, "
+        "CAST(payload_bytes AS BIGINT) AS payload_bytes "
+        f"FROM (VALUES {', '.join(rows)}) AS m(media_id, kind, width, height, "
+        "channels, n_frames, payload_bytes)"
+    )
 
 
 def q_kg_mentions(sf_dir: str):
-    return _mentions(sf_dir)
+    """Row-level mention table (url, surface, canonical, qid) — the
+    projection of the full mentions Dataset that the regex oracle can
+    re-derive exactly (sentence-local offsets are not SQL-expressible;
+    they are covered by the byte-identity unit tests instead)."""
+    return _mentions(sf_dir).map_batches(
+        lambda t: t.select(["url", "surface", "canonical", "qid"]),
+        batch_format="pyarrow",
+    )
+
+
+O_KG_MENTIONS = lambda sf: f"""WITH {_pages_cte(sf)}
+SELECT url, alias AS surface, canonical, qid FROM sql_mentions"""
 
 
 # --------------------------------------------------------------------------
@@ -867,7 +983,10 @@ def q_orders_lineitem_join(sf_dir: str):
                        "rev": rev})
         g = tt.group_by(["o_orderkey"]).aggregate([("rev", "sum"),
                                                    ("o_orderkey", "count")])
-        return g.rename_columns(["o_orderkey", "rev", "n"])
+        # select by NAME — pyarrow's key/aggregate column order is
+        # version-dependent (older releases emitted aggregates first)
+        return pa.table({"o_orderkey": g["o_orderkey"], "rev": g["rev_sum"],
+                         "n": g["o_orderkey_count"]})
 
     li_agg = li.map_batches(li_partial, batch_format="pyarrow")
     orders = orders.map_batches(
@@ -932,6 +1051,27 @@ SELECT doc_id, source FROM ranked
 WHERE rn <= 3 OR (doc_id * 2654435761) % 4294967296 % 10 = 0"""
 
 
+def q_docs_group_sample(sf_dir: str):
+    """O5: standalone uniform n-per-group sample (hash-rank top-n,
+    ops.uniform_group_sample) — n=5 docs per source."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "source"])
+    out = ops.uniform_group_sample(docs, "source", 5)
+    return out.map_batches(
+        lambda t: _i64(t.select(["doc_id", "source"]), ["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+
+O_DOCS_GROUP_SAMPLE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM ranked WHERE rn <= 5"""
+
+
 def q_hipe_scorer_parity(sf_dir: str):
     """Bit-exact parity with the reference scorer on the reference's own
     fr test gold + its fine-tuned model's shipped predictions (rows-only;
@@ -992,6 +1132,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_sliding_window": q_events_sliding_window,
     "events_sessions": q_events_sessions,
     "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_group_sample": q_docs_group_sample,
     "orders_lineitem_join": q_orders_lineitem_join,
     "docs_near_dedup_keep": q_docs_near_dedup_keep,
     "ivf_ann_topk": q_ivf_ann_topk,
@@ -1064,5 +1205,10 @@ def oracles() -> dict[str, str]:
         "events_sliding_window": O_EVENTS_SLIDING,
         "events_sessions": O_EVENTS_SESSIONS,
         "docs_stratified_sample": O_DOCS_STRATIFIED,
+        "docs_group_sample": O_DOCS_GROUP_SAMPLE,
         "orders_lineitem_join": O_ORDERS_LINEITEM_JOIN,
+        "jaccard_topk": O_JACCARD_TOPK,
+        "docs_langid": O_DOCS_LANGID(),
+        "media_metadata": O_MEDIA_METADATA(),
+        "kg_mentions": O_KG_MENTIONS(_SF001),
     }

@@ -542,6 +542,18 @@ def _drop_victims_broadcast(docs: Dataset, vset: pa.Array) -> Dataset:
 
 # ------------------------------------------------------- n-gram Jaccard (topk)
 
+def _shingle_strings(text: str, n: int) -> np.ndarray:
+    """Unique word n-gram shingles as strings (the exact, SQL-reproducible
+    form — used where a DuckDB oracle must recompute the same sets; the
+    hashed variant above stays the sketch input)."""
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=object)
+    if len(toks) < n:
+        toks = toks + [""] * (n - len(toks))
+    return np.unique([" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)])
+
+
 def ngram_jaccard_topk(
     docs: Dataset, query_ids: list[int], *, shingle_n: int = 3, k: int = 3
 ) -> Dataset:
@@ -549,8 +561,9 @@ def ngram_jaccard_topk(
 
     Broadcast pattern: the query shingle sets ride into every task via
     ``ray.put``; each batch scores locally (vectorized set intersection on
-    sorted hash arrays) and emits its local top-k per query; a tiny final
-    groupby takes the global top-k.
+    sorted shingle arrays) and emits its local top-k per query; a tiny final
+    groupby takes the global top-k. Shingles are exact strings (not the
+    minhash sketch's hashes) so the result is oracle-checkable in SQL.
     """
     import pandas as pd
     import ray
@@ -561,7 +574,7 @@ def ngram_jaccard_topk(
         .select(["doc_id", "text"]),
         batch_format="pyarrow",
     ).take_all()
-    qsh = {r["doc_id"]: _shingle_hashes(r["text"] or "", shingle_n) for r in qrows}
+    qsh = {r["doc_id"]: _shingle_strings(r["text"] or "", shingle_n) for r in qrows}
     qref = ray.put(qsh)
 
     def score(t: pa.Table) -> pa.Table:
@@ -570,7 +583,7 @@ def ngram_jaccard_topk(
         texts = t["text"].to_pylist()
         out_q, out_d, out_j = [], [], []
         for did, text in zip(ids, texts):
-            sh = _shingle_hashes(text or "", shingle_n)
+            sh = _shingle_strings(text or "", shingle_n)
             for qid, qs in q.items():
                 if qid == did:
                     continue

@@ -33,28 +33,47 @@ class LangIdStage:
     """Heuristic language-ID: argmax stopword-hit-rate over profiles.
 
     Emits ``lang_pred`` (or 'und' when nothing matches) + ``lang_conf``.
+    Arrow in/out, fully vectorized: the batch is tokenized once
+    (``Series.str.split`` + ``explode``), tokens hit the stopword vocabulary
+    through one ``Index.get_indexer`` probe, and per-(doc, lang) hit counts
+    accumulate with ``np.add.at`` over the (token → per-lang membership)
+    matrix built once per actor. Ties in the argmax break to the
+    lexicographically greatest language (the original dict-max semantics,
+    mirrored exactly by the SQL oracle).
     """
 
     def __init__(self, profiles: dict[str, set[str]] | None = None):
         self.profiles = profiles or _STOPWORDS
+        self.langs = sorted(self.profiles)
+        vocab: dict[str, np.ndarray] = {}
+        for li, lang in enumerate(self.langs):
+            for w in self.profiles[lang]:
+                vocab.setdefault(w, np.zeros(len(self.langs), dtype=np.int64))[li] = 1
+        self.vocab_index = pd.Index(list(vocab))
+        self.vocab_mat = (
+            np.stack([vocab[t] for t in self.vocab_index])
+            if vocab else np.zeros((0, len(self.langs)), dtype=np.int64)
+        )
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds, confs = [], []
-        for text in batch["text"].fillna(""):
-            toks = text.lower().split()
-            if not toks:
-                preds.append("und"); confs.append(0.0)
-                continue
-            scores = {
-                lang: sum(t in sw for t in toks) / len(toks)
-                for lang, sw in self.profiles.items()
-            }
-            best = max(scores, key=lambda k: (scores[k], k))
-            preds.append(best if scores[best] > 0 else "und")
-            confs.append(float(scores[best]))
-        batch["lang_pred"] = preds
-        batch["lang_conf"] = np.asarray(confs, dtype=np.float32)
-        return batch
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_pylist()).fillna("")
+        toks = texts.str.lower().str.split()
+        n_toks = toks.str.len().to_numpy(dtype=np.int64)
+        n_docs, n_langs = len(texts), len(self.langs)
+        counts = np.zeros((n_docs, n_langs), dtype=np.int64)
+        ex = toks.explode().dropna()
+        if len(ex):
+            vidx = self.vocab_index.get_indexer(ex.to_numpy(dtype=object))
+            hit = vidx >= 0
+            np.add.at(counts, ex.index.to_numpy()[hit], self.vocab_mat[vidx[hit]])
+        scores = counts / np.maximum(n_toks, 1)[:, None]
+        # argmax with ties to the LAST (lexicographically greatest) language
+        best_idx = n_langs - 1 - np.argmax(scores[:, ::-1], axis=1)
+        best = scores[np.arange(n_docs), best_idx]
+        preds = np.where(best > 0, np.asarray(self.langs, dtype=object)[best_idx], "und")
+        return batch.append_column(
+            "lang_pred", pa.array(preds, type=pa.string())
+        ).append_column("lang_conf", pa.array(best.astype(np.float32)))
 
 
 def doc_stats(docs: Dataset, text_col: str = "text") -> Dataset:

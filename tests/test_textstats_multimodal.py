@@ -60,13 +60,42 @@ def test_fingerprints_md5_and_winnow_deterministic():
 
 def test_langid():
     st = LangIdStage()
-    df = st(pd.DataFrame({"text": [
+    out = st(pa.table({"text": [
         "le gouvernement de la ville et les routes",
         "der bericht und die zeitung in das land",
         "the quick brown fox is in the yard",
         "zzz qqq www",
+        "",
     ]}))
-    assert df["lang_pred"].tolist() == ["fr", "de", "en", "und"]
+    assert out["lang_pred"].to_pylist() == ["fr", "de", "en", "und", "und"]
+    assert out["lang_conf"].to_pylist()[3] == 0.0
+
+
+def test_langid_matches_rowwise_reference():
+    """Vectorized stage == the obvious per-row dict-max implementation,
+    including the tie-break to the lexicographically greatest language."""
+    from newsagency_classification_ray.stages.textstats import _STOPWORDS
+
+    texts = [
+        "the la der el",          # 4-way tie at 0.25 each -> 'fr' (last wins)
+        "de de de",               # fr/es share 'de'? ('de' is fr-only here)
+        "in in und der the and",  # mixed
+        "  ",
+        "un une et in das los y el la de",
+    ]
+    st = LangIdStage()
+    got = st(pa.table({"text": texts}))
+    for text, pred, conf in zip(texts, got["lang_pred"].to_pylist(),
+                                got["lang_conf"].to_pylist()):
+        toks = text.lower().split()
+        if not toks:
+            assert (pred, conf) == ("und", 0.0)
+            continue
+        scores = {lang: sum(t in sw for t in toks) / len(toks)
+                  for lang, sw in _STOPWORDS.items()}
+        best = max(scores, key=lambda k: (scores[k], k))
+        assert pred == (best if scores[best] > 0 else "und")
+        assert abs(conf - scores[best]) < 1e-6
 
 
 def test_media_roundtrip_and_decode():
