@@ -158,6 +158,244 @@ def ent_type_span_prf(
     })
 
 
+_REGIMES = ("strict", "ent_type", "partial", "exact")
+_KINDS = ("correct", "incorrect", "partial", "missed", "spurious")
+_SER_KINDS = ("deletion", "insertion", "substitution_type",
+              "substitution_span", "substitution_both")
+
+
+def _match_segment(golds: list, preds: list, bump) -> None:
+    """Faithful per-segment reproduction of the reference scorer's scenario
+    walk (``HIPE-scorer/hipe_evaluation/ner_eval.py:387-631``), including its
+    asymmetries: scenario I (exact) and IV (type substitution at equal
+    boundaries) do NOT consult the already-overlapped list; V/VI (span
+    overlap) do. Spans are (l, r, label) with r EXCLUSIVE — the reference's
+    inclusive ``range(start, end+1)`` overlap equals half-open intersection.
+
+    ``bump(regime, kind, label)`` accumulates; SER scenario tallies go to
+    regime ``"ser"`` (the reference tracks them in comments and leaves
+    ``compute_slot_error_rate`` NotImplementedError; we keep the counts).
+    """
+    overlapped: list = []
+    for p in preds:
+        hit = next((g for g in golds if g == p), None)
+        if hit is not None:  # scenario I: exact type+boundaries
+            for reg in _REGIMES:
+                bump(reg, "correct", hit[2])
+            overlapped.append(hit)
+            continue
+        found = False
+        for g in golds:
+            if g[0] == p[0] and g[1] == p[1] and g[2] != p[2]:
+                # scenario IV: boundaries equal, type differs
+                bump("strict", "incorrect", g[2])
+                bump("ent_type", "incorrect", g[2])
+                bump("partial", "correct", g[2])
+                bump("exact", "correct", g[2])
+                bump("ser", "substitution_type", g[2])
+                overlapped.append(g)
+                found = True
+                break
+            elif max(g[0], p[0]) < min(g[1], p[1]) and g not in overlapped:
+                overlapped.append(g)
+                found = True
+                if g[2] == p[2]:  # scenario V: span substitution, same type
+                    bump("strict", "incorrect", g[2])
+                    bump("ent_type", "correct", g[2])
+                    bump("partial", "partial", g[2])
+                    bump("exact", "incorrect", g[2])
+                    bump("ser", "substitution_span", g[2])
+                else:              # scenario VI: span AND type substitution
+                    bump("strict", "incorrect", g[2])
+                    bump("ent_type", "incorrect", g[2])
+                    bump("partial", "partial", g[2])
+                    bump("exact", "incorrect", g[2])
+                    bump("ser", "substitution_both", g[2])
+                break
+        if not found:  # scenario II: spurious
+            for reg in _REGIMES:
+                bump(reg, "spurious", p[2])
+            bump("ser", "insertion", p[2])
+    for g in golds:
+        if g not in overlapped:  # scenario III: missed
+            for reg in _REGIMES:
+                bump(reg, "missed", g[2])
+            bump("ser", "deletion", g[2])
+
+
+def hipe_counts(
+    pred: Dataset,
+    gold: Dataset,
+    *,
+    doc_col: str = "document_id",
+    seg_col: str = "seg",
+    l_col: str = "l",
+    r_col: str = "r",
+    label_col: str = "label",
+) -> pa.Table:
+    """Distributed scenario counts for ALL four HIPE regimes + SER tallies.
+
+    The reference accumulates per-segment Counters in a driver loop
+    (``ner_eval.py:254-306``); here both sides shuffle once on the doc key,
+    each doc's (tiny) span lists are matched segment-by-segment in-group,
+    and the long-format (label, regime, kind, n) partials reduce through one
+    small groupby — the scorer scales like any other aggregate. Predictions
+    whose label is not in the gold tag set are dropped before matching
+    (``ner_eval.py:425-435``); the tag set is collected once (tiny).
+    """
+    from collections import Counter
+
+    def project(ds: Dataset, is_pred: int) -> Dataset:
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table({
+                "doc": pc.cast(t[doc_col], pa.string()),
+                "seg": pc.cast(t[seg_col], pa.int64()),
+                "l": pc.cast(t[l_col], pa.int64()),
+                "r": pc.cast(t[r_col], pa.int64()),
+                "label": pc.cast(t[label_col], pa.string()),
+                "pred": pa.array([is_pred] * n, type=pa.int64()),
+            })
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    g_keyed = project(gold, 0)
+    tags = frozenset(
+        r["label"]
+        for r in g_keyed.groupby("label").count().select_columns(["label"]).take_all()
+    )
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        segs: dict[int, tuple[list, list]] = {}
+        for row in t.to_pylist():
+            segs.setdefault(row["seg"], ([], []))[row["pred"]].append(
+                (row["l"], row["r"], row["label"])
+            )
+        acc: Counter = Counter()
+
+        def bump(reg: str, kind: str, label: str) -> None:
+            acc[(label, reg, kind)] += 1
+
+        for s in sorted(segs):
+            golds, preds = segs[s]
+            golds.sort()
+            preds.sort()
+            preds = [p for p in preds if p[2] in tags]
+            _match_segment(golds, preds, bump)
+        keys = sorted(acc)
+        return pa.table({
+            "label": pa.array([k[0] for k in keys], type=pa.string()),
+            "regime": pa.array([k[1] for k in keys], type=pa.string()),
+            "kind": pa.array([k[2] for k in keys], type=pa.string()),
+            "n": pa.array([acc[k] for k in keys], type=pa.int64()),
+        })
+
+    counts = g_keyed.union(project(pred, 1)).groupby("doc").map_groups(
+        per_doc, batch_format="pyarrow"
+    )
+    summed = counts.groupby(["label", "regime", "kind"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+    rows = summed.take_all()
+    if not rows:
+        return pa.table({"label": pa.array([], type=pa.string()),
+                         "regime": pa.array([], type=pa.string()),
+                         "kind": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    return pa.Table.from_pylist(rows)
+
+
+def _regime_row(counts: dict[str, int], partial_credit: bool) -> dict:
+    correct = counts.get("correct", 0)
+    incorrect = counts.get("incorrect", 0)
+    partial = counts.get("partial", 0)
+    missed = counts.get("missed", 0)
+    spurious = counts.get("spurious", 0)
+    # SemEval-2013 task 9.1 possible/actual (ner_eval.py:714-743)
+    possible = correct + incorrect + partial + missed
+    actual = correct + incorrect + partial + spurious
+    num = correct + 0.5 * partial if partial_credit else correct
+    p = num / actual if actual else 0.0
+    r = num / possible if possible else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {
+        "correct": correct, "incorrect": incorrect, "partial": partial,
+        "missed": missed, "spurious": spurious,
+        "possible": possible, "actual": actual,
+        "tp": correct, "fp": actual - correct, "fn": possible - correct,
+        "precision": round(p, 6), "recall": round(r, 6), "f1": round(f1, 6),
+    }
+
+
+def hipe_regime_scores(
+    pred: Dataset,
+    gold: Dataset,
+    *,
+    per_label: bool = False,
+    counts: pa.Table | None = None,
+    **key_cols,
+) -> pa.Table:
+    """All four HIPE evaluation regimes (strict / ent_type / partial /
+    exact), micro counts + P/R/F1 — one row per regime (× label when
+    ``per_label``). The partial regime rewards half credit
+    (``ner_eval.py:746-775``); the others count ``correct`` only.
+    Bit-exact against the reference scorer's frozen result JSONs
+    (tests/test_reference_scorer_parity)."""
+    if counts is None:
+        counts = hipe_counts(pred, gold, **key_cols)
+    acc: dict[tuple[str, str], dict[str, int]] = {}
+    for row in counts.to_pylist():
+        if row["regime"] == "ser":
+            continue
+        key = (row["label"] if per_label else "ALL", row["regime"])
+        acc.setdefault(key, {})[row["kind"]] = (
+            acc.setdefault(key, {}).get(row["kind"], 0) + row["n"]
+        )
+    out_rows = []
+    for (label, regime) in sorted(acc):
+        row = {"regime": regime, **_regime_row(acc[(label, regime)],
+                                               partial_credit=regime == "partial")}
+        if per_label:
+            row = {"label": label, **row}
+        out_rows.append(row)
+    return pa.Table.from_pylist(out_rows)
+
+
+def hipe_slot_error_rate(
+    pred: Dataset,
+    gold: Dataset,
+    *,
+    counts: pa.Table | None = None,
+    **key_cols,
+) -> pa.Table:
+    """Slot error rate (Makhoul et al. 1999): SER = (S + D + I) / R over the
+    scenario tallies the reference scorer tracks but never finalizes
+    (``ner_eval.py:873-879`` raises NotImplementedError; its commented-out
+    accumulators map deletion←missed, insertion←spurious, substitutions←
+    scenarios IV/V/VI). R = gold slots = strict ``possible``."""
+    if counts is None:
+        counts = hipe_counts(pred, gold, **key_cols)
+    ser: dict[str, int] = {k: 0 for k in _SER_KINDS}
+    possible = 0
+    for row in counts.to_pylist():
+        if row["regime"] == "ser":
+            ser[row["kind"]] += row["n"]
+        elif row["regime"] == "strict" and row["kind"] in (
+            "correct", "incorrect", "partial", "missed"
+        ):
+            possible += row["n"]
+    subs = (ser["substitution_type"] + ser["substitution_span"]
+            + ser["substitution_both"])
+    total = subs + ser["deletion"] + ser["insertion"]
+    return pa.table({
+        "deletions": pa.array([ser["deletion"]], type=pa.int64()),
+        "insertions": pa.array([ser["insertion"]], type=pa.int64()),
+        "substitutions": pa.array([subs], type=pa.int64()),
+        "reference_slots": pa.array([possible], type=pa.int64()),
+        "ser": pa.array([round(total / possible, 6) if possible else 0.0],
+                        type=pa.float64()),
+    })
+
+
 def reference_gold_mentions(clean_pages: Dataset) -> Dataset:
     """Independent gold derivation for conformance scoring.
 

@@ -1104,6 +1104,67 @@ def q_hipe_scorer_parity(sf_dir: str):
     )
 
 
+def q_hipe_regimes(sf_dir: str):
+    """All four HIPE evaluation regimes + micro P/R/F1 over the reference's
+    own fr test gold + shipped predictions (rows-only; parity with the
+    frozen reference result JSON is pinned bit-exact in
+    tests/test_reference_scorer_parity). ``sf_dir`` unused."""
+    import os
+
+    import pyarrow as pa
+
+    from .eval import hipe_regime_scores
+    from .sources.hipe import read_hipe_tsv, token_spans
+
+    base = "/root/reference/data"
+    gold_p = f"{base}/annotated_data/fr/newsagency-data-test-fr.tsv"
+    pred_p = (f"{base}/results_2024/model_dbmdz_bert_base_french_europeana_cased_"
+              f"max_sequence_length_256_epochs_3_run_fr_1/"
+              f"newsagency-data-test-fr_pred.tsv")
+    if not (os.path.exists(gold_p) and os.path.exists(pred_p)):
+        return pa.table({"regime": pa.array([], type=pa.string())})
+
+    def keep(ds):
+        return ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.match_substring(t["label"], "-"))),
+            batch_format="pyarrow",
+        )
+
+    return hipe_regime_scores(
+        keep(token_spans(read_hipe_tsv(pred_p), with_seg=True)),
+        keep(token_spans(read_hipe_tsv(gold_p), with_seg=True)),
+    )
+
+
+def q_hipe_ser(sf_dir: str):
+    """Slot error rate over the same reference gold/pred pair (rows-only)."""
+    import os
+
+    import pyarrow as pa
+
+    from .eval import hipe_slot_error_rate
+    from .sources.hipe import read_hipe_tsv, token_spans
+
+    base = "/root/reference/data"
+    gold_p = f"{base}/annotated_data/fr/newsagency-data-test-fr.tsv"
+    pred_p = (f"{base}/results_2024/model_dbmdz_bert_base_french_europeana_cased_"
+              f"max_sequence_length_256_epochs_3_run_fr_1/"
+              f"newsagency-data-test-fr_pred.tsv")
+    if not (os.path.exists(gold_p) and os.path.exists(pred_p)):
+        return pa.table({"ser": pa.array([], type=pa.float64())})
+
+    def keep(ds):
+        return ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.match_substring(t["label"], "-"))),
+            batch_format="pyarrow",
+        )
+
+    return hipe_slot_error_rate(
+        keep(token_spans(read_hipe_tsv(pred_p), with_seg=True)),
+        keep(token_spans(read_hipe_tsv(gold_p), with_seg=True)),
+    )
+
+
 def q_kg_eval_strict(sf_dir: str):
     """North-star conformance: strict (url, span, qid) P/R of the pipeline
     vs an independent regex gold (eval.linking_conformance). Rows-only oracle
@@ -1125,6 +1186,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_mentions": q_kg_mentions,
     "kg_eval_strict": q_kg_eval_strict,
     "hipe_scorer_parity": q_hipe_scorer_parity,
+    "hipe_regimes": q_hipe_regimes,
+    "hipe_ser": q_hipe_ser,
     "kg_article_rollup": q_kg_article_rollup,
     "kg_agency_langs": q_kg_agency_langs,
     "kg_decade_agency_counts": q_kg_decade_agency_counts,

@@ -34,6 +34,11 @@ TOKENS_SCHEMA = pa.schema(
         ("date", pa.string()),
         ("seg_idx", pa.int32()),    # sentence index within the document
         ("tok_idx", pa.int32()),    # token index within the sentence
+        # physical-layout segment: increments on '# segment…' comment lines —
+        # the scope the HIPE scorer matches fuzzy regimes within
+        # (HIPE-scorer/hipe_evaluation/utils.py:140-143 segments on
+        # '# segment', NOT on blank lines or EndOfSentence)
+        ("scorer_seg_idx", pa.int32()),
         ("token", pa.string()),
     ]
     + [(c.lower().replace("-", "_"), pa.string()) for c in HIPE_COLUMNS[1:]]
@@ -51,6 +56,9 @@ def parse_hipe_text(text: str) -> pa.Table:
     meta = {k: None for k in _META_KEYS}
     seg_idx = 0
     tok_idx = 0
+    scorer_seg = 0
+    toks_in_scorer_seg = 0
+    doc_seen: dict[str, int] = {}
     ncols = len(HIPE_COLUMNS)
     for line in text.splitlines():
         if not line.strip():
@@ -59,6 +67,12 @@ def parse_hipe_text(text: str) -> pa.Table:
                 tok_idx = 0
             continue
         if line.startswith("#"):
+            # scorer segmentation: '# segment…' closes the current physical
+            # segment iff it holds tokens (utils.py:140-143); '# document…'
+            # closes segment + document
+            if line.startswith("# segment") and toks_in_scorer_seg:
+                scorer_seg += 1
+                toks_in_scorer_seg = 0
             body = line.lstrip("# ").strip()
             if "=" in body:
                 key, _, val = body.partition("=")
@@ -68,6 +82,17 @@ def parse_hipe_text(text: str) -> pa.Table:
                         # new document → reset sentence numbering
                         seg_idx = 0
                         tok_idx = 0
+                        scorer_seg = 0
+                        toks_in_scorer_seg = 0
+                        # the fr test set repeats 7 articles verbatim
+                        # (reference README.md:86); the scorer treats each
+                        # occurrence as a separate document — uniquify so a
+                        # doc-keyed groupby never interleaves the copies
+                        v = val.strip()
+                        n = doc_seen.get(v, 0)
+                        doc_seen[v] = n + 1
+                        meta[key] = v if n == 0 else f"{v}#dup{n}"
+                        continue
                     meta[key] = val.strip()
             continue
         fields = line.split("\t")
@@ -79,10 +104,12 @@ def parse_hipe_text(text: str) -> pa.Table:
         cols["date"].append(meta["date"])
         cols["seg_idx"].append(seg_idx)
         cols["tok_idx"].append(tok_idx)
+        cols["scorer_seg_idx"].append(scorer_seg)
         cols["token"].append(fields[0])
         for name, val in zip(HIPE_COLUMNS[1:], fields[1:ncols]):
             cols[name.lower().replace("-", "_")].append(val)
         tok_idx += 1
+        toks_in_scorer_seg += 1
         if "EndOfSentence" in fields[10]:  # SEG column, dataset.py:59-99
             seg_idx += 1
             tok_idx = 0
@@ -103,16 +130,21 @@ def read_hipe_tsv(paths: str | list[str]) -> Dataset:
     return files.map_batches(parse, batch_format="pyarrow")
 
 
-def token_spans(tokens: Dataset, col: str = "ne_fine_lit") -> Dataset:
+def token_spans(tokens: Dataset, col: str = "ne_fine_lit",
+                with_seg: bool = False) -> Dataset:
     """IOB token rows → entity spans keyed by global token position.
 
     Emits (document_id, l, r, label) per entity, where l/r are token indices
     in document order (seg_idx, tok_idx) — the span form our scorer consumes.
-    Tag normalization matches the tagger decode: ``S-→B-``, ``E-→I-``,
-    ``_``/``-``/empty → O (reference ``cli_tagger_no_torch_serve.py:164-205``).
-    Feeding the reference's own gold + prediction TSVs through this and
-    ``eval.strict_span_prf`` reproduces the reference scorer's published
-    strict micro numbers bit-exactly (see tests/test_reference_scorer_parity).
+    ``with_seg=True`` adds the *scorer segment* of the span's first token —
+    the '# segment…'-delimited physical region the reference scorer matches
+    its fuzzy regimes within (it zips gold/pred segments; spans never cross
+    a segment in this data, so the start token's segment is the span's). Tag normalization matches the tagger
+    decode: ``S-→B-``, ``E-→I-``, ``_``/``-``/empty → O (reference
+    ``cli_tagger_no_torch_serve.py:164-205``). Feeding the reference's own
+    gold + prediction TSVs through this and ``eval.strict_span_prf``
+    reproduces the reference scorer's published strict micro numbers
+    bit-exactly (see tests/test_reference_scorer_parity).
     """
     import numpy as np
 
@@ -121,8 +153,11 @@ def token_spans(tokens: Dataset, col: str = "ne_fine_lit") -> Dataset:
         tok = g["tok_idx"].to_numpy(zero_copy_only=False)
         order = np.lexsort((tok, seg))
         labels = np.asarray(g[col].to_pylist(), dtype=object)[order]
+        seg_src = ("scorer_seg_idx" if "scorer_seg_idx" in g.column_names
+                   else "seg_idx")  # synthetic token tables may omit it
+        seg_sorted = g[seg_src].to_numpy(zero_copy_only=False)[order]
         doc = g["document_id"][0].as_py()
-        out_l, out_r, out_lab = [], [], []
+        out_l, out_r, out_lab, out_seg = [], [], [], []
         cur = None
         start = -1
         for i, raw in enumerate(list(labels) + ["O"]):
@@ -132,20 +167,25 @@ def token_spans(tokens: Dataset, col: str = "ne_fine_lit") -> Dataset:
             if tag == "O":
                 if cur is not None:
                     out_l.append(start); out_r.append(i); out_lab.append(cur)
+                    out_seg.append(int(seg_sorted[start]))
                     cur = None
                 continue
             pre, _, lab = tag.partition("-")
             if pre == "B" or cur != lab:
                 if cur is not None:
                     out_l.append(start); out_r.append(i); out_lab.append(cur)
+                    out_seg.append(int(seg_sorted[start]))
                 cur = lab
                 start = i
-        return pa.table({
+        cols = {
             "document_id": pa.array([doc] * len(out_l), type=pa.string()),
             "l": pa.array(out_l, type=pa.int64()),
             "r": pa.array(out_r, type=pa.int64()),
             "label": pa.array([s.upper() for s in out_lab], type=pa.string()),
-        })
+        }
+        if with_seg:
+            cols["seg"] = pa.array(out_seg, type=pa.int64())
+        return pa.table(cols)
 
     return tokens.groupby("document_id").map_groups(per_doc, batch_format="pyarrow")
 

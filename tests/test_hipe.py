@@ -41,8 +41,9 @@ Reuter\tB-org\tO\tB-org.ent.pressagency.Reuter\tO\tO\tO\tQ130879\t_\t_\t_\tEndOf
 def test_parse_hipe_text_tokens_and_meta():
     t = parse_hipe_text(FIXTURE)
     assert len(t) == 9
-    assert t.column_names[:7] == [
-        "document_id", "language", "newspaper", "date", "seg_idx", "tok_idx", "token",
+    assert t.column_names[:8] == [
+        "document_id", "language", "newspaper", "date", "seg_idx", "tok_idx",
+        "scorer_seg_idx", "token",
     ]
     rows = t.to_pylist()
     assert rows[0]["document_id"] == "EXP-1924-07-12-a-i0057"

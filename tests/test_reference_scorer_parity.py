@@ -183,3 +183,117 @@ def test_alias_surrogate_on_real_gold_tokens(ray_session):
     ).to_pylist()[0]
     assert (out["tp"], out["fp"], out["fn"]) == (101, 36, 43)
     assert abs(out["f1"] - 0.718861) < 1e-5
+
+
+@pytest.mark.skipif(not os.path.exists(BASE), reason="reference corpora absent")
+@pytest.mark.parametrize("lang", ["fr", "de"])
+def test_all_four_regimes_match_reference_json(lang, ray_session):
+    """strict/ent_type/partial/exact micro counts + P/R/F1 all bit-exact
+    against the frozen reference scorer JSONs (both languages)."""
+    import json as _json
+
+    from newsagency_classification_ray.eval import hipe_regime_scores
+    from newsagency_classification_ray.sources.hipe import read_hipe_tsv, token_spans
+
+    gold_p, pred_p = RUNS[lang]
+    if not (os.path.exists(gold_p) and os.path.exists(pred_p)):
+        pytest.skip("reference corpora absent")
+    ref_all = _json.load(open(pred_p.replace("_pred.tsv", "_pred_nerc_fine.json")))[
+        "NE-FINE-LIT"]["TIME-ALL"]["LED-ALL"]["ALL"]
+
+    def keep(ds):
+        return ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.match_substring(t["label"], "-"))),
+            batch_format="pyarrow",
+        )
+
+    got = hipe_regime_scores(
+        keep(token_spans(read_hipe_tsv(pred_p), with_seg=True)),
+        keep(token_spans(read_hipe_tsv(gold_p), with_seg=True)),
+    )
+    rows = {r["regime"]: r for r in got.to_pylist()}
+    assert set(rows) == {"strict", "ent_type", "partial", "exact"}
+    for regime in rows:
+        ref = ref_all[regime]
+        ours = rows[regime]
+        for k_ours, k_ref in [("correct", "correct"), ("incorrect", "incorrect"),
+                              ("partial", "partial"), ("missed", "missed"),
+                              ("spurious", "spurious"), ("possible", "possible"),
+                              ("actual", "actual"), ("tp", "TP"), ("fp", "FP"),
+                              ("fn", "FN")]:
+            assert ours[k_ours] == ref[k_ref], (lang, regime, k_ours)
+        assert abs(ours["precision"] - ref["P_micro"]) < 1e-6
+        assert abs(ours["recall"] - ref["R_micro"]) < 1e-6
+        assert abs(ours["f1"] - ref["F1_micro"]) < 1e-6
+
+
+@pytest.mark.skipif(not (os.path.exists(GOLD) and os.path.exists(PRED)),
+                    reason="reference corpora absent")
+def test_per_type_regimes_match_reference_json(ray_session):
+    import json as _json
+
+    from newsagency_classification_ray.eval import hipe_regime_scores
+    from newsagency_classification_ray.sources.hipe import read_hipe_tsv, token_spans
+
+    ref_types = _json.load(open(REF_JSON))["NE-FINE-LIT"]["TIME-ALL"]["LED-ALL"]
+
+    def keep(ds):
+        return ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.match_substring(t["label"], "-"))),
+            batch_format="pyarrow",
+        )
+
+    got = hipe_regime_scores(
+        keep(token_spans(read_hipe_tsv(PRED), with_seg=True)),
+        keep(token_spans(read_hipe_tsv(GOLD), with_seg=True)),
+        per_label=True,
+    )
+    rows = {(r["label"], r["regime"]): r for r in got.to_pylist()}
+    for label in ("ORG.ENT.PRESSAGENCY.REUTERS", "ORG.ENT.PRESSAGENCY.HAVAS",
+                  "ORG.ENT.PRESSAGENCY.WOLFF"):
+        for regime in ("strict", "ent_type", "partial", "exact"):
+            ref = ref_types[label][regime]
+            ours = rows[(label, regime)]
+            for k_ours, k_ref in [("correct", "correct"), ("missed", "missed"),
+                                  ("spurious", "spurious"), ("tp", "TP"),
+                                  ("fp", "FP"), ("fn", "FN")]:
+                assert ours[k_ours] == ref[k_ref], (label, regime, k_ours)
+
+
+def test_slot_error_rate_on_synthetic_fixture(ray_session):
+    """SER over a hand-checked fixture: 1 exact, 1 span sub, 1 type sub,
+    1 spurious, 1 missed -> SER = (2 + 1 + 1) / 4."""
+    import ray.data
+
+    from newsagency_classification_ray.eval import (
+        hipe_regime_scores, hipe_slot_error_rate,
+    )
+
+    def spans(rows):
+        import pyarrow as pa
+        return ray.data.from_arrow(pa.table({
+            "document_id": pa.array([r[0] for r in rows]),
+            "seg": pa.array([r[1] for r in rows], type=pa.int64()),
+            "l": pa.array([r[2] for r in rows], type=pa.int64()),
+            "r": pa.array([r[3] for r in rows], type=pa.int64()),
+            "label": pa.array([r[4] for r in rows]),
+        }))
+
+    gold = spans([("d", 0, 0, 2, "A"),   # exact match
+                  ("d", 0, 4, 6, "A"),   # span substitution (overlap, same type)
+                  ("d", 1, 0, 2, "A"),   # type substitution (same bounds, B)
+                  ("d", 1, 4, 6, "B")])  # missed
+    pred = spans([("d", 0, 0, 2, "A"),
+                  ("d", 0, 5, 7, "A"),
+                  ("d", 1, 0, 2, "B"),
+                  ("d", 2, 0, 1, "A")])  # spurious
+    ser = hipe_slot_error_rate(pred, gold).to_pylist()[0]
+    assert ser == {"deletions": 1, "insertions": 1, "substitutions": 2,
+                   "reference_slots": 4, "ser": 1.0}
+    regs = {r["regime"]: r for r in hipe_regime_scores(pred, gold).to_pylist()}
+    assert (regs["strict"]["correct"], regs["strict"]["incorrect"],
+            regs["strict"]["missed"], regs["strict"]["spurious"]) == (1, 2, 1, 1)
+    assert regs["ent_type"]["correct"] == 2   # exact + span-sub same type
+    assert regs["partial"]["correct"] == 2    # exact + type-sub at same bounds
+    assert regs["partial"]["partial"] == 1
+    assert regs["exact"]["correct"] == 2
