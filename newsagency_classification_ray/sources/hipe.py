@@ -227,6 +227,80 @@ def merge_predictions(tokens: Dataset, preds: Dataset,
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def format_pred_tsv(gold_text: str, pred_fine: dict[tuple, str]) -> str:
+    """Render predictions in the reference's pred-TSV layout (S8 writer,
+    ``lib/bert_classification/utils.py:81-127``): comment/blank/short lines
+    copied verbatim; every token line becomes ``TOKEN \\t coarse \\t O \\t
+    fine \\t <original columns 4+>`` where ``coarse = fine.split('.')[0]``
+    when the prediction carries a B-/I- prefix, else ``'O'``.
+
+    ``pred_fine`` maps (document_id, seg_idx, tok_idx) — the same keys
+    :func:`parse_hipe_text` emits, including the duplicate-document
+    uniquification — to the fine IOB label; missing keys (e.g. tokens
+    beyond the truncation window) render ``'O'``
+    (``cli_tagger_no_torch_serve.py:219-224``). Byte-identical round trip
+    against the reference's own shipped pred files is pinned in
+    tests/test_hipe.py.
+    """
+    ncols = len(HIPE_COLUMNS)
+    out: list[str] = []
+    seg = tok = 0
+    doc: str | None = None
+    doc_seen: dict[str, int] = {}
+    for i, line in enumerate(gold_text.splitlines(keepends=True)):
+        stripped = line.rstrip("\r\n")
+        fields = stripped.split("\t")
+        if i == 0 or len(fields) != ncols or not stripped.strip():
+            # verbatim copy (reference utils.py:98-104) — but counters still
+            # advance exactly like parse_hipe_text so keys stay aligned
+            if not stripped.strip():
+                if tok:
+                    seg += 1
+                    tok = 0
+            elif stripped.startswith("#"):
+                body = stripped.lstrip("# ").strip()
+                if "=" in body:
+                    key, _, val = body.partition("=")
+                    if key.strip() == "document_id":
+                        seg = tok = 0
+                        v = val.strip()
+                        n = doc_seen.get(v, 0)
+                        doc_seen[v] = n + 1
+                        doc = v if n == 0 else f"{v}#dup{n}"
+            out.append(line)
+            continue
+        fine = pred_fine.get((doc, seg, tok), "O") or "O"
+        coarse = fine.split(".")[0] if "-" in fine else "O"
+        newline = line[len(stripped):]
+        out.append(
+            f"{fields[0]}\t{coarse}\tO\t{fine}\t" + "\t".join(fields[4:]) + newline
+        )
+        tok += 1
+        if "EndOfSentence" in fields[10]:
+            seg += 1
+            tok = 0
+    return "".join(out)
+
+
+def write_pred_tsv(preds: Dataset, gold_path: str, out_path: str,
+                   fine_col: str = "pred_fine") -> None:
+    """Materialize a predictions Dataset as a reference-layout pred TSV for
+    one gold file, so the *vendored* reference scorer can consume the
+    engine's predictions unchanged. Annotation corpora are small (the scale
+    axis is #files — one writer task per file); the per-file lookup is a
+    driver-side dict."""
+    lookup = {
+        (r["document_id"], r["seg_idx"], r["tok_idx"]): r[fine_col]
+        for r in preds.select_columns(
+            ["document_id", "seg_idx", "tok_idx", fine_col]
+        ).take_all()
+    }
+    with open(gold_path, encoding="utf-8") as f:
+        gold_text = f.read()
+    with open(out_path, "w", encoding="utf-8") as f:
+        f.write(format_pred_tsv(gold_text, lookup))
+
+
 def doc_agency_labels(tokens: Dataset) -> Dataset:
     """Per-document set of linked agency QIDs — the reference's
     ``news-agency-as-source`` doc summary (A6,

@@ -8,6 +8,7 @@ EndOfSentence SEG flags) without copying reference data.
 import os
 
 import pyarrow as pa
+import pytest
 
 from newsagency_classification_ray.sources.hipe import (
     HIPE_COLUMNS,
@@ -108,3 +109,57 @@ def test_merge_predictions_keyed_join(tmp_path, ray_session):
     # unpredicted tokens default to 'O' (truncation semantics)
     assert by_key[("EXP-1924-07-12-a-i0057", 0, 0)]["pred_fine"] == "O"
     assert len(out) == 9
+
+
+import os as _os
+
+_BASE = "/root/reference/data"
+_RT_RUNS = {
+    "fr": (f"{_BASE}/annotated_data/fr/newsagency-data-test-fr.tsv",
+           f"{_BASE}/results_2024/model_dbmdz_bert_base_french_europeana_cased_"
+           f"max_sequence_length_256_epochs_3_run_fr_1/newsagency-data-test-fr_pred.tsv"),
+    "de": (f"{_BASE}/annotated_data/de/newsagency-data-test-de.tsv",
+           f"{_BASE}/results_2024/model_bert_base_cased_max_sequence_length_128_"
+           f"epochs_3_run_de_1/newsagency-data-test-de_pred.tsv"),
+}
+
+
+@pytest.mark.parametrize("lang", ["fr", "de"])
+def test_pred_tsv_emit_byte_identical_to_reference(lang):
+    """S8 writer closure: re-emitting the reference's own shipped predictions
+    through format_pred_tsv reproduces its pred TSV byte-for-byte."""
+    from newsagency_classification_ray.sources.hipe import (
+        format_pred_tsv, parse_hipe_text,
+    )
+
+    gold_p, pred_p = _RT_RUNS[lang]
+    if not (_os.path.exists(gold_p) and _os.path.exists(pred_p)):
+        pytest.skip("reference corpora absent")
+    lookup = {
+        (r["document_id"], r["seg_idx"], r["tok_idx"]): r["ne_fine_lit"]
+        for r in parse_hipe_text(open(pred_p).read()).to_pylist()
+    }
+    assert format_pred_tsv(open(gold_p).read(), lookup) == open(pred_p).read()
+
+
+def test_write_pred_tsv_roundtrip_spans(ray_session, tmp_path):
+    """Dataset-level writer: write TSV -> read_hipe_tsv -> spans identical."""
+    from newsagency_classification_ray.sources.hipe import (
+        read_hipe_tsv, token_spans, write_pred_tsv,
+    )
+
+    gold_p, pred_p = _RT_RUNS["fr"]
+    if not (_os.path.exists(gold_p) and _os.path.exists(pred_p)):
+        pytest.skip("reference corpora absent")
+    preds = read_hipe_tsv(pred_p).map_batches(
+        lambda t: t.select(["document_id", "seg_idx", "tok_idx", "ne_fine_lit"])
+        .rename_columns(["document_id", "seg_idx", "tok_idx", "pred_fine"]),
+        batch_format="pyarrow",
+    )
+    out = str(tmp_path / "roundtrip_pred.tsv")
+    write_pred_tsv(preds, gold_p, out)
+    orig = sorted(map(tuple, (r.values() for r in
+                  token_spans(read_hipe_tsv(pred_p)).take_all())))
+    ours = sorted(map(tuple, (r.values() for r in
+                  token_spans(read_hipe_tsv(out)).take_all())))
+    assert orig == ours
