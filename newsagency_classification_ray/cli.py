@@ -8,6 +8,7 @@ Usage (also the ``ray job submit`` payload on a real cluster — see SCALE.md)::
     python -m newsagency_classification_ray.cli run \
         --input /path/to/pages_parquet_dir --output /tmp/kg_out \
         [--model alias|simbert|<hf-checkpoint>] [--tagger-concurrency 24]
+        [--linker-concurrency 4]
         [--batch-size 256] [--num-partitions 16] [--salt-buckets 32]
         [--no-dedup] [--gexf /tmp/graph.gexf]
 
@@ -90,7 +91,14 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--input", required=True)
     r.add_argument("--output", required=True)
     r.add_argument("--model", default="alias")
-    r.add_argument("--tagger-concurrency", type=int, default=None)
+    def _positive(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("concurrency must be >= 1")
+        return n
+
+    r.add_argument("--tagger-concurrency", type=_positive, default=None)
+    r.add_argument("--linker-concurrency", type=_positive, default=None)
     r.add_argument("--batch-size", type=int, default=256)
     r.add_argument("--num-partitions", type=int, default=16)
     r.add_argument("--salt-buckets", type=int, default=32)
@@ -113,7 +121,10 @@ def main(argv: list[str] | None = None) -> dict:
             input_path=args.input,
             output_root=args.output,
             model=args.model,
-            tagger_concurrency=args.tagger_concurrency or (2, 16),
+            tagger_concurrency=(args.tagger_concurrency
+                                if args.tagger_concurrency is not None else (2, 16)),
+            linker_concurrency=(args.linker_concurrency
+                                if args.linker_concurrency is not None else (1, 4)),
             batch_size=args.batch_size,
             dedup=not args.no_dedup,
             salt_buckets=args.salt_buckets,

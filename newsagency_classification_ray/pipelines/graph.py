@@ -33,6 +33,27 @@ from ..state.manifest import (
     write_manifest,
 )
 
+# write_parquet lazily imports fsspec.implementations.http, which fails here
+# (no aiohttp) — harmless single-threaded (caught upstream), but concurrent
+# first-imports from writer threads race into a partial-module state that
+# surfaces as a spurious ImportError. Warm the import ONCE at module import
+# time; only if it genuinely cannot import do we register an inert stub, and
+# only then (scoped here, not as a mid-call side effect, per review advice).
+import sys as _sys
+import types as _types
+
+try:  # pragma: no cover - environment-dependent
+    import fsspec.implementations.http  # noqa: F401
+except ImportError:
+    if "fsspec.implementations.http" not in _sys.modules:
+        _stub = _types.ModuleType("fsspec.implementations.http")
+
+        class _NoHTTPFileSystem:  # nothing is an instance → correct False
+            pass
+
+        _stub.HTTPFileSystem = _NoHTTPFileSystem
+        _sys.modules["fsspec.implementations.http"] = _stub
+
 
 def _crc_bucket_col(col: pa.ChunkedArray | pa.Array, buckets: int) -> pa.Array:
     """Deterministic partition id per key — vectorized (a per-row Python
@@ -187,26 +208,8 @@ def materialize_graph(
     cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
     workers = 3 if cpus >= 16 else 1
 
-    # write_parquet lazily imports fsspec.implementations.http, which fails
-    # here (no aiohttp) — harmless single-threaded (caught upstream), but
-    # concurrent first-imports from writer threads race into a partial-module
-    # state that surfaces as a spurious ImportError. Register a stub with a
-    # sentinel class so no thread ever executes the failing import.
-    import sys
-    import types
-
-    if "fsspec.implementations.http" not in sys.modules:
-        try:
-            import fsspec.implementations.http  # noqa: F401
-        except ImportError:
-            stub = types.ModuleType("fsspec.implementations.http")
-
-            class _NoHTTPFileSystem:  # nothing is an instance → correct False
-                pass
-
-            stub.HTTPFileSystem = _NoHTTPFileSystem
-            sys.modules["fsspec.implementations.http"] = stub
-
+    # fsspec.implementations.http import-race workaround lives at module
+    # import time (top of this file) so it is never a mid-call side effect
     jobs = {
         "nodes": (nodes, os.path.join(out_root, "nodes"), "node_id", ["node_id"]),
         "edges": (edges, os.path.join(out_root, "edges"), "src", ["src", "dst", "year"]),
