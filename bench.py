@@ -73,9 +73,11 @@ def run_bench() -> dict:
 
     def flagship():
         # alias (cheap tasks): ~2 blocks/CPU keeps driver dispatch low.
-        # simbert (model-bound): ~4 blocks/CPU so pool-packing quantization
-        # cannot strand a task-length straggler tail.
-        blocks = ncpu * 2 if model == "alias" else ncpu * 4
+        # simbert (model-bound): ~4 blocks/CPU/corpus-multiple — blocks must
+        # scale WITH the corpus so task length stays constant; otherwise the
+        # final partial wave strands most of the actor pool for one whole
+        # task length (measured: ~150 s tail at mult=4 with fixed blocks).
+        blocks = ncpu * 2 * mult if model == "alias" else ncpu * 4 * mult
         pages = kg.read_pages(pages_path, override_num_blocks=blocks)
         mentions = kg.extract_mentions(
             pages,
@@ -88,10 +90,18 @@ def run_bench() -> dict:
             model=model,
         ).materialize()
         # the aggregates are ~10^4x smaller than the input and each has two
-        # downstream consumers (nodes + edges) — pin them once
-        trip = kg.triples(mentions).materialize()
-        canon = kg.canonicalize(mentions).materialize()
-        cooc = kg.cooccurrence_edges(mentions).materialize()
+        # downstream consumers (nodes + edges) — pin them once. They are
+        # independent, and at sandbox scale each is exchange-LATENCY-bound
+        # (not data-bound), so materialize the three concurrently: the
+        # streaming executor interleaves their stages instead of paying
+        # ~13 sequential exchange round-trips
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_trip = pool.submit(lambda: kg.triples(mentions).materialize())
+            f_canon = pool.submit(lambda: kg.canonicalize(mentions).materialize())
+            f_cooc = pool.submit(lambda: kg.cooccurrence_edges(mentions).materialize())
+            trip, canon, cooc = f_trip.result(), f_canon.result(), f_cooc.result()
         nodes = kg.build_nodes(canon, trip)
         edges = kg.build_edges(trip, cooc)
         graph.materialize_graph(nodes, edges, mentions, out_root,
@@ -128,9 +138,11 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    # 2x corpus: the job must be compute-dominated for the efficiency number
-    # to measure scaling rather than fixed per-stage cost
-    mult = os.environ.get("GRAFT_PAGES_MULT", "2")
+    # 4x corpus: the job must be compute-dominated for the efficiency number
+    # to measure scaling rather than fixed per-stage cost (~9 s of exchange
+    # spin-up + write latency is parallelism-independent; at 800k pages the
+    # model-bound stage is >90 % of wall on both legs)
+    mult = os.environ.get("GRAFT_PAGES_MULT", "4")
     model = os.environ.get("GRAFT_TAGGER_MODEL", "simbert")
 
     def run(ncpu: int) -> dict:

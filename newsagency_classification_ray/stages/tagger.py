@@ -152,7 +152,16 @@ class SimulatedBertModel(AliasModel):
     # one giant flat GEMM goes memory-bound and is 4× slower)
     chunk_rows = 2048
 
-    def __init__(self, max_tokens: int = MAX_TOKENS_PER_SENTENCE, hidden: int = 384):
+    def __init__(self, max_tokens: int = MAX_TOKENS_PER_SENTENCE,
+                 hidden: int = 384, layers: int = 6):
+        """``layers`` calibrates the surrogate's per-token cost so that
+        inference stays the dominant share of wall-time, matching the
+        reference's measured profile (model ≈ 99 % of batch wall,
+        ``data/timings/batch_timings.json``). Batched inference made one
+        layer pair ~4× cheaper end-to-end, which would let sandbox fixed
+        costs dominate the scaling measurement; 6 layer pairs ≈ 3.5
+        MFLOP/token is still ~8× lighter than real BERT-base but keeps the
+        benchmark in the model-bound regime the metric targets."""
         super().__init__(max_tokens)
         import numpy as np
 
@@ -160,6 +169,7 @@ class SimulatedBertModel(AliasModel):
         self._w1 = rng.randn(hidden, hidden).astype(np.float32)
         self._w2 = rng.randn(hidden, hidden).astype(np.float32)
         self._hidden = hidden
+        self._layers = layers
         self._np = np
 
     def tag(self, tokens: list[Span]) -> tuple[list[str], list[float]]:
@@ -169,7 +179,8 @@ class SimulatedBertModel(AliasModel):
         # cli_tagger_no_torch_serve.py:255,293 — far heavier than this)
         seq = max(64, min(len(tokens), self.max_tokens))
         x = np.ones((seq, self._hidden), dtype=np.float32)
-        x = np.tanh(x @ self._w1) @ self._w2  # the simulated forward
+        for _ in range(self._layers):
+            x = np.tanh(x @ self._w1) @ self._w2  # the simulated forward
         _ = float(x[0, 0])  # keep the computation observable
         return super().tag(tokens)
 
@@ -205,11 +216,40 @@ class SimulatedBertModel(AliasModel):
                 seq = cand
                 end += 1
             x = np.ones(((end - pos) * seq, self._hidden), dtype=np.float32)
-            x = np.tanh(x @ self._w1) @ self._w2  # one forward per chunk
+            for _ in range(self._layers):
+                x = np.tanh(x @ self._w1) @ self._w2  # one forward per chunk
             _ = float(x[0, 0])
             pos = end
         lex_tag = AliasModel.tag
         return [lex_tag(self, toks) for toks in token_lists]
+
+
+def realign_wordpieces(
+    word_ids: list,
+    pred_ids: list,
+    confidences: list,
+    n_words: int,
+    id2label: dict,
+) -> tuple[list[str], list[float]]:
+    """Subword → word realignment (M5), pure and torch-free.
+
+    Reference semantics (``cli_tagger_no_torch_serve.py:208-226``): the
+    prediction of the FIRST wordpiece of each word is the word's tag;
+    special/padding positions carry ``word_id None``; words whose first
+    wordpiece was truncated beyond ``max_length`` never appear in
+    ``word_ids`` and silently stay ``'O'``. Factored out of the torch path
+    so the realign logic is unit-tested in environments without torch.
+    """
+    tags = ["O"] * n_words
+    confs = [0.0] * n_words
+    seen: set[int] = set()
+    for pos, wid in enumerate(word_ids):
+        if wid is None or wid in seen:
+            continue
+        seen.add(wid)
+        tags[wid] = id2label[int(pred_ids[pos])]
+        confs[wid] = float(confidences[pos])
+    return tags, confs
 
 
 class BertModel:  # pragma: no cover - torch/transformers absent in this sandbox
@@ -283,19 +323,12 @@ class BertModel:  # pragma: no cover - torch/transformers absent in this sandbox
                 logits = self.model(**enc).logits  # (b, seq, n_labels)
             probs = torch.softmax(logits, dim=-1)
             pred = probs.argmax(dim=-1)
+            conf = probs.gather(-1, pred.unsqueeze(-1)).squeeze(-1)
             for bi, i in enumerate(idxs):
-                tags = ["O"] * len(words[bi])
-                confs = [0.0] * len(words[bi])
-                seen: set[int] = set()
-                for pos, wid in enumerate(enc.word_ids(bi)):
-                    # first wordpiece of each word carries the word's
-                    # prediction; padding positions have wid None
-                    if wid is None or wid in seen:
-                        continue
-                    seen.add(wid)
-                    tags[wid] = self.id2label[int(pred[bi, pos])]
-                    confs[wid] = float(probs[bi, pos, pred[bi, pos]])
-                out[i] = (tags, confs)
+                out[i] = realign_wordpieces(
+                    enc.word_ids(bi), pred[bi].tolist(), conf[bi].tolist(),
+                    len(words[bi]), self.id2label,
+                )
         return out
 
 

@@ -115,3 +115,42 @@ def test_linker_embedding_fallback_beyond_edit_band():
     # garbage still refuses to link
     canon, qid, score = lk.resolve("Zqxwvy")
     assert qid == "NIL" and canon == ""
+
+
+def test_realign_wordpieces_reference_semantics():
+    """M5 realign, torch-free: first wordpiece carries the word's tag,
+    later wordpieces of the same word are ignored, special positions
+    (None) skipped, truncated-away words stay 'O'."""
+    from newsagency_classification_ray.stages.tagger import realign_wordpieces
+
+    id2label = {0: "O", 1: "B-org.ent.pressagency.Havas", 2: "I-org.ent.pressagency.Havas"}
+    # sentence of 4 words; word 1 splits into 3 wordpieces; word 3 truncated
+    word_ids = [None, 0, 1, 1, 1, 2, None]      # [CLS] w0 w1a w1b w1c w2 [SEP]
+    pred_ids = [0,    0, 1, 2, 0, 0, 0]
+    confs =    [.5,  .9, .8, .7, .6, .4, .5]
+    tags, out_conf = realign_wordpieces(word_ids, pred_ids, confs, 4, id2label)
+    assert tags == ["O", "B-org.ent.pressagency.Havas", "O", "O"]  # w3 truncated -> O
+    assert out_conf == [0.9, 0.8, 0.4, 0.0]
+
+
+def test_realign_wordpieces_all_truncated():
+    from newsagency_classification_ray.stages.tagger import realign_wordpieces
+
+    tags, confs = realign_wordpieces([None, None], [0, 0], [0.1, 0.2], 3, {0: "O"})
+    assert tags == ["O", "O", "O"] and confs == [0.0, 0.0, 0.0]
+
+
+def test_tag_batch_equals_per_sentence_for_alias_and_simbert():
+    from newsagency_classification_ray.functions.textproc import tokenize_with_spans
+    from newsagency_classification_ray.stages.tagger import (
+        AliasModel, SimulatedBertModel,
+    )
+
+    sents = [tokenize_with_spans(s) for s in [
+        "Reuters meldet aus Berlin .",
+        "short",
+        "la dépêche de l ' agence Havas est arrivée hier soir à Paris et",
+        "",
+    ] if s]
+    for model in (AliasModel(), SimulatedBertModel()):
+        assert model.tag_batch(sents) == [model.tag(s) for s in sents]
