@@ -610,16 +610,103 @@ O_EMBEDDINGS_BY_LABEL = (
 )
 
 
-# ---- rows-only queries (no SQL-expressible oracle; driver records rows check)
+# ---- sketch/ANN queries: oracles are driver-side PURE recomputes (no Ray)
+# frozen into VALUES — the same pattern as media_metadata. The sketch
+# primitives (signature, simhash, hyperplane sign) are shared pure functions;
+# the ORCHESTRATION the distributed path expresses via shuffles (banding,
+# sorted-run pairing, join-back verification, bucket top-k) is independently
+# re-implemented with plain dicts/loops, so the check verifies the
+# distributed plumbing reproduces the pure computation.
+
+def _read_parquet_cols(sf_dir: str, name: str, columns: list[str]) -> pa.Table:
+    import os
+
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _values_or_empty(rows: list[str], select: str, alias: str, empty_where: str) -> str:
+    if rows:
+        return f"{select} FROM (VALUES {', '.join(rows)}) AS {alias}"
+    # VALUES needs >= 1 tuple; emit a typed empty result instead
+    return f"{select} FROM (VALUES {empty_where}) AS {alias} WHERE 1 = 0"
+
+
+def _pure_minhash_pairs(sf_dir: str, threshold: float):
+    """Pure recompute of MinHash+LSH near-dup pairs (driver-side, no Ray)."""
+    from itertools import combinations
+
+    t = _read_parquet_cols(sf_dir, "documents", ["doc_id", "text"])
+    st = dd.MinHashStage(num_perm=64, shingle_n=3)
+    sigs = {
+        int(i): st.signature(x or "")
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    buckets: dict[tuple, list[int]] = {}
+    for i, s in sigs.items():
+        for b in range(16):
+            buckets.setdefault((b, tuple(s[b * 4:(b + 1) * 4])), []).append(i)
+    cand: set[tuple[int, int]] = set()
+    for v in buckets.values():
+        if len(v) > 1:
+            cand.update(combinations(sorted(v), 2))
+    out = []
+    for a, b in sorted(cand):
+        j = float((sigs[a] == sigs[b]).mean())
+        if j >= threshold:
+            out.append((a, b, j))
+    return out
+
 
 def q_minhash_pairs(sf_dir: str):
     docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
     return dd.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
 
 
+def O_MINHASH_PAIRS() -> str:
+    rows = [f"({a}, {b}, {j!r})" for a, b, j in _pure_minhash_pairs(_SF001, 0.5)]
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, "
+        "CAST(jaccard AS DOUBLE) AS jaccard",
+        "t(doc_a, doc_b, jaccard)", "(0, 0, 0.0)",
+    )
+
+
 def q_simhash_pairs(sf_dir: str):
     docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
     return dd.simhash_pairs(docs, max_hamming=3)
+
+
+def O_SIMHASH_PAIRS() -> str:
+    from itertools import combinations
+
+    t = _read_parquet_cols(_SF001, "documents", ["doc_id", "text"])
+    st = dd.SimHashStage()
+    hs = {
+        int(i): st.simhash(x or "")
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    buckets: dict[tuple, list[int]] = {}
+    for i, h in hs.items():
+        for c in range(4):
+            buckets.setdefault((c, (h >> (16 * c)) & 0xFFFF), []).append(i)
+    cand: set[tuple[int, int]] = set()
+    for v in buckets.values():
+        if len(v) > 1:
+            cand.update(combinations(sorted(v), 2))
+    rows = []
+    for a, b in sorted(cand):
+        ham = bin(hs[a] ^ hs[b]).count("1")
+        if ham <= 3:
+            rows.append(f"({a}, {b}, {ham})")
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, "
+        "CAST(hamming AS BIGINT) AS hamming",
+        "t(doc_a, doc_b, hamming)", "(0, 0, 0)",
+    )
 
 
 def q_jaccard_topk(sf_dir: str):
@@ -668,7 +755,66 @@ FROM ranked WHERE rn <= 3"""
 
 def q_embedding_dups(sf_dir: str):
     emb = ops.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return sim.embedding_cosine_dups(emb, threshold=0.9)
+    out = sim.embedding_cosine_dups(emb, threshold=0.9).map_batches(
+        lambda t: pa.table({
+            "vec_a": pc.cast(t["vec_a"], pa.int64()),
+            "vec_b": pc.cast(t["vec_b"], pa.int64()),
+            "cosine_e6": pc.cast(pc.floor(pc.multiply(t["cosine"], 1_000_000.0)),
+                                 pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    # a legitimately-empty result must still carry its schema (groupby emits
+    # zero-column empty blocks and UDFs are skipped on them) → concat the
+    # streamed batches into one typed Arrow table
+    schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                        ("cosine_e6", pa.int64())])
+    batches = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+               for b in out.iter_batches(batch_format="pyarrow")]
+    batches = [b for b in batches if b.num_columns]
+    return pa.concat_tables(batches) if batches else schema.empty_table()
+
+
+def O_EMBEDDING_DUPS() -> str:
+    import math
+
+    t = _read_parquet_cols(_SF001, "embeddings", ["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = sim._normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float32))
+    lsh = sim.HyperplaneLSH(dim=m.shape[1], bits=8)
+    sigs = lsh.sign(m)
+    rows = []
+    pairs: dict[tuple[int, int], float] = {}
+    for s in np.unique(sigs):
+        sel = np.flatnonzero(sigs == s)
+        if sel.size < 2:
+            continue
+        order = sel[np.argsort(ids[sel], kind="stable")]
+        sub = m[order]
+        sub_ids = ids[order]
+        simm = sub @ sub.T
+        ii, jj = np.triu_indices(len(order), k=1)
+        for a, b, c in zip(sub_ids[ii], sub_ids[jj], simm[ii, jj]):
+            if c >= 0.9:
+                key = (int(a), int(b))
+                pairs[key] = min(pairs.get(key, math.inf), float(np.float64(c)))
+    for (a, b), c in sorted(pairs.items()):
+        rows.append(f"({a}, {b}, {math.floor(c * 1_000_000)})")
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b, "
+        "CAST(cosine_e6 AS BIGINT) AS cosine_e6",
+        "t(vec_a, vec_b, cosine_e6)", "(0, 0, 0)",
+    )
+
+
+def _query_vecs(sf_dir: str) -> tuple[np.ndarray, list[int]]:
+    t = _read_parquet_cols(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    sel = np.flatnonzero(np.isin(ids, _ANN_QUERY_IDS))
+    sel = sel[np.argsort(ids[sel])]
+    vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[sel]
+    return vecs, [int(x) for x in ids[sel]]
 
 
 def q_lsh_ann_topk(sf_dir: str):
@@ -681,12 +827,43 @@ def q_lsh_ann_topk(sf_dir: str):
     qrows.sort(key=lambda r: r["vec_id"])
     qvecs = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
     qids = [int(r["vec_id"]) for r in qrows]
-    return sim.lsh_topk(emb, qvecs, qids, k=_ANN_K)
+    out = sim.lsh_topk(emb, qvecs, qids, k=_ANN_K)
+    return out.map_batches(
+        lambda t: _i64(t.select(["query_id", "vec_id", "rank"]),
+                       ["query_id", "vec_id", "rank"]),
+        batch_format="pyarrow",
+    )
+
+
+def O_LSH_ANN_TOPK() -> str:
+    t = _read_parquet_cols(_SF001, "embeddings", ["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = sim._normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float32))
+    qvecs, qids = _query_vecs(_SF001)
+    lsh = sim.HyperplaneLSH(dim=m.shape[1], bits=10)
+    qn = sim._normalize(np.asarray(qvecs, dtype=np.float32))
+    qsig = lsh.sign(qn)
+    sigs = lsh.sign(m)
+    rows = []
+    for j, qid in enumerate(qids):
+        sel = np.flatnonzero(sigs == qsig[j])
+        if not sel.size:
+            continue
+        col = (m[sel] @ qn[j]).astype(np.float64)
+        order = np.lexsort((ids[sel], -col))[: min(_ANN_K, sel.size)]
+        for rank, x in enumerate(order, 1):
+            rows.append(f"({qid}, {int(ids[sel][x])}, {rank})")
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(query_id AS BIGINT) AS query_id, "
+        "CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank",
+        "t(query_id, vec_id, rank)", "(0, 0, 0)",
+    )
 
 
 def q_ivf_ann_topk(sf_dir: str):
     """IVF (k-means inverted-file) approximate top-k — the ANN scale path
-    beyond LSH bucketing. Rows-only check (approximate by design)."""
+    beyond LSH bucketing."""
     emb = ops.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     qrows = emb.map_batches(
         lambda t: t.filter(pc.is_in(pc.cast(t["vec_id"], pa.int64()),
@@ -696,16 +873,95 @@ def q_ivf_ann_topk(sf_dir: str):
     qrows.sort(key=lambda r: r["vec_id"])
     qvecs = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
     qids = [int(r["vec_id"]) for r in qrows]
-    return sim.ivf_topk(emb, qvecs, qids, k=_ANN_K)
+    out = sim.ivf_topk(emb, qvecs, qids, k=_ANN_K)
+    return out.map_batches(
+        lambda t: _i64(t.select(["query_id", "vec_id", "rank"]),
+                       ["query_id", "vec_id", "rank"]),
+        batch_format="pyarrow",
+    )
+
+
+def O_IVF_ANN_TOPK() -> str:
+    t = _read_parquet_cols(_SF001, "embeddings", ["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    raw = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    m32 = sim._normalize(raw.astype(np.float32))
+    m64 = sim._normalize(raw)
+    qvecs, qids = _query_vecs(_SF001)
+    # mirror ivf_topk's driver-side training exactly: first 2048 rows in
+    # dataset (= file) order, same seed/iterations
+    rng = np.random.RandomState(13)
+    train = m32[:2048].copy()
+    n_centroids = min(32, len(train))
+    centroids = train[rng.choice(len(train), n_centroids, replace=False)]
+    for _ in range(8):
+        assign = (train @ centroids.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = train[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = sim._normalize(centroids)
+    qn = sim._normalize(np.asarray(qvecs, dtype=np.float32))
+    probe = np.argsort(-(qn @ centroids.T), axis=1)[:, :4]
+    assign = (m32 @ centroids.T).argmax(axis=1)
+    rows = []
+    for j, qid in enumerate(qids):
+        sel = np.flatnonzero(np.isin(assign, probe[j]))
+        if not sel.size:
+            continue
+        col = m64[sel] @ qn[j].astype(np.float64)
+        col[ids[sel] == qid] = -np.inf
+        order = np.lexsort((ids[sel], -col))[: min(_ANN_K, sel.size)]
+        order = order[np.isfinite(col[order])]
+        for rank, x in enumerate(order, 1):
+            rows.append(f"({qid}, {int(ids[sel][x])}, {rank})")
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(query_id AS BIGINT) AS query_id, "
+        "CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank",
+        "t(query_id, vec_id, rank)", "(0, 0, 0)",
+    )
 
 
 def q_docs_near_dedup_keep(sf_dir: str):
     """Near-dup keep-list (MinHash clusters → min-id representative); returns
-    kept (doc_id, source). Rows-only check (cluster formation is LSH-based)."""
+    kept (doc_id, source)."""
     docs = ops.read_table(sf_dir, "documents", ["doc_id", "text", "source"])
     kept = dd.near_dedup_keep(docs, jaccard_threshold=0.85)
-    return kept.map_batches(lambda t: t.select(["doc_id", "source"]),
-                            batch_format="pyarrow")
+    return kept.map_batches(
+        lambda t: _i64(t.select(["doc_id", "source"]), ["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def O_DOCS_NEAR_DEDUP_KEEP() -> str:
+    pairs = _pure_minhash_pairs(_SF001, 0.85)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra > rb:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    victims = {x for x in parent if find(x) != x}
+    t = _read_parquet_cols(_SF001, "documents", ["doc_id", "source"])
+    rows = [
+        "({}, '{}')".format(int(i), s)
+        for i, s in zip(t["doc_id"].to_pylist(), t["source"].to_pylist())
+        if int(i) not in victims
+    ]
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(source AS VARCHAR) AS source",
+        "t(doc_id, source)", "(0, '')",
+    )
 
 
 def q_docs_langid(sf_dir: str):
@@ -1274,4 +1530,10 @@ def oracles() -> dict[str, str]:
         "docs_langid": O_DOCS_LANGID(),
         "media_metadata": O_MEDIA_METADATA(),
         "kg_mentions": O_KG_MENTIONS(_SF001),
+        "minhash_pairs": O_MINHASH_PAIRS(),
+        "simhash_pairs": O_SIMHASH_PAIRS(),
+        "embedding_dups": O_EMBEDDING_DUPS(),
+        "lsh_ann_topk": O_LSH_ANN_TOPK(),
+        "ivf_ann_topk": O_IVF_ANN_TOPK(),
+        "docs_near_dedup_keep": O_DOCS_NEAR_DEDUP_KEEP(),
     }
