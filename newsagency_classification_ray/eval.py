@@ -232,6 +232,7 @@ def hipe_counts(
     l_col: str = "l",
     r_col: str = "r",
     label_col: str = "label",
+    by_doc: bool = False,
 ) -> pa.Table:
     """Distributed scenario counts for ALL four HIPE regimes + SER tallies.
 
@@ -282,22 +283,26 @@ def hipe_counts(
             preds = [p for p in preds if p[2] in tags]
             _match_segment(golds, preds, bump)
         keys = sorted(acc)
-        return pa.table({
+        cols = {
             "label": pa.array([k[0] for k in keys], type=pa.string()),
             "regime": pa.array([k[1] for k in keys], type=pa.string()),
             "kind": pa.array([k[2] for k in keys], type=pa.string()),
             "n": pa.array([acc[k] for k in keys], type=pa.int64()),
-        })
+        }
+        if by_doc:
+            doc = t["doc"][0].as_py()
+            cols = {"doc": pa.array([doc] * len(keys), type=pa.string()), **cols}
+        return pa.table(cols)
 
     counts = g_keyed.union(project(pred, 1)).groupby("doc").map_groups(
         per_doc, batch_format="pyarrow"
     )
-    summed = counts.groupby(["label", "regime", "kind"]).aggregate(
-        Sum("n", alias_name="n")
-    )
+    group_keys = (["doc"] if by_doc else []) + ["label", "regime", "kind"]
+    summed = counts.groupby(group_keys).aggregate(Sum("n", alias_name="n"))
     rows = summed.take_all()
     if not rows:
-        return pa.table({"label": pa.array([], type=pa.string()),
+        return pa.table({**({"doc": pa.array([], type=pa.string())} if by_doc else {}),
+                         "label": pa.array([], type=pa.string()),
                          "regime": pa.array([], type=pa.string()),
                          "kind": pa.array([], type=pa.string()),
                          "n": pa.array([], type=pa.int64())})
@@ -322,7 +327,7 @@ def _regime_row(counts: dict[str, int], partial_credit: bool) -> dict:
         "missed": missed, "spurious": spurious,
         "possible": possible, "actual": actual,
         "tp": correct, "fp": actual - correct, "fn": possible - correct,
-        "precision": round(p, 6), "recall": round(r, 6), "f1": round(f1, 6),
+        "precision": p, "recall": r, "f1": f1,  # raw; callers round for display
     }
 
 
@@ -354,10 +359,99 @@ def hipe_regime_scores(
     for (label, regime) in sorted(acc):
         row = {"regime": regime, **_regime_row(acc[(label, regime)],
                                                partial_credit=regime == "partial")}
+        for k in ("precision", "recall", "f1"):
+            row[k] = round(row[k], 6)
         if per_label:
             row = {"label": label, **row}
         out_rows.append(row)
     return pa.Table.from_pylist(out_rows)
+
+
+def hipe_macro_type_scores(
+    pred: Dataset,
+    gold: Dataset,
+    *,
+    counts: pa.Table | None = None,
+    **key_cols,
+) -> pa.Table:
+    """Entity-type-averaged macro P/R/F1 per regime (reference
+    ``compute_macro_type_scores``, ner_eval.py:807-848): plain mean of the
+    per-type micro scores over all types touched by the evaluation, plus
+    the recomputed-from-macro-P/R F1 variant."""
+    import numpy as np
+
+    if counts is None:
+        counts = hipe_counts(pred, gold, **key_cols)
+    acc: dict[tuple[str, str], dict[str, int]] = {}
+    for row in counts.to_pylist():
+        if row["regime"] == "ser":
+            continue
+        d = acc.setdefault((row["label"], row["regime"]), {})
+        d[row["kind"]] = d.get(row["kind"], 0) + row["n"]
+    by_regime: dict[str, list[dict]] = {}
+    for (label, regime), kinds in acc.items():
+        by_regime.setdefault(regime, []).append(
+            _regime_row(kinds, partial_credit=regime == "partial")
+        )
+    out = []
+    for regime in sorted(by_regime):
+        rows = by_regime[regime]
+        p = float(np.mean([r["precision"] for r in rows]))
+        r_ = float(np.mean([r["recall"] for r in rows]))
+        f1 = float(np.mean([r["f1"] for r in rows]))
+        f1_pr = 2 * p * r_ / (p + r_) if p + r_ else 0.0
+        out.append({"regime": regime, "n_types": len(rows),
+                    "p_macro": round(p, 6), "r_macro": round(r_, 6),
+                    "f1_macro": round(f1, 6),
+                    "f1_macro_from_pr": round(f1_pr, 6)})
+    return pa.Table.from_pylist(out)
+
+
+def hipe_macro_doc_scores(
+    pred: Dataset,
+    gold: Dataset,
+    *,
+    counts: pa.Table | None = None,
+    **key_cols,
+) -> pa.Table:
+    """Document-averaged macro P/R/F1 per regime (reference
+    ``accumulate_doc_scores`` + ``compute_macro_doc_scores``,
+    ner_eval.py:333-360,851-870): per-doc micro scores with the reference's
+    dismissal rules — a doc contributes to P only when it predicted
+    something (actual ≠ 0), to R only when gold has entities (possible ≠
+    0), to F1 only when both — then mean and population std across the
+    contributing docs."""
+    import numpy as np
+
+    if counts is None:
+        counts = hipe_counts(pred, gold, by_doc=True, **key_cols)
+    acc: dict[tuple[str, str], dict[str, int]] = {}
+    for row in counts.to_pylist():
+        if row["regime"] == "ser":
+            continue
+        key = (row["doc"], row["regime"])
+        d = acc.setdefault(key, {})
+        d[row["kind"]] = d.get(row["kind"], 0) + row["n"]
+    lists: dict[str, dict[str, list[float]]] = {}
+    for (doc, regime), kinds in acc.items():
+        m = _regime_row(kinds, partial_credit=regime == "partial")
+        ls = lists.setdefault(regime, {"p": [], "r": [], "f1": []})
+        if m["actual"] != 0:
+            ls["p"].append(m["precision"])
+        if m["possible"] != 0:
+            ls["r"].append(m["recall"])
+        if m["actual"] != 0 and m["possible"] != 0:
+            ls["f1"].append(m["f1"])
+    out = []
+    for regime in sorted(lists):
+        ls = lists[regime]
+        row = {"regime": regime}
+        for name, vals in (("p_macro_doc", ls["p"]), ("r_macro_doc", ls["r"]),
+                           ("f1_macro_doc", ls["f1"])):
+            row[name] = round(float(np.mean(vals)), 6) if vals else None
+            row[name + "_std"] = round(float(np.std(vals)), 6) if vals else None
+        out.append(row)
+    return pa.Table.from_pylist(out)
 
 
 def hipe_slot_error_rate(

@@ -297,3 +297,66 @@ def test_slot_error_rate_on_synthetic_fixture(ray_session):
     assert regs["partial"]["correct"] == 2    # exact + type-sub at same bounds
     assert regs["partial"]["partial"] == 1
     assert regs["exact"]["correct"] == 2
+
+
+@pytest.mark.skipif(not (os.path.exists(GOLD) and os.path.exists(PRED)),
+                    reason="reference corpora absent")
+def test_macro_doc_scores_match_reference_json(ray_session):
+    """Doc-averaged macro P/R/F1 (+std) per regime, with the reference's
+    dismissal rules, bit-close to the frozen JSON."""
+    import json as _json
+
+    from newsagency_classification_ray.eval import hipe_macro_doc_scores
+    from newsagency_classification_ray.sources.hipe import read_hipe_tsv, token_spans
+
+    ref_all = _json.load(open(REF_JSON))["NE-FINE-LIT"]["TIME-ALL"]["LED-ALL"]["ALL"]
+
+    def keep(ds):
+        return ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.match_substring(t["label"], "-"))),
+            batch_format="pyarrow",
+        )
+
+    got = {r["regime"]: r for r in hipe_macro_doc_scores(
+        keep(token_spans(read_hipe_tsv(PRED), with_seg=True)),
+        keep(token_spans(read_hipe_tsv(GOLD), with_seg=True)),
+    ).to_pylist()}
+    for regime in ("strict", "ent_type", "partial", "exact"):
+        ref = ref_all[regime]
+        ours = got[regime]
+        for k_ours, k_ref in [("p_macro_doc", "P_macro_doc"),
+                              ("r_macro_doc", "R_macro_doc"),
+                              ("f1_macro_doc", "F1_macro_doc"),
+                              ("p_macro_doc_std", "P_macro_doc_std"),
+                              ("r_macro_doc_std", "R_macro_doc_std"),
+                              ("f1_macro_doc_std", "F1_macro_doc_std")]:
+            assert abs(ours[k_ours] - ref[k_ref]) < 2e-6, (regime, k_ours)
+
+
+@pytest.mark.skipif(not (os.path.exists(GOLD) and os.path.exists(PRED)),
+                    reason="reference corpora absent")
+def test_macro_type_scores_match_reference_json(ray_session):
+    import json as _json
+
+    from newsagency_classification_ray.eval import hipe_macro_type_scores
+    from newsagency_classification_ray.sources.hipe import read_hipe_tsv, token_spans
+
+    ref_all = _json.load(open(REF_JSON))["NE-FINE-LIT"]["TIME-ALL"]["LED-ALL"]["ALL"]
+
+    def keep(ds):
+        return ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.match_substring(t["label"], "-"))),
+            batch_format="pyarrow",
+        )
+
+    got = {r["regime"]: r for r in hipe_macro_type_scores(
+        keep(token_spans(read_hipe_tsv(PRED), with_seg=True)),
+        keep(token_spans(read_hipe_tsv(GOLD), with_seg=True)),
+    ).to_pylist()}
+    for regime in ("strict", "ent_type", "partial", "exact"):
+        ref = ref_all[regime]
+        ours = got[regime]
+        for k_ours, k_ref in [("p_macro", "P_macro"), ("r_macro", "R_macro"),
+                              ("f1_macro", "F1_macro"),
+                              ("f1_macro_from_pr", "F1_macro (recomputed from P & R)")]:
+            assert abs(ours[k_ours] - ref[k_ref]) < 2e-6, (regime, k_ours)
