@@ -85,6 +85,99 @@ def distinct(ds: Dataset, cols: list[str]) -> Dataset:
     )
 
 
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tie_col: str | None = None,
+) -> Dataset:
+    """As-of join (an operator Ray Data lacks): for every left row, attach
+    the right row with the greatest ``right_ts <= left_ts`` within the same
+    key; unmatched left rows keep nulls. Ties on ``right_ts`` break to the
+    greatest ``tie_col`` (default: first of ``right_cols``) so the result is
+    deterministic — the oracle encodes the same rule with ``row_number()
+    OVER (ORDER BY ts DESC, tie DESC)``.
+
+    Shape: both sides project to a common null-padded schema, union, and
+    shuffle ONCE on the key; each key group does one in-group sort of the
+    (small) right side + one vectorized ``np.searchsorted`` sweep over the
+    left timestamps — no per-row Python in the match. Partitioning
+    assumption: all rows of one key fit a group (true when keys are
+    entities like users/hosts); a pathologically hot key needs a
+    range-partitioned merge instead of a key group — salting does NOT apply
+    because as-of needs every right row of the key visible.
+    """
+    import numpy as np
+
+    tie_col = tie_col or right_cols[0]
+    l_schema = left.schema()
+    l_names = list(l_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_schema = right.schema()
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    out_right = [c for c in right_cols]
+
+    def proj_left(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {
+            "_key": pc.cast(t[left_key], pa.int64()),
+            "_ts": pc.cast(t[left_ts], pa.timestamp("us")),
+            "_side": pa.array([0] * n, type=pa.int8()),
+        }
+        for c in l_names:
+            cols["l_" + c] = t[c]
+        for c in out_right:
+            cols["r_" + c] = pa.nulls(n, type=r_types[c])
+        return pa.table(cols)
+
+    def proj_right(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {
+            "_key": pc.cast(t[right_key], pa.int64()),
+            "_ts": pc.cast(t[right_ts], pa.timestamp("us")),
+            "_side": pa.array([1] * n, type=pa.int8()),
+        }
+        for c in l_names:
+            cols["l_" + c] = pa.nulls(n, type=l_types[c])
+        for c in out_right:
+            cols["r_" + c] = t[c]
+        return pa.table(cols)
+
+    both = left.map_batches(proj_left, batch_format="pyarrow").union(
+        right.map_batches(proj_right, batch_format="pyarrow")
+    )
+
+    def match(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        ts = g["_ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        l_idx = np.flatnonzero(side == 0)
+        r_idx = np.flatnonzero(side == 1)
+        out = {("l_" + c): g["l_" + c].take(pa.array(l_idx)) for c in l_names}
+        if r_idx.size == 0:
+            for c in out_right:
+                out["r_" + c] = pa.nulls(l_idx.size, type=r_types[c])
+        else:
+            tie = g["r_" + tie_col].take(pa.array(r_idx)).to_numpy(zero_copy_only=False)
+            order = np.lexsort((tie, ts[r_idx]))  # ts asc, tie asc
+            r_sorted = r_idx[order]
+            r_ts = ts[r_sorted]
+            pos = np.searchsorted(r_ts, ts[l_idx], side="right") - 1
+            matched = pos >= 0
+            take = np.where(matched, r_sorted[np.clip(pos, 0, None)], -1)
+            take_arr = pa.array([int(x) if x >= 0 else None for x in take],
+                                type=pa.int64())
+            for c in out_right:
+                out["r_" + c] = g["r_" + c].take(take_arr)
+        return pa.table(out).rename_columns(l_names + out_right)
+
+    return both.groupby("_key").map_groups(match, batch_format="pyarrow")
+
+
 def uniform_group_sample(
     ds: Dataset, group_col: str, n: int, id_col: str = "doc_id"
 ) -> Dataset:

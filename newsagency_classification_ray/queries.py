@@ -1222,6 +1222,38 @@ FROM (
 ) GROUP BY user_id"""
 
 
+def q_events_asof_orders(sf_dir: str):
+    """As-of join: each event picks the most recent order (o_orderdate <=
+    ts) of the same customer, ties to the greatest o_orderkey — the custom
+    operator Ray Data lacks, expressed as one key shuffle + vectorized
+    in-group searchsorted (ops.asof_join)."""
+    ev = ops.read_table(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = ops.read_table(sf_dir, "orders",
+                            ["o_orderkey", "o_custkey", "o_orderdate"])
+    out = ops.asof_join(ev, orders, left_key="user_id", right_key="o_custkey",
+                        left_ts="ts", right_ts="o_orderdate",
+                        right_cols=["o_orderkey"])
+    return out.map_batches(
+        lambda t: _i64(t.select(["event_id", "o_orderkey"]),
+                       ["event_id", "o_orderkey"]),
+        batch_format="pyarrow",
+    )
+
+
+O_EVENTS_ASOF_ORDERS = """
+WITH m AS (
+  SELECT e.event_id, o.o_orderkey,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(m.o_orderkey AS BIGINT) AS o_orderkey
+FROM events e LEFT JOIN (SELECT event_id, o_orderkey FROM m WHERE rn = 1) m
+  USING (event_id)"""
+
+
 def q_orders_lineitem_join(sf_dir: str):
     """Distributed hash join of two *large* tables (orders ⋈ lineitem on
     orderkey) — the shuffle-join counterpart of the broadcast joins
@@ -1453,6 +1485,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_group_sample": q_docs_group_sample,
     "orders_lineitem_join": q_orders_lineitem_join,
+    "events_asof_orders": q_events_asof_orders,
     "docs_near_dedup_keep": q_docs_near_dedup_keep,
     "ivf_ann_topk": q_ivf_ann_topk,
     "pages_lang_counts": q_pages_lang_counts,
@@ -1526,6 +1559,7 @@ def oracles() -> dict[str, str]:
         "docs_stratified_sample": O_DOCS_STRATIFIED,
         "docs_group_sample": O_DOCS_GROUP_SAMPLE,
         "orders_lineitem_join": O_ORDERS_LINEITEM_JOIN,
+        "events_asof_orders": O_EVENTS_ASOF_ORDERS,
         "jaccard_topk": O_JACCARD_TOPK,
         "docs_langid": O_DOCS_LANGID(),
         "media_metadata": O_MEDIA_METADATA(),

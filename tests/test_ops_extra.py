@@ -43,3 +43,35 @@ def test_scrub_control_chars_length_preserving():
     assert len(out) == len(s)
     assert out == "a b c d e"
     assert scrub_control_chars("plain text.") == "plain text."
+
+
+def test_asof_join_semantics(ray_session):
+    """As-of join: latest right row with ts <= left ts per key; ties on ts
+    break to the greatest tie column; unmatched lefts keep nulls; keys
+    absent from the right side keep nulls too."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from newsagency_classification_ray.ops import asof_join
+
+    t = lambda s: pd.Timestamp(s).to_pydatetime()
+    left = ray.data.from_arrow(pa.table({
+        "eid": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "k": pa.array([10, 10, 10, 99], type=pa.int64()),
+        "ts": pa.array([t("2024-01-05"), t("2024-01-01"), t("2023-12-01"),
+                        t("2024-01-05")], type=pa.timestamp("us")),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([10, 10, 10], type=pa.int64()),
+        "rts": pa.array([t("2024-01-01"), t("2024-01-01"), t("2024-01-03")],
+                        type=pa.timestamp("us")),
+        "rid": pa.array([7, 9, 5], type=pa.int64()),
+    }))
+    out = {r["eid"]: r["rid"] for r in asof_join(
+        left, right, left_key="k", right_key="rk", left_ts="ts",
+        right_ts="rts", right_cols=["rid"]).take_all()}
+    assert out[1] == 5       # latest rts 01-03
+    assert out[2] == 9       # tie on 01-01 -> greatest rid
+    assert out[3] is None    # no right row <= 2023-12-01
+    assert out[4] is None    # key 99 absent from right
