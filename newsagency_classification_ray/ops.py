@@ -178,6 +178,73 @@ def asof_join(
     return both.groupby("_key").map_groups(match, batch_format="pyarrow")
 
 
+def range_join_pairs(
+    left: Dataset,
+    right: Dataset,
+    *,
+    left_id: str,
+    right_id: str,
+    left_ts: str,
+    right_ts: str,
+    max_dt_us: int,
+) -> Dataset:
+    """Pure range join (no equi key): all (left_id, right_id) pairs with
+    ``|left_ts - right_ts| <= max_dt_us`` — the time-proximity join Ray Data
+    lacks. Bucket width = the radius: every RIGHT row lands in exactly one
+    time bucket; every LEFT row is replicated to its own and both adjacent
+    buckets, so each qualifying pair meets in exactly ONE group (the right
+    row's bucket) — no post-dedup shuffle. Within a group the candidate set
+    is compared with one vectorized broadcast diff; only then does the
+    exact |dt| filter apply. Replication factor is a constant 3 on the left
+    side only, and bucket keys are time-uniform, so the exchange is
+    skew-free by construction.
+    """
+    import numpy as np
+
+    def proj(ds: Dataset, id_col: str, ts_col: str, side: int) -> Dataset:
+        def fn(t: pa.Table) -> pa.Table:
+            ts = pc.cast(t[ts_col], pa.timestamp("us"))
+            ts_i = ts.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            bucket = ts_i // max_dt_us
+            ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+            if side == 0:  # left: replicate to bucket-1, bucket, bucket+1
+                b = np.concatenate([bucket - 1, bucket, bucket + 1])
+                i = np.tile(ids, 3)
+                tvals = np.tile(ts_i, 3)
+            else:
+                b, i, tvals = bucket, ids, ts_i
+            return pa.table({
+                "bucket": pa.array(b, type=pa.int64()),
+                "id": pa.array(i, type=pa.int64()),
+                "ts_us": pa.array(tvals, type=pa.int64()),
+                "side": pa.array(np.full(len(i), side, dtype=np.int8)),
+            })
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    both = proj(left, left_id, left_ts, 0).union(proj(right, right_id, right_ts, 1))
+
+    out_l = left_id
+    out_r = right_id if right_id != left_id else right_id + "_right"
+
+    def pairs(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        li, ri = np.flatnonzero(side == 0), np.flatnonzero(side == 1)
+        empty = pa.table({out_l: pa.array([], type=pa.int64()),
+                          out_r: pa.array([], type=pa.int64())})
+        if li.size == 0 or ri.size == 0:
+            return empty
+        dt = np.abs(ts[li][:, None] - ts[ri][None, :])
+        ii, jj = np.nonzero(dt <= max_dt_us)
+        if not ii.size:
+            return empty
+        return pa.table({out_l: pa.array(ids[li][ii], type=pa.int64()),
+                         out_r: pa.array(ids[ri][jj], type=pa.int64())})
+
+    return both.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+
+
 def uniform_group_sample(
     ds: Dataset, group_col: str, n: int, id_col: str = "doc_id"
 ) -> Dataset:

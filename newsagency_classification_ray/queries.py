@@ -1254,6 +1254,31 @@ FROM events e LEFT JOIN (SELECT event_id, o_orderkey FROM m WHERE rn = 1) m
   USING (event_id)"""
 
 
+def q_events_time_neighbors(sf_dir: str):
+    """Range join (no equi key): unordered pairs of events within 60 s of
+    each other (event_a < event_b) — ops.range_join_pairs, the bucketed
+    time-proximity join."""
+    ev = ops.read_table(sf_dir, "events", ["event_id", "ts"])
+    pairs = ops.range_join_pairs(
+        ev, ev, left_id="event_id", right_id="event_id",
+        left_ts="ts", right_ts="ts", max_dt_us=60_000_000,
+    )
+    return pairs.map_batches(
+        lambda t: pa.table({
+            "event_a": pc.cast(t["event_id"], pa.int64()),
+            "event_b": pc.cast(t["event_id_right"], pa.int64()),
+        }).filter(pc.less(t["event_id"], t["event_id_right"])),
+        batch_format="pyarrow",
+    )
+
+
+O_EVENTS_TIME_NEIGHBORS = """
+SELECT CAST(a.event_id AS BIGINT) AS event_a, CAST(b.event_id AS BIGINT) AS event_b
+FROM events a JOIN events b
+  ON b.ts BETWEEN a.ts - INTERVAL 60 SECOND AND a.ts + INTERVAL 60 SECOND
+ AND a.event_id < b.event_id"""
+
+
 def q_orders_lineitem_join(sf_dir: str):
     """Distributed hash join of two *large* tables (orders ⋈ lineitem on
     orderkey) — the shuffle-join counterpart of the broadcast joins
@@ -1486,6 +1511,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_group_sample": q_docs_group_sample,
     "orders_lineitem_join": q_orders_lineitem_join,
     "events_asof_orders": q_events_asof_orders,
+    "events_time_neighbors": q_events_time_neighbors,
     "docs_near_dedup_keep": q_docs_near_dedup_keep,
     "ivf_ann_topk": q_ivf_ann_topk,
     "pages_lang_counts": q_pages_lang_counts,
@@ -1560,6 +1586,7 @@ def oracles() -> dict[str, str]:
         "docs_group_sample": O_DOCS_GROUP_SAMPLE,
         "orders_lineitem_join": O_ORDERS_LINEITEM_JOIN,
         "events_asof_orders": O_EVENTS_ASOF_ORDERS,
+        "events_time_neighbors": O_EVENTS_TIME_NEIGHBORS,
         "jaccard_topk": O_JACCARD_TOPK,
         "docs_langid": O_DOCS_LANGID(),
         "media_metadata": O_MEDIA_METADATA(),

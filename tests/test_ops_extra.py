@@ -75,3 +75,32 @@ def test_asof_join_semantics(ray_session):
     assert out[2] == 9       # tie on 01-01 -> greatest rid
     assert out[3] is None    # no right row <= 2023-12-01
     assert out[4] is None    # key 99 absent from right
+
+
+def test_range_join_pairs_each_pair_exactly_once(ray_session):
+    """Bucketed time-proximity join: every qualifying pair appears exactly
+    once (left replicated to adjacent buckets, right in one bucket), pairs
+    straddling bucket borders included, pairs beyond the radius excluded."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from newsagency_classification_ray.ops import range_join_pairs
+
+    base = pd.Timestamp("2024-01-01").to_pydatetime()
+    import datetime as dt
+    ts = [base + dt.timedelta(seconds=s) for s in (0, 30, 59, 61, 200)]
+    ev = ray.data.from_arrow(pa.table({
+        "event_id": pa.array(range(5), type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+    }))
+    pairs = range_join_pairs(ev, ev, left_id="event_id", right_id="event_id",
+                             left_ts="ts", right_ts="ts", max_dt_us=60_000_000)
+    got = sorted((r["event_id"], r["event_id_right"]) for r in pairs.take_all()
+                 if r["event_id"] < r["event_id_right"])
+    # |dt|<=60s: (0,1) 30, (0,2) 59, (1,2) 29, (1,3) 31, (2,3) 2; (0,3) is 61s out
+    assert got == [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    # self-pairs appear once per event (left copy meets its right copy once)
+    selfs = [(r["event_id"], r["event_id_right"]) for r in pairs.take_all()
+             if r["event_id"] == r["event_id_right"]]
+    assert sorted(selfs) == [(i, i) for i in range(5)]
