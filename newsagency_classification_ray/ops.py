@@ -245,6 +245,46 @@ def range_join_pairs(
     return both.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
 
 
+def group_top_k(
+    ds: Dataset,
+    group_col: str,
+    value_col: str,
+    k: int,
+    *,
+    id_col: str,
+    descending: bool = True,
+) -> Dataset:
+    """Top-k rows per group by ``value_col`` (ties broken by ``id_col``
+    ascending — deterministic, mirrors ``row_number() OVER (PARTITION BY g
+    ORDER BY v DESC, id)``). Per-batch local top-k (combiner) keeps the
+    group shuffle at O(blocks·k) rows per group instead of the full table.
+    """
+    import numpy as np
+
+    def local(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        i = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, -v if descending else v, g))
+        gs = g[order]
+        starts = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
+        ends = np.append(starts[1:], len(gs))
+        keep = np.concatenate([order[s:min(s + k, e)] for s, e in zip(starts, ends)])
+        return t.take(keep)
+
+    def final(grp: pa.Table) -> pa.Table:
+        v = grp[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        i = grp[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, -v if descending else v))[: min(k, len(grp))]
+        return grp.take(order)
+
+    return ds.map_batches(local, batch_format="pyarrow").groupby(
+        group_col
+    ).map_groups(final, batch_format="pyarrow")
+
+
 def uniform_group_sample(
     ds: Dataset, group_col: str, n: int, id_col: str = "doc_id"
 ) -> Dataset:

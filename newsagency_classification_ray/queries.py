@@ -1364,6 +1364,29 @@ SELECT doc_id, source FROM ranked
 WHERE rn <= 3 OR (doc_id * 2654435761) % 4294967296 % 10 = 0"""
 
 
+def q_docs_top_by_source(sf_dir: str):
+    """Grouped top-k: 3 largest docs (n_chars, tie doc_id asc) per source —
+    the per-batch-combiner grouped top-k (ops.group_top_k)."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = ops.group_top_k(docs, "source", "n_chars", 3, id_col="doc_id")
+    return out.map_batches(
+        lambda t: _i64(t.select(["source", "doc_id", "n_chars"]),
+                       ["doc_id", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+O_DOCS_TOP_BY_SOURCE = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rn <= 3"""
+
+
 def q_docs_group_sample(sf_dir: str):
     """O5: standalone uniform n-per-group sample (hash-rank top-n,
     ops.uniform_group_sample) — n=5 docs per source."""
@@ -1509,6 +1532,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_sessions": q_events_sessions,
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_group_sample": q_docs_group_sample,
+    "docs_top_by_source": q_docs_top_by_source,
     "orders_lineitem_join": q_orders_lineitem_join,
     "events_asof_orders": q_events_asof_orders,
     "events_time_neighbors": q_events_time_neighbors,
@@ -1584,6 +1608,7 @@ def oracles() -> dict[str, str]:
         "events_sessions": O_EVENTS_SESSIONS,
         "docs_stratified_sample": O_DOCS_STRATIFIED,
         "docs_group_sample": O_DOCS_GROUP_SAMPLE,
+        "docs_top_by_source": O_DOCS_TOP_BY_SOURCE,
         "orders_lineitem_join": O_ORDERS_LINEITEM_JOIN,
         "events_asof_orders": O_EVENTS_ASOF_ORDERS,
         "events_time_neighbors": O_EVENTS_TIME_NEIGHBORS,

@@ -104,3 +104,69 @@ def test_range_join_pairs_each_pair_exactly_once(ray_session):
     selfs = [(r["event_id"], r["event_id_right"]) for r in pairs.take_all()
              if r["event_id"] == r["event_id_right"]]
     assert sorted(selfs) == [(i, i) for i in range(5)]
+
+
+def test_asof_join_matches_bruteforce_on_random_data(ray_session):
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from newsagency_classification_ray.ops import asof_join
+
+    rng = np.random.RandomState(42)
+    base = dt.datetime(2024, 1, 1)
+    n_l, n_r = 200, 80
+    l_key = rng.randint(0, 12, n_l)
+    l_ts = [base + dt.timedelta(seconds=int(s)) for s in rng.randint(0, 5000, n_l)]
+    r_key = rng.randint(0, 12, n_r)
+    r_ts_s = rng.randint(0, 5000, n_r)
+    r_ts = [base + dt.timedelta(seconds=int(s)) for s in r_ts_s]
+    left = ray.data.from_arrow(pa.table({
+        "lid": pa.array(range(n_l), type=pa.int64()),
+        "k": pa.array(l_key, type=pa.int64()),
+        "ts": pa.array(l_ts, type=pa.timestamp("us")),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array(r_key, type=pa.int64()),
+        "rts": pa.array(r_ts, type=pa.timestamp("us")),
+        "rid": pa.array(range(n_r), type=pa.int64()),
+    }))
+    got = {r["lid"]: r["rid"] for r in asof_join(
+        left, right, left_key="k", right_key="rk", left_ts="ts",
+        right_ts="rts", right_cols=["rid"]).take_all()}
+    for i in range(n_l):
+        cands = [(r_ts_s[j], j) for j in range(n_r)
+                 if r_key[j] == l_key[i]
+                 and r_ts[j] <= l_ts[i]]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, i
+
+
+def test_range_join_matches_bruteforce_on_random_data(ray_session):
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from newsagency_classification_ray.ops import range_join_pairs
+
+    rng = np.random.RandomState(7)
+    base = dt.datetime(2024, 1, 1)
+    n = 150
+    secs = rng.randint(0, 2000, n)
+    ts = [base + dt.timedelta(seconds=int(s)) for s in secs]
+    ev = ray.data.from_arrow(pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+    }))
+    radius = 45
+    pairs = range_join_pairs(ev, ev, left_id="event_id", right_id="event_id",
+                             left_ts="ts", right_ts="ts",
+                             max_dt_us=radius * 1_000_000)
+    got = sorted((r["event_id"], r["event_id_right"]) for r in pairs.take_all())
+    want = sorted((i, j) for i in range(n) for j in range(n)
+                  if abs(int(secs[i]) - int(secs[j])) <= radius)
+    assert got == want
