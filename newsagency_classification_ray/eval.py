@@ -118,6 +118,12 @@ def ent_type_span_prf(
     g = _as_keyed(gold, doc_col, l_col, r_col, label_col, False)
 
     def match_doc(t: pa.Table) -> pa.Table:
+        # Order note: the reference scorer walks entities in FILE order; we
+        # sort by (l, r, label) because rows arrive shuffle-reordered. BIO
+        # decoding cannot produce two entities with the same start offset,
+        # so for non-nested spans (the only kind a token-level tagger
+        # emits) start order == file order and the greedy match below is
+        # identical — pinned bit-exact in test_reference_scorer_parity.
         rows = sorted(
             ((r["l"], r["r"], r["label"], bool(r["pred"])) for r in t.to_pylist()),
         )

@@ -95,6 +95,8 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     tie_col: str | None = None,
+    bucket_us: int | None = None,
+    hot_key_limit: int = 5_000_000,
 ) -> Dataset:
     """As-of join (an operator Ray Data lacks): for every left row, attach
     the right row with the greatest ``right_ts <= left_ts`` within the same
@@ -103,17 +105,30 @@ def asof_join(
     deterministic — the oracle encodes the same rule with ``row_number()
     OVER (ORDER BY ts DESC, tie DESC)``.
 
+    Null semantics: a left row with a null timestamp is emitted unmatched
+    (null right columns); right rows with null timestamps never match —
+    mirroring SQL, where ``NULL <= NULL`` is not true. Keys are cast to
+    int64 (integer entity ids required — hash a string key to int64 first);
+    null keys group together and match each other, unlike SQL.
+
     Shape: both sides project to a common null-padded schema, union, and
     shuffle ONCE on the key; each key group does one in-group sort of the
-    (small) right side + one vectorized ``np.searchsorted`` sweep over the
-    left timestamps — no per-row Python in the match. Partitioning
-    assumption: all rows of one key fit a group (true when keys are
-    entities like users/hosts); a pathologically hot key needs a
-    range-partitioned merge instead of a key group — salting does NOT apply
-    because as-of needs every right row of the key visible.
+    right side + one vectorized ``np.searchsorted`` sweep over the left
+    timestamps — no per-row Python in the match. Salting does NOT apply
+    (as-of needs every right row of the key visible), so a pathologically
+    hot key is handled by a RANGE-PARTITIONED merge instead: pass
+    ``bucket_us`` to shuffle on ``(key, ts // bucket_us)`` — each right
+    row lands in its own time bucket, a per-(key, bucket) "latest right
+    row" boundary table is reduced first (one row per non-empty bucket),
+    and the latest boundary row STRICTLY BEFORE each left bucket is carried
+    in as a sentinel candidate, so every group holds only one bucket's rows
+    plus at most one carry row. Without ``bucket_us``, a key group larger
+    than ``hot_key_limit`` raises (enforced, not assumed) with instructions
+    to re-run bucketed.
     """
     import numpy as np
 
+    NAT = np.iinfo(np.int64).min
     tie_col = tie_col or right_cols[0]
     l_schema = left.schema()
     l_names = list(l_schema.names)
@@ -122,13 +137,23 @@ def asof_join(
     r_types = dict(zip(r_schema.names, r_schema.types))
     out_right = [c for c in right_cols]
 
+    def _ts_i64(ts: pa.ChunkedArray | pa.Array) -> "np.ndarray":
+        return ts.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+
+    def _bkt_arr(ts_i: "np.ndarray") -> pa.Array:
+        # null ts (NAT sentinel) -> bucket 0; those rows never match anyway
+        return pa.array(np.where(ts_i == NAT, 0, ts_i // bucket_us), type=pa.int64())
+
     def proj_left(t: pa.Table) -> pa.Table:
         n = len(t)
+        ts = pc.cast(t[left_ts], pa.timestamp("us"))
         cols = {
             "_key": pc.cast(t[left_key], pa.int64()),
-            "_ts": pc.cast(t[left_ts], pa.timestamp("us")),
+            "_ts": ts,
             "_side": pa.array([0] * n, type=pa.int8()),
         }
+        if bucket_us is not None:
+            cols["_bkt"] = _bkt_arr(_ts_i64(ts))
         for c in l_names:
             cols["l_" + c] = t[c]
         for c in out_right:
@@ -136,25 +161,34 @@ def asof_join(
         return pa.table(cols)
 
     def proj_right(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t[right_ts], pa.timestamp("us"))
+        valid = pc.is_valid(ts)
+        if not pc.all(valid).as_py():  # null right ts never matches (SQL NULL<=NULL)
+            t = t.filter(valid)
+            ts = pc.cast(t[right_ts], pa.timestamp("us"))
         n = len(t)
         cols = {
             "_key": pc.cast(t[right_key], pa.int64()),
-            "_ts": pc.cast(t[right_ts], pa.timestamp("us")),
+            "_ts": ts,
             "_side": pa.array([1] * n, type=pa.int8()),
         }
+        if bucket_us is not None:
+            cols["_bkt"] = _bkt_arr(_ts_i64(ts))
         for c in l_names:
             cols["l_" + c] = pa.nulls(n, type=l_types[c])
         for c in out_right:
             cols["r_" + c] = t[c]
         return pa.table(cols)
 
-    both = left.map_batches(proj_left, batch_format="pyarrow").union(
-        right.map_batches(proj_right, batch_format="pyarrow")
-    )
-
     def match(g: pa.Table) -> pa.Table:
+        if bucket_us is None and len(g) > hot_key_limit:
+            raise ValueError(
+                f"asof_join: a key group holds {len(g)} rows "
+                f"(> hot_key_limit={hot_key_limit}); re-run with bucket_us=... "
+                "to use the range-partitioned merge for hot keys"
+            )
         side = g["_side"].to_numpy(zero_copy_only=False)
-        ts = g["_ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        ts = _ts_i64(g["_ts"])
         l_idx = np.flatnonzero(side == 0)
         r_idx = np.flatnonzero(side == 1)
         out = {("l_" + c): g["l_" + c].take(pa.array(l_idx)) for c in l_names}
@@ -166,8 +200,9 @@ def asof_join(
             order = np.lexsort((tie, ts[r_idx]))  # ts asc, tie asc
             r_sorted = r_idx[order]
             r_ts = ts[r_sorted]
-            pos = np.searchsorted(r_ts, ts[l_idx], side="right") - 1
-            matched = pos >= 0
+            l_ts = ts[l_idx]
+            pos = np.searchsorted(r_ts, l_ts, side="right") - 1
+            matched = (pos >= 0) & (l_ts != NAT)  # null left ts -> unmatched
             take = np.where(matched, r_sorted[np.clip(pos, 0, None)], -1)
             take_arr = pa.array([int(x) if x >= 0 else None for x in take],
                                 type=pa.int64())
@@ -175,7 +210,78 @@ def asof_join(
                 out["r_" + c] = g["r_" + c].take(take_arr)
         return pa.table(out).rename_columns(l_names + out_right)
 
-    return both.groupby("_key").map_groups(match, batch_format="pyarrow")
+    l_proj = left.map_batches(proj_left, batch_format="pyarrow")
+    r_proj = right.map_batches(proj_right, batch_format="pyarrow")
+
+    if bucket_us is None:
+        return l_proj.union(r_proj).groupby("_key").map_groups(
+            match, batch_format="pyarrow")
+
+    # ---- range-partitioned merge: shuffle on (key, ts bucket) -------------
+    # Rows in a later bucket have strictly greater ts than every row in an
+    # earlier bucket, so the as-of candidate for a left row is either an
+    # in-bucket right row or the (ts, tie)-argmax row of the LATEST earlier
+    # non-empty bucket — reduce that boundary table first, then carry it in.
+
+    def local_latest(t: pa.Table) -> pa.Table:
+        # per-batch combiner: keep the (ts, tie)-argmax row per (key, bkt)
+        if len(t) == 0:
+            return t
+        k = t["_key"].to_numpy(zero_copy_only=False)
+        b = t["_bkt"].to_numpy(zero_copy_only=False)
+        ts = _ts_i64(t["_ts"])
+        tie = t["r_" + tie_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, b, k))
+        kk, bb = k[order], b[order]
+        is_last = np.concatenate([(kk[1:] != kk[:-1]) | (bb[1:] != bb[:-1]), [True]])
+        return t.take(pa.array(order[np.flatnonzero(is_last)]))
+
+    bounds = r_proj.map_batches(local_latest, batch_format="pyarrow").groupby(
+        ["_key", "_bkt"]
+    ).map_groups(local_latest, batch_format="pyarrow")
+
+    def mark(t: pa.Table) -> pa.Table:
+        # distinct left (key, bucket) as null-padded side-0 marker rows so
+        # they can union with the boundary rows for the per-key carry scan
+        n = len(t)
+        cols = {
+            "_key": t["_key"],
+            "_ts": pa.nulls(n, type=pa.timestamp("us")),
+            "_side": pa.array([0] * n, type=pa.int8()),
+            "_bkt": t["_bkt"],
+        }
+        for c in l_names:
+            cols["l_" + c] = pa.nulls(n, type=l_types[c])
+        for c in out_right:
+            cols["r_" + c] = pa.nulls(n, type=r_types[c])
+        return pa.table(cols)
+
+    lbkts = distinct(l_proj, ["_key", "_bkt"]).map_batches(
+        mark, batch_format="pyarrow")
+
+    def assign_carry(g: pa.Table) -> pa.Table:
+        # per key: for each left bucket, re-emit the latest boundary row
+        # with a STRICTLY smaller bucket, retargeted to that left bucket
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        bkt = g["_bkt"].to_numpy(zero_copy_only=False)
+        lb = np.unique(bkt[side == 0])
+        ri = np.flatnonzero(side == 1)
+        if ri.size == 0 or lb.size == 0:
+            return g.slice(0, 0)
+        order = np.argsort(bkt[ri], kind="stable")
+        ri_sorted = ri[order]
+        pos = np.searchsorted(bkt[ri_sorted], lb, side="left") - 1
+        ok = pos >= 0
+        if not ok.any():
+            return g.slice(0, 0)
+        out = g.take(pa.array(ri_sorted[pos[ok]]))
+        i = out.schema.get_field_index("_bkt")
+        return out.set_column(i, "_bkt", pa.array(lb[ok], type=pa.int64()))
+
+    carry = bounds.union(lbkts).groupby("_key").map_groups(
+        assign_carry, batch_format="pyarrow")
+    return l_proj.union(r_proj).union(carry).groupby(["_key", "_bkt"]).map_groups(
+        match, batch_format="pyarrow")
 
 
 def range_join_pairs(
@@ -193,13 +299,21 @@ def range_join_pairs(
     lacks. Bucket width = the radius: every RIGHT row lands in exactly one
     time bucket; every LEFT row is replicated to its own and both adjacent
     buckets, so each qualifying pair meets in exactly ONE group (the right
-    row's bucket) — no post-dedup shuffle. Within a group the candidate set
-    is compared with one vectorized broadcast diff; only then does the
-    exact |dt| filter apply. Replication factor is a constant 3 on the left
-    side only, and bucket keys are time-uniform, so the exchange is
-    skew-free by construction.
+    row's bucket) — no post-dedup shuffle. Within a group the right side is
+    sorted by timestamp once and each left row's matches are located with
+    two ``np.searchsorted`` bounds, emitted via ``np.repeat`` + vectorized
+    range-concatenation — memory is O(group) + O(output pairs), never the
+    dense |L|×|R| candidate square (which at dense streams would be a
+    10^8+-cell temporary per group). Replication factor is a constant 3 on
+    the left side only, and bucket keys are time-uniform, so the exchange
+    is skew-free by construction. Bucketing uses int64 floor division, which
+    rounds toward -inf on BOTH sides consistently, so pre-epoch (negative)
+    timestamps bucket correctly too.
     """
     import numpy as np
+
+    if max_dt_us <= 0:
+        raise ValueError(f"range_join_pairs: max_dt_us must be > 0, got {max_dt_us}")
 
     def proj(ds: Dataset, id_col: str, ts_col: str, side: int) -> Dataset:
         def fn(t: pa.Table) -> pa.Table:
@@ -235,12 +349,29 @@ def range_join_pairs(
                           out_r: pa.array([], type=pa.int64())})
         if li.size == 0 or ri.size == 0:
             return empty
-        dt = np.abs(ts[li][:, None] - ts[ri][None, :])
-        ii, jj = np.nonzero(dt <= max_dt_us)
-        if not ii.size:
+        # sorted window sweep: right side sorted by ts, each left row's
+        # match range found with two binary searches, ranges materialized
+        # with repeat + cumsum arithmetic — no |L|x|R| temporary
+        r_order = np.argsort(ts[ri], kind="stable")
+        r_ids = ids[ri][r_order]
+        r_ts = ts[ri][r_order]
+        l_ts = ts[li]
+        lo = np.searchsorted(r_ts, l_ts - max_dt_us, side="left")
+        hi = np.searchsorted(r_ts, l_ts + max_dt_us, side="right")
+        cnt = hi - lo
+        keep = cnt > 0
+        if not keep.any():
             return empty
-        return pa.table({out_l: pa.array(ids[li][ii], type=pa.int64()),
-                         out_r: pa.array(ids[ri][jj], type=pa.int64())})
+        l_ids_k = ids[li][keep]
+        lo_k = lo[keep]
+        cnt_k = cnt[keep]
+        total = int(cnt_k.sum())
+        left_out = np.repeat(l_ids_k, cnt_k)
+        # right index for pair j within left row i: lo_k[i] + (j - row_start)
+        row_start = np.repeat(np.cumsum(cnt_k) - cnt_k, cnt_k)
+        right_out = r_ids[np.repeat(lo_k, cnt_k) + (np.arange(total) - row_start)]
+        return pa.table({out_l: pa.array(left_out, type=pa.int64()),
+                         out_r: pa.array(right_out, type=pa.int64())})
 
     return both.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
 

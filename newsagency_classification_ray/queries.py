@@ -626,6 +626,13 @@ def _read_parquet_cols(sf_dir: str, name: str, columns: list[str]) -> pa.Table:
     return pq.read_table(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def _sq(s: str) -> str:
+    """Render a Python string as a SQL single-quoted literal (doubling
+    embedded quotes) — every VALUES oracle that interpolates data-derived
+    strings must go through this."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
 def _values_or_empty(rows: list[str], select: str, alias: str, empty_where: str) -> str:
     if rows:
         return f"{select} FROM (VALUES {', '.join(rows)}) AS {alias}"
@@ -953,7 +960,7 @@ def O_DOCS_NEAR_DEDUP_KEEP() -> str:
     victims = {x for x in parent if find(x) != x}
     t = _read_parquet_cols(_SF001, "documents", ["doc_id", "source"])
     rows = [
-        "({}, '{}')".format(int(i), s)
+        "({}, {})".format(int(i), _sq(s))
         for i, s in zip(t["doc_id"].to_pylist(), t["source"].to_pylist())
         if int(i) not in victims
     ]
@@ -975,7 +982,7 @@ def q_docs_langid(sf_dir: str):
 
 def _stopword_values_sql() -> str:
     rows = ", ".join(
-        "('{}', [{}])".format(lang, ", ".join(f"'{w}'" for w in sorted(sw)))
+        "({}, [{}])".format(_sq(lang), ", ".join(_sq(w) for w in sorted(sw)))
         for lang, sw in sorted(ts._STOPWORDS.items())
     )
     return f"(VALUES {rows}) AS profiles(lang, sw)"
@@ -1019,7 +1026,7 @@ def O_MEDIA_METADATA() -> str:
     for i in range(len(t)):
         meta = mm._decode_payload(t["blob"][i].as_py())
         rows.append(
-            f"({t['media_id'][i].as_py()}, '{t['kind'][i].as_py()}', "
+            f"({t['media_id'][i].as_py()}, {_sq(t['kind'][i].as_py())}, "
             f"{meta['width']}, {meta['height']}, {meta['channels']}, "
             f"{meta['n_frames']}, {meta['payload_bytes']})"
         )

@@ -448,6 +448,15 @@ def connected_components(
         if cur_sum == prev_sum:  # labels only ever decrease → stable = converged
             break
         prev_sum = cur_sum
+    else:
+        # exhausting max_rounds without the stable-sum break means some
+        # component is still merging — returning silently would make
+        # near_dedup_keep keep too many docs with no signal
+        raise RuntimeError(
+            f"connected_components: labels did not converge within "
+            f"max_rounds={max_rounds} (pointer-edge contraction halves "
+            "diameter per round; raise max_rounds)"
+        )
     return labels
 
 
