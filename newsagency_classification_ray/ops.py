@@ -25,21 +25,49 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> Data
 
 def broadcast_join(
     ds: Dataset,
-    small: pd.DataFrame,
+    small: "pd.DataFrame | pa.Table",
     on: str,
     how: str = "inner",
     small_cols: list[str] | None = None,
 ) -> Dataset:
-    """Broadcast hash join: the small side is ``ray.put`` once and merged into
-    every batch with a pandas hash merge — no shuffle (J1/J2 pattern)."""
+    """Broadcast hash join: the small side is ``ray.put`` once and gathered
+    into every batch — no shuffle (J1/J2 pattern). Arrow-native when the
+    small side's keys are UNIQUE (the dimension-table case): one
+    ``pc.index_in`` probe + one ``take`` per payload column, zero
+    pandas round-trip. Duplicate small-side keys (one-to-many) fall back to
+    a per-batch pandas merge. ``how`` is 'inner' or 'left'."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join: how must be 'inner'|'left', got {how!r}")
+    small_t = pa.Table.from_pandas(small, preserve_index=False) \
+        if isinstance(small, pd.DataFrame) else small
     if small_cols:
-        small = small[[c for c in {on, *small_cols}]]
-    ref = ray.put(small)
+        small_t = small_t.select([c for c in dict.fromkeys([on, *small_cols])])
+    keys = small_t[on].combine_chunks()
+    unique_keys = pc.count_distinct(keys).as_py() == len(small_t)
+    ref = ray.put(small_t)
 
-    def join(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(ray.get(ref), on=on, how=how)
+    if not unique_keys:
+        def join_pd(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(ray.get(ref).to_pandas(), on=on, how=how)
 
-    return ds.map_batches(join, batch_format="pandas")
+        return ds.map_batches(join_pd, batch_format="pandas")
+
+    payload = [c for c in small_t.column_names if c != on]
+
+    def join(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        idx = pc.index_in(t[on], value_set=s[on].combine_chunks())
+        if how == "inner":
+            hit = pc.is_valid(idx)
+            if not pc.all(hit).as_py():
+                t = t.filter(hit)
+                idx = idx.filter(hit)
+        cols = {c: t[c] for c in t.column_names}
+        for c in payload:  # null idx (left-join miss) gathers as null
+            cols[c] = s[c].take(idx)
+        return pa.table(cols)
+
+    return ds.map_batches(join, batch_format="pyarrow")
 
 
 def semi_join_filter(ds: Dataset, col: str, values: list) -> Dataset:

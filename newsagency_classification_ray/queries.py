@@ -285,9 +285,20 @@ GROUP BY l_returnflag, l_linestatus"""
 def q_top_customers(sf_dir: str):
     orders = ops.read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     rev = orders.groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="rev_raw"))
-    cust = ops.read_table(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
-    cust = cust.rename(columns={"c_custkey": "o_custkey"})
-    joined = ops.broadcast_join(rev, cust, on="o_custkey")
+    # customer is sf-proportional (fact-scaled), NOT a bounded dim table —
+    # a driver .to_pandas() broadcast would materialize a large side, so
+    # join distributed (both sides stay blocks)
+    cust = ops.read_table(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda t: pa.table({"o_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                            "c_name": t["c_name"]}),
+        batch_format="pyarrow",
+    )
+    rev = rev.map_batches(
+        lambda t: pa.table({"o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                            "rev_raw": t["rev_raw"]}),
+        batch_format="pyarrow",
+    )
+    joined = ops.hash_join(rev, cust, on=("o_custkey",))
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -309,19 +320,34 @@ ORDER BY revenue_cents DESC, c_custkey LIMIT 10"""
 
 
 def q_orders_by_segment(sf_dir: str):
+    # pre-aggregate orders per custkey FIRST (combiner semantics: count+sum
+    # survive the rollup), so the distributed join moves one row per
+    # customer instead of one per order; customer is fact-scaled, so no
+    # driver broadcast (see q_top_customers)
     orders = ops.read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    cust = ops.read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    cust = cust.rename(columns={"c_custkey": "o_custkey"})
-    joined = ops.broadcast_join(orders, cust, on="o_custkey")
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Count(alias_name="n_orders_raw"), Sum("o_totalprice", alias_name="total_raw")
+    ).map_batches(
+        lambda t: pa.table({"o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                            "n_orders_raw": t["n_orders_raw"],
+                            "total_raw": t["total_raw"]}),
+        batch_format="pyarrow",
+    )
+    cust = ops.read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.table({"o_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                            "c_mktsegment": t["c_mktsegment"]}),
+        batch_format="pyarrow",
+    )
+    joined = ops.hash_join(per_cust, cust, on=("o_custkey",))
     g = joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_raw")
+        Sum("n_orders_raw", alias_name="n_orders"), Sum("total_raw", alias_name="total_raw2")
     )
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({
             "c_mktsegment": t["c_mktsegment"],
             "n_orders": pc.cast(t["n_orders"], pa.int64()),
-            "total_cents": _cents(t["total_raw"]),
+            "total_cents": _cents(t["total_raw2"]),
         })
 
     return g.map_batches(finish, batch_format="pyarrow")
@@ -1517,6 +1543,57 @@ def q_kg_eval_strict(sf_dir: str):
     return linking_conformance(pages_src.ensure_pages(sf_dir))
 
 
+# The four metric queries are deterministic scorers, not SQL-expressible
+# relational plans, so their oracles are frozen VALUES rows:
+#  - hipe_* rows are the reference's own published result numbers (the frozen
+#    JSONs under /root/reference/.../results_2024/, pinned bit-exact in
+#    tests/test_reference_scorer_parity.py) — an independent ground truth.
+#  - kg_eval_strict rows are the flagship pipeline's conformance numbers on
+#    the deterministic sf0.01 synthetic pages; precision MUST be 1.0 (the
+#    north-star bar) and the frozen row turns any scorer/pipeline drift into
+#    a hash mismatch.
+
+O_KG_EVAL_STRICT = """
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(precision_ AS DOUBLE) AS precision,
+       CAST(recall_ AS DOUBLE) AS recall, CAST(f1_ AS DOUBLE) AS f1
+FROM (VALUES (3269, 0, 28, 1.0, 0.991507, 0.995736))
+     AS t(tp, fp, fn, precision_, recall_, f1_)"""
+
+O_HIPE_SCORER_PARITY = """
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(precision_ AS DOUBLE) AS precision,
+       CAST(recall_ AS DOUBLE) AS recall, CAST(f1_ AS DOUBLE) AS f1
+FROM (VALUES (96, 34, 30, 0.738462, 0.761905, 0.75))
+     AS t(tp, fp, fn, precision_, recall_, f1_)"""
+
+O_HIPE_REGIMES = """
+SELECT regime, CAST(correct AS BIGINT) AS correct,
+       CAST(incorrect AS BIGINT) AS incorrect,
+       CAST(partial_ AS BIGINT) AS partial, CAST(missed AS BIGINT) AS missed,
+       CAST(spurious AS BIGINT) AS spurious,
+       CAST(possible AS BIGINT) AS possible, CAST(actual AS BIGINT) AS actual,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(precision_ AS DOUBLE) AS precision,
+       CAST(recall_ AS DOUBLE) AS recall, CAST(f1_ AS DOUBLE) AS f1
+FROM (VALUES
+  ('ent_type', 100, 8, 0, 18, 22, 126, 130, 100, 30, 26, 0.769231, 0.793651, 0.78125),
+  ('exact',     98, 10, 0, 18, 22, 126, 130,  98, 32, 28, 0.753846, 0.777778, 0.765625),
+  ('partial',   98,  0, 10, 18, 22, 126, 130, 98, 32, 28, 0.792308, 0.81746, 0.804687),
+  ('strict',    96, 12, 0, 18, 22, 126, 130,  96, 34, 30, 0.738462, 0.761905, 0.75))
+AS t(regime, correct, incorrect, partial_, missed, spurious, possible,
+     actual, tp, fp, fn, precision_, recall_, f1_)"""
+
+O_HIPE_SER = """
+SELECT CAST(deletions AS BIGINT) AS deletions,
+       CAST(insertions AS BIGINT) AS insertions,
+       CAST(substitutions AS BIGINT) AS substitutions,
+       CAST(reference_slots AS BIGINT) AS reference_slots,
+       CAST(ser_ AS DOUBLE) AS ser
+FROM (VALUES (18, 22, 12, 126, 0.412698))
+     AS t(deletions, insertions, substitutions, reference_slots, ser_)"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1629,4 +1706,8 @@ def oracles() -> dict[str, str]:
         "lsh_ann_topk": O_LSH_ANN_TOPK(),
         "ivf_ann_topk": O_IVF_ANN_TOPK(),
         "docs_near_dedup_keep": O_DOCS_NEAR_DEDUP_KEEP(),
+        "kg_eval_strict": O_KG_EVAL_STRICT,
+        "hipe_scorer_parity": O_HIPE_SCORER_PARITY,
+        "hipe_regimes": O_HIPE_REGIMES,
+        "hipe_ser": O_HIPE_SER,
     }

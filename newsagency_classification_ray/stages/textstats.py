@@ -91,16 +91,24 @@ def doc_stats(docs: Dataset, text_col: str = "text") -> Dataset:
         n_ws = ws.str.len().astype("int64")
         n_chars = text.str.len().astype("int64")
         n_punct = text.str.count(PUNCT_RE.pattern).astype("int64")
+        # explode + index-groupby instead of a Python set()/mean() per row
+        n_unique = (
+            ws.explode().groupby(level=0).nunique()
+            .reindex(ws.index, fill_value=0).astype("int64")
+        )
+        tok_len_sum = (
+            toks.explode().str.len().groupby(level=0).sum()
+            .reindex(toks.index, fill_value=0).astype("float64")
+        )
+        mean_tok = (tok_len_sum / n_tokens.clip(lower=1)).where(n_tokens > 0, 0.0)
         out = pd.DataFrame({
             "doc_id": batch["doc_id"].astype("int64"),
             "n_chars": n_chars,
             "n_tokens": n_tokens,
             "n_ws_tokens": n_ws,
             "n_punct": n_punct,
-            "n_unique_ws_tokens": ws.map(lambda w: len(set(w))).astype("int64"),
-            "mean_token_len": (
-                toks.map(lambda ts: float(np.mean([len(t) for t in ts])) if ts else 0.0)
-            ).astype("float64"),
+            "n_unique_ws_tokens": n_unique,
+            "mean_token_len": mean_tok.astype("float64"),
             "punct_ratio": (n_punct / n_chars.clip(lower=1)).astype("float64"),
         })
         return out
@@ -123,7 +131,11 @@ def quality_filter(
         n_ws = ws.str.len()
         n_chars = text.str.len().clip(lower=1)
         punct_ratio = text.str.count(PUNCT_RE.pattern) / n_chars
-        uniq_ratio = ws.map(lambda w: len(set(w)) / max(1, len(w)))
+        n_unique = (
+            ws.explode().groupby(level=0).nunique()
+            .reindex(ws.index, fill_value=0)
+        )
+        uniq_ratio = n_unique / n_ws.clip(lower=1)
         mask = (n_ws >= min_tokens) & (punct_ratio <= max_punct_ratio) & (
             uniq_ratio >= min_unique_ratio
         )
