@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import time
@@ -57,21 +58,34 @@ def run_bench() -> dict:
             while f.read(1 << 24):
                 pass
 
+    # sub-5s query timings are dominated by co-tenant noise in single runs
+    # (r1→r2 showed ±50 % swings on untouched code paths); report the MEDIAN
+    # of N runs plus the spread so real regressions are separable from noise.
+    # Scaling legs force repeats=1 (only the flagship number feeds efficiency).
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
     queries: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
 
-    def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        queries[name] = round(time.perf_counter() - t0, 3)
+    def timed(name: str, fn, n: int | None = None):
+        out = None
+        ts = []
+        for _ in range(n if n is not None else repeats):
+            t0 = time.perf_counter()
+            out = fn()
+            ts.append(round(time.perf_counter() - t0, 3))
+        runs[name] = ts
+        queries[name] = round(statistics.median(ts), 3)
         return out
 
     # headline: full KG construction incl. partitioned graph write
     out_root = f"/tmp/nacr_bench_out_{ncpu}"
-    shutil.rmtree(out_root, ignore_errors=True)
     n_pages = pages_count_for_sf(sf_of_dir(sf_dir)) * mult
     counts: dict[str, int] = {}
 
     def flagship():
+        # fresh output dir per run — the manifest resume would otherwise make
+        # repeat runs skip the graph write and report an artificially low time
+        shutil.rmtree(out_root, ignore_errors=True)
         # alias (cheap tasks): ~2 blocks/CPU keeps driver dispatch low.
         # simbert (model-bound): ~4 blocks/CPU/corpus-multiple — blocks must
         # scale WITH the corpus so task length stays constant; otherwise the
@@ -109,7 +123,9 @@ def run_bench() -> dict:
         counts["mentions"] = mentions.count()
         counts["triples"] = trip.count()
 
-    timed("kg_flagship", flagship)
+    # model-bound (simbert) runs cost minutes per repeat — single-shot those;
+    # the alias headline is cheap enough to median like the rest
+    timed("kg_flagship", flagship, n=repeats if model == "alias" else 1)
     timed("pricing_summary", lambda: Q.q_pricing_summary(sf_dir).to_pandas())
     timed("events_hourly", lambda: Q.q_events_hourly(sf_dir).to_pandas())
     timed("events_sessions", lambda: Q.q_events_sessions(sf_dir).count())
@@ -132,6 +148,8 @@ def run_bench() -> dict:
         "pages_per_sec": round(n_pages / headline, 1),
         "triples_per_sec": round(counts.get("triples", 0) / headline, 1),
         "tagger_model": model,
+        "repeats": repeats,
+        "runs": runs,
     }
     ray.shutdown()
     return result
@@ -147,7 +165,10 @@ def run_scaling() -> dict:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_PAGES_MULT=mult,
-                   GRAFT_TAGGER_MODEL=model)
+                   GRAFT_TAGGER_MODEL=model,
+                   # one run per leg: only the flagship time feeds efficiency,
+                   # and repeating the secondary queries would triple leg time
+                   GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "1"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,
