@@ -538,6 +538,233 @@ class HyperLogLog:
         return float(est)
 
 
+def heavy_hitters_topk(
+    ds: Dataset,
+    list_col_fn,
+    k: int,
+    *,
+    cap: int = 1024,
+) -> pa.Table:
+    """Certified-exact global top-k frequent items via a Misra–Gries-style
+    candidate sketch + one exact recount pass — the two-pass heavy-hitters
+    layout that replaces a full-vocabulary ``groupby`` (at 100 TB the token
+    vocabulary is billions of rows; the candidate exchange here is
+    O(blocks × cap) and the recount groupby is O(|candidates|)).
+
+    ``list_col_fn(batch: pa.Table) -> pa.Array`` extracts the flat item
+    array from a batch (e.g. split a text column). Two passes over ``ds``:
+
+    1. **Sketch**: per-batch exact ``value_counts``, then Misra–Gries
+       decrement — keep the top ``cap`` items with weight reduced by the
+       (cap+1)-th count ``d``, record ``d`` as that batch's error bound.
+       Summed over batches: any item's true count ≤ its summed sketch
+       weight + err_total, and an item absent from every sketch has true
+       count ≤ err_total.
+    2. **Recount**: candidates whose upper bound (w + err_total) reaches the
+       k-th candidate's lower bound get an EXACT count via a broadcast
+       semi-join + small groupby over ``ds`` again.
+
+    Certification: if the k-th exact count > err_total, no non-candidate can
+    belong to the top-k and the result is provably exact (ties broken by
+    item ascending). Otherwise raises — increase ``cap`` (the guarantee
+    needs count_k > N_items/cap, i.e. genuinely skewed frequencies).
+
+    Returns an Arrow table (item, n) sorted by n desc, item asc, length k.
+    """
+    import numpy as np
+
+    def sketch(t: pa.Table) -> pa.Table:
+        items = list_col_fn(t)
+        if len(items) == 0:
+            return pa.table({"item": pa.array([], type=pa.string()),
+                             "w": pa.array([], type=pa.int64())})
+        vc = items.value_counts()  # StructArray<values, counts> — exact per batch
+        vals = vc.field("values")
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        if len(vals) <= cap:
+            d = 0
+            keep = np.arange(len(vals))
+        else:
+            order = np.argsort(-counts, kind="stable")
+            d = int(counts[order[cap]])
+            keep = order[:cap]
+        return pa.table({
+            "item": vals.take(pa.array(keep)),
+            "w": pa.array(counts[keep] - d, type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    cand = (
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .groupby("item")
+        .aggregate(Sum("w", alias_name="w"))
+    )
+    # err_total = sum over BATCHES of each batch's decrement d (per-item
+    # sketch rows can't recover it — d is a batch property), so a dedicated
+    # O(1)-per-batch pass emits exactly one d row per batch
+    errs = ds.map_batches(
+        lambda t: pa.table({"d": pa.array(
+            [_mg_batch_decrement(list_col_fn(t), cap)], type=pa.int64())}),
+        batch_format="pyarrow",
+    ).sum("d")
+    err_total = int(errs) if errs is not None else 0
+
+    ct = cand.select_columns(["item", "w"]).to_pandas()
+    ct = ct.sort_values(["w", "item"], ascending=[False, True], kind="stable")
+    if len(ct) > k:
+        kth_lower = int(ct["w"].iloc[k - 1]) if len(ct) >= k else 0
+        ct = ct[ct["w"] + err_total >= kth_lower]
+    cand_items = ct["item"].tolist()
+
+    def recount(t: pa.Table) -> pa.Table:
+        items = list_col_fn(t)
+        items = items.filter(pc.is_in(items, value_set=pa.array(cand_items)))
+        vc = items.value_counts()
+        return pa.table({"item": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    exact = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("item").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "item"], ascending=[False, True], kind="stable")
+        .head(k)
+    )
+    if len(exact) >= k and int(exact["n"].iloc[k - 1]) <= err_total:
+        raise ValueError(
+            f"heavy_hitters_topk: cannot certify exactness — k-th count "
+            f"{int(exact['n'].iloc[k - 1])} <= sketch error bound {err_total}; "
+            f"increase cap (= {cap})"
+        )
+    return pa.Table.from_pandas(exact.reset_index(drop=True), preserve_index=False)
+
+
+def _mg_batch_decrement(items: pa.Array, cap: int) -> int:
+    """The Misra–Gries decrement d this batch's sketch applied (0 if the
+    batch had ≤ cap distinct items)."""
+    import numpy as np
+
+    if len(items) == 0:
+        return 0
+    counts = items.value_counts().field("counts").to_numpy(zero_copy_only=False)
+    if len(counts) <= cap:
+        return 0
+    return int(-np.partition(-counts, cap)[cap])
+
+
+def exact_quantiles(ds: Dataset, col: str, qs: list[float]) -> pa.Table:
+    """Exact distributed quantiles (lower / ``quantile_disc`` semantics:
+    value at global index ``floor(q·(N−1))`` of the sorted column).
+
+    One range-shuffle sort is the only exchange; selection afterwards is
+    metadata-only — ``split_at_indices`` computes block offsets from cached
+    row counts and each probe reads one row of one block, so no
+    post-sort materialization of the data path. Returns (q, value).
+    """
+    s = ds.select_columns([col]).sort(col).materialize()
+    n = s.count()
+    if n == 0:
+        return pa.table({"q": pa.array([], type=pa.float64()),
+                         "value": pa.array([], type=pa.float64())})
+    idxs = [int(q * (n - 1)) for q in qs]
+    uniq = sorted(set(idxs))
+    splits = s.split_at_indices(uniq)
+    # split_at_indices([i_0..i_m]) -> m+1 pieces with piece j+1 starting at
+    # global index i_j (piece 0 is [0, i_0), empty when i_0 == 0), so the
+    # value at index i_j is the first row of piece j+1
+    val_at = {i: piece.take(1)[0][col] for i, piece in zip(uniq, splits[1:])}
+    return pa.table({
+        "q": pa.array(qs, type=pa.float64()),
+        "value": pa.array([val_at[i] for i in idxs], type=pa.float64()),
+    })
+
+
+def keyword_topk(
+    ds: Dataset, text_col: str, id_col: str, term: str, k: int
+) -> pa.Table:
+    """Top-k documents by (non-overlapping) occurrence count of ``term`` —
+    the brute-force text-search primitive. Per-batch Arrow
+    ``count_substring`` + local top-k combiner; only O(blocks·k) candidate
+    rows reach the driver. Ties break to ``id_col`` ascending. Returns
+    (id_col, score) with score int64, length ≤ k (zero-score rows dropped).
+    """
+    import numpy as np
+
+    def local(t: pa.Table) -> pa.Table:
+        score = pc.count_substring(t[text_col], pattern=term)
+        s = score.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        nz = np.flatnonzero(s > 0)
+        if nz.size > k:
+            order = nz[np.lexsort((ids[nz], -s[nz]))[:k]]
+        else:
+            order = nz
+        return pa.table({id_col: pa.array(ids[order], type=pa.int64()),
+                         "score": pa.array(s[order], type=pa.int64())})
+
+    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["score", id_col], ascending=[False, True],
+                            kind="stable").head(k)
+    return pa.Table.from_pandas(cand.reset_index(drop=True), preserve_index=False)
+
+
+def pack_by_token_budget(
+    ds: Dataset, id_col: str, weight_col: str, capacity: int
+) -> Dataset:
+    """Contiguous token-budgeted sharding (training-shard packing): rows in
+    ``id_col`` order are assigned ``shard_id = floor(exclusive_prefix_sum(
+    weight) / capacity)`` — the deterministic "pack documents into ~capacity-
+    token shards" operator a pre-training data pipeline runs last.
+
+    Distributed prefix sum in two passes over the SAME materialized sorted
+    blocks (``batch_size=None`` ⇒ one batch per block, and Ray's range sort
+    gives totally ordered blocks): pass 1 reduces each block to (first_id,
+    weight_sum) — O(blocks) driver state; the driver computes per-block
+    exclusive offsets; pass 2 adds the broadcast block offset to the
+    in-block cumulative sum. No all-to-all beyond the one sort.
+
+    Oracle-equivalent: ``floor(coalesce(sum(w) OVER (ORDER BY id ROWS
+    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / capacity)``.
+    """
+    import numpy as np
+
+    if capacity <= 0:
+        raise ValueError(f"pack_by_token_budget: capacity must be > 0, got {capacity}")
+
+    s = ds.select_columns([id_col, weight_col]).sort(id_col).materialize()
+
+    def block_stat(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"first_id": pa.array([], type=pa.int64()),
+                             "wsum": pa.array([], type=pa.int64())})
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"first_id": pa.array([t[id_col][0].as_py()], type=pa.int64()),
+                         "wsum": pa.array([int(w.sum())], type=pa.int64())})
+
+    stats = s.map_batches(block_stat, batch_size=None,
+                          batch_format="pyarrow").to_pandas()
+    stats = stats.sort_values("first_id", kind="stable")
+    offsets = stats["wsum"].cumsum().shift(fill_value=0)
+    off_by_first = dict(zip(stats["first_id"].astype(np.int64),
+                            offsets.astype(np.int64)))
+    ref = ray.put(off_by_first)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "shard_id": pa.array([], type=pa.int64())})
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = ray.get(ref)[int(t[id_col][0].as_py())]
+        excl = base + np.cumsum(w) - w
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "shard_id": pa.array(excl // capacity, type=pa.int64()),
+        })
+
+    return s.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
 def approx_distinct(ds: Dataset, col: str, p: int = 12) -> int:
     """Approximate COUNT(DISTINCT col) via per-batch HLL sketches reduced on
     the driver — one pass, O(2^p) state, no shuffle at all (contrast:

@@ -1595,6 +1595,88 @@ FROM (VALUES (18, 22, 12, 126, 0.412698))
 
 
 # --------------------------------------------------------------------------
+# heavy hitters / quantiles / search / packing (training-data extras, r3)
+# --------------------------------------------------------------------------
+
+
+def q_docs_token_topk(sf_dir: str):
+    """Certified-exact top-20 most frequent tokens via the two-pass
+    Misra–Gries candidate sketch + exact recount (ops.heavy_hitters_topk) —
+    the vocabulary/heavy-hitter op a 100 TB corpus can't run as a full
+    groupby over billions of distinct tokens."""
+    docs = ops.read_table(sf_dir, "documents", columns=["text"])
+
+    def tokens(t: pa.Table) -> pa.Array:
+        flat = pc.list_flatten(pc.split_pattern_regex(t["text"], pattern=r"\s+"))
+        return flat.filter(pc.not_equal(flat, ""))
+
+    return ops.heavy_hitters_topk(docs, tokens, k=20, cap=1024)
+
+
+O_DOCS_TOKEN_TOPK = r"""
+SELECT token AS item, CAST(count(*) AS BIGINT) AS n
+FROM documents, unnest(regexp_split_to_array(text, '\s+')) AS u(token)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, item
+LIMIT 20"""
+
+
+def q_lineitem_price_quantiles(sf_dir: str):
+    """Exact distributed quantiles (lower-index semantics) of
+    l_extendedprice: one range-shuffle sort, then metadata-only row probes
+    (ops.exact_quantiles)."""
+    li = ops.read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return ops.exact_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.95])
+
+
+O_LINEITEM_PRICE_QUANTILES = """
+WITH s AS (
+  SELECT l_extendedprice AS value,
+         row_number() OVER (ORDER BY l_extendedprice) - 1 AS rn
+  FROM lineitem),
+n AS (SELECT count(*) AS cnt FROM lineitem)
+SELECT CAST(qs.q AS DOUBLE) AS q, s.value AS value
+FROM (VALUES (0.25), (0.50), (0.75), (0.95)) qs(q), n, s
+WHERE s.rn = CAST(floor(CAST(qs.q AS DOUBLE) * (n.cnt - 1)) AS BIGINT)
+ORDER BY q"""
+
+
+def q_docs_keyword_topk(sf_dir: str):
+    """Brute-force keyword search: top-15 docs by non-overlapping substring
+    occurrences of 'table' (ops.keyword_topk — per-batch Arrow
+    count_substring + local top-k combiner)."""
+    docs = ops.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ops.keyword_topk(docs, "text", "doc_id", term="table", k=15)
+
+
+O_DOCS_KEYWORD_TOPK = """
+WITH scored AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST((length(text) - length(replace(text, 'table', '')))
+              / length('table') AS BIGINT) AS score
+  FROM documents)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 15"""
+
+
+def q_docs_pack_shards(sf_dir: str):
+    """Token-budgeted training-shard packing: contiguous doc_id-ordered
+    shards of ~10k chars via the two-pass distributed prefix sum
+    (ops.pack_by_token_budget)."""
+    docs = ops.read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return ops.pack_by_token_budget(docs, "doc_id", "n_chars", capacity=10_000)
+
+
+O_DOCS_PACK_SHARDS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(floor(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 10000) AS BIGINT) AS shard_id
+FROM documents"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1648,6 +1730,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "docs_langid": q_docs_langid,
     "media_metadata": q_media_metadata,
+    "docs_token_topk": q_docs_token_topk,
+    "lineitem_price_quantiles": q_lineitem_price_quantiles,
+    "docs_keyword_topk": q_docs_keyword_topk,
+    "docs_pack_shards": q_docs_pack_shards,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -1710,4 +1796,8 @@ def oracles() -> dict[str, str]:
         "hipe_scorer_parity": O_HIPE_SCORER_PARITY,
         "hipe_regimes": O_HIPE_REGIMES,
         "hipe_ser": O_HIPE_SER,
+        "docs_token_topk": O_DOCS_TOKEN_TOPK,
+        "lineitem_price_quantiles": O_LINEITEM_PRICE_QUANTILES,
+        "docs_keyword_topk": O_DOCS_KEYWORD_TOPK,
+        "docs_pack_shards": O_DOCS_PACK_SHARDS,
     }
