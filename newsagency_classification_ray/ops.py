@@ -726,6 +726,10 @@ def pack_by_token_budget(
 
     Oracle-equivalent: ``floor(coalesce(sum(w) OVER (ORDER BY id ROWS
     BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / capacity)``.
+
+    Requires UNIQUE ``id_col`` values (document ids): the range sort may
+    split equal keys across block boundaries, which would make the
+    first-id→offset map ambiguous.
     """
     import numpy as np
 
