@@ -29,6 +29,7 @@ from ray.data.aggregate import Count, Sum
 from . import ops
 from .pipelines import kg
 from .sources import pages as pages_src
+from .stages import curation as cur
 from .stages import dedup as dd
 from .stages import multimodal as mm
 from .stages import similarity as sim
@@ -1677,6 +1678,142 @@ FROM documents"""
 
 
 # --------------------------------------------------------------------------
+# corpus curation: PII redaction, hash split, contamination, repetition (r3)
+# --------------------------------------------------------------------------
+
+# The synthetic documents carry no natural PII, so the redaction query
+# deterministically augments every doc with doc_id-derived PII strings —
+# IDENTICALLY on the Ray and SQL sides — making the cross-engine regex
+# semantics check real (non-zero matches) instead of vacuous.
+
+_E_PAT, _E_TOK = cur.PII_PATTERNS["email"]
+_P_PAT, _P_TOK = cur.PII_PATTERNS["phone"]
+_I_PAT, _I_TOK = cur.PII_PATTERNS["ipv4"]
+
+
+def q_docs_pii_redact(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].astype("int64")
+        batch = batch.copy()
+        batch["text"] = (
+            batch["text"].fillna("")
+            + " contact user" + d.astype(str) + "@example.com tel 555-"
+            + (d % 1000).astype(str).str.zfill(3) + "-"
+            + (d % 10000).astype(str).str.zfill(4)
+            + " ip 10." + (d % 256).astype(str) + "."
+            + (d * 7 % 256).astype(str) + "." + (d % 100).astype(str)
+        )
+        return batch
+
+    red = cur.pii_redact(docs.map_batches(augment, batch_format="pandas"))
+    return red.map_batches(
+        lambda t: _i64(
+            t.select(["doc_id", "n_emails", "n_phones", "n_ipv4", "text_redacted"]),
+            ["doc_id"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+O_DOCS_PII_REDACT = f"""
+WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com tel 555-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+              || '.' || CAST(doc_id % 100 AS VARCHAR) AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_E_PAT}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_P_PAT}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{_I_PAT}')) AS BIGINT) AS n_ipv4,
+       regexp_replace(regexp_replace(regexp_replace(
+           t, '{_E_PAT}', '{_E_TOK}', 'g'),
+              '{_P_PAT}', '{_P_TOK}', 'g'),
+              '{_I_PAT}', '{_I_TOK}', 'g') AS text_redacted
+FROM aug"""
+
+
+def q_docs_split(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["doc_id"])
+    return cur.split_assign(docs).map_batches(
+        lambda t: _i64(t.select(["doc_id", "bucket", "split"]), ["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+
+O_DOCS_SPLIT = """
+WITH b AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(md5_number_lower('split:' || CAST(doc_id AS VARCHAR)) % 100
+              AS BIGINT) AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM b"""
+
+_CONTAM_BENCH_LT = 25  # doc_id < 25 plays the (bounded) benchmark corpus
+_CONTAM_N = 13
+
+
+def q_docs_contamination(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def below(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(pc.cast(t["doc_id"], pa.int64()), _CONTAM_BENCH_LT))
+
+    def at_or_above(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(pc.cast(t["doc_id"], pa.int64()), _CONTAM_BENCH_LT)
+        )
+
+    bench = docs.map_batches(below, batch_format="pyarrow")
+    probe = docs.map_batches(at_or_above, batch_format="pyarrow")
+    return cur.contamination(probe, bench, n=_CONTAM_N)
+
+
+O_DOCS_CONTAMINATION = rf"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_extract_all(text, '\S+') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i.i+1:i.i+{_CONTAM_N}], ' ') AS g
+  FROM toks, unnest(range(greatest(len(t)-{_CONTAM_N - 1}, 0))) AS i(i)),
+bg AS (SELECT DISTINCT g FROM grams WHERE doc_id < {_CONTAM_BENCH_LT})
+SELECT g2.doc_id, CAST(count(DISTINCT g2.g) AS BIGINT) AS n_hits
+FROM grams g2 JOIN bg USING (g)
+WHERE g2.doc_id >= {_CONTAM_BENCH_LT}
+GROUP BY g2.doc_id"""
+
+
+def q_docs_repetition(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    return cur.repetition_stats(docs, n=3)
+
+
+O_DOCS_REPETITION = r"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_extract_all(text, '\S+') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(greatest(len(t)-2, 0)),
+                        i -> array_to_string(t[i+1:i+3], ' ')) AS grams
+  FROM toks)
+SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_3grams,
+       CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup_3grams
+FROM g"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1734,6 +1871,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_price_quantiles": q_lineitem_price_quantiles,
     "docs_keyword_topk": q_docs_keyword_topk,
     "docs_pack_shards": q_docs_pack_shards,
+    "docs_pii_redact": q_docs_pii_redact,
+    "docs_split": q_docs_split,
+    "docs_contamination": q_docs_contamination,
+    "docs_repetition": q_docs_repetition,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -1800,4 +1941,8 @@ def oracles() -> dict[str, str]:
         "lineitem_price_quantiles": O_LINEITEM_PRICE_QUANTILES,
         "docs_keyword_topk": O_DOCS_KEYWORD_TOPK,
         "docs_pack_shards": O_DOCS_PACK_SHARDS,
+        "docs_pii_redact": O_DOCS_PII_REDACT,
+        "docs_split": O_DOCS_SPLIT,
+        "docs_contamination": O_DOCS_CONTAMINATION,
+        "docs_repetition": O_DOCS_REPETITION,
     }
