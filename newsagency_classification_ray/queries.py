@@ -32,6 +32,7 @@ from .sources import pages as pages_src
 from .stages import curation as cur
 from .stages import dedup as dd
 from .stages import multimodal as mm
+from .stages import retrieval as rt
 from .stages import similarity as sim
 from .stages import textstats as ts
 from .vocab import WIKIDATA_IDS
@@ -1814,6 +1815,105 @@ FROM g"""
 
 
 # --------------------------------------------------------------------------
+# retrieval / chunking / clustering (training-data extras, r3)
+# --------------------------------------------------------------------------
+
+_TFIDF_TERMS = ["table", "spark", "vector"]
+
+
+def q_docs_tfidf_topk(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    return rt.tfidf_topk(docs, _TFIDF_TERMS, k=15)
+
+
+def _sql_term_list() -> str:
+    return ", ".join(_sq(t) for t in _TFIDF_TERMS)
+
+
+O_DOCS_TFIDF_TOPK = rf"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, u.t
+  FROM documents, unnest(regexp_extract_all(text, '\S+')) u(t)
+  WHERE u.t IN ({_sql_term_list()})),
+n AS (SELECT count(*) AS n FROM documents),
+df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+s AS (
+  SELECT tf.doc_id,
+         CAST(round(sum(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)) * 1000000)
+              AS BIGINT) AS score_micro
+  FROM tf JOIN df USING (t) CROSS JOIN n GROUP BY tf.doc_id)
+SELECT doc_id, score_micro FROM s WHERE score_micro > 0
+ORDER BY score_micro DESC, doc_id LIMIT 15"""
+
+
+def q_docs_inverted_index(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    return rt.inverted_index(docs)
+
+
+O_DOCS_INVERTED_INDEX = r"""
+WITH pairs AS (
+  SELECT DISTINCT u.t AS token, CAST(doc_id AS BIGINT) AS doc_id
+  FROM documents, unnest(regexp_extract_all(text, '\S+')) u(t))
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY token"""
+
+
+def q_docs_chunks(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    return cur.chunk_text(docs, size=200, stride=150)
+
+
+O_DOCS_CHUNKS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(i.i AS BIGINT) AS chunk_id,
+       substring(coalesce(text, ''), CAST(i.i * 150 + 1 AS BIGINT), 200) AS chunk
+FROM documents,
+     unnest(range(CAST(ceil(length(coalesce(text, '')) / 150.0) AS BIGINT))) i(i)"""
+
+_KMEANS_K, _KMEANS_ITERS, _KMEANS_RD = 8, 5, 6
+
+
+def q_embeddings_kmeans(sf_dir: str):
+    emb = ops.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return sim.kmeans_assign(emb, k=_KMEANS_K, iters=_KMEANS_ITERS,
+                             round_decimals=_KMEANS_RD)
+
+
+def O_EMBEDDINGS_KMEANS() -> str:
+    """Pure driver-side recompute of the identical deterministic Lloyd's
+    iteration (same init, same per-round centroid rounding — which is what
+    makes the distributed partial-sum reduction order irrelevant)."""
+    t = _read_parquet_cols(_SF001, "embeddings", ["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    k, rd = _KMEANS_K, _KMEANS_RD
+    c = np.round(m[np.isin(ids, np.arange(k))], rd)
+
+    def assign(mm, cc):
+        return (-2.0 * (mm @ cc.T) + (cc * cc).sum(axis=1)).argmin(axis=1)
+
+    for _ in range(_KMEANS_ITERS):
+        a = assign(m, c)
+        sums = np.zeros_like(c)
+        np.add.at(sums, a, m)
+        counts = np.bincount(a, minlength=k)
+        ne = counts > 0
+        c = c.copy()
+        c[ne] = np.round(sums[ne] / counts[ne, None], rd)
+    a = assign(m, c)
+    rows = [f"({int(i)}, {int(cl)})" for i, cl in zip(ids, a)]
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS cluster",
+        "t(vec_id, cluster)", "(0, 0)",
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1875,6 +1975,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_split": q_docs_split,
     "docs_contamination": q_docs_contamination,
     "docs_repetition": q_docs_repetition,
+    "docs_tfidf_topk": q_docs_tfidf_topk,
+    "docs_inverted_index": q_docs_inverted_index,
+    "docs_chunks": q_docs_chunks,
+    "embeddings_kmeans": q_embeddings_kmeans,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -1945,4 +2049,8 @@ def oracles() -> dict[str, str]:
         "docs_split": O_DOCS_SPLIT,
         "docs_contamination": O_DOCS_CONTAMINATION,
         "docs_repetition": O_DOCS_REPETITION,
+        "docs_tfidf_topk": O_DOCS_TFIDF_TOPK,
+        "docs_inverted_index": O_DOCS_INVERTED_INDEX,
+        "docs_chunks": O_DOCS_CHUNKS,
+        "embeddings_kmeans": O_EMBEDDINGS_KMEANS(),
     }

@@ -165,6 +165,48 @@ def contamination(
     return docs.map_batches(probe, batch_format="pandas")
 
 
+def chunk_text(
+    docs: Dataset,
+    *,
+    size: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Overlapping fixed-width character windows per document — the
+    training-context chunking step (windows ``[k·stride, k·stride+size)``
+    for every ``k·stride < len``; the final window may be short).
+
+    Fully vectorized: one ``str.slice`` over the whole batch per window
+    index ``k`` (the loop is over the per-batch max window count, not rows).
+    Pure map, no shuffle; output rows ≈ ``len/stride`` per doc.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("").reset_index(drop=True)
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        n = texts.str.len().to_numpy(dtype=np.int64)
+        outs = []
+        for k in range(int(np.ceil(n.max() / stride)) if len(n) else 0):
+            alive = n > k * stride
+            if not alive.any():
+                break
+            outs.append(pd.DataFrame({
+                id_col: ids[alive],
+                "chunk_id": np.int64(k),
+                "chunk": texts[alive].str.slice(k * stride, k * stride + size),
+            }))
+        if not outs:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "chunk_id": pd.Series([], dtype="int64"),
+                                 "chunk": pd.Series([], dtype=object)})
+        return pd.concat(outs, ignore_index=True)
+
+    return docs.map_batches(chunks, batch_format="pandas")
+
+
 def repetition_stats(
     docs: Dataset, *, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> Dataset:

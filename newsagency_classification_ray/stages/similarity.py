@@ -220,6 +220,90 @@ def ivf_topk(
     return local.groupby("query_id").map_groups(_final_topk(k), batch_format="pyarrow")
 
 
+def kmeans_assign(
+    embeddings: Dataset,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    init_ids: list[int] | None = None,
+    round_decimals: int = 6,
+) -> Dataset:
+    """Distributed Lloyd's k-means over the embedding column (the
+    cluster-then-curate step, e.g. SemDeDup-style corpus clustering).
+
+    Deterministic, RNG-free init: the vectors whose ids are in ``init_ids``
+    (default ``0..k-1`` — pass explicit ids when the id space isn't dense).
+    Each round is ONE streaming pass: every block emits k bounded partial
+    rows (per-cluster sum + count, k×(d+1) floats); the driver reduces
+    ``k·num_blocks`` rows and broadcasts the next centroids — no shuffle,
+    nothing corpus-sized leaves the workers. Centroids are rounded to
+    ``round_decimals`` each round so the result is independent of
+    partial-sum reduction order (what makes a pure-recompute oracle exact).
+    Squared-Euclidean assignment, ties to the lowest cluster index; empty
+    clusters keep their previous centroid. Returns ``(id_col, cluster)``.
+    """
+    init_ids = list(range(k)) if init_ids is None else list(init_ids)
+    if len(init_ids) != k:
+        raise ValueError("init_ids must have length k")
+    id_set = pa.array(sorted(init_ids), type=pa.int64())
+
+    def pick_init(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=id_set))
+
+    seed_rows = embeddings.map_batches(pick_init, batch_format="pyarrow").take_all()
+    seed_rows.sort(key=lambda r: init_ids.index(int(r[id_col])))
+    centroids = np.round(
+        np.asarray([r["embedding"] for r in seed_rows], dtype=np.float64),
+        round_decimals,
+    )
+
+    def assign_to(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # argmin ||m - c||² = argmin (-2 m·c + |c|²); ties → lowest index
+        return (-2.0 * (m @ c.T) + (c * c).sum(axis=1)).argmin(axis=1)
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partials(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _batch_matrix(t, dtype=np.float64)
+            a = assign_to(m, c)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                "count": pa.array(counts),
+                "sum": pa.array(sums.tolist(),
+                                type=pa.list_(pa.float64())),
+            })
+
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in embeddings.map_batches(partials, batch_format="pyarrow").take_all():
+            sums[int(r["cluster"])] += np.asarray(r["sum"], dtype=np.float64)
+            counts[int(r["cluster"])] += int(r["count"])
+        nonempty = counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = np.round(
+            sums[nonempty] / counts[nonempty, None], round_decimals
+        )
+
+    cref = ray.put(centroids)
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _batch_matrix(t, dtype=np.float64)
+        return pa.table({
+            id_col: pa.array(t[id_col].to_numpy(zero_copy_only=False),
+                             type=pa.int64()),
+            "cluster": pa.array(assign_to(m, c), type=pa.int64()),
+        })
+
+    return embeddings.map_batches(final_assign, batch_format="pyarrow")
+
+
 def embedding_cosine_dups(
     embeddings: Dataset, threshold: float = 0.95, bits: int = 8, dim: int = 64
 ) -> Dataset:

@@ -1,0 +1,146 @@
+"""Retrieval ops (TF-IDF, inverted index), text chunking, and distributed
+k-means — brute-force property tests."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from newsagency_classification_ray.stages.curation import chunk_text
+from newsagency_classification_ray.stages.retrieval import (
+    inverted_index,
+    term_doc_frequencies,
+    tfidf_topk,
+)
+from newsagency_classification_ray.stages.similarity import kmeans_assign
+
+
+def docs_ds(texts, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+
+
+RNG = np.random.default_rng(23)
+VOCAB = ["cat", "dog", "fish", "bird", "cow"]
+TEXTS = [" ".join(RNG.choice(VOCAB, size=int(k))) for k in RNG.integers(1, 25, 60)]
+
+
+def test_term_doc_frequencies_brute():
+    terms = ["cat", "fish", "absent"]
+    df, n = term_doc_frequencies(docs_ds(TEXTS).repartition(5), terms)
+    assert n == len(TEXTS)
+    for j, t in enumerate(terms):
+        assert df[j] == sum(1 for x in TEXTS if t in x.split())
+
+
+def test_tfidf_topk_brute():
+    terms = ["cat", "fish"]
+    out = tfidf_topk(docs_ds(TEXTS).repartition(4), terms, k=10).to_pandas()
+    n = len(TEXTS)
+    idf = {t: math.log(n / sum(1 for x in TEXTS if t in x.split())) for t in terms}
+    scores = {}
+    for i, x in enumerate(TEXTS):
+        toks = x.split()
+        s = sum(toks.count(t) * idf[t] for t in terms)
+        micro = int(np.floor(s * 1e6 + 0.5))
+        if micro > 0:
+            scores[i] = micro
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(out.doc_id, out.score_micro)) == exp
+
+
+def test_inverted_index_brute():
+    out = inverted_index(docs_ds(TEXTS).repartition(4)).to_pandas()
+    got = {r.token: (r.df, r.postings) for r in out.itertuples()}
+    exp = {}
+    for t in VOCAB:
+        ids = sorted({i for i, x in enumerate(TEXTS) if t in x.split()})
+        if ids:
+            exp[t] = (len(ids), ",".join(map(str, ids)))
+    assert got == exp
+
+
+def test_inverted_index_max_postings():
+    out = inverted_index(docs_ds(["a a", "a", "b a"]), max_postings=2).to_pandas()
+    row = out[out.token == "a"].iloc[0]
+    assert row.df == 3 and row.postings == "0,1"
+
+
+def test_chunk_text_brute():
+    texts = ["x" * 500, "y" * 150, "z" * 151, "w", ""]
+    out = chunk_text(docs_ds(texts), size=200, stride=150).to_pandas()
+    got = {(r.doc_id, r.chunk_id): r.chunk for r in out.itertuples()}
+    exp = {}
+    for i, t in enumerate(texts):
+        k = 0
+        while k * 150 < len(t):
+            exp[(i, k)] = t[k * 150:k * 150 + 200]
+            k += 1
+    assert got == exp
+    # every char position is covered by at least one chunk
+    for i, t in enumerate(texts):
+        covered = set()
+        for (d, k), c in got.items():
+            if d == i:
+                covered.update(range(k * 150, k * 150 + len(c)))
+        assert covered == set(range(len(t)))
+
+
+def emb_ds(m, ids=None):
+    ids = list(range(len(m))) if ids is None else ids
+    return ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([row.tolist() for row in m],
+                              type=pa.list_(pa.float32())),
+    }))
+
+
+def brute_kmeans(ids, m, k, iters, rd=6):
+    order = np.argsort(ids)
+    ids, m = np.asarray(ids)[order], np.asarray(m, dtype=np.float64)[order]
+    c = np.round(m[np.isin(ids, np.arange(k))], rd)
+
+    def assign(mm, cc):
+        return (-2.0 * (mm @ cc.T) + (cc * cc).sum(axis=1)).argmin(axis=1)
+
+    for _ in range(iters):
+        a = assign(m, c)
+        sums = np.zeros_like(c)
+        np.add.at(sums, a, m)
+        counts = np.bincount(a, minlength=k)
+        ne = counts > 0
+        c = c.copy()
+        c[ne] = np.round(sums[ne] / counts[ne, None], rd)
+    return dict(zip(ids.tolist(), assign(m, c).tolist()))
+
+
+def test_kmeans_matches_brute_force_and_partitioning():
+    rng = np.random.default_rng(5)
+    m = np.concatenate([
+        rng.normal(0, 0.2, (40, 8)) + off for off in (0.0, 3.0, -3.0)
+    ]).astype(np.float32)
+    ids = list(range(len(m)))
+    exp = brute_kmeans(ids, m, k=3, iters=4)
+    for parts in (2, 9):
+        out = kmeans_assign(emb_ds(m, ids).repartition(parts), k=3, iters=4)
+        got = dict(zip(*[out.to_pandas()[c].tolist() for c in ("vec_id", "cluster")]))
+        assert got == exp
+    # the three planted blobs separate
+    clusters = [exp[i] for i in ids]
+    assert len({tuple(sorted(set(clusters[i:i + 40]))) for i in (0, 40, 80)}) == 3
+    for base in (0, 40, 80):
+        assert len(set(clusters[base:base + 40])) == 1
+
+
+def test_kmeans_empty_cluster_keeps_centroid():
+    # two far blobs, k=3 with one seed isolated between them and no members
+    m = np.array([[0.0], [0.1], [100.0], [100.1], [0.05], [99.95]], dtype=np.float32)
+    out = kmeans_assign(emb_ds(m), k=3, iters=3).to_pandas()
+    got = dict(zip(out.vec_id, out.cluster))
+    exp = brute_kmeans(list(range(len(m))), m, k=3, iters=3)
+    assert got == exp
