@@ -133,6 +133,8 @@ def run_bench() -> dict:
     timed("docs_exact_dedup", lambda: Q.q_docs_exact_dedup(sf_dir).count())
     timed("minhash_pairs", lambda: Q.q_minhash_pairs(sf_dir).count())
     timed("ann_topk", lambda: Q.q_ann_topk(sf_dir).to_pandas())
+    timed("docs_tfidf_topk", lambda: Q.q_docs_tfidf_topk(sf_dir).to_pandas())
+    timed("embeddings_kmeans", lambda: Q.q_embeddings_kmeans(sf_dir).count())
 
     headline = queries["kg_flagship"]
     result = {
