@@ -799,3 +799,171 @@ def approx_distinct(ds: Dataset, col: str, p: int = 12) -> int:
         other.registers = np.frombuffer(row["registers"], dtype=np.uint8).copy()
         merged.merge(other)
     return int(round(merged.estimate()))
+
+
+# --------------------------------------------------------------------------
+# PageRank (iterative distributed graph analytics over the constructed KG)
+# --------------------------------------------------------------------------
+
+
+def pagerank(
+    edges: Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iters: int = 10,
+    round_decimals: int = 9,
+    broadcast_threshold: int = 65536,
+) -> Dataset:
+    """Weighted PageRank over a directed edge list. Two regimes, same
+    result (per-iteration rounding makes both bit-identical):
+
+    * node count ≤ ``broadcast_threshold`` (e.g. an entity/agency graph):
+      the rank vector lives on the driver; each iteration is ONE streaming
+      pass where every edge block emits a dense partial contribution vector
+      (kmeans-style bounded partials, no shuffle at all).
+    * larger graphs: formulated entirely as Dataset joins/groupbys so the
+      node table never has to fit anywhere — per iteration
+      ``share = rank ⋈ out-weight``, ``contrib = edges ⋈ share →
+      groupby(dst).sum``, ``rank = nodes ⟕ contrib``. Only node-scale
+      tables materialize (to cut per-iteration lineage); edge blocks stream
+      through each join.
+
+    rank = (1-d)/N + d·(dangling/N) + d·Σ_in w·rank[src]/wdeg[src]; dangling
+    mass (nodes with no out-edges) is redistributed uniformly; parallel
+    edges contribute independently (pre-aggregate if undesired). Ranks are
+    rounded to ``round_decimals`` each iteration, which makes the result
+    independent of partial-sum reduction order — re-runs are bit-stable
+    across cluster sizes and a pure driver-side recompute can serve as the
+    exact oracle. Returns ``(node, rank)``.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    w_expr = (lambda t: pc.cast(t[weight], pa.float64())) if weight else (
+        lambda t: pa.array(np.ones(len(t)), type=pa.float64()))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t[src], "dst": t[dst], "w": w_expr(t)})
+
+    e = edges.map_batches(project, batch_format="pyarrow").materialize()
+    wdeg = (
+        e.groupby("src").aggregate(Sum("w", alias_name="wdeg"))
+        .map_batches(lambda t: t.rename_columns(["node", "wdeg"]),
+                     batch_format="pyarrow")
+    )
+    nodes = distinct(
+        e.map_batches(lambda t: pa.table({"node": t["src"]}),
+                      batch_format="pyarrow")
+        .union(e.map_batches(lambda t: pa.table({"node": t["dst"]}),
+                             batch_format="pyarrow")),
+        ["node"],
+    ).materialize()
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda t: t.append_column("rank", pa.array([], type=pa.float64())),
+            batch_format="pyarrow",
+        )
+    r0 = round(1.0 / n, round_decimals)
+
+    if n <= broadcast_threshold:
+        node_type = nodes.schema().base_schema.field("node").type
+        node_vals = sorted(r["node"] for r in nodes.take_all())
+        iref = ray.put(node_vals)
+
+        def dense_partial(col_share):
+            """One row per block: dense wdeg (share=None) or contribution
+            (share broadcast) vector over the bounded node index."""
+            def fn(t: pa.Table) -> pa.Table:
+                vals = ray.get(iref)
+                idx = pd.Index(vals)
+                si = idx.get_indexer(t["src"].to_pylist())
+                v = np.zeros(len(vals))
+                w_arr = t["w"].to_numpy(zero_copy_only=False)
+                if col_share is None:
+                    np.add.at(v, si, w_arr)
+                else:
+                    sh = ray.get(col_share)
+                    di = idx.get_indexer(t["dst"].to_pylist())
+                    np.add.at(v, di, w_arr * sh[si])
+                return pa.table({"v": pa.array([v.tolist()],
+                                               type=pa.list_(pa.float64()))})
+            return fn
+
+        def reduce_vec(ds: Dataset) -> np.ndarray:
+            # canonical sort before reducing: arrival order is
+            # nondeterministic and float addition non-associative
+            vecs = [np.asarray(row["v"], dtype=np.float64)
+                    for row in ds.take_all()]
+            vecs.sort(key=lambda a: a.tobytes())
+            out = np.zeros(n)
+            for v in vecs:
+                out += v
+            return out
+
+        wdeg_v = reduce_vec(e.map_batches(dense_partial(None),
+                                          batch_format="pyarrow"))
+        r = np.full(n, r0)
+        for _ in range(iters):
+            share = np.where(wdeg_v > 0, r / np.where(wdeg_v > 0, wdeg_v, 1.0), 0.0)
+            dangling = float(r.sum() - r[wdeg_v > 0].sum())
+            dangling = max(dangling, 0.0)
+            sref = ray.put(share)
+            c = reduce_vec(e.map_batches(dense_partial(sref),
+                                         batch_format="pyarrow"))
+            r = np.round((1.0 - damping) / n + damping * dangling / n
+                         + damping * c, round_decimals)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(node_vals, type=node_type),
+            "rank": pa.array(r, type=pa.float64()),
+        }))
+
+    rank = nodes.map_batches(
+        lambda t: t.append_column(
+            "rank", pa.array(np.full(len(t), r0), type=pa.float64())),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        share = hash_join(rank, wdeg, on=("node",)).map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "share": pc.divide(t["rank"], t["wdeg"]),
+                "rank": t["rank"],
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+        total = rank.sum("rank")
+        non_dangling = share.sum("rank") if share.count() else 0.0
+        dangling = max(total - non_dangling, 0.0)
+        contrib = (
+            hash_join(e, share.drop_columns(["rank"]),
+                      on=("src",), right_on=("node",))
+            .map_batches(
+                lambda t: pa.table({
+                    "dst": t["dst"],
+                    "c": pc.multiply(t["w"], t["share"]),
+                }),
+                batch_format="pyarrow",
+            )
+            .groupby("dst").aggregate(Sum("c", alias_name="c"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+
+        def renew(t: pa.Table, base=base) -> pa.Table:
+            c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+            c = np.nan_to_num(c, nan=0.0)
+            new = np.round(base + damping * c, round_decimals)
+            return pa.table({"node": t["node"],
+                             "rank": pa.array(new, type=pa.float64())})
+
+        rank = hash_join(nodes, contrib, on=("node",), right_on=("dst",),
+                         how="left_outer").map_batches(
+            renew, batch_format="pyarrow"
+        ).materialize()
+
+    return rank

@@ -1881,6 +1881,72 @@ def q_embeddings_kmeans(sf_dir: str):
                              round_decimals=_KMEANS_RD)
 
 
+_PR_DAMPING, _PR_ITERS, _PR_RD = 0.85, 4, 9
+
+
+def q_kg_pagerank(sf_dir: str):
+    """PageRank over the constructed agency co-occurrence graph (weights
+    summed across years, symmetrized) — graph analytics on the KG itself."""
+    edges = kg.cooccurrence_edges(_mentions(sf_dir))
+    agg = edges.groupby(["src_qid", "dst_qid"]).aggregate(
+        Sum("weight", alias_name="w")
+    )
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src_qid": t["dst_qid"], "dst_qid": t["src_qid"],
+                         "w": t["w"]})
+
+    fwd = agg.map_batches(
+        lambda t: t.select(["src_qid", "dst_qid", "w"]), batch_format="pyarrow"
+    )
+    sym = fwd.union(agg.map_batches(swap, batch_format="pyarrow"))
+    pr = ops.pagerank(sym, src="src_qid", dst="dst_qid", weight="w",
+                      damping=_PR_DAMPING, iters=_PR_ITERS,
+                      round_decimals=_PR_RD)
+    return pr.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "rank_nano": pc.cast(pc.round(pc.multiply(t["rank"], 1e9)),
+                                 pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def O_KG_PAGERANK() -> str:
+    """Pure recompute: DuckDB re-derives the co-occurrence edges from the
+    pages parquet (the already-oracled O_KG_COOCCURRENCE SQL), then numpy
+    runs the identical rounded Lloyd-style power iteration."""
+    import duckdb
+
+    df = duckdb.connect().execute(O_KG_COOCCURRENCE(_SF001)).fetchdf()
+    agg = df.groupby(["src_qid", "dst_qid"], as_index=False)["weight"].sum()
+    s = agg["src_qid"].tolist() + agg["dst_qid"].tolist()
+    d = agg["dst_qid"].tolist() + agg["src_qid"].tolist()
+    w = np.concatenate([agg["weight"].to_numpy(dtype=np.float64)] * 2)
+    nodes = sorted(set(s) | set(d))
+    pos = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    wdeg = np.zeros(n)
+    np.add.at(wdeg, [pos[a] for a in s], w)
+    r = np.full(n, round(1.0 / max(n, 1), _PR_RD))
+    si = np.asarray([pos[a] for a in s], dtype=np.int64)
+    di = np.asarray([pos[b] for b in d], dtype=np.int64)
+    for _ in range(_PR_ITERS):
+        share = np.where(wdeg > 0, r / np.where(wdeg > 0, wdeg, 1.0), 0.0)
+        dangling = r[wdeg == 0].sum()
+        c = np.zeros(n)
+        np.add.at(c, di, w * share[si])
+        r = np.round((1 - _PR_DAMPING) / n + _PR_DAMPING * dangling / n
+                     + _PR_DAMPING * c, _PR_RD)
+    rows = [f"({_sq(v)}, {int(round(rv * 1e9))})" for v, rv in zip(nodes, r)]
+    return _values_or_empty(
+        rows,
+        "SELECT node, CAST(rank_nano AS BIGINT) AS rank_nano",
+        "t(node, rank_nano)", "('', 0)",
+    )
+
+
 def O_EMBEDDINGS_KMEANS() -> str:
     """Pure driver-side recompute of the identical deterministic Lloyd's
     iteration (same init, same per-round centroid rounding — which is what
@@ -1979,6 +2045,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_inverted_index": q_docs_inverted_index,
     "docs_chunks": q_docs_chunks,
     "embeddings_kmeans": q_embeddings_kmeans,
+    "kg_pagerank": q_kg_pagerank,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -2053,4 +2120,5 @@ def oracles() -> dict[str, str]:
         "docs_inverted_index": O_DOCS_INVERTED_INDEX,
         "docs_chunks": O_DOCS_CHUNKS,
         "embeddings_kmeans": O_EMBEDDINGS_KMEANS(),
+        "kg_pagerank": O_KG_PAGERANK(),
     }

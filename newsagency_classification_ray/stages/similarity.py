@@ -168,6 +168,10 @@ def ivf_topk(
     """
     rng = np.random.RandomState(seed)
     sample = embeddings.random_sample(1.0, seed=seed).limit(train_sample).take_all()
+    # id-sort so the train matrix order (→ trained centroids) doesn't depend
+    # on block arrival order; ids are file-ordered so this matches a plain
+    # head-of-file read when the table fits in train_sample
+    sample.sort(key=lambda r: r["vec_id"])
     train = _normalize(np.asarray([r["embedding"] for r in sample], dtype=np.float32))
     n_centroids = min(n_centroids, len(train))
     centroids = train[rng.choice(len(train), n_centroids, replace=False)]
@@ -281,7 +285,13 @@ def kmeans_assign(
 
         sums = np.zeros_like(centroids)
         counts = np.zeros(k, dtype=np.int64)
-        for r in embeddings.map_batches(partials, batch_format="pyarrow").take_all():
+        # canonical sort: take_all arrival order is nondeterministic and
+        # float addition is non-associative — without a fixed reduction
+        # order, partial sums landing on a rounding boundary could flip
+        rows = embeddings.map_batches(partials, batch_format="pyarrow").take_all()
+        rows.sort(key=lambda r: (int(r["cluster"]), int(r["count"]),
+                                 tuple(r["sum"])))
+        for r in rows:
             sums[int(r["cluster"])] += np.asarray(r["sum"], dtype=np.float64)
             counts[int(r["cluster"])] += int(r["count"])
         nonempty = counts > 0

@@ -144,3 +144,59 @@ def test_kmeans_empty_cluster_keeps_centroid():
     got = dict(zip(out.vec_id, out.cluster))
     exp = brute_kmeans(list(range(len(m))), m, k=3, iters=3)
     assert got == exp
+
+
+# ---------------------------------------------------------------- pagerank
+
+from newsagency_classification_ray.ops import pagerank
+
+
+def brute_pagerank(s, d, w, damping=0.85, iters=6, rd=9):
+    nodes = sorted(set(s) | set(d))
+    pos = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    wdeg = np.zeros(n)
+    for a, ww in zip(s, w):
+        wdeg[pos[a]] += ww
+    r = np.full(n, round(1.0 / n, rd))
+    for _ in range(iters):
+        share = np.where(wdeg > 0, r / np.where(wdeg > 0, wdeg, 1.0), 0.0)
+        dangling = r[wdeg == 0].sum()
+        c = np.zeros(n)
+        for a, b, ww in zip(s, d, w):
+            c[pos[b]] += ww * share[pos[a]]
+        r = np.round((1 - damping) / n + damping * dangling / n
+                     + damping * c, rd)
+    return dict(zip(nodes, r.tolist()))
+
+
+def edges_ds(s, d, w):
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array(s, type=pa.int64()),
+        "dst": pa.array(d, type=pa.int64()),
+        "weight": pa.array(w, type=pa.float64()),
+    }))
+
+
+def test_pagerank_both_paths_match_brute_force():
+    rng = np.random.default_rng(3)
+    # nodes 18/19 never sources -> dangling mass exercised
+    s = rng.integers(0, 18, 60).tolist()
+    d = rng.integers(0, 20, 60).tolist()
+    w = rng.uniform(0.5, 2.0, 60).round(3).tolist()
+    exp = brute_pagerank(s, d, w)
+    ds = edges_ds(s, d, w).repartition(4)
+    fast = pagerank(ds, weight="weight", iters=6).to_pandas()
+    assert dict(zip(fast.node, fast["rank"])) == exp
+    join = pagerank(ds, weight="weight", iters=6,
+                    broadcast_threshold=0).to_pandas()
+    assert dict(zip(join.node, join["rank"])) == exp
+
+
+def test_pagerank_unweighted_and_sum_to_one():
+    s, d = [0, 1, 2, 2], [1, 2, 0, 1]
+    out = pagerank(edges_ds(s, d, [1.0] * 4).drop_columns(["weight"]),
+                   iters=10).to_pandas()
+    assert abs(out["rank"].sum() - 1.0) < 1e-6
+    exp = brute_pagerank(s, d, [1.0] * 4, iters=10)
+    assert dict(zip(out.node, out["rank"])) == exp
