@@ -135,6 +135,7 @@ def run_bench() -> dict:
     timed("ann_topk", lambda: Q.q_ann_topk(sf_dir).to_pandas())
     timed("docs_tfidf_topk", lambda: Q.q_docs_tfidf_topk(sf_dir).to_pandas())
     timed("embeddings_kmeans", lambda: Q.q_embeddings_kmeans(sf_dir).count())
+    timed("kg_pagerank", lambda: Q.q_kg_pagerank(sf_dir).count())
 
     headline = queries["kg_flagship"]
     result = {

@@ -967,3 +967,375 @@ def pagerank(
         ).materialize()
 
     return rank
+
+
+# --------------------------------------------------------------------------
+# Window functions / ordered group analytics
+# --------------------------------------------------------------------------
+
+
+def window_lag_lead(
+    ds: Dataset,
+    part_col: str,
+    order_cols: list[str],
+    value_col: str,
+) -> Dataset:
+    """Per-partition window functions — ``row_number() / lag(value) /
+    lead(value) OVER (PARTITION BY part_col ORDER BY order_cols)``.
+
+    ONE shuffle on the partition key, then each group is sorted in memory —
+    the right shape when partitions are natural stream keys (user/session/
+    entity) whose per-key row counts are bounded; a hot key that exceeds a
+    group block is the documented skew limit (same assumption as
+    :func:`asof_join`'s grouped path). Include a unique id in
+    ``order_cols`` for a total order, otherwise lag/lead of tied rows is
+    engine-dependent. lag/lead are COPIES of stored values (no arithmetic),
+    so results hash-match any SQL engine bit-for-bit.
+    """
+    import numpy as np
+
+    def fn(g: pa.Table) -> pa.Table:
+        keys = [g[c].to_numpy(zero_copy_only=False) for c in reversed(order_cols)]
+        g = g.take(np.lexsort(keys))
+        v = g[value_col].combine_chunks()
+        n = len(g)
+        null1 = pa.nulls(1, type=v.type)
+        cols = {c: g[c] for c in g.column_names}
+        cols["rn"] = pa.array(np.arange(1, n + 1), type=pa.int64())
+        cols[f"lag_{value_col}"] = pa.concat_arrays([null1, v.slice(0, n - 1)])
+        cols[f"lead_{value_col}"] = pa.concat_arrays([v.slice(1), null1])
+        return pa.table(cols)
+
+    return ds.groupby(part_col).map_groups(fn, batch_format="pyarrow")
+
+
+def grouped_sequence(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+    val_col: str,
+    sep: str = ",",
+) -> Dataset:
+    """Ordered per-key sequence assembly (``string_agg(val, sep ORDER BY
+    order_cols)``): the training-data step that turns an event log into one
+    chronological sequence row per user/session. Same single-shuffle
+    grouped-sort shape (and hot-key caveat) as :func:`window_lag_lead`.
+    Returns ``(key, seq, n)``."""
+    import numpy as np
+
+    def fn(g: pa.Table) -> pa.Table:
+        keys = [g[c].to_numpy(zero_copy_only=False) for c in reversed(order_cols)]
+        order = np.lexsort(keys)
+        vals = g[val_col].take(pa.array(order)).to_pylist()
+        return pa.table({
+            key: g[key].slice(0, 1),
+            "seq": pa.array([sep.join("" if v is None else str(v) for v in vals)],
+                            type=pa.string()),
+            "n": pa.array([len(vals)], type=pa.int64()),
+        })
+
+    return ds.groupby(key).map_groups(fn, batch_format="pyarrow")
+
+
+def rollup_sum(
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    alias: str,
+    fill: str = "ALL",
+) -> Dataset:
+    """``GROUP BY ROLLUP(keys)`` over a sum: one row set per prefix level,
+    aggregated-out key columns filled with ``fill`` (a sentinel rather than
+    NULL keeps cross-engine comparisons unambiguous).
+
+    The input is scanned ONCE: level k (coarser) re-aggregates level k+1's
+    already-reduced rows, so each extra level costs a shuffle of
+    group-cardinality rows, not another pass over the data."""
+    from ray.data.aggregate import Sum
+
+    lvl = (
+        ds.groupby(keys).aggregate(Sum(value_col, alias_name=alias))
+        # normalize to Arrow blocks so downstream unions/fills see one
+        # schema regardless of the input block format
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+    base = lvl.schema().base_schema
+    key_types = {f.name: f.type for f in base}
+    bad = [c for c in keys if not pa.types.is_string(key_types[c])
+           and not pa.types.is_large_string(key_types[c])]
+    if bad:
+        raise ValueError(
+            f"rollup_sum: key columns must be strings (the '{fill}' sentinel "
+            f"marks aggregated-out levels); cast {bad} to string first")
+
+    def with_fill(missing: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for c in keys:
+                cols[c] = (pa.array([fill] * len(t), type=key_types[c])
+                           if c in missing else t[c])
+            cols[alias] = t[alias]
+            return pa.table(cols)
+        return fn
+
+    out = lvl.map_batches(with_fill([]), batch_format="pyarrow")
+    cur = lvl
+    for i in range(len(keys) - 1, 0, -1):
+        cur = cur.groupby(keys[:i]).aggregate(Sum(alias, alias_name=alias)).materialize()
+        out = out.union(cur.map_batches(with_fill(keys[i:]), batch_format="pyarrow"))
+    total = cur.sum(alias)
+    grand = ray.data.from_arrow(pa.table({
+        **{c: pa.array([fill], type=key_types[c]) for c in keys},
+        alias: pa.array([total], type=key_types[alias]),
+    }))
+    return out.union(grand)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter semi-join (broadcast-prefilter scale path for big key sets)
+# --------------------------------------------------------------------------
+
+
+def _bloom_hashes(x, m_bits: int, k: int):
+    """k probe positions per key via double hashing of a splitmix64 mix."""
+    import numpy as np
+
+    x = x.astype(np.uint64)
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    h1 = z % np.uint64(m_bits)
+    h2 = (z >> np.uint64(32)) | np.uint64(1)
+    return [(h1 + np.uint64(i) * h2) % np.uint64(m_bits) for i in range(k)]
+
+
+def bloom_semi_join(
+    left: Dataset,
+    right: Dataset,
+    left_key: str,
+    right_key: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> Dataset:
+    """EXACT semi-join (left rows whose key appears on the right) with a
+    broadcast Bloom prefilter — the 100-TB pattern when the right key set is
+    too large to broadcast exactly but the probe side is far larger still.
+
+    Build: each right block emits ONE fixed-size partial bitmap
+    (``m_bits/8`` bytes); the driver ORs them (bitwise OR is commutative and
+    idempotent — reduction-order independent, unlike float sums). Probe: the
+    bitmap is ``ray.put`` once and every left block drops rows that
+    definitely don't match BEFORE any shuffle. The survivors (true matches +
+    false positives, rate ≈ (1-e^{-kn/m})^k) then run an exact distributed
+    semi-join, so the result is exact for ANY m/k — the Bloom only cuts
+    shuffle volume. Integer keys only (documented, like :func:`asof_join`).
+    """
+    import numpy as np
+
+    nbytes = m_bits // 8
+
+    def build(t: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        keys = t[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        for pos in _bloom_hashes(keys, m_bits, k):
+            np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                             np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)))
+        return pa.table({"bits": pa.array([bits.tobytes()], type=pa.binary())})
+
+    bitmap = np.zeros(nbytes, dtype=np.uint8)
+    for row in right.select_columns([right_key]).map_batches(
+            build, batch_format="pyarrow").take_all():
+        bitmap |= np.frombuffer(row["bits"], dtype=np.uint8)
+    bref = ray.put(bitmap)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bits = ray.get(bref)
+        keys = t[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.ones(len(t), dtype=bool)
+        for pos in _bloom_hashes(keys, m_bits, k):
+            byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+            bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+            mask &= bit.astype(bool)
+        return t.filter(pa.array(mask))
+
+    candidates = left.map_batches(probe, batch_format="pyarrow")
+    rkeys = distinct(right.select_columns([right_key]), [right_key])
+    joined = hash_join(candidates, rkeys, on=(left_key,), right_on=(right_key,))
+    if right_key != left_key and right_key in joined.schema().base_schema.names:
+        joined = joined.drop_columns([right_key])
+    return joined
+
+
+# --------------------------------------------------------------------------
+# Triangle enumeration (degree-oriented) — graph analytics over the KG
+# --------------------------------------------------------------------------
+
+
+def triangles(edges: Dataset, src: str = "src", dst: str = "dst") -> Dataset:
+    """Triangle enumeration by DEGREE ORIENTATION (forward counting). Input:
+    unique undirected pairs (one row per {a,b}, any per-row order). Output:
+    ``(a, b, c)`` with a < b < c by node id, each triangle exactly once.
+
+    Orient every edge from its (degree, id)-smaller endpoint to the larger;
+    each triangle then has exactly one pivot with two out-edges, so the
+    wedge self-join (u→v ⋈ u→w) probed against the oriented edge set finds
+    it once. Post-orientation out-degree is O(√m), which bounds the wedge
+    count even on power-law graphs — the property that makes this the
+    standard distributed algorithm (vs naive enumeration, which explodes on
+    hub nodes). Everything is joins/groupbys: degree count, two orientation
+    lookups, wedge join, closing-edge join — no driver-side graph. The wedge
+    set is pinned before the closing join (it is the algorithm's intrinsic
+    O(Σ out-deg²) intermediate either way — the join shuffle would hold it
+    too; pinning also lets the all-empty case short-circuit, since Ray's
+    join cannot take a zero-block side).
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    e = edges.map_batches(
+        lambda t: pa.table({"a": t[src], "b": t[dst]}), batch_format="pyarrow"
+    ).materialize()
+
+    node_type = e.schema().base_schema.field("a").type
+
+    def _empty() -> Dataset:
+        return ray.data.from_arrow(pa.table({
+            c: pa.array([], type=node_type) for c in ("a", "b", "c")}))
+
+    if e.count() == 0:
+        return _empty()
+    deg = (
+        e.map_batches(lambda t: pa.table({"node": t["a"]}), batch_format="pyarrow")
+        .union(e.map_batches(lambda t: pa.table({"node": t["b"]}),
+                             batch_format="pyarrow"))
+        .groupby("node").aggregate(Count(alias_name="deg"))
+    )
+    withdeg = hash_join(
+        hash_join(e, deg, on=("a",), right_on=("node",)).map_batches(
+            lambda t: pa.table({"a": t["a"], "b": t["b"], "deg_a": t["deg"]}),
+            batch_format="pyarrow"),
+        deg, on=("b",), right_on=("node",),
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        a_first = pc.or_(
+            pc.less(t["deg_a"], t["deg"]),
+            pc.and_(pc.equal(t["deg_a"], t["deg"]), pc.less(t["a"], t["b"])),
+        )
+        return pa.table({
+            "u": pc.if_else(a_first, t["a"], t["b"]),
+            "v": pc.if_else(a_first, t["b"], t["a"]),
+        })
+
+    o = withdeg.map_batches(orient, batch_format="pyarrow").materialize()
+    wedges = hash_join(
+        o.map_batches(lambda t: pa.table({"p": t["u"], "x": t["v"]}),
+                      batch_format="pyarrow"),
+        o.map_batches(lambda t: pa.table({"p2": t["u"], "y": t["v"]}),
+                      batch_format="pyarrow"),
+        on=("p",), right_on=("p2",),
+    ).map_batches(
+        lambda t: pa.table({"p": t["p"], "x": t["x"], "y": t["y"]}).filter(
+            pc.not_equal(t["x"], t["y"])),
+        batch_format="pyarrow",
+    ).materialize()
+    if wedges.count() == 0:  # e.g. a star graph orients to zero wedges
+        return _empty()
+    tri = hash_join(
+        wedges,
+        o.map_batches(lambda t: pa.table({"wx": t["u"], "wy": t["v"]}),
+                      batch_format="pyarrow"),
+        on=("x", "y"), right_on=("wx", "wy"),
+    )
+
+    def canonical(t: pa.Table) -> pa.Table:
+        m = np.stack([t[c].to_numpy(zero_copy_only=False) for c in ("p", "x", "y")],
+                     axis=1)
+        m.sort(axis=1)
+        typ = t["p"].type
+        return pa.table({"a": pa.array(m[:, 0], type=typ),
+                         "b": pa.array(m[:, 1], type=typ),
+                         "c": pa.array(m[:, 2], type=typ)})
+
+    return tri.map_batches(canonical, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Label propagation (community detection) — pure Dataset formulation
+# --------------------------------------------------------------------------
+
+
+def label_propagation(
+    edges: Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 5,
+) -> Dataset:
+    """Synchronous weighted label propagation over a SYMMETRIZED edge list
+    (pass both directions for an undirected graph): labels init to each
+    node's own id; every round, each node adopts the label with the maximal
+    incoming weight sum (ties → smallest label). Fixed synchronous rounds →
+    fully deterministic.
+
+    Weights are cast to int64 (pre-scale fractional weights) so partial
+    sums are EXACT and commutative — unlike float, the result cannot depend
+    on reduction order, which is what lets a pure driver-side recompute
+    serve as a bit-exact oracle. Each round is two node/edge-scale
+    hash-joins + one (dst, label) groupby; nothing is driver-resident, so
+    the node table never has to fit anywhere. Returns ``(node, label)``.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    w_fn = (lambda t: pc.cast(t[weight], pa.int64())) if weight else (
+        lambda t: pa.array(np.ones(len(t), dtype=np.int64)))
+    e = edges.map_batches(
+        lambda t: pa.table({"src": t[src], "dst": t[dst], "w": w_fn(t)}),
+        batch_format="pyarrow",
+    ).materialize()
+    nodes = distinct(
+        e.map_batches(lambda t: pa.table({"node": t["src"]}), batch_format="pyarrow")
+        .union(e.map_batches(lambda t: pa.table({"node": t["dst"]}),
+                             batch_format="pyarrow")),
+        ["node"],
+    ).materialize()
+    labels = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def pick(g: pa.Table) -> pa.Table:
+        lab = g["label"].to_pylist()
+        w = g["w"].to_numpy(zero_copy_only=False)
+        # max weight, ties → smallest label (groups are per-node label
+        # tallies — degree-bounded, so a Python min over them is not hot)
+        best = min(range(len(lab)), key=lambda i: (-int(w[i]), lab[i]))
+        return pa.table({"node": g["dst"].slice(0, 1),
+                         "label": g["label"].slice(best, 1)})
+
+    for _ in range(iters):
+        contrib = hash_join(
+            e, labels, on=("src",), right_on=("node",)
+        ).map_batches(
+            lambda t: pa.table({"dst": t["dst"], "label": t["label"], "w": t["w"]}),
+            batch_format="pyarrow",
+        ).groupby(["dst", "label"]).aggregate(Sum("w", alias_name="w"))
+        new = contrib.groupby("dst").map_groups(pick, batch_format="pyarrow")
+        # symmetrized input ⇒ every node has in-edges; left-join keeps any
+        # isolated node (defensive) at its current label
+        labels = hash_join(labels.map_batches(
+            lambda t: pa.table({"node": t["node"], "old": t["label"]}),
+            batch_format="pyarrow",
+        ), new, on=("node",), how="left_outer").map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "label": pc.coalesce(t["label"], t["old"]),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+    return labels

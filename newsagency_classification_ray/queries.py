@@ -1980,6 +1980,173 @@ def O_EMBEDDINGS_KMEANS() -> str:
 
 
 # --------------------------------------------------------------------------
+# window functions, ordered sequences, rollup, bloom semi-join, triangles,
+# label-propagation communities
+# --------------------------------------------------------------------------
+
+
+def q_events_user_window(sf_dir: str):
+    """Per-user window functions (row_number / lag / lead over the event
+    stream): one shuffle on user_id, vectorized in-group sort."""
+    ev = ops.read_table(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = ops.window_lag_lead(ev, "user_id", ["ts", "event_id"], "value")
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "rn", "lag_value", "lead_value"]),
+        batch_format="pyarrow",
+    )
+
+
+O_EVENTS_USER_WINDOW = """
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER w AS rn,
+       LAG(value) OVER w AS lag_value,
+       LEAD(value) OVER w AS lead_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+
+def q_events_user_sequences(sf_dir: str):
+    """Chronological per-user event-type sequences (string_agg ORDER BY) —
+    the 'event log → training sequence' assembly step."""
+    ev = ops.read_table(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return ops.grouped_sequence(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
+O_EVENTS_USER_SEQUENCES = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id"""
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP over (returnflag, linestatus): subtotal levels are
+    re-aggregated from the finest level, so the input is scanned once.
+    l_quantity values are integral doubles — sums are exact in float64."""
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_returnflag", "l_linestatus", "l_quantity"])
+    out = ops.rollup_sum(li, ["l_returnflag", "l_linestatus"], "l_quantity",
+                         "sum_qty")
+    return out.map_batches(
+        lambda t: pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pc.cast(pc.round(t["sum_qty"]), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+O_LINEITEM_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+
+def q_lineitem_semi_urgent(sf_dir: str):
+    """Exact semi-join with a Bloom prefilter: lineitem rows whose order is
+    1-URGENT. The bitmap prunes the probe side before the shuffle; the
+    exact join removes false positives."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    urgent = ops.read_table(sf_dir, "orders",
+                            ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        .select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    out = ops.bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return out.map_batches(lambda t: _i64(t, ["l_linenumber"]),
+                           batch_format="pyarrow")
+
+
+O_LINEITEM_SEMI_URGENT = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')"""
+
+
+def q_kg_triangles(sf_dir: str):
+    """Triangle enumeration over the undirected agency co-occurrence graph
+    (degree-oriented wedge join — graph analytics on the constructed KG)."""
+    edges = kg.cooccurrence_edges(_mentions(sf_dir))
+    und = ops.distinct(
+        edges.map_batches(lambda t: t.select(["src_qid", "dst_qid"]),
+                          batch_format="pyarrow"),
+        ["src_qid", "dst_qid"],
+    )
+    return ops.triangles(und, src="src_qid", dst="dst_qid")
+
+
+O_KG_TRIANGLES = lambda sf: f"""WITH {_pages_cte(sf)},
+  counts AS (
+    SELECT host, year, qid FROM sql_mentions
+    WHERE qid <> 'NIL' GROUP BY host, year, qid
+  ),
+  e AS (
+    SELECT DISTINCT a.qid AS a, b.qid AS b
+    FROM counts a JOIN counts b
+      ON a.host = b.host AND a.year = b.year AND a.qid < b.qid
+  )
+SELECT e1.a AS a, e1.b AS b, e2.b AS c
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""
+
+
+_LP_ITERS = 4
+
+
+def q_kg_communities(sf_dir: str):
+    """Label-propagation communities over the symmetrized co-occurrence
+    graph (weights summed across years — already integral counts, so
+    partial sums are exact)."""
+    edges = kg.cooccurrence_edges(_mentions(sf_dir))
+    agg = edges.groupby(["src_qid", "dst_qid"]).aggregate(
+        Sum("weight", alias_name="w")
+    )
+    fwd = agg.map_batches(
+        lambda t: t.select(["src_qid", "dst_qid", "w"]), batch_format="pyarrow"
+    )
+    rev = agg.map_batches(
+        lambda t: pa.table({"src_qid": t["dst_qid"], "dst_qid": t["src_qid"],
+                            "w": t["w"]}),
+        batch_format="pyarrow",
+    )
+    return ops.label_propagation(fwd.union(rev), src="src_qid", dst="dst_qid",
+                                 weight="w", iters=_LP_ITERS)
+
+
+def O_KG_COMMUNITIES() -> str:
+    """Pure recompute: DuckDB re-derives the co-occurrence edges (the
+    already-oracled SQL), then plain Python runs the identical synchronous
+    weighted label propagation (exact int sums, same tie-break)."""
+    import duckdb
+
+    df = duckdb.connect().execute(O_KG_COOCCURRENCE(_SF001)).fetchdf()
+    agg = df.groupby(["src_qid", "dst_qid"], as_index=False)["weight"].sum()
+    s = agg["src_qid"].tolist() + agg["dst_qid"].tolist()
+    d = agg["dst_qid"].tolist() + agg["src_qid"].tolist()
+    w = [int(x) for x in agg["weight"].tolist()] * 2
+    nodes = sorted(set(s) | set(d))
+    lab = {v: v for v in nodes}
+    for _ in range(_LP_ITERS):
+        income: dict[str, dict[str, int]] = {}
+        for a, b, ww in zip(s, d, w):
+            tally = income.setdefault(b, {})
+            tally[lab[a]] = tally.get(lab[a], 0) + ww
+        lab = {
+            v: (min(income[v].items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                if v in income else lab[v])
+            for v in nodes
+        }
+    rows = [f"({_sq(v)}, {_sq(lab[v])})" for v in nodes]
+    return _values_or_empty(rows, "SELECT node, label", "t(node, label)",
+                            "('', '')")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2046,6 +2213,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_chunks": q_docs_chunks,
     "embeddings_kmeans": q_embeddings_kmeans,
     "kg_pagerank": q_kg_pagerank,
+    "events_user_window": q_events_user_window,
+    "events_user_sequences": q_events_user_sequences,
+    "lineitem_rollup": q_lineitem_rollup,
+    "lineitem_semi_urgent": q_lineitem_semi_urgent,
+    "kg_triangles": q_kg_triangles,
+    "kg_communities": q_kg_communities,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -2121,4 +2294,10 @@ def oracles() -> dict[str, str]:
         "docs_chunks": O_DOCS_CHUNKS,
         "embeddings_kmeans": O_EMBEDDINGS_KMEANS(),
         "kg_pagerank": O_KG_PAGERANK(),
+        "events_user_window": O_EVENTS_USER_WINDOW,
+        "events_user_sequences": O_EVENTS_USER_SEQUENCES,
+        "lineitem_rollup": O_LINEITEM_ROLLUP,
+        "lineitem_semi_urgent": O_LINEITEM_SEMI_URGENT,
+        "kg_triangles": O_KG_TRIANGLES(_SF001),
+        "kg_communities": O_KG_COMMUNITIES(),
     }

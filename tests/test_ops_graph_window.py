@@ -1,0 +1,212 @@
+"""Window functions, ordered sequences, rollup, bloom semi-join, triangle
+enumeration, label propagation — brute-force property tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from newsagency_classification_ray.ops import (
+    bloom_semi_join,
+    grouped_sequence,
+    label_propagation,
+    rollup_sum,
+    triangles,
+    window_lag_lead,
+)
+
+
+def events_ds(n=200, seed=7, parts=5):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 3600, n), unit="s"),
+        "user_id": rng.integers(0, 12, n).astype(np.int64),
+        "value": rng.uniform(0, 10, n).round(3),
+        "kind": rng.choice(["a", "b", "c"], n),
+    })
+    return df, ray.data.from_pandas(df).repartition(parts)
+
+
+# ---------------------------------------------------------------- windows
+
+
+def test_window_lag_lead_matches_pandas():
+    df, ds = events_ds()
+    out = window_lag_lead(ds, "user_id", ["ts", "event_id"], "value").to_pandas()
+    exp = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    g = exp.groupby("user_id")["value"]
+    exp["rn"] = g.cumcount() + 1
+    exp["lag_value"] = g.shift(1)
+    exp["lead_value"] = g.shift(-1)
+    got = out.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    for c in ("rn", "lag_value", "lead_value"):
+        pd.testing.assert_series_equal(
+            got[c].reset_index(drop=True), exp[c].reset_index(drop=True),
+            check_dtype=False, check_names=False)
+
+
+def test_grouped_sequence_matches_pandas():
+    df, ds = events_ds()
+    out = grouped_sequence(ds, "user_id", ["ts", "event_id"], "kind").to_pandas()
+    exp = (
+        df.sort_values(["ts", "event_id"])
+        .groupby("user_id")["kind"]
+        .agg([("seq", ",".join), ("n", "size")])
+        .reset_index()
+    )
+    got = out.sort_values("user_id").reset_index(drop=True)
+    exp = exp.sort_values("user_id").reset_index(drop=True)
+    assert got["seq"].tolist() == exp["seq"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+
+
+# ----------------------------------------------------------------- rollup
+
+
+def test_rollup_sum_matches_pandas():
+    import pytest
+
+    df, ds = events_ds()
+    df["v_int"] = (df["value"] * 1000).round().astype(np.int64)
+    # int keys can't hold the "ALL" sentinel → clear error, not silent junk
+    with pytest.raises(ValueError, match="cast.*to string"):
+        rollup_sum(ray.data.from_pandas(df).repartition(4),
+                   ["kind", "user_id"], "v_int", "s")
+    lvl2 = df.groupby(["kind", "user_id"])["v_int"].sum()
+    exp = {(k, str(u)): v for (k, u), v in lvl2.items()}
+    exp.update({(k, "ALL"): v for k, v in df.groupby("kind")["v_int"].sum().items()})
+    exp[("ALL", "ALL")] = df["v_int"].sum()
+    df2 = df.assign(user_id=df["user_id"].astype(str))
+    ds2 = ray.data.from_pandas(df2).repartition(4)
+    out2 = rollup_sum(ds2, ["kind", "user_id"], "v_int", "s").to_pandas()
+    got2 = {(r.kind, r.user_id): r.s for r in out2.itertuples()}
+    assert got2 == exp
+    assert len(out2) == len(exp)
+
+
+# ------------------------------------------------------------ bloom semi
+
+
+def test_bloom_semi_join_exact_even_with_tiny_bitmap():
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 1000, 500).astype(np.int64),
+        "payload": np.arange(500, dtype=np.int64),
+    })
+    right = pd.DataFrame({"rk": rng.integers(0, 1000, 80).astype(np.int64)})
+    exp = set(left[left["k"].isin(set(right["rk"]))]["payload"])
+    for m_bits in (1 << 16, 64):  # 64 bits → huge FP rate; result still exact
+        out = bloom_semi_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(3),
+            "k", "rk", m_bits=m_bits,
+        ).to_pandas()
+        assert set(out["payload"]) == exp
+        assert list(out.columns) == ["k", "payload"]
+
+
+# -------------------------------------------------------------- triangles
+
+
+def brute_triangles(pairs):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = set()
+    for a, b in pairs:
+        for c in adj[a] & adj[b]:
+            out.add(tuple(sorted((a, b, c))))
+    return out
+
+
+def test_triangles_int_and_string_nodes():
+    rng = np.random.default_rng(3)
+    pairs = {tuple(sorted(p)) for p in rng.integers(0, 25, (150, 2)) if p[0] != p[1]}
+    pairs = sorted((int(a), int(b)) for a, b in pairs)
+    exp = brute_triangles(pairs)
+
+    e_int = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in pairs], type=pa.int64()),
+        "dst": pa.array([b for _, b in pairs], type=pa.int64()),
+    })).repartition(4)
+    got = {tuple(r) for r in triangles(e_int).to_pandas().itertuples(index=False)}
+    assert got == exp
+
+    e_str = ray.data.from_arrow(pa.table({
+        "src": pa.array([f"Q{a}" for a, _ in pairs], type=pa.string()),
+        "dst": pa.array([f"Q{b}" for _, b in pairs], type=pa.string()),
+    })).repartition(4)
+    got_s = {tuple(r) for r in triangles(e_str).to_pandas().itertuples(index=False)}
+    exp_s = {tuple(sorted((f"Q{a}", f"Q{b}", f"Q{c}"))) for a, b, c in exp}
+    assert got_s == exp_s
+
+
+def test_triangles_star_has_none():
+    # hub star: no triangles, and degree orientation keeps wedges bounded
+    e = ray.data.from_arrow(pa.table({
+        "src": pa.array([0] * 20, type=pa.int64()),
+        "dst": pa.array(range(1, 21), type=pa.int64()),
+    }))
+    assert triangles(e).count() == 0
+
+
+# ------------------------------------------------------ label propagation
+
+
+def brute_lpa(s, d, w, iters):
+    nodes = sorted(set(s) | set(d))
+    lab = {v: v for v in nodes}
+    for _ in range(iters):
+        income = {}
+        for a, b, ww in zip(s, d, w):
+            t = income.setdefault(b, {})
+            t[lab[a]] = t.get(lab[a], 0) + int(ww)
+        lab = {v: (min(income[v].items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                   if v in income else lab[v]) for v in nodes}
+    return lab
+
+
+def test_label_propagation_matches_brute_force():
+    rng = np.random.default_rng(9)
+    # two planted cliques plus random noise edges, symmetrized
+    pairs = set()
+    for base in (0, 10):
+        for i in range(base, base + 10):
+            for j in range(i + 1, base + 10):
+                pairs.add((i, j))
+    for _ in range(8):
+        a, b = sorted(rng.integers(0, 20, 2))
+        if a != b:
+            pairs.add((int(a), int(b)))
+    s = [a for a, b in pairs] + [b for a, b in pairs]
+    d = [b for a, b in pairs] + [a for a, b in pairs]
+    w = rng.integers(1, 5, len(s)).astype(np.int64).tolist()
+    exp = brute_lpa(s, d, w, iters=4)
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(s, type=pa.int64()),
+        "dst": pa.array(d, type=pa.int64()),
+        "weight": pa.array(w, type=pa.int64()),
+    })).repartition(4)
+    out = label_propagation(ds, weight="weight", iters=4).to_pandas()
+    assert dict(zip(out.node, out.label)) == exp
+    # structure smoke: far fewer communities than nodes (synchronous LPA may
+    # not fully converge a clique in 4 rounds — exactness vs brute force
+    # above is the real contract)
+    assert len(set(out.label)) <= 6
+
+
+def test_label_propagation_unweighted_triangle_pair():
+    # two triangles joined by one bridge edge, unweighted: each triangle
+    # collapses to its min label
+    s = [0, 1, 2, 3, 4, 5, 2] + [1, 2, 0, 4, 5, 3, 3]
+    d = [1, 2, 0, 4, 5, 3, 3] + [0, 1, 2, 3, 4, 5, 2]
+    exp = brute_lpa(s, d, [1] * len(s), iters=6)
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(s, type=pa.int64()),
+        "dst": pa.array(d, type=pa.int64()),
+    }))
+    out = label_propagation(ds, iters=6).to_pandas()
+    assert dict(zip(out.node, out.label)) == exp
