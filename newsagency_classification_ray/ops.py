@@ -1339,3 +1339,33 @@ def label_propagation(
             batch_format="pyarrow",
         ).materialize()
     return labels
+
+
+def group_quantiles(
+    ds: Dataset, group_col: str, col: str, qs: list[float]
+) -> Dataset:
+    """Per-group exact quantiles, lower-index / ``quantile_disc`` semantics
+    (value at in-group index ``floor(q·(n−1))`` of the sorted column) — the
+    grouped complement of :func:`exact_quantiles`.
+
+    ONE shuffle on the group key, then each group sorts only its own column
+    in memory. Group size is the skew bound (the same grouped-path
+    assumption as :func:`window_lag_lead`); for one corpus-scale group use
+    :func:`exact_quantiles`'s global range-sort instead. Returns
+    ``(group_col, q, value)``.
+    """
+    import numpy as np
+
+    qs = list(qs)
+
+    def fn(g: pa.Table) -> pa.Table:
+        v = np.sort(g[col].to_numpy(zero_copy_only=False))
+        idx = [int(q * (len(v) - 1)) for q in qs]
+        return pa.table({
+            group_col: pa.concat_arrays(
+                [g[group_col].combine_chunks().slice(0, 1)] * len(qs)),
+            "q": pa.array(qs, type=pa.float64()),
+            "value": pa.array(v[idx], type=pa.float64()),
+        })
+
+    return ds.groupby(group_col).map_groups(fn, batch_format="pyarrow")

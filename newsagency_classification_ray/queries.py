@@ -2146,6 +2146,71 @@ def O_KG_COMMUNITIES() -> str:
                             "('', '')")
 
 
+def q_lineitem_group_quantiles(sf_dir: str):
+    """Per-group exact quantiles of l_extendedprice by returnflag (one
+    shuffle on the flag, in-group sort — ops.group_quantiles)."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return ops.group_quantiles(li, "l_returnflag", "l_extendedprice",
+                               [0.25, 0.5, 0.75, 0.95]).map_batches(
+        lambda t: pa.table({
+            "l_returnflag": t["l_returnflag"], "q": t["q"],
+            "value_cents": _cents(t["value"]),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+O_LINEITEM_GROUP_QUANTILES = """
+WITH s AS (
+  SELECT l_returnflag, l_extendedprice AS value,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) - 1 AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS cnt
+  FROM lineitem)
+SELECT s.l_returnflag, CAST(qs.q AS DOUBLE) AS q,
+       CAST(ROUND(s.value * 100) AS BIGINT) AS value_cents
+FROM (VALUES (0.25), (0.50), (0.75), (0.95)) qs(q), s
+WHERE s.rn = CAST(floor(CAST(qs.q AS DOUBLE) * (s.cnt - 1)) AS BIGINT)"""
+
+
+_DSIR_DIM, _DSIR_NMAX = 4096, 2
+
+
+def q_docs_dsir_scores(sf_dir: str):
+    """DSIR importance scores: how 'en-like' is every document, by hashed
+    n-gram log-likelihood ratio vs the whole corpus (curation.dsir_scores —
+    two bounded histogram passes + one matvec pass, zero shuffle)."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+    target = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")).select(["text"]),
+        batch_format="pyarrow",
+    )
+    return cur.dsir_scores(docs, target, dim=_DSIR_DIM, n_max=_DSIR_NMAX)
+
+
+def O_DOCS_DSIR_SCORES() -> str:
+    """Pure driver-side recompute (no Ray): same histogram + smoothed
+    log-ratio + matvec on the raw parquet, emitted as VALUES."""
+    t = _read_parquet_cols(_SF001, "documents", ["doc_id", "text", "lang"])
+    texts = pd.Series(t["text"].to_pylist()).fillna("")
+    langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+    mat = cur._hashed_feature_matrix(texts, _DSIR_DIM, _DSIR_NMAX)
+    t_hist = mat[langs == "en"].sum(axis=0)
+    w_hist = mat.sum(axis=0)
+    r = np.round(
+        np.log((t_hist + 1.0) / (t_hist.sum() + _DSIR_DIM))
+        - np.log((w_hist + 1.0) / (w_hist.sum() + _DSIR_DIM)), 9)
+    s = mat.astype(np.float64) @ r
+    micro = np.floor(s * 1e6 + 0.5).astype(np.int64)
+    rows = [f"({int(i)}, {int(m)})" for i, m in zip(t["doc_id"].to_pylist(), micro)]
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(score_micro AS BIGINT) AS score_micro",
+        "t(doc_id, score_micro)", "(0, 0)",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2219,6 +2284,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_semi_urgent": q_lineitem_semi_urgent,
     "kg_triangles": q_kg_triangles,
     "kg_communities": q_kg_communities,
+    "lineitem_group_quantiles": q_lineitem_group_quantiles,
+    "docs_dsir_scores": q_docs_dsir_scores,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -2300,4 +2367,6 @@ def oracles() -> dict[str, str]:
         "lineitem_semi_urgent": O_LINEITEM_SEMI_URGENT,
         "kg_triangles": O_KG_TRIANGLES(_SF001),
         "kg_communities": O_KG_COMMUNITIES(),
+        "lineitem_group_quantiles": O_LINEITEM_GROUP_QUANTILES,
+        "docs_dsir_scores": O_DOCS_DSIR_SCORES(),
     }

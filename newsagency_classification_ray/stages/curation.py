@@ -231,3 +231,87 @@ def repetition_stats(
         })
 
     return docs.map_batches(stats, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance scoring (data selection for language models)
+# --------------------------------------------------------------------------
+
+
+def _hashed_feature_matrix(texts: pd.Series, dim: int, n_max: int) -> np.ndarray:
+    """(len(texts), dim) int64 hashed n-gram count matrix (1..n_max word
+    grams), built on the shared exploded-token path (`_word_ngrams`) —
+    no Python loop over rows. Bucketing uses pandas' fixed-key siphash
+    (`pd.util.hash_array`), which is stable across processes, runs and
+    cluster sizes (unlike Python's seeded `hash`)."""
+    mat = np.zeros((len(texts), dim), dtype=np.int64)
+    low = texts.str.lower()
+    for n in range(1, n_max + 1):
+        row, grams = _word_ngrams(low, n)
+        if len(row):
+            h = (pd.util.hash_array(grams) % dim).astype(np.int64)
+            np.add.at(mat, (row, h), 1)
+    return mat
+
+
+def dsir_scores(
+    docs: Dataset,
+    target: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 4096,
+    n_max: int = 2,
+    round_decimals: int = 9,
+) -> Dataset:
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document by
+    the log-likelihood ratio of a TARGET hashed n-gram distribution vs the
+    RAW corpus distribution — the 'select web text that looks like my
+    high-quality target set' curation step.
+
+    Two bounded streaming passes + one scoring pass, no shuffle anywhere:
+
+    1. hashed-n-gram histograms of target and raw — each block emits ONE
+       ``dim``-long int64 partial, driver-summed (integer sums: exact and
+       commutative, so reduction order cannot matter);
+    2. the Laplace-smoothed log-ratio vector ``r`` (``dim`` float64, rounded
+       to ``round_decimals``) is ``ray.put`` ONCE;
+    3. every block computes its count matrix and one matvec ``counts @ r``.
+
+    Returns ``(id_col, score_micro)`` with the score fixed-point-scaled to
+    int64 micros (same convention as tfidf_topk) so results are
+    hash-comparable across engines. The per-block dense count matrix is
+    ``batch_size × dim × 8`` bytes — size ``batch_size`` down if you raise
+    ``dim``.
+    """
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("").reset_index(drop=True)
+        mat = _hashed_feature_matrix(texts, dim, n_max)
+        return pd.DataFrame({"h": [mat.sum(axis=0).tolist()]})
+
+    def reduce_hist(ds: Dataset) -> np.ndarray:
+        out = np.zeros(dim, dtype=np.int64)
+        for row in ds.map_batches(hist_partial, batch_format="pandas").take_all():
+            out += np.asarray(row["h"], dtype=np.int64)
+        return out
+
+    t_hist = reduce_hist(target.select_columns([text_col]))
+    w_hist = reduce_hist(docs.select_columns([text_col]))
+    r = np.round(
+        np.log((t_hist + 1.0) / (t_hist.sum() + dim))
+        - np.log((w_hist + 1.0) / (w_hist.sum() + dim)),
+        round_decimals,
+    )
+    rref = ray.put(r)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        rv = ray.get(rref)
+        texts = batch[text_col].fillna("").reset_index(drop=True)
+        mat = _hashed_feature_matrix(texts, dim, n_max)
+        s = mat.astype(np.float64) @ rv
+        return pd.DataFrame({
+            id_col: batch[id_col].astype("int64"),
+            "score_micro": np.floor(s * 1e6 + 0.5).astype(np.int64),
+        })
+
+    return docs.map_batches(score, batch_format="pandas")

@@ -150,3 +150,35 @@ def test_repetition_stats_brute_force():
         grams = brute_ngrams(t, 3)
         assert out.loc[i, "n_3grams"] == len(grams)
         assert out.loc[i, "n_dup_3grams"] == len(grams) - len(set(grams))
+
+
+# ------------------------------------------------------------------- dsir
+
+
+def test_dsir_scores_separate_target_like_docs():
+    from newsagency_classification_ray.stages.curation import (
+        _hashed_feature_matrix, dsir_scores,
+    )
+
+    target_texts = ["the quick brown fox jumps over the lazy dog"] * 6
+    raw_texts = target_texts[:2] + ["zzz qqq xxx vvv kkk jjj www"] * 4
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(raw_texts)), type=pa.int64()),
+        "text": pa.array(raw_texts, type=pa.string()),
+    })).repartition(3)
+    target = ray.data.from_arrow(pa.table({
+        "text": pa.array(target_texts, type=pa.string())}))
+    out = dsir_scores(docs, target, dim=512, n_max=2).to_pandas()
+    s = dict(zip(out.doc_id, out.score_micro))
+    # target-like docs strictly outscore the off-distribution ones
+    assert min(s[0], s[1]) > max(s[i] for i in range(2, 6))
+
+    # exact parity with a driver-side recompute (the oracle's contract)
+    texts = pd.Series(raw_texts)
+    mat = _hashed_feature_matrix(texts, 512, 2)
+    t_hist = _hashed_feature_matrix(pd.Series(target_texts), 512, 2).sum(axis=0)
+    w_hist = mat.sum(axis=0)
+    r = np.round(np.log((t_hist + 1.0) / (t_hist.sum() + 512))
+                 - np.log((w_hist + 1.0) / (w_hist.sum() + 512)), 9)
+    exp = np.floor(mat.astype(np.float64) @ r * 1e6 + 0.5).astype(np.int64)
+    assert [s[i] for i in range(len(raw_texts))] == exp.tolist()

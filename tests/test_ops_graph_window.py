@@ -210,3 +210,21 @@ def test_label_propagation_unweighted_triangle_pair():
     }))
     out = label_propagation(ds, iters=6).to_pandas()
     assert dict(zip(out.node, out.label)) == exp
+
+
+# -------------------------------------------------------- group quantiles
+
+
+def test_group_quantiles_matches_numpy():
+    from newsagency_classification_ray.ops import group_quantiles
+
+    df, ds = events_ds(n=300, seed=21)
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    out = group_quantiles(ds, "kind", "value", qs).to_pandas()
+    got = {(r.kind, r.q): r.value for r in out.itertuples()}
+    exp = {}
+    for kind, grp in df.groupby("kind")["value"]:
+        v = np.sort(grp.to_numpy())
+        for q in qs:
+            exp[(kind, q)] = v[int(q * (len(v) - 1))]
+    assert got == exp
