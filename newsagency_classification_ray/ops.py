@@ -1369,3 +1369,57 @@ def group_quantiles(
         })
 
     return ds.groupby(group_col).map_groups(fn, batch_format="pyarrow")
+
+
+def fuzzy_pairs(
+    ds: Dataset,
+    block_col: str,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+) -> Dataset:
+    """Blocked fuzzy self-join (entity-resolution candidate matching):
+    within each blocking-key group, emit every unordered pair of rows whose
+    banded Levenshtein distance is ≤ ``max_dist``.
+
+    Blocking IS the scale contract (classic ER blocking): pairs are only
+    compared inside a block, so the per-block row count bounds the quadratic
+    candidate set — made explicit here because the in-group work is
+    O(n_block²). A vectorized length-difference prefilter
+    (``|len(a)−len(b)| > max_dist ⇒ dist > max_dist``) kills most candidate
+    pairs before the early-exit banded DP runs. Null text compares as "".
+    Returns ``(block_col, id_a, id_b, dist)`` with ``id_a < id_b``.
+    """
+    import numpy as np
+
+    from .functions.textproc import edit_distance
+
+    def fn(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)  # ascending ids → deterministic id_a < id_b
+        ids = ids[order]
+        texts = np.asarray(
+            ["" if x is None else x for x in g[text_col].to_pylist()],
+            dtype=object)[order]
+        lens = np.asarray([len(x) for x in texts], dtype=np.int64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        ok = np.abs(lens[ii] - lens[jj]) <= max_dist
+        ii, jj = ii[ok], jj[ok]
+        out_a, out_b, out_d = [], [], []
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            d = edit_distance(texts[i], texts[j], max_dist)
+            if d <= max_dist:
+                out_a.append(i)
+                out_b.append(j)
+                out_d.append(d)
+        id_arr = g[id_col].combine_chunks().take(pa.array(order, type=pa.int64()))
+        return pa.table({
+            block_col: pa.concat_arrays(
+                [g[block_col].combine_chunks().slice(0, 1)] * len(out_a))
+            if out_a else g[block_col].combine_chunks().slice(0, 0),
+            "id_a": id_arr.take(pa.array(out_a, type=pa.int64())),
+            "id_b": id_arr.take(pa.array(out_b, type=pa.int64())),
+            "dist": pa.array(out_d, type=pa.int64()),
+        })
+
+    return ds.groupby(block_col).map_groups(fn, batch_format="pyarrow")

@@ -2211,6 +2211,22 @@ def O_DOCS_DSIR_SCORES() -> str:
     )
 
 
+def q_part_fuzzy_names(sf_dir: str):
+    """Blocked fuzzy self-join: same-brand part-name pairs within
+    Levenshtein distance 2 (ops.fuzzy_pairs — ER-style blocking, banded
+    DP with vectorized length prefilter)."""
+    part = ops.read_table(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+    return ops.fuzzy_pairs(part, "p_brand", "p_partkey", "p_name", max_dist=2)
+
+
+O_PART_FUZZY_NAMES = """
+SELECT a.p_brand AS p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2286,6 +2302,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_communities": q_kg_communities,
     "lineitem_group_quantiles": q_lineitem_group_quantiles,
     "docs_dsir_scores": q_docs_dsir_scores,
+    "part_fuzzy_names": q_part_fuzzy_names,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -2369,4 +2386,5 @@ def oracles() -> dict[str, str]:
         "kg_communities": O_KG_COMMUNITIES(),
         "lineitem_group_quantiles": O_LINEITEM_GROUP_QUANTILES,
         "docs_dsir_scores": O_DOCS_DSIR_SCORES(),
+        "part_fuzzy_names": O_PART_FUZZY_NAMES,
     }

@@ -228,3 +228,35 @@ def test_group_quantiles_matches_numpy():
         for q in qs:
             exp[(kind, q)] = v[int(q * (len(v) - 1))]
     assert got == exp
+
+
+# ------------------------------------------------------------- fuzzy pairs
+
+
+def test_fuzzy_pairs_matches_brute_force():
+    from newsagency_classification_ray.functions.textproc import edit_distance
+    from newsagency_classification_ray.ops import fuzzy_pairs
+
+    rng = np.random.default_rng(17)
+    words = ["ring", "rings", "rink", "gear", "gears", "widget", "widgets",
+             "bolt", "bolts", "belt", "xylophone"]
+    n = 120
+    df = pd.DataFrame({
+        "pk": np.arange(n, dtype=np.int64),
+        "name": [" ".join(rng.choice(words, 2)) for _ in range(n)],
+        "brand": rng.choice(["B1", "B2", "B3"], n),
+    })
+    df.loc[5, "name"] = None  # null compares as ""
+    exp = set()
+    for _, grp in df.groupby("brand"):
+        rows = list(grp.itertuples())
+        for x in range(len(rows)):
+            for y in range(x + 1, len(rows)):
+                a, b = sorted((rows[x], rows[y]), key=lambda r: r.pk)
+                d = edit_distance(a.name or "", b.name or "", 2)
+                if d <= 2:
+                    exp.add((a.brand, a.pk, b.pk, d))
+    out = fuzzy_pairs(ray.data.from_pandas(df).repartition(4),
+                      "brand", "pk", "name", max_dist=2).to_pandas()
+    got = {tuple(r) for r in out.itertuples(index=False)}
+    assert got == exp
