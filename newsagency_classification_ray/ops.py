@@ -472,6 +472,28 @@ def floor_to_hour(ts: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.floor_temporal(ts, multiple=1, unit="hour")
 
 
+def _join_parts() -> int:
+    """Partition count for joins/compaction, adapted to the CPU budget."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(16, cpus // 4))
+
+
+def _compact(ds: Dataset, parts: int | None = None) -> Dataset:
+    """Re-slice a table into TYPED blocks before feeding it to a join.
+
+    Ray's hash-aggregate/join operators emit SCHEMA-LESS empty blocks for
+    unoccupied hash partitions; when such a block leads a downstream join's
+    schema broadcast, that join's empty partitions build zero-column tables
+    and pyarrow fails with 'No match for FieldRef.Name(...)'. Repartition
+    re-slices rows out of typed tables, so every resulting block — empty or
+    not — carries the schema. Needed on any join input that descends from a
+    groupby/join with fewer occupied keys than partitions (the node-scale
+    iterables inside the graph ops); one local split/merge, no keyed
+    shuffle.
+    """
+    return ds.repartition(parts or _join_parts())
+
+
 def hash_join(
     left: Dataset,
     right: Dataset,
@@ -485,10 +507,9 @@ def hash_join(
     adapts to the session CPU budget: Ray's join spawns that many aggregator
     actors per join, and over-provisioning starves small sessions."""
     if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         # measured sweet spot at this scale: ~cpus/4 (more partitions just
         # spin up more aggregator actors than the data feeds)
-        num_partitions = max(2, min(16, cpus // 4))
+        num_partitions = _join_parts()
     return left.join(right, how, num_partitions, on=on, right_on=right_on)
 
 
@@ -849,19 +870,21 @@ def pagerank(
     def project(t: pa.Table) -> pa.Table:
         return pa.table({"src": t[src], "dst": t[dst], "w": w_expr(t)})
 
-    e = edges.map_batches(project, batch_format="pyarrow").materialize()
-    wdeg = (
+    # _compact: edges/nodes may descend from groupbys (schema-less empty
+    # blocks for unoccupied partitions) and every table below feeds a join
+    e = _compact(edges.map_batches(project, batch_format="pyarrow")).materialize()
+    wdeg = _compact(
         e.groupby("src").aggregate(Sum("w", alias_name="wdeg"))
         .map_batches(lambda t: t.rename_columns(["node", "wdeg"]),
                      batch_format="pyarrow")
     )
-    nodes = distinct(
+    nodes = _compact(distinct(
         e.map_batches(lambda t: pa.table({"node": t["src"]}),
                       batch_format="pyarrow")
         .union(e.map_batches(lambda t: pa.table({"node": t["dst"]}),
                              batch_format="pyarrow")),
         ["node"],
-    ).materialize()
+    )).materialize()
     n = nodes.count()
     if n == 0:
         return nodes.map_batches(
@@ -926,17 +949,17 @@ def pagerank(
         lambda t: t.append_column(
             "rank", pa.array(np.full(len(t), r0), type=pa.float64())),
         batch_format="pyarrow",
-    ).materialize()
+    ).materialize()  # nodes already compacted -> typed blocks
 
     for _ in range(iters):
-        share = hash_join(rank, wdeg, on=("node",)).map_batches(
+        share = _compact(hash_join(rank, wdeg, on=("node",)).map_batches(
             lambda t: pa.table({
                 "node": t["node"],
                 "share": pc.divide(t["rank"], t["wdeg"]),
                 "rank": t["rank"],
             }),
             batch_format="pyarrow",
-        ).materialize()
+        )).materialize()
         total = rank.sum("rank")
         non_dangling = share.sum("rank") if share.count() else 0.0
         dangling = max(total - non_dangling, 0.0)
@@ -952,6 +975,7 @@ def pagerank(
             )
             .groupby("dst").aggregate(Sum("c", alias_name="c"))
         )
+        contrib = _compact(contrib)
         base = (1.0 - damping) / n + damping * dangling / n
 
         def renew(t: pa.Table, base=base) -> pa.Table:
@@ -961,10 +985,11 @@ def pagerank(
             return pa.table({"node": t["node"],
                              "rank": pa.array(new, type=pa.float64())})
 
-        rank = hash_join(nodes, contrib, on=("node",), right_on=("dst",),
-                         how="left_outer").map_batches(
+        rank = _compact(hash_join(nodes, contrib, on=("node",),
+                                  right_on=("dst",),
+                                  how="left_outer").map_batches(
             renew, batch_format="pyarrow"
-        ).materialize()
+        )).materialize()
 
     return rank
 
@@ -1161,7 +1186,7 @@ def bloom_semi_join(
         return t.filter(pa.array(mask))
 
     candidates = left.map_batches(probe, batch_format="pyarrow")
-    rkeys = distinct(right.select_columns([right_key]), [right_key])
+    rkeys = _compact(distinct(right.select_columns([right_key]), [right_key]))
     joined = hash_join(candidates, rkeys, on=(left_key,), right_on=(right_key,))
     if right_key != left_key and right_key in joined.schema().base_schema.names:
         joined = joined.drop_columns([right_key])
@@ -1195,9 +1220,9 @@ def triangles(edges: Dataset, src: str = "src", dst: str = "dst") -> Dataset:
 
     from ray.data.aggregate import Count
 
-    e = edges.map_batches(
+    e = _compact(edges.map_batches(
         lambda t: pa.table({"a": t[src], "b": t[dst]}), batch_format="pyarrow"
-    ).materialize()
+    )).materialize()
 
     node_type = e.schema().base_schema.field("a").type
 
@@ -1207,7 +1232,7 @@ def triangles(edges: Dataset, src: str = "src", dst: str = "dst") -> Dataset:
 
     if e.count() == 0:
         return _empty()
-    deg = (
+    deg = _compact(
         e.map_batches(lambda t: pa.table({"node": t["a"]}), batch_format="pyarrow")
         .union(e.map_batches(lambda t: pa.table({"node": t["b"]}),
                              batch_format="pyarrow"))
@@ -1230,7 +1255,7 @@ def triangles(edges: Dataset, src: str = "src", dst: str = "dst") -> Dataset:
             "v": pc.if_else(a_first, t["b"], t["a"]),
         })
 
-    o = withdeg.map_batches(orient, batch_format="pyarrow").materialize()
+    o = _compact(withdeg.map_batches(orient, batch_format="pyarrow")).materialize()
     wedges = hash_join(
         o.map_batches(lambda t: pa.table({"p": t["u"], "x": t["v"]}),
                       batch_format="pyarrow"),
@@ -1241,7 +1266,8 @@ def triangles(edges: Dataset, src: str = "src", dst: str = "dst") -> Dataset:
         lambda t: pa.table({"p": t["p"], "x": t["x"], "y": t["y"]}).filter(
             pc.not_equal(t["x"], t["y"])),
         batch_format="pyarrow",
-    ).materialize()
+    )
+    wedges = _compact(wedges, parts=max(_join_parts(), 8)).materialize()
     if wedges.count() == 0:  # e.g. a star graph orients to zero wedges
         return _empty()
     tri = hash_join(
@@ -1294,16 +1320,17 @@ def label_propagation(
 
     w_fn = (lambda t: pc.cast(t[weight], pa.int64())) if weight else (
         lambda t: pa.array(np.ones(len(t), dtype=np.int64)))
-    e = edges.map_batches(
+    e = _compact(edges.map_batches(
         lambda t: pa.table({"src": t[src], "dst": t[dst], "w": w_fn(t)}),
         batch_format="pyarrow",
-    ).materialize()
+    )).materialize()
     nodes = distinct(
         e.map_batches(lambda t: pa.table({"node": t["src"]}), batch_format="pyarrow")
         .union(e.map_batches(lambda t: pa.table({"node": t["dst"]}),
                              batch_format="pyarrow")),
         ["node"],
-    ).materialize()
+    )
+    nodes = _compact(nodes).materialize()
     labels = nodes.map_batches(
         lambda t: pa.table({"node": t["node"], "label": t["node"]}),
         batch_format="pyarrow",
@@ -1325,7 +1352,7 @@ def label_propagation(
             lambda t: pa.table({"dst": t["dst"], "label": t["label"], "w": t["w"]}),
             batch_format="pyarrow",
         ).groupby(["dst", "label"]).aggregate(Sum("w", alias_name="w"))
-        new = contrib.groupby("dst").map_groups(pick, batch_format="pyarrow")
+        new = _compact(contrib.groupby("dst").map_groups(pick, batch_format="pyarrow"))
         # symmetrized input ⇒ every node has in-edges; left-join keeps any
         # isolated node (defensive) at its current label
         labels = hash_join(labels.map_batches(
@@ -1337,7 +1364,8 @@ def label_propagation(
                 "label": pc.coalesce(t["label"], t["old"]),
             }),
             batch_format="pyarrow",
-        ).materialize()
+        )
+        labels = _compact(labels).materialize()
     return labels
 
 
@@ -1423,3 +1451,100 @@ def fuzzy_pairs(
         })
 
     return ds.groupby(block_col).map_groups(fn, batch_format="pyarrow")
+
+
+def latest_by_key(
+    ds: Dataset, key_cols: list[str], order_cols: list[str]
+) -> Dataset:
+    """Latest-wins upsert resolution (SCD/CDC compaction: 'merge snapshots,
+    keep each key's newest row'): per key, the row with the lexicographically
+    greatest ``order_cols`` tuple. Include a unique id as the last order
+    column for a total order; key columns must be non-null.
+
+    Per-batch COMBINER first — each block keeps one row per key it sees
+    (Arrow ``sort_by`` + vectorized run-boundary mask, no Python rows) — so
+    the one groupby exchange carries at most ``blocks × keys-per-block``
+    rows, never the full history. The same kernel then reduces each group.
+    """
+    cols = key_cols + order_cols
+
+    def last_per_key(t: pa.Table) -> pa.Table:
+        if len(t) <= 1:
+            return t
+        t = t.sort_by([(c, "ascending") for c in cols])
+        n = len(t)
+        boundary = None  # row i is the LAST of its key-run
+        for c in key_cols:
+            col = t[c].combine_chunks()
+            ne = pc.not_equal(col.slice(0, n - 1), col.slice(1))
+            boundary = ne if boundary is None else pc.or_(boundary, ne)
+        mask = pa.concat_arrays([
+            boundary.combine_chunks() if isinstance(boundary, pa.ChunkedArray)
+            else boundary,
+            pa.array([True]),
+        ])
+        return t.filter(mask)
+
+    return (
+        ds.map_batches(last_per_key, batch_format="pyarrow")
+        .groupby(key_cols)
+        .map_groups(last_per_key, batch_format="pyarrow")
+    )
+
+
+def k_hop(
+    edges: Dataset,
+    seeds: list,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> Dataset:
+    """BFS ``k``-hop neighborhood with hop labels over a directed edge list
+    (pass both directions for undirected graphs). Seeds are hop 0; ``hop``
+    is the BFS level (shortest distance ≤ k).
+
+    Each round is one frontier⋈edges hash join plus one anti-join against
+    the visited set (left-outer join + null filter) — frontier and visited
+    stay node-scale Datasets end to end, nothing driver-resident, so the
+    reachable set never has to fit anywhere. Early-exits when a frontier
+    drains. Returns ``(node, hop)``.
+    """
+    e = _compact(edges.map_batches(
+        lambda t: pa.table({"src": t[src], "dst": t[dst]}), batch_format="pyarrow"
+    )).materialize()
+    node_type = e.schema().base_schema.field("src").type
+    visited = ray.data.from_arrow(pa.table({
+        "node": pa.array(sorted(set(seeds)), type=node_type),
+        "hop": pa.array([0] * len(set(seeds)), type=pa.int64()),
+    })).materialize()
+    frontier = visited
+
+    for lvl in range(1, k + 1):
+        nbrs = _compact(distinct(
+            hash_join(
+                e,
+                frontier.map_batches(lambda t: pa.table({"node": t["node"]}),
+                                     batch_format="pyarrow"),
+                on=("src",), right_on=("node",),
+            ).map_batches(lambda t: pa.table({"node": t["dst"]}),
+                          batch_format="pyarrow"),
+            ["node"],
+        ))
+        seen = visited.map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "_m": pa.array([1] * len(t), type=pa.int8())}),
+            batch_format="pyarrow",
+        )
+        new = _compact(
+            hash_join(nbrs, seen, on=("node",), how="left_outer").map_batches(
+                lambda t, lvl=lvl: pa.table({
+                    "node": t["node"],
+                    "hop": pa.array([lvl] * len(t), type=pa.int64()),
+                }).filter(pc.is_null(t["_m"])),
+                batch_format="pyarrow",
+            )).materialize()
+        if new.count() == 0:
+            break
+        visited = visited.union(new).materialize()
+        frontier = new
+    return visited

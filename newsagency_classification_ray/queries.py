@@ -2227,6 +2227,65 @@ FROM part a JOIN part b
 WHERE levenshtein(a.p_name, b.p_name) <= 2"""
 
 
+def q_events_latest_per_user(sf_dir: str):
+    """Latest-wins upsert compaction: each user's newest event (per-batch
+    combiner keeps one row per user per block — ops.latest_by_key)."""
+    ev = ops.read_table(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = ops.latest_by_key(ev, ["user_id"], ["ts", "event_id"])
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "value"]),
+        batch_format="pyarrow",
+    )
+
+
+O_EVENTS_LATEST_PER_USER = """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1"""
+
+
+_KHOP_SEED, _KHOP_K = "Q371267", 2
+
+
+def q_kg_2hop(sf_dir: str):
+    """BFS 2-hop neighborhood of one agency in the co-occurrence graph
+    (ops.k_hop — frontier/visited stay node-scale Datasets)."""
+    edges = kg.cooccurrence_edges(_mentions(sf_dir))
+    und = ops.distinct(
+        edges.map_batches(lambda t: t.select(["src_qid", "dst_qid"]),
+                          batch_format="pyarrow"),
+        ["src_qid", "dst_qid"],
+    )
+    sym = und.union(und.map_batches(
+        lambda t: pa.table({"src_qid": t["dst_qid"], "dst_qid": t["src_qid"]}),
+        batch_format="pyarrow",
+    ))
+    return ops.k_hop(sym, [_KHOP_SEED], _KHOP_K,
+                     src="src_qid", dst="dst_qid")
+
+
+O_KG_2HOP = lambda sf: f"""WITH {_pages_cte(sf)},
+  counts AS (
+    SELECT host, year, qid FROM sql_mentions
+    WHERE qid <> 'NIL' GROUP BY host, year, qid
+  ),
+  e AS (
+    SELECT DISTINCT a.qid AS s, b.qid AS d
+    FROM counts a JOIN counts b
+      ON a.host = b.host AND a.year = b.year AND a.qid <> b.qid
+  ),
+  h0(n) AS (VALUES ('{_KHOP_SEED}')),
+  h1 AS (SELECT DISTINCT d AS n FROM e WHERE s IN (SELECT n FROM h0)),
+  h2 AS (SELECT DISTINCT d AS n FROM e WHERE s IN (SELECT n FROM h1))
+SELECT n AS node, CAST(MIN(hop) AS BIGINT) AS hop FROM (
+  SELECT n, 0 AS hop FROM h0
+  UNION ALL SELECT n, 1 FROM h1
+  UNION ALL SELECT n, 2 FROM h2
+) GROUP BY n"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2303,6 +2362,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_group_quantiles": q_lineitem_group_quantiles,
     "docs_dsir_scores": q_docs_dsir_scores,
     "part_fuzzy_names": q_part_fuzzy_names,
+    "events_latest_per_user": q_events_latest_per_user,
+    "kg_2hop": q_kg_2hop,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -2387,4 +2448,6 @@ def oracles() -> dict[str, str]:
         "lineitem_group_quantiles": O_LINEITEM_GROUP_QUANTILES,
         "docs_dsir_scores": O_DOCS_DSIR_SCORES(),
         "part_fuzzy_names": O_PART_FUZZY_NAMES,
+        "events_latest_per_user": O_EVENTS_LATEST_PER_USER,
+        "kg_2hop": O_KG_2HOP(_SF001),
     }

@@ -260,3 +260,56 @@ def test_fuzzy_pairs_matches_brute_force():
                       "brand", "pk", "name", max_dist=2).to_pandas()
     got = {tuple(r) for r in out.itertuples(index=False)}
     assert got == exp
+
+
+# ------------------------------------------------------------ latest / BFS
+
+
+def test_latest_by_key_matches_pandas():
+    from newsagency_classification_ray.ops import latest_by_key
+
+    df, ds = events_ds(n=400, seed=31, parts=7)
+    out = latest_by_key(ds, ["user_id"], ["ts", "event_id"]).to_pandas()
+    exp = (df.sort_values(["user_id", "ts", "event_id"])
+           .groupby("user_id").tail(1))
+    got = out.sort_values("user_id").reset_index(drop=True)
+    exp = exp.sort_values("user_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    assert len(got) == df["user_id"].nunique()
+    # composite key path
+    out2 = latest_by_key(ds, ["user_id", "kind"], ["ts", "event_id"]).to_pandas()
+    exp2 = (df.sort_values(["user_id", "kind", "ts", "event_id"])
+            .groupby(["user_id", "kind"]).tail(1))
+    assert (set(zip(out2.user_id, out2.kind, out2.event_id))
+            == set(zip(exp2.user_id, exp2.kind, exp2.event_id)))
+
+
+def brute_khop(pairs_sym, seeds, k):
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in pairs_sym:
+        adj[a].add(b)
+    hop = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for lvl in range(1, k + 1):
+        nxt = {b for a in frontier for b in adj[a]} - set(hop)
+        for b in nxt:
+            hop[b] = lvl
+        frontier = nxt
+    return hop
+
+
+def test_k_hop_matches_brute_force_bfs():
+    from newsagency_classification_ray.ops import k_hop
+
+    rng = np.random.default_rng(41)
+    und = {tuple(sorted(p)) for p in rng.integers(0, 40, (60, 2)) if p[0] != p[1]}
+    sym = [(int(a), int(b)) for a, b in und] + [(int(b), int(a)) for a, b in und]
+    for seeds, k in (([0], 2), ([0, 39], 3), ([7], 0)):
+        exp = brute_khop(sym, seeds, k)
+        ds = ray.data.from_arrow(pa.table({
+            "src": pa.array([a for a, _ in sym], type=pa.int64()),
+            "dst": pa.array([b for _, b in sym], type=pa.int64()),
+        })).repartition(4)
+        out = k_hop(ds, seeds, k).to_pandas()
+        assert dict(zip(out.node, out.hop)) == exp
