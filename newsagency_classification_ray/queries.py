@@ -2286,6 +2286,89 @@ SELECT n AS node, CAST(MIN(hop) AS BIGINT) AS hop FROM (
 ) GROUP BY n"""
 
 
+def q_kg_clustering(sf_dir: str):
+    """Per-node local clustering coefficient over the co-occurrence graph —
+    composed from ops.triangles + a degree count + one left-outer join.
+    coeff = 2T / (deg·(deg−1)), fixed-point micros (identical IEEE double
+    expression on both engines)."""
+    edges = kg.cooccurrence_edges(_mentions(sf_dir))
+    und = ops.distinct(
+        edges.map_batches(lambda t: t.select(["src_qid", "dst_qid"]),
+                          batch_format="pyarrow"),
+        ["src_qid", "dst_qid"],
+    ).materialize()
+    tri = ops.triangles(und, src="src_qid", dst="dst_qid")
+
+    def ends(col):
+        return lambda t: pa.table({"node": t[col]})
+
+    tcounts = ops._compact(
+        tri.map_batches(ends("a"), batch_format="pyarrow")
+        .union(tri.map_batches(ends("b"), batch_format="pyarrow"))
+        .union(tri.map_batches(ends("c"), batch_format="pyarrow"))
+        .groupby("node").aggregate(Count(alias_name="t"))
+    )
+    deg = ops._compact(
+        und.map_batches(ends("src_qid"), batch_format="pyarrow")
+        .union(und.map_batches(ends("dst_qid"), batch_format="pyarrow"))
+        .groupby("node").aggregate(Count(alias_name="deg"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        deg_v = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tri_v = np.nan_to_num(
+            t["t"].to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0
+        ).astype(np.int64)
+        denom = deg_v * (deg_v - 1)
+        coeff = np.where(
+            deg_v >= 2,
+            np.floor(2.0 * tri_v * 1e6 / np.where(denom > 0, denom, 1) + 0.5),
+            0.0,
+        ).astype(np.int64)
+        return pa.table({
+            "node": t["node"],
+            "deg": pa.array(deg_v, type=pa.int64()),
+            "triangles": pa.array(tri_v, type=pa.int64()),
+            "coeff_micro": pa.array(coeff, type=pa.int64()),
+        })
+
+    return ops.hash_join(deg, tcounts, on=("node",), how="left_outer").map_batches(
+        finish, batch_format="pyarrow")
+
+
+O_KG_CLUSTERING = lambda sf: f"""WITH {_pages_cte(sf)},
+  counts AS (
+    SELECT host, year, qid FROM sql_mentions
+    WHERE qid <> 'NIL' GROUP BY host, year, qid
+  ),
+  e AS (
+    SELECT DISTINCT a.qid AS a, b.qid AS b
+    FROM counts a JOIN counts b
+      ON a.host = b.host AND a.year = b.year AND a.qid < b.qid
+  ),
+  tri AS (
+    SELECT e1.a AS a, e1.b AS b, e2.b AS c
+    FROM e e1 JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+  ),
+  tc AS (
+    SELECT n, count(*) AS t FROM (
+      SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri) GROUP BY n
+  ),
+  dg AS (
+    SELECT n, count(*) AS deg FROM (
+      SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n
+  )
+SELECT dg.n AS node, CAST(dg.deg AS BIGINT) AS deg,
+       CAST(COALESCE(tc.t, 0) AS BIGINT) AS triangles,
+       CAST(CASE WHEN dg.deg >= 2
+                 THEN floor(2.0 * COALESCE(tc.t, 0) * 1000000
+                            / (dg.deg * (dg.deg - 1)) + 0.5)
+                 ELSE 0 END AS BIGINT) AS coeff_micro
+FROM dg LEFT JOIN tc ON tc.n = dg.n"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2364,6 +2447,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "part_fuzzy_names": q_part_fuzzy_names,
     "events_latest_per_user": q_events_latest_per_user,
     "kg_2hop": q_kg_2hop,
+    "kg_clustering": q_kg_clustering,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -2450,4 +2534,5 @@ def oracles() -> dict[str, str]:
         "part_fuzzy_names": O_PART_FUZZY_NAMES,
         "events_latest_per_user": O_EVENTS_LATEST_PER_USER,
         "kg_2hop": O_KG_2HOP(_SF001),
+        "kg_clustering": O_KG_CLUSTERING(_SF001),
     }

@@ -313,3 +313,48 @@ def test_k_hop_matches_brute_force_bfs():
         })).repartition(4)
         out = k_hop(ds, seeds, k).to_pandas()
         assert dict(zip(out.node, out.hop)) == exp
+
+
+def test_clustering_coefficient_composition():
+    """The kg_clustering composition (triangles + degrees + left join)
+    matches a brute-force local clustering coefficient."""
+    from newsagency_classification_ray.ops import (
+        _compact, distinct, hash_join, triangles,
+    )
+    from ray.data.aggregate import Count
+
+    rng = np.random.default_rng(13)
+    pairs = sorted({tuple(sorted((int(a), int(b))))
+                    for a, b in rng.integers(0, 15, (40, 2)) if a != b})
+    exp_tri = brute_triangles(pairs)
+    tcount = {}
+    for tri3 in exp_tri:
+        for v in tri3:
+            tcount[v] = tcount.get(v, 0) + 1
+    degv = {}
+    for a, b in pairs:
+        degv[a] = degv.get(a, 0) + 1
+        degv[b] = degv.get(b, 0) + 1
+    und = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in pairs], type=pa.int64()),
+        "dst": pa.array([b for _, b in pairs], type=pa.int64()),
+    })).repartition(3).materialize()
+    tri = triangles(und)
+
+    def ends(col):
+        return lambda t: pa.table({"node": t[col]})
+
+    tc = _compact(
+        tri.map_batches(ends("a"), batch_format="pyarrow")
+        .union(tri.map_batches(ends("b"), batch_format="pyarrow"))
+        .union(tri.map_batches(ends("c"), batch_format="pyarrow"))
+        .groupby("node").aggregate(Count(alias_name="t")))
+    dg = _compact(
+        und.map_batches(ends("src"), batch_format="pyarrow")
+        .union(und.map_batches(ends("dst"), batch_format="pyarrow"))
+        .groupby("node").aggregate(Count(alias_name="deg")))
+    out = hash_join(dg, tc, on=("node",), how="left_outer").to_pandas()
+    got_t = {r.node: 0 if pd.isna(r.t) else int(r.t) for r in out.itertuples()}
+    got_d = dict(zip(out.node, out.deg))
+    assert got_t == {v: tcount.get(v, 0) for v in degv}
+    assert got_d == degv
