@@ -1062,22 +1062,30 @@ def grouped_sequence(
     return ds.groupby(key).map_groups(fn, batch_format="pyarrow")
 
 
-def rollup_sum(
+def grouping_sets_sum(
     ds: Dataset,
     keys: list[str],
+    sets: list[tuple[str, ...]],
     value_col: str,
     alias: str,
     fill: str = "ALL",
 ) -> Dataset:
-    """``GROUP BY ROLLUP(keys)`` over a sum: one row set per prefix level,
-    aggregated-out key columns filled with ``fill`` (a sentinel rather than
-    NULL keeps cross-engine comparisons unambiguous).
+    """``GROUP BY GROUPING SETS(...)`` over a sum: one row set per requested
+    key subset, aggregated-out key columns filled with ``fill`` (a sentinel
+    rather than NULL keeps cross-engine comparisons unambiguous).
 
-    The input is scanned ONCE: level k (coarser) re-aggregates level k+1's
-    already-reduced rows, so each extra level costs a shuffle of
-    group-cardinality rows, not another pass over the data."""
+    The input is scanned ONCE: the finest level (all ``keys``) is computed
+    and pinned, and every requested subset re-aggregates those
+    already-reduced rows — each extra set costs a shuffle of
+    group-cardinality rows, not another pass over the data.
+    :func:`rollup_sum` (prefix sets) and :func:`cube_sum` (all subsets) are
+    the two standard instantiations."""
     from ray.data.aggregate import Sum
 
+    sets = [tuple(s) for s in sets]
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s} not a subset of keys {keys}")
     lvl = (
         ds.groupby(keys).aggregate(Sum(value_col, alias_name=alias))
         # normalize to Arrow blocks so downstream unions/fills see one
@@ -1091,8 +1099,8 @@ def rollup_sum(
            and not pa.types.is_large_string(key_types[c])]
     if bad:
         raise ValueError(
-            f"rollup_sum: key columns must be strings (the '{fill}' sentinel "
-            f"marks aggregated-out levels); cast {bad} to string first")
+            f"grouping_sets_sum: key columns must be strings (the '{fill}' "
+            f"sentinel marks aggregated-out levels); cast {bad} to string first")
 
     def with_fill(missing: list[str]):
         def fn(t: pa.Table) -> pa.Table:
@@ -1104,17 +1112,52 @@ def rollup_sum(
             return pa.table(cols)
         return fn
 
-    out = lvl.map_batches(with_fill([]), batch_format="pyarrow")
-    cur = lvl
-    for i in range(len(keys) - 1, 0, -1):
-        cur = cur.groupby(keys[:i]).aggregate(Sum(alias, alias_name=alias)).materialize()
-        out = out.union(cur.map_batches(with_fill(keys[i:]), batch_format="pyarrow"))
-    total = cur.sum(alias)
-    grand = ray.data.from_arrow(pa.table({
-        **{c: pa.array([fill], type=key_types[c]) for c in keys},
-        alias: pa.array([total], type=key_types[alias]),
-    }))
-    return out.union(grand)
+    out = None
+    for s in sets:
+        missing = [c for c in keys if c not in s]
+        if not missing:
+            part = lvl.map_batches(with_fill([]), batch_format="pyarrow")
+        elif s:
+            part = (
+                lvl.groupby(list(s)).aggregate(Sum(alias, alias_name=alias))
+                .map_batches(with_fill(missing), batch_format="pyarrow")
+            )
+        else:
+            part = ray.data.from_arrow(pa.table({
+                **{c: pa.array([fill], type=key_types[c]) for c in keys},
+                alias: pa.array([lvl.sum(alias)], type=key_types[alias]),
+            }))
+        out = part if out is None else out.union(part)
+    return out
+
+
+def rollup_sum(
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    alias: str,
+    fill: str = "ALL",
+) -> Dataset:
+    """``GROUP BY ROLLUP(keys)``: the prefix grouping sets
+    ((k1..kn), (k1..kn-1), …, ())."""
+    sets = [tuple(keys[:i]) for i in range(len(keys), -1, -1)]
+    return grouping_sets_sum(ds, keys, sets, value_col, alias, fill)
+
+
+def cube_sum(
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    alias: str,
+    fill: str = "ALL",
+) -> Dataset:
+    """``GROUP BY CUBE(keys)``: all 2^n key subsets, each re-aggregated from
+    the one pinned finest level."""
+    from itertools import combinations
+
+    sets = [c for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets_sum(ds, keys, sets, value_col, alias, fill)
 
 
 # --------------------------------------------------------------------------

@@ -2044,6 +2044,30 @@ SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
 
 
+def q_lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE over (returnflag, linestatus): all four key subsets,
+    each re-aggregated from one pinned finest level (ops.cube_sum)."""
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_returnflag", "l_linestatus", "l_quantity"])
+    out = ops.cube_sum(li, ["l_returnflag", "l_linestatus"], "l_quantity",
+                       "sum_qty")
+    return out.map_batches(
+        lambda t: pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pc.cast(pc.round(t["sum_qty"]), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+O_LINEITEM_CUBE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""
+
+
 def q_lineitem_semi_urgent(sf_dir: str):
     """Exact semi-join with a Bloom prefilter: lineitem rows whose order is
     1-URGENT. The bitmap prunes the probe side before the shuffle; the
@@ -2439,6 +2463,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_user_window": q_events_user_window,
     "events_user_sequences": q_events_user_sequences,
     "lineitem_rollup": q_lineitem_rollup,
+    "lineitem_cube": q_lineitem_cube,
     "lineitem_semi_urgent": q_lineitem_semi_urgent,
     "kg_triangles": q_kg_triangles,
     "kg_communities": q_kg_communities,
@@ -2526,6 +2551,7 @@ def oracles() -> dict[str, str]:
         "events_user_window": O_EVENTS_USER_WINDOW,
         "events_user_sequences": O_EVENTS_USER_SEQUENCES,
         "lineitem_rollup": O_LINEITEM_ROLLUP,
+        "lineitem_cube": O_LINEITEM_CUBE,
         "lineitem_semi_urgent": O_LINEITEM_SEMI_URGENT,
         "kg_triangles": O_KG_TRIANGLES(_SF001),
         "kg_communities": O_KG_COMMUNITIES(),

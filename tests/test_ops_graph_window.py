@@ -358,3 +358,20 @@ def test_clustering_coefficient_composition():
     got_d = dict(zip(out.node, out.deg))
     assert got_t == {v: tcount.get(v, 0) for v in degv}
     assert got_d == degv
+
+
+def test_cube_sum_matches_pandas():
+    from newsagency_classification_ray.ops import cube_sum
+
+    df, _ = events_ds()
+    df["v_int"] = (df["value"] * 1000).round().astype(np.int64)
+    df["u"] = df["user_id"].astype(str)
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = cube_sum(ds, ["kind", "u"], "v_int", "s").to_pandas()
+    got = {(r.kind, r.u): r.s for r in out.itertuples()}
+    exp = {(k, u): v for (k, u), v in df.groupby(["kind", "u"])["v_int"].sum().items()}
+    exp.update({(k, "ALL"): v for k, v in df.groupby("kind")["v_int"].sum().items()})
+    exp.update({("ALL", u): v for u, v in df.groupby("u")["v_int"].sum().items()})
+    exp[("ALL", "ALL")] = df["v_int"].sum()
+    assert got == exp
+    assert len(out) == len(exp)
