@@ -1186,6 +1186,7 @@ def bloom_semi_join(
     right_key: str,
     m_bits: int = 1 << 20,
     k: int = 4,
+    exact_broadcast_limit: int = 4_000_000,
 ) -> Dataset:
     """EXACT semi-join (left rows whose key appears on the right) with a
     broadcast Bloom prefilter — the 100-TB pattern when the right key set is
@@ -1229,7 +1230,20 @@ def bloom_semi_join(
         return t.filter(pa.array(mask))
 
     candidates = left.map_batches(probe, batch_format="pyarrow")
-    rkeys = _compact(distinct(right.select_columns([right_key]), [right_key]))
+    rkeys = _compact(distinct(right.select_columns([right_key]),
+                              [right_key])).materialize()
+    # exact verify: when the DISTINCT key set fits a broadcast (it is far
+    # smaller than the raw right side), a ray.put set + is_in filter beats
+    # the shuffle join outright — the join path remains for key sets that
+    # genuinely don't fit anywhere
+    if rkeys.count() <= exact_broadcast_limit:
+        vals = pa.array([r[right_key] for r in rkeys.take_all()])
+        vref = ray.put(vals)
+
+        def verify(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t[left_key], value_set=ray.get(vref)))
+
+        return candidates.map_batches(verify, batch_format="pyarrow")
     joined = hash_join(candidates, rkeys, on=(left_key,), right_on=(right_key,))
     if right_key != left_key and right_key in joined.schema().base_schema.names:
         joined = joined.drop_columns([right_key])
@@ -1442,6 +1456,39 @@ def group_quantiles(
     return ds.groupby(group_col).map_groups(fn, batch_format="pyarrow")
 
 
+def _lev_rows(A, B, la, lb, k: int):
+    """Levenshtein distances for n (a, b) string pairs SIMULTANEOUSLY,
+    capped at ``k + 1``. ``A``/``B`` are (n, L) uint32 codepoint matrices
+    (zero-padded), ``la``/``lb`` the true lengths.
+
+    Standard row DP, but the per-row sequential insertion recurrence
+    ``c[i] = min(best[i], c[i-1] + 1)`` is the min-plus prefix scan
+    ``c[i] = i + runmin_{m≤i}(b[m] − m)`` — so every DP step is a handful
+    of whole-(n, L)-array numpy ops and nothing iterates over pairs.
+    """
+    import numpy as np
+
+    n, L = A.shape
+    idx = np.arange(L + 1, dtype=np.int32)
+    prev = np.broadcast_to(idx, (n, L + 1)).copy()
+    res = np.where(lb == 0, la, 0).astype(np.int32)
+    for j in range(1, L + 1):
+        bj = B[:, j - 1:j]
+        sub = prev[:, :-1] + (A != bj)           # substitution
+        dele = prev[:, 1:] + 1                   # deletion from a
+        best = np.minimum(sub, dele)             # everything but insertion
+        # insertion chain as min-plus scan: t[0]=j (c[0]), t[m]=best[m-1]-m
+        t = np.empty((n, L + 1), dtype=np.int32)
+        t[:, 0] = j
+        t[:, 1:] = best - idx[1:]
+        cur = np.minimum.accumulate(t, axis=1) + idx
+        hit = lb == j                            # pairs whose b ends here
+        if hit.any():
+            res[hit] = cur[hit, la[hit]]
+        prev = cur
+    return np.minimum(res, k + 1)
+
+
 def fuzzy_pairs(
     ds: Dataset,
     block_col: str,
@@ -1457,32 +1504,51 @@ def fuzzy_pairs(
     compared inside a block, so the per-block row count bounds the quadratic
     candidate set — made explicit here because the in-group work is
     O(n_block²). A vectorized length-difference prefilter
-    (``|len(a)−len(b)| > max_dist ⇒ dist > max_dist``) kills most candidate
-    pairs before the early-exit banded DP runs. Null text compares as "".
-    Returns ``(block_col, id_a, id_b, dist)`` with ``id_a < id_b``.
+    (``|len(a)−len(b)| > max_dist ⇒ dist > max_dist``) kills candidate
+    pairs first; the survivors run a Levenshtein DP VECTORIZED ACROSS ALL
+    PAIRS at once (each DP row's sequential insertion chain collapses to a
+    min-plus prefix scan: ``c[i] = i + runmin_{m≤i}(b[m]−m)``) — no Python
+    loop over pairs. Null text compares as "". Returns
+    ``(block_col, id_a, id_b, dist)`` with ``id_a < id_b``.
     """
     import numpy as np
-
-    from .functions.textproc import edit_distance
 
     def fn(g: pa.Table) -> pa.Table:
         ids = g[id_col].to_numpy(zero_copy_only=False)
         order = np.argsort(ids)  # ascending ids → deterministic id_a < id_b
         ids = ids[order]
-        texts = np.asarray(
-            ["" if x is None else x for x in g[text_col].to_pylist()],
-            dtype=object)[order]
+        texts = ["" if x is None else x
+                 for x in g[text_col].take(pa.array(order)).to_pylist()]
         lens = np.asarray([len(x) for x in texts], dtype=np.int64)
         ii, jj = np.triu_indices(len(ids), k=1)
         ok = np.abs(lens[ii] - lens[jj]) <= max_dist
         ii, jj = ii[ok], jj[ok]
-        out_a, out_b, out_d = [], [], []
-        for i, j in zip(ii.tolist(), jj.tolist()):
-            d = edit_distance(texts[i], texts[j], max_dist)
-            if d <= max_dist:
-                out_a.append(i)
-                out_b.append(j)
-                out_d.append(d)
+        if len(ii):
+            L = int(lens.max())
+            # one codepoint matrix per ROW (not per pair), gathered later
+            M = np.zeros((len(texts), L), dtype=np.uint32)
+            for i, s in enumerate(texts):
+                if s:
+                    M[i, :len(s)] = np.frombuffer(
+                        s.encode("utf-32-le"), dtype=np.uint32)
+            # bucketed bag-of-chars lower bound (bag ≤ Levenshtein, and
+            # bucket-merging only weakens it): kills the bulk of the
+            # length-compatible candidates before any DP runs
+            H = np.zeros((len(texts), 64), dtype=np.int16)
+            nz = M != 0
+            rows = np.broadcast_to(np.arange(len(texts))[:, None], M.shape)
+            np.add.at(H, (rows[nz], (M[nz] % 64).astype(np.int64)), 1)
+            diff = H[ii].astype(np.int32) - H[jj]
+            bound = np.maximum(np.clip(diff, 0, None).sum(axis=1),
+                               np.clip(-diff, 0, None).sum(axis=1))
+            cand = bound <= max_dist
+            ii, jj = ii[cand], jj[cand]
+            d = _lev_rows(M[ii], M[jj], lens[ii], lens[jj], max_dist)
+            keep = d <= max_dist
+            out_a, out_b, out_d = (ii[keep].tolist(), jj[keep].tolist(),
+                                   d[keep].tolist())
+        else:
+            out_a, out_b, out_d = [], [], []
         id_arr = g[id_col].combine_chunks().take(pa.array(order, type=pa.int64()))
         return pa.table({
             block_col: pa.concat_arrays(
