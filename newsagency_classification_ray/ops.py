@@ -1601,6 +1601,173 @@ def latest_by_key(
     )
 
 
+def except_distinct(left: Dataset, right: Dataset, cols: list[str]) -> Dataset:
+    """``SELECT DISTINCT cols FROM left EXCEPT SELECT DISTINCT cols FROM
+    right`` — set difference over key tuples. Both sides run the
+    :func:`distinct` combiner first (per-batch local dedup), so the anti-join
+    exchange carries unique keys only, never raw rows; the join itself is
+    Ray's partitioned ``left_anti``."""
+    l_d = _compact(distinct(left.select_columns(cols), cols)).materialize()
+    r_d = _compact(distinct(right.select_columns(cols), cols)).materialize()
+    if r_d.count() == 0:
+        return l_d
+    if l_d.count() == 0:
+        return l_d
+    return hash_join(l_d, r_d, on=tuple(cols), how="left_anti")
+
+
+def intersect_distinct(left: Dataset, right: Dataset, cols: list[str]) -> Dataset:
+    """``INTERSECT`` over distinct key tuples — same reduced-sides shape as
+    :func:`except_distinct`, with Ray's partitioned ``left_semi`` join."""
+    l_d = _compact(distinct(left.select_columns(cols), cols)).materialize()
+    r_d = _compact(distinct(right.select_columns(cols), cols)).materialize()
+    if l_d.count() == 0 or r_d.count() == 0:
+        return l_d.limit(0)
+    return hash_join(l_d, r_d, on=tuple(cols), how="left_semi")
+
+
+def weighted_sample_topk(
+    ds: Dataset,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    keep_cols: list[str] | None = None,
+) -> pa.Table:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row gets key ``u^(1/w)`` where ``u ∈ (0,1)`` is a
+    fixed multiplicative hash of the id (Knuth 2654435761 mod 2^32) and
+    ``w = max(weight, 1)``; the k largest keys are the sample. Heavier rows
+    hash to larger keys in expectation, so inclusion probability is
+    proportional to weight — and the hash (not an RNG) makes the draw
+    reproducible across engines and cluster sizes.
+
+    Distribution shape: per-batch local top-k combiner (sort only the block),
+    then one O(blocks·k)-row driver reduce — the corpus never shuffles.
+    Oracle-equivalent: ``ORDER BY pow(u, 1.0/w) DESC, id LIMIT k``.
+    Ties break to ``id_col`` ascending. Returns an Arrow table with
+    ``id_col`` + ``keep_cols``, sample-key order.
+    """
+    import numpy as np
+
+    keep_cols = keep_cols or []
+
+    def local(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.maximum(w, 1.0)
+        u = ((ids * 2654435761) % 4294967296 + 1) / 4294967297.0
+        key = u ** (1.0 / w)
+        order = np.lexsort((ids, -key))[: min(k, len(ids))]
+        out = t.select([id_col, *keep_cols]).take(pa.array(order))
+        return out.append_column("_key", pa.array(key[order], type=pa.float64()))
+
+    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["_key", id_col], ascending=[False, True],
+                            kind="stable").head(k)
+    return pa.Table.from_pandas(
+        cand.drop(columns=["_key"]).reset_index(drop=True), preserve_index=False)
+
+
+def histogram_fixed(ds: Dataset, col: str, width: int) -> Dataset:
+    """Fixed-width histogram over an integer column: one row per occupied
+    bucket ``floor(col / width)`` with count / min / max. The entire
+    reduction is a per-batch Arrow ``group_by`` combiner followed by a
+    bucket-cardinality groupby — the exchange moves O(blocks × buckets)
+    rows, so a 100-TB scan reduces to a few-KB result with no full shuffle.
+    Returns ``(bucket, n, min_v, max_v)``."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    if width <= 0:
+        raise ValueError(f"histogram_fixed: width must be > 0, got {width}")
+
+    def local(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[col], pa.int64())
+        part = pa.table({
+            "bucket": pc.if_else(
+                pc.less(v, 0),
+                # floor toward -inf for negatives (Arrow divide truncates)
+                pc.divide(pc.subtract(v, width - 1), width),
+                pc.divide(v, width)),
+            "v": v,
+        }).group_by("bucket").aggregate([("v", "count"), ("v", "min"),
+                                         ("v", "max")])
+        return part.rename_columns(["bucket", "n", "min_v", "max_v"])
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"),
+                   Min("min_v", alias_name="min_v"),
+                   Max("max_v", alias_name="max_v"))
+    )
+
+
+def pivot_counts(
+    ds: Dataset, key_col: str, cat_col: str, categories: list[str]
+) -> Dataset:
+    """Pivot a categorical column into per-category count columns (``count(*)
+    FILTER (WHERE cat = c)`` per category): one row per key with ``n_<c>``
+    int64 columns. Per-batch combiner first — each block reduces to one
+    partial row per key it sees — then one groupby over partials; rows that
+    match no listed category still count toward the key's presence (a key
+    row with all-zero counts), mirroring SQL's FILTER semantics."""
+    from ray.data.aggregate import Sum
+
+    names = [f"n_{c}" for c in categories]
+
+    def local(t: pa.Table) -> pa.Table:
+        cols = {key_col: t[key_col]}
+        for c, name in zip(categories, names):
+            cols[name] = pc.cast(pc.equal(t[cat_col], c), pa.int64())
+        part = pa.table(cols).group_by(key_col).aggregate(
+            [(n, "sum") for n in names])
+        return part.rename_columns([key_col, *names])
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(*[Sum(n, alias_name=n) for n in names])
+    )
+
+
+def grouped_moments(
+    ds: Dataset, key_col: str, x_col: str, y_col: str
+) -> Dataset:
+    """Per-group second-moment sufficient statistics over two INT64 columns:
+    ``(key, n, sx, sy, sxx, syy, sxy)`` — everything mean / variance /
+    stddev / covariance / correlation derive from, reduced EXACTLY.
+
+    Integer sums are associative and commutative, so unlike float
+    accumulation the result is independent of block order and reduction
+    tree — the caller can finalize (divide / sqrt on the exact sums) with
+    bit-identical results on any engine. Caller pre-scales fractional
+    inputs to int64 (e.g. cents); int64 holds Σx² to ~10^18, so scale so
+    that ``max(x)² · rows`` stays below that (document the bound at the
+    call site). Per-batch Arrow group_by combiner → one partial row per
+    (block, key) through the exchange."""
+    from ray.data.aggregate import Sum
+
+    stat_names = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+
+    def local(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[x_col], pa.int64())
+        y = pc.cast(t[y_col], pa.int64())
+        part = pa.table({
+            key_col: t[key_col],
+            "n": pa.array([1] * len(t), type=pa.int64()),
+            "sx": x, "sy": y,
+            "sxx": pc.multiply(x, x), "syy": pc.multiply(y, y),
+            "sxy": pc.multiply(x, y),
+        }).group_by(key_col).aggregate([(n, "sum") for n in stat_names])
+        return part.rename_columns([key_col, *stat_names])
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(*[Sum(n, alias_name=n) for n in stat_names])
+    )
+
+
 def k_hop(
     edges: Dataset,
     seeds: list,

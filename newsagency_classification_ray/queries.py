@@ -2393,6 +2393,252 @@ SELECT dg.n AS node, CAST(dg.deg AS BIGINT) AS deg,
 FROM dg LEFT JOIN tc ON tc.n = dg.n"""
 
 
+def q_customer_no_orders(sf_dir: str):
+    """Distributed large×large ANTI-join (Ray ``left_anti``): customers with
+    no order dated 2000-01-01 or later, rolled up per market segment. The
+    order side reduces to DISTINCT recent custkeys first (combiner +
+    groupby), so the anti-join exchange moves one row per active customer,
+    not one per order."""
+    cutoff = pa.scalar(pd.Timestamp("2000-01-01"), type=pa.timestamp("us"))
+    recent = ops.read_table(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table({"c_custkey": pc.cast(
+            t.filter(pc.greater_equal(t["o_orderdate"], cutoff))["o_custkey"],
+            pa.int64())}),
+        batch_format="pyarrow",
+    )
+    recent = ops._compact(ops.distinct(recent, ["c_custkey"])).materialize()
+    cust = ops.read_table(sf_dir, "customer",
+                          ["c_custkey", "c_mktsegment", "c_acctbal"]).map_batches(
+        lambda t: pa.table({"c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                            "c_mktsegment": t["c_mktsegment"],
+                            "c_acctbal": t["c_acctbal"]}),
+        batch_format="pyarrow",
+    )
+    idle = ops.hash_join(cust, recent, on=("c_custkey",), how="left_anti")
+    g = idle.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_idle"), Sum("c_acctbal", alias_name="bal_raw"))
+    return g.map_batches(
+        lambda t: pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "n_idle": pc.cast(t["n_idle"], pa.int64()),
+            "bal_cents": _cents(t["bal_raw"]),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+O_CUSTOMER_NO_ORDERS = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_idle,
+       CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS bal_cents
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment"""
+
+
+def q_orders_days_full_outer(sf_dir: str):
+    """FULL OUTER join (Ray ``full_outer``; key coalesced by the engine):
+    per-day counts of 'F'-status orders vs 'O'-status orders — days where
+    either side is absent keep a NULL count. Both sides pre-aggregate to
+    day rows before the join, so the exchange is day-cardinality."""
+    orders = ops.read_table(sf_dir, "orders", ["o_orderdate", "o_orderstatus"])
+
+    def day_counts(status: str, out: str):
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["o_orderstatus"], status))
+            return pa.table({"day": pc.floor_temporal(t["o_orderdate"], unit="day")})
+        return orders.map_batches(prep, batch_format="pyarrow").groupby(
+            "day").aggregate(Count(alias_name=out)).map_batches(
+            lambda t: pa.table({"day": t["day"],
+                                out: pc.cast(t[out], pa.int64())}),
+            batch_format="pyarrow",
+        )
+
+    f = ops._compact(day_counts("F", "n_f")).materialize()
+    o = ops._compact(day_counts("O", "n_o")).materialize()
+    return ops.hash_join(f, o, on=("day",), how="full_outer")
+
+
+O_ORDERS_DAYS_FULL_OUTER = """
+WITH f AS (SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_f
+           FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+     o AS (SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_o
+           FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+SELECT CAST(COALESCE(f.day, o.day) AS TIMESTAMP) AS day,
+       CAST(f.n_f AS BIGINT) AS n_f, CAST(o.n_o AS BIGINT) AS n_o
+FROM f FULL OUTER JOIN o ON f.day = o.day"""
+
+
+def q_events_view_not_purchase(sf_dir: str):
+    """Set difference (``EXCEPT``) over composite keys: (user, day) pairs
+    with a 'view' event but no 'purchase' that day — distinct-combiner on
+    both sides, then Ray's partitioned ``left_anti`` (ops.except_distinct)."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def side(etype: str):
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], etype))
+            return pa.table({
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "day": pc.floor_temporal(t["ts"], unit="day"),
+            })
+        return ev.map_batches(prep, batch_format="pyarrow")
+
+    return ops.except_distinct(side("view"), side("purchase"),
+                               ["user_id", "day"])
+
+
+O_EVENTS_VIEW_NOT_PURCHASE = """
+SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+FROM events WHERE event_type = 'purchase'"""
+
+
+def q_lineitem_price_moments(sf_dir: str):
+    """Exact distributed moment aggregates per return flag — mean, sample
+    stddev and Pearson correlation of (quantity, price-in-dollars) — from
+    INTEGER sufficient statistics (ops.grouped_moments), so the reduction is
+    order-independent and the float finalize (same IEEE expression both
+    engines) hash-matches bit-for-bit. Dollar scaling keeps Σy² ≲ 10^16
+    through sf100 (documented int64 bound)."""
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        # DuckDB round() is half-AWAY-from-zero; Arrow defaults to
+        # half-to-even, and 2-decimal prices hit .50 constantly — match
+        # modes explicitly or sy drifts by ~half a dollar per tie
+        away = lambda a: pc.round(a, round_mode="half_towards_infinity")
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "x": pc.cast(away(t["l_quantity"]), pa.int64()),
+            "y": pc.cast(away(t["l_extendedprice"]), pa.int64()),
+        })
+
+    m = ops.grouped_moments(li.map_batches(prep, batch_format="pyarrow"),
+                            "l_returnflag", "x", "y")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = t["syy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean_y = np.round(sy / n, 6)
+        std_y = np.round(np.sqrt((n * syy - sy * sy) / (n * (n - 1.0))), 6)
+        corr = np.round((n * sxy - sx * sy)
+                        / (np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)), 6)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "mean_price": pa.array(mean_y, type=pa.float64()),
+            "std_price": pa.array(std_y, type=pa.float64()),
+            "corr_qty_price": pa.array(corr, type=pa.float64()),
+        })
+
+    return m.map_batches(finish, batch_format="pyarrow")
+
+
+O_LINEITEM_PRICE_MOMENTS = """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+                  * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round(CAST(sy AS DOUBLE) / n, 6) AS mean_price,
+       round(sqrt((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+                  / (n * (n - 1.0))), 6) AS std_price,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+         AS corr_qty_price
+FROM s"""
+
+
+def q_docs_length_histogram(sf_dir: str):
+    """Fixed-width histogram of document length (ops.histogram_fixed,
+    width 50): per-batch Arrow group_by combiner, bucket-cardinality
+    exchange only."""
+    docs = ops.read_table(sf_dir, "documents", ["n_chars"])
+    return ops.histogram_fixed(docs, "n_chars", 50)
+
+
+O_DOCS_LENGTH_HISTOGRAM = """
+SELECT n_chars // 50 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(n_chars) AS BIGINT) AS min_v,
+       CAST(max(n_chars) AS BIGINT) AS max_v
+FROM documents GROUP BY 1"""
+
+
+def q_docs_domain_cap(sf_dir: str):
+    """Per-domain quota enforcement (web-corpus curation: keep at most K
+    docs per source, deterministic smallest-id-first): ops.group_top_k
+    ascending — per-batch local cap combiner, O(blocks·K) rows per group
+    through the exchange."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "source"])
+    return ops.group_top_k(docs, "source", "doc_id", 15,
+                           id_col="doc_id", descending=False)
+
+
+O_DOCS_DOMAIN_CAP = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn <= 15"""
+
+
+def q_docs_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis keys on a multiplicative id hash, weight = n_chars): top-20
+    keys via per-batch combiner + driver reduce (ops.weighted_sample_topk)."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return ops.weighted_sample_topk(docs, "doc_id", "n_chars", 20,
+                                    keep_cols=["source"])
+
+
+O_DOCS_WEIGHTED_SAMPLE = """
+SELECT doc_id, source FROM documents
+ORDER BY pow(((doc_id * 2654435761) % 4294967296 + 1) / 4294967297.0,
+             1.0 / greatest(n_chars, 1)) DESC, doc_id
+LIMIT 20"""
+
+
+def q_orders_status_pivot(sf_dir: str):
+    """Categorical pivot (``count(*) FILTER`` per status) by order month:
+    ops.pivot_counts — per-batch Arrow group_by combiner, one partial row
+    per (block, month) through the exchange."""
+    orders = ops.read_table(sf_dir, "orders", ["o_orderdate", "o_orderstatus"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.strftime(t["o_orderdate"], format="%Y-%m"),
+            "status": t["o_orderstatus"],
+        })
+
+    return ops.pivot_counts(orders.map_batches(prep, batch_format="pyarrow"),
+                            "month", "status", ["F", "O", "P"])
+
+
+O_ORDERS_STATUS_PIVOT = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_F,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_O,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_P
+FROM orders GROUP BY 1"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2473,6 +2719,14 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_latest_per_user": q_events_latest_per_user,
     "kg_2hop": q_kg_2hop,
     "kg_clustering": q_kg_clustering,
+    "customer_no_orders": q_customer_no_orders,
+    "orders_days_full_outer": q_orders_days_full_outer,
+    "events_view_not_purchase": q_events_view_not_purchase,
+    "lineitem_price_moments": q_lineitem_price_moments,
+    "docs_length_histogram": q_docs_length_histogram,
+    "docs_domain_cap": q_docs_domain_cap,
+    "docs_weighted_sample": q_docs_weighted_sample,
+    "orders_status_pivot": q_orders_status_pivot,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -2561,4 +2815,12 @@ def oracles() -> dict[str, str]:
         "events_latest_per_user": O_EVENTS_LATEST_PER_USER,
         "kg_2hop": O_KG_2HOP(_SF001),
         "kg_clustering": O_KG_CLUSTERING(_SF001),
+        "customer_no_orders": O_CUSTOMER_NO_ORDERS,
+        "orders_days_full_outer": O_ORDERS_DAYS_FULL_OUTER,
+        "events_view_not_purchase": O_EVENTS_VIEW_NOT_PURCHASE,
+        "lineitem_price_moments": O_LINEITEM_PRICE_MOMENTS,
+        "docs_length_histogram": O_DOCS_LENGTH_HISTOGRAM,
+        "docs_domain_cap": O_DOCS_DOMAIN_CAP,
+        "docs_weighted_sample": O_DOCS_WEIGHTED_SAMPLE,
+        "orders_status_pivot": O_ORDERS_STATUS_PIVOT,
     }

@@ -288,7 +288,13 @@ def kmeans_assign(
         # canonical sort: take_all arrival order is nondeterministic and
         # float addition is non-associative — without a fixed reduction
         # order, partial sums landing on a rounding boundary could flip
-        rows = embeddings.map_batches(partials, batch_format="pyarrow").take_all()
+        # batch_size=None pins one batch per BLOCK: the runtime's dynamic
+        # batch bundling would otherwise vary the partial-sum DECOMPOSITION
+        # (not just its order) across runs under load, and float partials
+        # near a rounding boundary could flip — the canonical sort below
+        # only fixes reduction order, not decomposition
+        rows = embeddings.map_batches(partials, batch_size=None,
+                                      batch_format="pyarrow").take_all()
         rows.sort(key=lambda r: (int(r["cluster"]), int(r["count"]),
                                  tuple(r["sum"])))
         for r in rows:

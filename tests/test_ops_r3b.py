@@ -1,0 +1,111 @@
+"""Round-3 batch-2 operators: set ops (EXCEPT/INTERSECT), weighted
+sampling, fixed-width histogram, categorical pivot, exact grouped moments —
+each property-tested against a driver brute force."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from newsagency_classification_ray.ops import (
+    except_distinct,
+    grouped_moments,
+    histogram_fixed,
+    intersect_distinct,
+    pivot_counts,
+    weighted_sample_topk,
+)
+
+
+def _kv_ds(keys, vals):
+    return ray.data.from_arrow(pa.table({
+        "k": pa.array(keys, type=pa.int64()),
+        "v": pa.array(vals, type=pa.string()),
+    })).repartition(4)
+
+
+def _pairs(ds):
+    return {(r["k"], r["v"]) for r in ds.take_all()}
+
+
+def test_except_intersect_distinct_brute(ray_session):
+    rng = np.random.RandomState(7)
+    lk, lv = rng.randint(0, 12, 120).tolist(), rng.choice(list("abc"), 120).tolist()
+    rk, rv = rng.randint(0, 12, 90).tolist(), rng.choice(list("abc"), 90).tolist()
+    left, right = _kv_ds(lk, lv), _kv_ds(rk, rv)
+    lset, rset = set(zip(lk, lv)), set(zip(rk, rv))
+    assert _pairs(except_distinct(left, right, ["k", "v"])) == lset - rset
+    assert _pairs(intersect_distinct(left, right, ["k", "v"])) == lset & rset
+
+
+def test_except_distinct_empty_sides(ray_session):
+    left = _kv_ds([1, 1, 2], ["a", "a", "b"])
+    empty = _kv_ds([], [])
+    assert _pairs(except_distinct(left, empty, ["k", "v"])) == {(1, "a"), (2, "b")}
+    assert _pairs(except_distinct(empty, left, ["k", "v"])) == set()
+    assert _pairs(intersect_distinct(left, empty, ["k", "v"])) == set()
+
+
+def test_weighted_sample_topk_brute(ray_session):
+    rng = np.random.RandomState(3)
+    ids = rng.permutation(500)[:200].astype(np.int64)
+    w = rng.randint(0, 400, 200).astype(np.int64)  # includes w=0 -> clamp to 1
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "wt": pa.array(w),
+        "tag": pa.array([f"t{i % 5}" for i in ids], type=pa.string()),
+    })).repartition(6)
+    out = weighted_sample_topk(ds, "doc_id", "wt", 15, keep_cols=["tag"]).to_pandas()
+    u = ((ids * 2654435761) % 4294967296 + 1) / 4294967297.0
+    key = u ** (1.0 / np.maximum(w, 1))
+    exp = [int(i) for _, i in sorted(zip(-key, ids))][:15]
+    assert out["doc_id"].tolist() == exp
+    assert out["tag"].tolist() == [f"t{i % 5}" for i in exp]
+    # determinism across partitionings
+    out2 = weighted_sample_topk(ds.repartition(2), "doc_id", "wt", 15,
+                                keep_cols=["tag"]).to_pandas()
+    assert out2["doc_id"].tolist() == exp
+
+
+def test_histogram_fixed_brute_with_negatives(ray_session):
+    rng = np.random.RandomState(11)
+    v = rng.randint(-250, 250, 400).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(v)})).repartition(5)
+    got = {r["bucket"]: (r["n"], r["min_v"], r["max_v"])
+           for r in histogram_fixed(ds, "x", 100).take_all()}
+    exp = {}
+    for b in np.unique(v // 100):
+        sel = v[v // 100 == b]
+        exp[int(b)] = (len(sel), int(sel.min()), int(sel.max()))
+    assert got == exp
+
+
+def test_pivot_counts_brute(ray_session):
+    rng = np.random.RandomState(2)
+    keys = rng.choice(["k1", "k2", "k3"], 300).tolist()
+    cats = rng.choice(["A", "B", "C", "D"], 300).tolist()  # D unlisted
+    ds = ray.data.from_arrow(pa.table({"g": keys, "c": cats})).repartition(4)
+    got = {r["g"]: (r["n_A"], r["n_B"], r["n_C"])
+           for r in pivot_counts(ds, "g", "c", ["A", "B", "C"]).take_all()}
+    df = pd.DataFrame({"g": keys, "c": cats})
+    exp = {g: tuple(int(((grp["c"] == c).sum())) for c in "ABC")
+           for g, grp in df.groupby("g")}
+    assert got == exp
+
+
+def test_grouped_moments_exact(ray_session):
+    rng = np.random.RandomState(9)
+    g = rng.choice(["p", "q"], 500)
+    x = rng.randint(-50, 50, 500).astype(np.int64)
+    y = rng.randint(0, 10_000, 500).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(g.tolist(), type=pa.string()),
+        "x": pa.array(x), "y": pa.array(y),
+    })).repartition(7)
+    got = {r["g"]: (r["n"], r["sx"], r["sy"], r["sxx"], r["syy"], r["sxy"])
+           for r in grouped_moments(ds, "g", "x", "y").take_all()}
+    for grp in ("p", "q"):
+        m = g == grp
+        exp = (int(m.sum()), int(x[m].sum()), int(y[m].sum()),
+               int((x[m] * x[m]).sum()), int((y[m] * y[m]).sum()),
+               int((x[m] * y[m]).sum()))
+        assert got[grp] == exp
