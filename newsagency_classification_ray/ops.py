@@ -822,6 +822,59 @@ def approx_distinct(ds: Dataset, col: str, p: int = 12) -> int:
     return int(round(merged.estimate()))
 
 
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":  # noqa: F821
+    """Vectorized splitmix64 finalizer over int64/uint64 values — the
+    engine's standard integer hash (shared with the Bloom probe)."""
+    import numpy as np
+
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def grouped_approx_distinct(
+    ds: Dataset, key_col: str, val_col: str, p: int = 12
+) -> Dataset:
+    """Approximate ``COUNT(DISTINCT val) GROUP BY key`` via per-group HLL
+    sketches: each batch emits one (key, registers) row per key it sees
+    (vectorized splitmix64 hash + register update, int64 values only), the
+    groupby merges registers with a bytewise max, and the estimate
+    finalizes per group — the exchange carries O(blocks × keys) fixed
+    2^p-byte rows, never the value column. Deterministic (hash, not RNG),
+    so a pure driver recompute with the same functions is an exact oracle.
+    Returns ``(key_col, approx_n)``."""
+    import numpy as np
+
+    def sketch(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        vals = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_k, out_r = [], []
+        for k in pd.unique(keys):
+            hll = HyperLogLog(p)
+            hll.add_hashes(_splitmix64(vals[keys == k]))
+            out_k.append(k)
+            out_r.append(hll.registers.tobytes())
+        return pa.table({key_col: pa.array(out_k, type=t[key_col].type),
+                         "registers": pa.array(out_r, type=pa.binary())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        hll = HyperLogLog(p)
+        for r in g["registers"].to_pylist():
+            hll.registers = np.maximum(
+                hll.registers, np.frombuffer(r, dtype=np.uint8))
+        return pa.table({
+            key_col: g[key_col].slice(0, 1),
+            "approx_n": pa.array([int(round(hll.estimate()))], type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 # --------------------------------------------------------------------------
 # PageRank (iterative distributed graph analytics over the constructed KG)
 # --------------------------------------------------------------------------

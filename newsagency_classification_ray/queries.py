@@ -2639,6 +2639,152 @@ SELECT strftime(o_orderdate, '%Y-%m') AS month,
 FROM orders GROUP BY 1"""
 
 
+_BM25_TERMS = ["join", "filter", "vector"]
+
+
+def q_docs_bm25_topk(sf_dir: str):
+    """BM25 retrieval top-k (rt.bm25_topk): two bounded passes — df/avgdl
+    partials to the driver, then vectorized per-batch scoring with local
+    top-k — no corpus shuffle."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    return rt.bm25_topk(docs, _BM25_TERMS, k=15)
+
+
+O_DOCS_BM25_TOPK = rf"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, u.t
+  FROM documents, unnest(regexp_extract_all(text, '\S+')) u(t)
+  WHERE u.t IN ({", ".join(_sq(t) for t in _BM25_TERMS)})),
+dl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(len(regexp_extract_all(coalesce(text, ''), '\S+'))
+                   AS BIGINT) AS dl
+       FROM documents),
+stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM dl),
+df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+       FROM tok GROUP BY doc_id, t),
+s AS (
+  SELECT tf.doc_id,
+         CAST(floor(sum(
+           (tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+           * ln(((stats.n - df.df) + 0.5) / (df.df + 0.5) + 1)
+         ) * 1000000 + 0.5) AS BIGINT) AS score_micro
+  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, score_micro FROM s WHERE score_micro > 0
+ORDER BY score_micro DESC, doc_id LIMIT 15"""
+
+
+def q_events_approx_users(sf_dir: str):
+    """Per-type approximate distinct users (ops.grouped_approx_distinct):
+    fixed 2^12-byte HLL sketch per (block, key) through the exchange —
+    distinct counting at corpus scale without a value shuffle."""
+    ev = ops.read_table(sf_dir, "events", ["event_type", "user_id"])
+    return ops.grouped_approx_distinct(ev, "event_type", "user_id", p=12)
+
+
+def O_EVENTS_APPROX_USERS() -> str:
+    """Oracle = pure recompute with the SAME deterministic hash + HLL
+    finalize (VALUES pattern — the distributed path must reproduce it)."""
+    t = _read_parquet_cols(_SF001, "events", ["event_type", "user_id"])
+    keys = t["event_type"].to_pylist()
+    vals = np.asarray(t["user_id"].to_pylist(), dtype=np.int64)
+    rows = []
+    for k in sorted(set(keys)):
+        hll = ops.HyperLogLog(12)
+        hll.add_hashes(ops._splitmix64(vals[np.asarray(keys, dtype=object) == k]))
+        rows.append(f"({_sq(k)}, {int(round(hll.estimate()))})")
+    return _values_or_empty(
+        rows,
+        "SELECT event_type, CAST(approx_n AS BIGINT) AS approx_n",
+        "t(event_type, approx_n)", "('', 0)")
+
+
+def q_kg_components(sf_dir: str):
+    """Weakly-connected components over the agency co-occurrence graph:
+    qids map to int64 (strip the 'Q'), the distributed min-label CC from the
+    dedup family (pointer-edge contraction) runs as pure Dataset ops, and
+    labels format back to the component's minimum qid."""
+    edges = kg.cooccurrence_edges(_mentions(sf_dir))
+    und = ops.distinct(
+        edges.map_batches(lambda t: t.select(["src_qid", "dst_qid"]),
+                          batch_format="pyarrow"),
+        ["src_qid", "dst_qid"],
+    )
+
+    def to_int(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_a": pc.cast(pc.utf8_slice_codeunits(
+                t["src_qid"], start=1, stop=2**30), pa.int64()),
+            "doc_b": pc.cast(pc.utf8_slice_codeunits(
+                t["dst_qid"], start=1, stop=2**30), pa.int64()),
+        })
+
+    labels = dd.connected_components(und.map_batches(to_int, batch_format="pyarrow"))
+
+    def fmt(t: pa.Table) -> pa.Table:
+        q = pa.array(["Q"] * len(t), type=pa.string())
+        empty = pa.array([""] * len(t), type=pa.string())
+        return pa.table({
+            "node": pc.binary_join_element_wise(
+                q, pc.cast(t["node"], pa.string()), empty),
+            "comp": pc.binary_join_element_wise(
+                q, pc.cast(t["label"], pa.string()), empty),
+        })
+
+    return labels.map_batches(fmt, batch_format="pyarrow")
+
+
+O_KG_COMPONENTS = lambda sf: f"""WITH RECURSIVE {_pages_cte(sf)},
+  counts AS (
+    SELECT host, year, qid FROM sql_mentions
+    WHERE qid <> 'NIL' GROUP BY host, year, qid
+  ),
+  e AS (
+    SELECT DISTINCT a.qid AS a, b.qid AS b
+    FROM counts a JOIN counts b
+      ON a.host = b.host AND a.year = b.year AND a.qid < b.qid
+  ),
+  sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+  vtx AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+  walk(n, m) AS (
+    SELECT n, CAST(substring(n, 2) AS BIGINT) FROM vtx
+    UNION
+    SELECT s.b, w.m FROM walk w JOIN sym s ON s.a = w.n
+  )
+SELECT n AS node, 'Q' || CAST(min(m) AS VARCHAR) AS comp
+FROM walk GROUP BY n"""
+
+
+def q_events_trending(sf_dir: str):
+    """Trending composition: tumbling-day counts per event type, then
+    grouped top-2 per day (ops.group_top_k combiner) — the 'top categories
+    per window' pattern assembled from existing operators."""
+    ev = ops.read_table(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(t["ts"], unit="day"),
+                         "event_type": t["event_type"]})
+
+    counts = ev.map_batches(prep, batch_format="pyarrow").groupby(
+        ["day", "event_type"]).aggregate(Count(alias_name="n")).map_batches(
+        lambda t: pa.table({"day": t["day"], "event_type": t["event_type"],
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return ops.group_top_k(counts, "day", "n", 2, id_col="event_type")
+
+
+O_EVENTS_TRENDING = """
+SELECT day, event_type, n FROM (
+  SELECT day, event_type, n,
+         row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rn
+  FROM (SELECT date_trunc('day', ts) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2)) WHERE rn <= 2"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2727,6 +2873,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_domain_cap": q_docs_domain_cap,
     "docs_weighted_sample": q_docs_weighted_sample,
     "orders_status_pivot": q_orders_status_pivot,
+    "docs_bm25_topk": q_docs_bm25_topk,
+    "events_approx_users": q_events_approx_users,
+    "kg_components": q_kg_components,
+    "events_trending": q_events_trending,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -2823,4 +2973,8 @@ def oracles() -> dict[str, str]:
         "docs_domain_cap": O_DOCS_DOMAIN_CAP,
         "docs_weighted_sample": O_DOCS_WEIGHTED_SAMPLE,
         "orders_status_pivot": O_ORDERS_STATUS_PIVOT,
+        "docs_bm25_topk": O_DOCS_BM25_TOPK,
+        "events_approx_users": O_EVENTS_APPROX_USERS(),
+        "kg_components": O_KG_COMPONENTS(_SF001),
+        "events_trending": O_EVENTS_TRENDING,
     }

@@ -135,3 +135,63 @@ def inverted_index(
         .groupby("token")
         .map_groups(build, batch_format="pyarrow")
     )
+
+
+def bm25_topk(
+    docs: Dataset,
+    terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Top-k documents by BM25 over the query terms — the
+    length-normalized upgrade of :func:`tfidf_topk`, same two-pass shape:
+    pass 1 adds the corpus token count to the bounded per-block partial
+    (df vector, doc count, Σ doc length) so ``avgdl`` is exact; pass 2
+    scores each batch vectorized against the broadcast (idf, avgdl) and
+    emits its local top-k.
+
+    ``idf = ln((N − df + 0.5)/(df + 0.5) + 1)`` (Robertson–Sparck-Jones,
+    always ≥ 0), ``score = Σ_t idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))``
+    with ``dl`` = whitespace token count. Scores ×1e6 rounded half-away to
+    int64 (hash-stable); ties break to the lower id.
+    """
+    terms = list(terms)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("").reset_index(drop=True)
+        tf = _term_matrix(texts, terms)
+        return pd.DataFrame({
+            "n_docs": [len(batch)],
+            "n_tokens": [int(texts.str.split().str.len().sum())],
+            "df": [(tf > 0).sum(axis=0).tolist()],
+        })
+
+    df = np.zeros(len(terms), dtype=np.int64)
+    n = toks = 0
+    for r in docs.map_batches(partial, batch_format="pandas").take_all():
+        n += int(r["n_docs"])
+        toks += int(r["n_tokens"])
+        df += np.asarray(r["df"], dtype=np.int64)
+    avgdl = toks / max(n, 1)
+    idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    ref = ray.put((idf.astype(np.float64), float(avgdl)))
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        w, adl = ray.get(ref)
+        texts = batch[text_col].fillna("").reset_index(drop=True)
+        tf = _term_matrix(texts, terms).astype(np.float64)
+        dl = texts.str.split().str.len().to_numpy(dtype=np.float64)
+        denom = tf + k1 * (1.0 - b + b * dl[:, None] / adl)
+        score = ((tf * (k1 + 1.0) / denom) @ w)
+        micro = np.floor(score * 1e6 + 0.5).astype(np.int64)
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        keep = micro > 0
+        ids, micro = ids[keep], micro[keep]
+        sel = np.lexsort((ids, -micro))[: min(k, len(ids))]
+        return pd.DataFrame({id_col: ids[sel], "score_micro": micro[sel]})
+
+    local = docs.map_batches(local_topk, batch_format="pandas")
+    return local.sort(["score_micro", id_col], descending=[True, False]).limit(k)

@@ -109,3 +109,58 @@ def test_grouped_moments_exact(ray_session):
                int((x[m] * x[m]).sum()), int((y[m] * y[m]).sum()),
                int((x[m] * y[m]).sum()))
         assert got[grp] == exp
+
+
+def test_bm25_topk_brute(ray_session):
+    from newsagency_classification_ray.stages.retrieval import bm25_topk
+
+    rng = np.random.RandomState(4)
+    vocab = ["cat", "dog", "fish", "bird", "cow"]
+    texts = [" ".join(rng.choice(vocab, size=int(k)))
+             for k in rng.randint(1, 30, 80)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(80), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })).repartition(5)
+    terms = ["cat", "fish"]
+    out = bm25_topk(ds, terms, k=10).to_pandas()
+
+    n = len(texts)
+    dls = np.array([len(t.split()) for t in texts], dtype=np.float64)
+    avgdl = dls.sum() / n
+    dfs = np.array([sum(1 for t in texts if w in t.split()) for w in terms])
+    idf = np.log((n - dfs + 0.5) / (dfs + 0.5) + 1.0)
+    scores = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        s = 0.0
+        for j, w in enumerate(terms):
+            tf = float(toks.count(w))
+            if tf:
+                s += (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dls[i] / avgdl))) * idf[j]
+        micro = int(np.floor(s * 1e6 + 0.5))
+        if micro > 0:
+            scores[i] = micro
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(out.doc_id, out.score_micro)) == exp
+
+
+def test_grouped_approx_distinct_accuracy_and_determinism(ray_session):
+    from newsagency_classification_ray.ops import grouped_approx_distinct
+
+    rng = np.random.RandomState(8)
+    keys = rng.choice(["a", "b"], 6000).tolist()
+    vals = rng.randint(0, 1500, 6000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys, type=pa.string()), "v": pa.array(vals),
+    })).repartition(6)
+    got = {r["k"]: r["approx_n"]
+           for r in grouped_approx_distinct(ds, "k", "v", p=12).take_all()}
+    for grp in ("a", "b"):
+        exact = len({int(v) for k, v in zip(keys, vals) if k == grp})
+        assert abs(got[grp] - exact) / exact < 0.05  # ~1.6% expected @ p=12
+    # deterministic across partitionings (hash sketch, max-merge)
+    got2 = {r["k"]: r["approx_n"]
+            for r in grouped_approx_distinct(ds.repartition(2), "k", "v",
+                                             p=12).take_all()}
+    assert got == got2
