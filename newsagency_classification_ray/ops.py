@@ -701,6 +701,175 @@ def exact_quantiles(ds: Dataset, col: str, qs: list[float]) -> pa.Table:
     })
 
 
+def quantiles_histogram(
+    ds: Dataset,
+    col: str,
+    qs: list[float],
+    num_buckets: int = 4096,
+    max_candidates: int = 2_000_000,
+) -> pa.Table:
+    """EXACT quantiles (``quantile_disc`` lower semantics, same result as
+    :func:`exact_quantiles`) WITHOUT the global range sort — the 100-TB
+    path: a sort is an all-to-all exchange of the whole column; this is two
+    streaming passes with bounded driver state.
+
+    Pass 1 reduces each block to per-bucket (count, min, max) partial rows
+    over a fixed value grid between the column min/max (one extra
+    bounds+count aggregate first); the driver cumsums bucket counts to
+    locate the bucket holding each target rank ``floor(q·(N−1))``. A bucket
+    whose min == max answers its ranks immediately (heavy duplicate values
+    never need gathering). Pass 2 fetches ONLY rows in the still-needed
+    buckets (expected N/num_buckets each) and selects the order statistics
+    in memory; if the candidate fetch would exceed ``max_candidates`` the
+    op raises with advice to raise ``num_buckets``. Bucket assignment is
+    one IEEE expression per row, independent of block layout, so the result
+    is deterministic at any cluster size. Returns ``(q, value)``.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    qs = list(qs)
+    bounds = ds.select_columns([col]).aggregate(
+        Min(col, alias_name="lo"), Max(col, alias_name="hi"),
+        Count(alias_name="n"))
+    lo, hi, n = float(bounds["lo"]), float(bounds["hi"]), int(bounds["n"])
+    if n == 0:
+        return pa.table({"q": pa.array([], type=pa.float64()),
+                         "value": pa.array([], type=pa.float64())})
+    width = (hi - lo) / num_buckets or 1.0
+
+    def bidx(v: "np.ndarray") -> "np.ndarray":
+        return np.minimum(((v - lo) / width).astype(np.int64), num_buckets - 1)
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        part = pa.table({
+            "b": pa.array(bidx(v), type=pa.int64()),
+            "v": pa.array(v, type=pa.float64()),
+        }).group_by("b").aggregate([("v", "count"), ("v", "min"), ("v", "max")])
+        return part.rename_columns(["b", "cnt", "bmin", "bmax"])
+
+    buckets = (
+        ds.select_columns([col]).map_batches(hist, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("cnt", alias_name="cnt"),
+                   Min("bmin", alias_name="bmin"),
+                   Max("bmax", alias_name="bmax"))
+        .to_pandas().sort_values("b").reset_index(drop=True)
+    )
+    cum = buckets["cnt"].cumsum().to_numpy()
+    ranks = [int(q * (n - 1)) for q in qs]
+    # bucket index (row in `buckets`) holding each rank; offset within it
+    rows = np.searchsorted(cum, np.asarray(ranks), side="right")
+    offs = [r - (int(cum[i - 1]) if i > 0 else 0) for r, i in zip(ranks, rows)]
+
+    vals: dict[int, float] = {}
+    need: dict[int, list[tuple[int, int]]] = {}  # bucket id -> [(rank, off)]
+    for r, i, off in zip(ranks, rows, offs):
+        bid = int(buckets["b"].iloc[i])
+        if buckets["bmin"].iloc[i] == buckets["bmax"].iloc[i]:
+            vals[r] = float(buckets["bmin"].iloc[i])
+        else:
+            need.setdefault(bid, []).append((r, off))
+    if need:
+        fetch = int(buckets.set_index("b").loc[list(need), "cnt"].sum())
+        if fetch > max_candidates:
+            raise ValueError(
+                f"quantiles_histogram: candidate fetch of {fetch} rows exceeds "
+                f"max_candidates={max_candidates}; raise num_buckets "
+                f"(={num_buckets})")
+        want = pa.array(sorted(need), type=pa.int64())
+
+        def pick(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            m = pc.is_in(pa.array(bidx(v), type=pa.int64()), value_set=want)
+            return pa.table({col: t[col].filter(m)})
+
+        cand = np.asarray([r[col] for r in ds.select_columns([col]).map_batches(
+            pick, batch_format="pyarrow").take_all()], dtype=np.float64)
+        cb = bidx(cand)
+        for bid, targets in need.items():
+            sv = np.sort(cand[cb == bid])
+            for r, off in targets:
+                vals[r] = float(sv[off])
+    return pa.table({
+        "q": pa.array(qs, type=pa.float64()),
+        "value": pa.array([vals[r] for r in ranks], type=pa.float64()),
+    })
+
+
+def skew_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    *,
+    salt: int = 8,
+    hot_top: int = 64,
+    hot_threshold: int = 100_000,
+) -> Dataset:
+    """Inner hash join with SALTED hot keys — the skew armor a plain
+    partitioned join lacks: a Zipf-head key (one entity in half the corpus)
+    lands its entire group on one aggregator and that task becomes the job.
+
+    Detection is a bounded pre-pass: each left block emits its top
+    ``hot_top`` key counts (one partial row set per block), the driver sums
+    them — an upper-bound estimate that can only over-detect (a key counted
+    hot routes through the salted path, which is correct for any key).
+    Keys whose estimated count exceeds ``hot_threshold`` get salted: hot
+    LEFT rows take salt ``i mod salt`` (any assignment is correct — results
+    don't depend on which replica matched), hot RIGHT rows REPLICATE to all
+    ``salt`` buckets, and the join key becomes (key, salt) so the hot
+    group splits across ``salt`` aggregators. Cold keys take salt 0 on both
+    sides (no replication). One union, ONE join — same exchange count as
+    the unsalted path. Result == ``hash_join(left, right, on)`` exactly.
+    """
+    import numpy as np
+
+    def top_counts(t: pa.Table) -> pa.Table:
+        vc = t[on].value_counts()
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        keep = np.argsort(-counts, kind="stable")[:hot_top]
+        return pa.table({"k": vc.field("values").take(pa.array(keep)),
+                         "c": pa.array(counts[keep], type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    est = (
+        left.select_columns([on]).map_batches(top_counts, batch_format="pyarrow")
+        .groupby("k").aggregate(Sum("c", alias_name="c"))
+    )
+    hot = [r["k"] for r in est.filter(
+        lambda r: r["c"] > hot_threshold).take_all()]
+    if not hot:
+        return hash_join(left, right, on=(on,))
+    hot_set = pa.array(hot)
+    href = ray.put(hot_set)
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        is_hot = pc.is_in(t[on], value_set=ray.get(href)).to_numpy(
+            zero_copy_only=False)
+        s = np.zeros(len(t), dtype=np.int64)
+        s[is_hot] = np.arange(int(is_hot.sum())) % salt
+        return t.append_column("_salt", pa.array(s, type=pa.int64()))
+
+    def salt_right(t: pa.Table) -> pa.Table:
+        is_hot_arr = pc.is_in(t[on], value_set=ray.get(href))
+        cold = t.filter(pc.invert(is_hot_arr))
+        cold = cold.append_column(
+            "_salt", pa.array(np.zeros(len(cold), dtype=np.int64)))
+        hot_rows = t.filter(is_hot_arr)
+        reps = [hot_rows.append_column(
+            "_salt", pa.array(np.full(len(hot_rows), s_i, dtype=np.int64)))
+            for s_i in range(salt)]
+        return pa.concat_tables([cold, *reps])
+
+    l_s = left.map_batches(salt_left, batch_format="pyarrow")
+    r_s = right.map_batches(salt_right, batch_format="pyarrow")
+    out = hash_join(l_s, r_s, on=(on, "_salt"))
+    return out.drop_columns(["_salt"])
+
+
 def keyword_topk(
     ds: Dataset, text_col: str, id_col: str, term: str, k: int
 ) -> pa.Table:

@@ -2785,6 +2785,19 @@ SELECT day, event_type, n FROM (
         FROM events GROUP BY 1, 2)) WHERE rn <= 2"""
 
 
+def q_lineitem_quantiles_hist(sf_dir: str):
+    """Sort-free exact quantiles (ops.quantiles_histogram): two streaming
+    passes — per-block bucket histogram partials, then a candidate-bucket
+    fetch — instead of exact_quantiles' full range-shuffle sort; same
+    quantile_disc result, no all-to-all exchange."""
+    li = ops.read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return ops.quantiles_histogram(li, "l_extendedprice",
+                                   [0.25, 0.5, 0.75, 0.95])
+
+
+O_LINEITEM_QUANTILES_HIST = O_LINEITEM_PRICE_QUANTILES
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2877,6 +2890,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_approx_users": q_events_approx_users,
     "kg_components": q_kg_components,
     "events_trending": q_events_trending,
+    "lineitem_quantiles_hist": q_lineitem_quantiles_hist,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -2977,4 +2991,5 @@ def oracles() -> dict[str, str]:
         "events_approx_users": O_EVENTS_APPROX_USERS(),
         "kg_components": O_KG_COMPONENTS(_SF001),
         "events_trending": O_EVENTS_TRENDING,
+        "lineitem_quantiles_hist": O_LINEITEM_QUANTILES_HIST,
     }

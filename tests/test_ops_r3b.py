@@ -164,3 +164,71 @@ def test_grouped_approx_distinct_accuracy_and_determinism(ray_session):
             for r in grouped_approx_distinct(ds.repartition(2), "k", "v",
                                              p=12).take_all()}
     assert got == got2
+
+
+def test_quantiles_histogram_matches_exact(ray_session):
+    from newsagency_classification_ray.ops import exact_quantiles, quantiles_histogram
+
+    rng = np.random.RandomState(6)
+    # mixed continuous + heavy duplicate mass (exercises the bmin==bmax
+    # short-circuit) + a few extremes
+    v = np.concatenate([
+        rng.lognormal(3, 1, 3000),
+        np.full(2000, 7.5),
+        [0.0, 1e6],
+    ])
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(v, type=pa.float64())}))
+    ds = ds.repartition(6)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    hist = {r["q"]: r["value"] for r in quantiles_histogram(ds, "x", qs).to_pylist()}
+    exact = {r["q"]: r["value"] for r in exact_quantiles(ds, "x", qs).to_pylist()}
+    assert hist == exact
+    # brute check too
+    sv = np.sort(v)
+    for q in qs:
+        assert hist[q] == sv[int(q * (len(v) - 1))]
+
+
+def test_quantiles_histogram_candidate_cap(ray_session):
+    import pytest
+
+    from newsagency_classification_ray.ops import quantiles_histogram
+
+    rng = np.random.RandomState(1)
+    v = rng.uniform(0, 1, 2000)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(v, type=pa.float64())}))
+    with pytest.raises(ValueError, match="max_candidates"):
+        quantiles_histogram(ds, "x", [0.5], num_buckets=2, max_candidates=10)
+
+
+def test_skew_join_equals_hash_join(ray_session):
+    from newsagency_classification_ray.ops import hash_join, skew_join
+
+    rng = np.random.RandomState(12)
+    # one key is half the left side -> forced through the salted path
+    lk = np.concatenate([np.full(5000, 7), rng.randint(0, 40, 5000)]).astype(np.int64)
+    lv = np.arange(len(lk), dtype=np.int64)
+    rk = np.arange(0, 40, dtype=np.int64)
+    rv = rk * 10
+    left = ray.data.from_arrow(pa.table({"k": pa.array(lk), "lval": pa.array(lv)}))
+    right = ray.data.from_arrow(pa.table({"k": pa.array(rk), "rval": pa.array(rv)}))
+    left, right = left.repartition(6), right.repartition(3)
+    got = skew_join(left, right, "k", salt=4, hot_threshold=1000)
+    exp = hash_join(left, right, on=("k",))
+    key = lambda r: (r["k"], r["lval"], r["rval"])
+    assert sorted(map(key, got.take_all())) == sorted(map(key, exp.take_all()))
+
+
+def test_skew_join_cold_path_identity(ray_session):
+    from newsagency_classification_ray.ops import hash_join, skew_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "lval": pa.array([10, 20, 30, 40], type=pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 3, 9], type=pa.int64()),
+        "rval": pa.array([200, 300, 900], type=pa.int64())}))
+    got = skew_join(left, right, "k", hot_threshold=100)  # nothing hot
+    exp = hash_join(left, right, on=("k",))
+    key = lambda r: (r["k"], r["lval"], r["rval"])
+    assert sorted(map(key, got.take_all())) == sorted(map(key, exp.take_all()))
