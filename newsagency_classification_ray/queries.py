@@ -2785,6 +2785,37 @@ SELECT day, event_type, n FROM (
         FROM events GROUP BY 1, 2)) WHERE rn <= 2"""
 
 
+def q_media_frame_sample(sf_dir: str):
+    """Video frame sampling (mm.FrameSampleStage actor pool): every 4th
+    frame of each video blob becomes a row — the one-to-many expansion shape
+    real frame extraction uses; the decode is the declared stub, the
+    actor/batch/binary plumbing is real."""
+    media = ray.data.from_arrow(mm.make_media_table(256))
+    out = media.map_batches(mm.FrameSampleStage, batch_format="pyarrow",
+                            batch_size=64, concurrency=(1, 4), num_cpus=1)
+    return out.map_batches(lambda t: _i64(t, ["media_id", "frame_idx"]),
+                           batch_format="pyarrow")
+
+
+def O_MEDIA_FRAME_SAMPLE() -> str:
+    """Oracle = the same pure generator + header decode + stride walk, no
+    Ray (VALUES pattern, like media_metadata)."""
+    t = mm.make_media_table(256)
+    rows = []
+    for i in range(len(t)):
+        kind = t["kind"][i].as_py()
+        if kind != "video":
+            continue
+        meta = mm._decode_payload(t["blob"][i].as_py())
+        for f in range(0, meta["n_frames"], 4):
+            rows.append(f"({t['media_id'][i].as_py()}, {f}, {_sq(kind)})")
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(frame_idx AS BIGINT) AS frame_idx, kind",
+        "m(media_id, frame_idx, kind)", "(0, 0, '')")
+
+
 def q_lineitem_quantiles_hist(sf_dir: str):
     """Sort-free exact quantiles (ops.quantiles_histogram): two streaming
     passes — per-block bucket histogram partials, then a candidate-bucket
@@ -2891,6 +2922,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_components": q_kg_components,
     "events_trending": q_events_trending,
     "lineitem_quantiles_hist": q_lineitem_quantiles_hist,
+    "media_frame_sample": q_media_frame_sample,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -2992,4 +3024,5 @@ def oracles() -> dict[str, str]:
         "kg_components": O_KG_COMPONENTS(_SF001),
         "events_trending": O_EVENTS_TRENDING,
         "lineitem_quantiles_hist": O_LINEITEM_QUANTILES_HIST,
+        "media_frame_sample": O_MEDIA_FRAME_SAMPLE(),
     }
