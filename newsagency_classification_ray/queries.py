@@ -2816,6 +2816,40 @@ def O_MEDIA_FRAME_SAMPLE() -> str:
         "m(media_id, frame_idx, kind)", "(0, 0, '')")
 
 
+def q_events_pruned_scan(sf_dir: str):
+    """Predicate pushdown AT THE READ: the row filter rides into the parquet
+    fragment scanner (``read_parquet(filter=...)``) so non-matching
+    row groups never leave storage — the scan-pruning discipline S1 applies
+    to columns, extended to rows. Daily rollup of late-January purchases."""
+    import os
+
+    expr = ((pc.field("event_type") == "purchase")
+            & (pc.field("ts") >= pa.scalar(pd.Timestamp("2024-01-20"))))
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "value"], filter=expr)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(t["ts"], unit="day"),
+                         "value": t["value"]})
+
+    g = ev.map_batches(prep, batch_format="pyarrow").groupby("day").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="val_raw"))
+    return g.map_batches(
+        lambda t: pa.table({"day": t["day"],
+                            "n": pc.cast(t["n"], pa.int64()),
+                            "value_cents": _cents(t["val_raw"])}),
+        batch_format="pyarrow",
+    )
+
+
+O_EVENTS_PRUNED_SCAN = """
+SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+FROM events
+WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-20'
+GROUP BY 1"""
+
+
 def q_lineitem_quantiles_hist(sf_dir: str):
     """Sort-free exact quantiles (ops.quantiles_histogram): two streaming
     passes — per-block bucket histogram partials, then a candidate-bucket
@@ -2923,6 +2957,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_trending": q_events_trending,
     "lineitem_quantiles_hist": q_lineitem_quantiles_hist,
     "media_frame_sample": q_media_frame_sample,
+    "events_pruned_scan": q_events_pruned_scan,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -3025,4 +3060,5 @@ def oracles() -> dict[str, str]:
         "events_trending": O_EVENTS_TRENDING,
         "lineitem_quantiles_hist": O_LINEITEM_QUANTILES_HIST,
         "media_frame_sample": O_MEDIA_FRAME_SAMPLE(),
+        "events_pruned_scan": O_EVENTS_PRUNED_SCAN,
     }
