@@ -707,11 +707,15 @@ def quantiles_histogram(
     qs: list[float],
     num_buckets: int = 4096,
     max_candidates: int = 2_000_000,
+    interpolation: str = "lower",
 ) -> pa.Table:
-    """EXACT quantiles (``quantile_disc`` lower semantics, same result as
-    :func:`exact_quantiles`) WITHOUT the global range sort — the 100-TB
-    path: a sort is an all-to-all exchange of the whole column; this is two
-    streaming passes with bounded driver state.
+    """EXACT quantiles WITHOUT the global range sort — the 100-TB path: a
+    sort is an all-to-all exchange of the whole column; this is two
+    streaming passes with bounded driver state. ``interpolation="lower"``
+    gives ``quantile_disc`` semantics (same result as
+    :func:`exact_quantiles`); ``"linear"`` gives ``percentile_cont``
+    (value interpolated between the two bracketing order statistics —
+    the same two-pass machinery just fetches both ranks).
 
     Pass 1 reduces each block to per-bucket (count, min, max) partial rows
     over a fixed value grid between the column min/max (one extra
@@ -729,6 +733,9 @@ def quantiles_histogram(
 
     from ray.data.aggregate import Count, Max, Min, Sum
 
+    if interpolation not in ("lower", "linear"):
+        raise ValueError(f"interpolation must be 'lower'|'linear', got "
+                         f"{interpolation!r}")
     qs = list(qs)
     bounds = ds.select_columns([col]).aggregate(
         Min(col, alias_name="lo"), Max(col, alias_name="hi"),
@@ -759,7 +766,12 @@ def quantiles_histogram(
         .to_pandas().sort_values("b").reset_index(drop=True)
     )
     cum = buckets["cnt"].cumsum().to_numpy()
-    ranks = [int(q * (n - 1)) for q in qs]
+    pos = [q * (n - 1) for q in qs]  # fractional rank (exact when 'lower')
+    if interpolation == "lower":
+        ranks = sorted({int(p) for p in pos})
+    else:
+        ranks = sorted({r for p in pos for r in (int(np.floor(p)),
+                                                 int(np.ceil(p)))})
     # bucket index (row in `buckets`) holding each rank; offset within it
     rows = np.searchsorted(cum, np.asarray(ranks), side="right")
     offs = [r - (int(cum[i - 1]) if i > 0 else 0) for r, i in zip(ranks, rows)]
@@ -793,9 +805,18 @@ def quantiles_histogram(
             sv = np.sort(cand[cb == bid])
             for r, off in targets:
                 vals[r] = float(sv[off])
+    if interpolation == "lower":
+        out = [vals[int(p)] for p in pos]
+    else:
+        # percentile_cont: vlo + (pos - floor(pos)) * (vhi - vlo), the same
+        # IEEE expression the SQL oracle spells out from the two order stats
+        out = [round(vals[int(np.floor(p))]
+                     + (p - np.floor(p))
+                     * (vals[int(np.ceil(p))] - vals[int(np.floor(p))]), 6)
+               for p in pos]
     return pa.table({
         "q": pa.array(qs, type=pa.float64()),
-        "value": pa.array([vals[r] for r in ranks], type=pa.float64()),
+        "value": pa.array(out, type=pa.float64()),
     })
 
 

@@ -2863,6 +2863,34 @@ def q_lineitem_quantiles_hist(sf_dir: str):
 O_LINEITEM_QUANTILES_HIST = O_LINEITEM_PRICE_QUANTILES
 
 
+def q_lineitem_quantiles_cont(sf_dir: str):
+    """percentile_cont semantics (linear interpolation between the two
+    bracketing order statistics) via the same sort-free two-pass histogram —
+    the machinery just fetches floor and ceil ranks."""
+    li = ops.read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return ops.quantiles_histogram(li, "l_extendedprice",
+                                   [0.25, 0.5, 0.75, 0.95],
+                                   interpolation="linear")
+
+
+O_LINEITEM_QUANTILES_CONT = """
+WITH s AS (
+  SELECT l_extendedprice AS value,
+         row_number() OVER (ORDER BY l_extendedprice) - 1 AS rn
+  FROM lineitem),
+n AS (SELECT count(*) AS cnt FROM lineitem),
+p AS (SELECT CAST(qs.q AS DOUBLE) AS q,
+             CAST(qs.q AS DOUBLE) * (n.cnt - 1) AS pos
+      FROM (VALUES (0.25), (0.50), (0.75), (0.95)) qs(q), n)
+SELECT p.q AS q,
+       round(lo.value + (p.pos - floor(p.pos)) * (hi.value - lo.value), 6)
+         AS value
+FROM p
+JOIN s lo ON lo.rn = CAST(floor(p.pos) AS BIGINT)
+JOIN s hi ON hi.rn = CAST(ceil(p.pos) AS BIGINT)
+ORDER BY q"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2956,6 +2984,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_components": q_kg_components,
     "events_trending": q_events_trending,
     "lineitem_quantiles_hist": q_lineitem_quantiles_hist,
+    "lineitem_quantiles_cont": q_lineitem_quantiles_cont,
     "media_frame_sample": q_media_frame_sample,
     "events_pruned_scan": q_events_pruned_scan,
 }
@@ -3059,6 +3088,7 @@ def oracles() -> dict[str, str]:
         "kg_components": O_KG_COMPONENTS(_SF001),
         "events_trending": O_EVENTS_TRENDING,
         "lineitem_quantiles_hist": O_LINEITEM_QUANTILES_HIST,
+        "lineitem_quantiles_cont": O_LINEITEM_QUANTILES_CONT,
         "media_frame_sample": O_MEDIA_FRAME_SAMPLE(),
         "events_pruned_scan": O_EVENTS_PRUNED_SCAN,
     }

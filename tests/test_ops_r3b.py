@@ -232,3 +232,21 @@ def test_skew_join_cold_path_identity(ray_session):
     exp = hash_join(left, right, on=("k",))
     key = lambda r: (r["k"], r["lval"], r["rval"])
     assert sorted(map(key, got.take_all())) == sorted(map(key, exp.take_all()))
+
+
+def test_quantiles_histogram_linear_matches_numpy(ray_session):
+    from newsagency_classification_ray.ops import quantiles_histogram
+
+    rng = np.random.RandomState(14)
+    v = rng.uniform(0, 1000, 3001)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(v, type=pa.float64())}))
+    ds = ds.repartition(5)
+    qs = [0.1, 0.5, 0.9]
+    got = {r["q"]: r["value"]
+           for r in quantiles_histogram(ds, "x", qs,
+                                        interpolation="linear").to_pylist()}
+    sv = np.sort(v)
+    for q in qs:
+        p = q * (len(v) - 1)
+        lo, hi = sv[int(np.floor(p))], sv[int(np.ceil(p))]
+        assert got[q] == round(float(lo + (p - np.floor(p)) * (hi - lo)), 6)
