@@ -47,10 +47,14 @@ def broadcast_join(
     ref = ray.put(small_t)
 
     if not unique_keys:
-        def join_pd(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(ray.get(ref).to_pandas(), on=on, how=how)
+        # one-to-many small side: Acero's in-memory hash join, still
+        # Arrow-native (no pandas round-trip)
+        pa_how = "inner" if how == "inner" else "left outer"
 
-        return ds.map_batches(join_pd, batch_format="pandas")
+        def join_arrow(batch: pa.Table) -> pa.Table:
+            return batch.join(ray.get(ref), keys=on, join_type=pa_how)
+
+        return ds.map_batches(join_arrow, batch_format="pyarrow")
 
     payload = [c for c in small_t.column_names if c != on]
 
@@ -1080,6 +1084,7 @@ def pagerank(
     iters: int = 10,
     round_decimals: int = 9,
     broadcast_threshold: int = 65536,
+    driver_edge_limit: int = 500_000,
 ) -> Dataset:
     """Weighted PageRank over a directed edge list. Two regimes, same
     result (per-iteration rounding makes both bit-identical):
@@ -1116,6 +1121,37 @@ def pagerank(
     # _compact: edges/nodes may descend from groupbys (schema-less empty
     # blocks for unoccupied partitions) and every table below feeds a join
     e = _compact(edges.map_batches(project, batch_format="pyarrow")).materialize()
+
+    # Third regime: a BOUNDED edge table (a constructed KG is typically
+    # ~10^6× smaller than its corpus) iterates on the driver — ten Dataset
+    # passes over a few thousand rows are pure exchange latency. Identical
+    # math and per-iteration rounding; edges sorted canonically so the
+    # float accumulation order is fixed.
+    n_edges = e.count()
+    if 0 < n_edges <= driver_edge_limit:
+        rows = sorted(((r["src"], r["dst"], float(r["w"])) for r in e.take_all()))
+        nodes_l = sorted({a for a, _, _ in rows} | {b for _, b, _ in rows})
+        pos = {v: i for i, v in enumerate(nodes_l)}
+        nn = len(nodes_l)
+        si = np.asarray([pos[a] for a, _, _ in rows], dtype=np.int64)
+        di = np.asarray([pos[b] for _, b, _ in rows], dtype=np.int64)
+        wv = np.asarray([x for _, _, x in rows], dtype=np.float64)
+        wdeg_v = np.zeros(nn)
+        np.add.at(wdeg_v, si, wv)
+        r = np.full(nn, round(1.0 / nn, round_decimals))
+        for _ in range(iters):
+            share = np.where(wdeg_v > 0, r / np.where(wdeg_v > 0, wdeg_v, 1.0),
+                             0.0)
+            dangling = r[wdeg_v == 0].sum()
+            c = np.zeros(nn)
+            np.add.at(c, di, wv * share[si])
+            r = np.round((1.0 - damping) / nn + damping * dangling / nn
+                         + damping * c, round_decimals)
+        node_type = e.schema().base_schema.field("src").type
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes_l, type=node_type),
+            "rank": pa.array(r, type=pa.float64()),
+        }))
     wdeg = _compact(
         e.groupby("src").aggregate(Sum("w", alias_name="wdeg"))
         .map_batches(lambda t: t.rename_columns(["node", "wdeg"]),

@@ -25,6 +25,27 @@ import ray
 from ray.data import Dataset
 
 
+def _reduce_score_topk(local, k: int, id_col: str,
+                       driver_limit: int = 5_000_000):
+    """Merge per-block (id, score_micro) candidates into the global top-k.
+    O(blocks · k) candidate rows — a bounded driver reduce for any practical
+    block count (a Ray sort would pay a full range-shuffle spin-up to order
+    a few thousand rows); past ``driver_limit`` fall back to the
+    distributed sort."""
+    import ray.data as rd
+
+    cand = local.materialize()
+    if cand.count() > driver_limit:
+        return cand.sort(["score_micro", id_col],
+                         descending=[True, False]).limit(k)
+    df = cand.to_pandas().sort_values(
+        ["score_micro", id_col], ascending=[False, True],
+        kind="stable").head(k).reset_index(drop=True)
+    return rd.from_arrow(pa.Table.from_pandas(
+        df.astype({id_col: "int64", "score_micro": "int64"}),
+        preserve_index=False))
+
+
 def _term_matrix(texts: pd.Series, terms: list[str]) -> np.ndarray:
     """(n_rows, n_terms) exact whitespace-token counts, vectorized:
     one explode + one isin + one add.at."""
@@ -94,7 +115,7 @@ def tfidf_topk(
         return pd.DataFrame({id_col: ids[sel], "score_micro": micro[sel]})
 
     local = docs.map_batches(local_topk, batch_format="pandas")
-    return local.sort(["score_micro", id_col], descending=[True, False]).limit(k)
+    return _reduce_score_topk(local, k, id_col)
 
 
 def inverted_index(
@@ -194,4 +215,4 @@ def bm25_topk(
         return pd.DataFrame({id_col: ids[sel], "score_micro": micro[sel]})
 
     local = docs.map_batches(local_topk, batch_format="pandas")
-    return local.sort(["score_micro", id_col], descending=[True, False]).limit(k)
+    return _reduce_score_topk(local, k, id_col)

@@ -66,7 +66,31 @@ def brute_force_topk(
         })
 
     local = embeddings.map_batches(local_topk, batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(_final_topk(k), batch_format="pyarrow")
+    return _reduce_topk(local, k)
+
+
+def _reduce_topk(local: Dataset, k: int, driver_limit: int = 5_000_000) -> Dataset:
+    """Merge per-block candidate rows (query_id, vec_id, score) into the
+    per-query global top-k. The candidate set is O(blocks · queries · k) —
+    for any practical query batch that's a bounded DRIVER reduce (Ray's
+    groupby would pay a full sort-shuffle spin-up to merge a few thousand
+    rows). Past ``driver_limit`` — an enormous block count × a large query
+    batch — fall back to the grouped exchange."""
+    import pyarrow.compute as pc
+
+    cand = local.materialize()
+    if cand.count() > driver_limit:
+        return cand.groupby("query_id").map_groups(_final_topk(k),
+                                                   batch_format="pyarrow")
+    t = pa.Table.from_pylist(
+        cand.take_all(),
+        schema=pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64()),
+                          ("score", pa.float64())]))
+    qarr = t["query_id"].to_numpy(zero_copy_only=False)
+    parts = [_final_topk(k)(t.filter(pc.equal(t["query_id"], int(qid))))
+             for qid in np.unique(qarr)]
+    merged = pa.concat_tables(parts) if parts else _final_topk(k)(t)
+    return ray.data.from_arrow(merged)
 
 
 def _final_topk(k: int):
@@ -143,7 +167,7 @@ def lsh_topk(
         })
 
     local = embeddings.map_batches(local_topk, batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(_final_topk(k), batch_format="pyarrow")
+    return _reduce_topk(local, k)
 
 
 def ivf_topk(
@@ -221,7 +245,7 @@ def ivf_topk(
         })
 
     local = embeddings.map_batches(local_topk, batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(_final_topk(k), batch_format="pyarrow")
+    return _reduce_topk(local, k)
 
 
 def kmeans_assign(

@@ -250,3 +250,21 @@ def test_quantiles_histogram_linear_matches_numpy(ray_session):
         p = q * (len(v) - 1)
         lo, hi = sv[int(np.floor(p))], sv[int(np.ceil(p))]
         assert got[q] == round(float(lo + (p - np.floor(p)) * (hi - lo)), 6)
+
+
+def test_broadcast_join_duplicate_small_keys_arrow_path(ray_session):
+    from newsagency_classification_ray.ops import broadcast_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], type=pa.int64()),
+        "lval": pa.array(["a", "b", "c"], type=pa.string())}))
+    # duplicate keys on the small side -> one-to-many expansion
+    small = pa.table({"k": pa.array([1, 1, 2], type=pa.int64()),
+                      "rval": pa.array([10, 11, 20], type=pa.int64())})
+    got = sorted(((r["k"], r["lval"], r["rval"])
+                  for r in broadcast_join(left, small, on="k").take_all()))
+    assert got == [(1, "a", 10), (1, "a", 11), (2, "b", 20)]
+    got_l = sorted(((r["k"], r["lval"], r["rval"])
+                    for r in broadcast_join(left, small, on="k",
+                                            how="left").take_all()))
+    assert got_l == [(1, "a", 10), (1, "a", 11), (2, "b", 20), (3, "c", None)]

@@ -186,10 +186,13 @@ def test_pagerank_both_paths_match_brute_force():
     w = rng.uniform(0.5, 2.0, 60).round(3).tolist()
     exp = brute_pagerank(s, d, w)
     ds = edges_ds(s, d, w).repartition(4)
-    fast = pagerank(ds, weight="weight", iters=6).to_pandas()
+    driver = pagerank(ds, weight="weight", iters=6).to_pandas()
+    assert dict(zip(driver.node, driver["rank"])) == exp
+    fast = pagerank(ds, weight="weight", iters=6,
+                    driver_edge_limit=0).to_pandas()
     assert dict(zip(fast.node, fast["rank"])) == exp
     join = pagerank(ds, weight="weight", iters=6,
-                    broadcast_threshold=0).to_pandas()
+                    driver_edge_limit=0, broadcast_threshold=0).to_pandas()
     assert dict(zip(join.node, join["rank"])) == exp
 
 
