@@ -425,12 +425,21 @@ GROUP BY r.r_name"""
 def q_events_hourly(sf_dir: str):
     ev = ops.read_table(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def add_hour(t: pa.Table) -> pa.Table:
-        return t.append_column("hour", ops.floor_to_hour(t["ts"])).drop_columns(["ts"])
+    def partial(t: pa.Table) -> pa.Table:
+        # per-batch combiner: the exchange carries one row per
+        # (block, type, hour) instead of one per event
+        tt = pa.table({"event_type": t["event_type"],
+                       "hour": ops.floor_to_hour(t["ts"]),
+                       "value": t["value"]})
+        g = tt.group_by(["event_type", "hour"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return pa.table({"event_type": g["event_type"], "hour": g["hour"],
+                         "n": pc.cast(g["value_count"], pa.int64()),
+                         "value": g["value_sum"]})
 
-    g = ev.map_batches(add_hour, batch_format="pyarrow").groupby(
+    g = ev.map_batches(partial, batch_format="pyarrow").groupby(
         ["event_type", "hour"]
-    ).aggregate(Count(alias_name="n"), Sum("value", alias_name="value_raw"))
+    ).aggregate(Sum("n", alias_name="n"), Sum("value", alias_name="value_raw"))
     return g.map_batches(
         lambda t: pa.table({
             "event_type": t["event_type"], "hour": t["hour"],

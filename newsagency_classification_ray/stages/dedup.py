@@ -223,6 +223,43 @@ def minhash_lsh_pairs(
     uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb"))
     uniq = uniq.map_batches(lambda t: t.drop_columns(["_nb"]), batch_format="pyarrow")
 
+    # Verification needs each pair's two signatures. The sketch table is
+    # 4·num_perm bytes/doc (~10³× smaller than the text); when it fits a
+    # broadcast (≤ ~0.5 GB at 2M docs × 64 perms) ship it ONCE via ray.put
+    # and gather per batch — two whole join exchanges disappear. Past the
+    # limit, fall back to the two partitioned joins (the sketch then IS
+    # corpus-sized and must co-partition with the pairs).
+    if sigs.count() <= 2_000_000:
+        import ray as _ray
+
+        parts = [(_sig_matrix(t["sig"], num_perm),
+                  t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+                 for t in sigs.iter_batches(batch_format="pyarrow",
+                                            batch_size=None)]
+        ids_all = np.concatenate([p[1] for p in parts]) if parts else \
+            np.empty(0, dtype=np.int64)
+        mat_all = np.vstack([p[0] for p in parts]) if parts else \
+            np.empty((0, num_perm), dtype=np.uint64)
+        order = np.argsort(ids_all)
+        ref = _ray.put((ids_all[order], mat_all[order]))
+
+        def verify_bcast(t: pa.Table) -> pa.Table:
+            ids_s, mat = _ray.get(ref)
+            da = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            db = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            a = mat[np.searchsorted(ids_s, da)] if len(t) else mat[:0]
+            b = mat[np.searchsorted(ids_s, db)] if len(t) else mat[:0]
+            jac = (a == b).mean(axis=1) if len(t) else np.empty(0)
+            out = pa.table({
+                "doc_a": pa.array(da, type=pa.int64()),
+                "doc_b": pa.array(db, type=pa.int64()),
+                "jaccard": pa.array(jac, type=pa.float64()),
+            })
+            return out.filter(pc.greater_equal(out["jaccard"],
+                                               jaccard_threshold))
+
+        return uniq.map_batches(verify_bcast, batch_format="pyarrow")
+
     sig_a = sigs.map_batches(lambda t: t.rename_columns(["doc_a", "sig_a"]),
                              batch_format="pyarrow")
     sig_b = sigs.map_batches(lambda t: t.rename_columns(["doc_b", "sig_b"]),
