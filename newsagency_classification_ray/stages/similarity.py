@@ -255,6 +255,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     init_ids: list[int] | None = None,
     round_decimals: int = 6,
+    driver_row_limit: int = 200_000,
 ) -> Dataset:
     """Distributed Lloyd's k-means over the embedding column (the
     cluster-then-curate step, e.g. SemDeDup-style corpus clustering).
@@ -289,6 +290,33 @@ def kmeans_assign(
     def assign_to(m: np.ndarray, c: np.ndarray) -> np.ndarray:
         # argmin ||m - c||² = argmin (-2 m·c + |c|²); ties → lowest index
         return (-2.0 * (m @ c.T) + (c * c).sum(axis=1)).argmin(axis=1)
+
+    # Bounded-input regime: iterating Lloyd rounds as Dataset passes over a
+    # table that fits on the driver is pure exchange latency (5 spin-ups to
+    # reduce a few MB). Gather ONCE in canonical id order (the same order
+    # the pure-recompute oracle uses), iterate centroids locally with the
+    # identical rounded math, and keep the final per-row assignment
+    # distributed (one streaming pass). Past the limit: the per-block
+    # partial-sum regime below, nothing corpus-sized leaves the workers.
+    if driver_row_limit and embeddings.count() <= driver_row_limit:
+        parts = [( t[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                   _batch_matrix(t, dtype=np.float64))
+                 for t in embeddings.iter_batches(batch_format="pyarrow",
+                                                  batch_size=None)]
+        ids_all = np.concatenate([p[0] for p in parts])
+        m_all = np.vstack([p[1] for p in parts])
+        order = np.argsort(ids_all)
+        m_all = m_all[order]
+        for _ in range(iters):
+            a = assign_to(m_all, centroids)
+            sums = np.zeros_like(centroids)
+            np.add.at(sums, a, m_all)
+            cnt = np.bincount(a, minlength=k)
+            nonempty = cnt > 0
+            centroids = centroids.copy()
+            centroids[nonempty] = np.round(
+                sums[nonempty] / cnt[nonempty, None], round_decimals)
+        iters = 0  # centroids final — fall through to the assignment pass
 
     for _ in range(iters):
         cref = ray.put(centroids)

@@ -127,9 +127,12 @@ def test_kmeans_matches_brute_force_and_partitioning():
     ids = list(range(len(m)))
     exp = brute_kmeans(ids, m, k=3, iters=4)
     for parts in (2, 9):
-        out = kmeans_assign(emb_ds(m, ids).repartition(parts), k=3, iters=4)
-        got = dict(zip(*[out.to_pandas()[c].tolist() for c in ("vec_id", "cluster")]))
-        assert got == exp
+        for limit in (0, 200_000):  # distributed partial-sum vs driver regime
+            out = kmeans_assign(emb_ds(m, ids).repartition(parts), k=3,
+                                iters=4, driver_row_limit=limit)
+            got = dict(zip(*[out.to_pandas()[c].tolist()
+                             for c in ("vec_id", "cluster")]))
+            assert got == exp
     # the three planted blobs separate
     clusters = [exp[i] for i in ids]
     assert len({tuple(sorted(set(clusters[i:i + 40]))) for i in (0, 40, 80)}) == 3
