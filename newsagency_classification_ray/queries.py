@@ -514,6 +514,31 @@ O_DOCS_EXACT_DEDUP = (
 )
 
 
+def q_docs_substring_dups(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    return dd.substring_dup_counts(docs, n=8).map_batches(
+        lambda t: _i64(t.select(["doc_id", "dup_windows"]),
+                       ["doc_id", "dup_windows"]),
+        batch_format="pyarrow",
+    )
+
+
+# exact duplicated 8-token windows; grams built with list-slice windows so the
+# oracle's tokenization (string_split on single space) matches the operator's.
+O_DOCS_SUBSTRING_DUPS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t)-6)) AS i FROM toks)
+),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+shared AS (SELECT g FROM dg GROUP BY g HAVING count(*) >= 2)
+SELECT CAST(dg.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS dup_windows
+FROM dg JOIN shared USING (g)
+GROUP BY dg.doc_id"""
+
+
 def q_docs_token_stats(sf_dir: str):
     docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
     out = ts.doc_stats(docs).map_batches(
@@ -2940,6 +2965,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_json_k": q_events_json_k,
     "events_top_values": q_events_top_values,
     "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_substring_dups": q_docs_substring_dups,
     "docs_token_stats": q_docs_token_stats,
     "docs_quality_ids": q_docs_quality_ids,
     "docs_lang_dist": q_docs_lang_dist,
@@ -3025,6 +3051,7 @@ def oracles() -> dict[str, str]:
         "events_json_k": O_EVENTS_JSON_K,
         "events_top_values": O_EVENTS_TOP_VALUES,
         "docs_exact_dedup": O_DOCS_EXACT_DEDUP,
+        "docs_substring_dups": O_DOCS_SUBSTRING_DUPS,
         "docs_token_stats": O_DOCS_TOKEN_STATS,
         "docs_quality_ids": O_DOCS_QUALITY_IDS,
         "docs_lang_dist": O_DOCS_LANG_DIST,

@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 _MERSENNE31 = (1 << 31) - 1
 _FNV64 = np.uint64(1099511628211)
@@ -655,3 +655,95 @@ def ngram_jaccard_topk(
         return g.take(idx)
 
     return local.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
+# ------------------------------------------------- exact duplicated windows
+
+_POLY2 = np.uint64(0x9E3779B97F4A7C15)  # second independent rolling multiplier
+
+
+def substring_dup_counts(
+    docs: Dataset,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Per-doc count of exactly-duplicated ``n``-token windows — the
+    substring-granularity dedup of the "deduplicating training data" line of
+    work; finer than whole-doc exact dedup (D1), exact unlike MinHash.
+
+    A window counts as duplicated when its exact n-token string also occurs
+    in at least one OTHER document (within-doc repeats alone don't count).
+    Output: ``(doc_id, dup_windows)`` for docs with >= 1 duplicated window.
+
+    Scale shape: the text never moves. Each doc emits its DISTINCT window
+    keys as two independent 64-bit rolling polynomials over siphashed tokens
+    (128 key bits total — collision-free in practice; the exchange carries
+    (w1, w2, doc_id) only, ~24 bytes/window). One groupby on w1 — uniform by
+    construction, no salting needed; within a group the w2 refinement and the
+    distinct-doc test are a vectorized run-length scan; a final (doc_id) sum
+    combines per-group partial counts, so no stage ever holds more than one
+    w1 bucket.
+
+    Tokenization is single-space split (``text.split(' ')``) to match the
+    SQL oracle's ``string_split(text, ' ')`` byte-for-byte.
+    """
+    import pandas as pd
+
+    coef1 = np.power(_FNV64, np.arange(n, dtype=np.uint64))
+    coef2 = np.power(_POLY2, np.arange(n, dtype=np.uint64))
+
+    def windows(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        w1_out, w2_out, id_out = [], [], []
+        for did, text in zip(ids, texts):
+            toks = (text or "").split(" ")
+            if len(toks) < n:
+                continue
+            th = pd.util.hash_array(np.asarray(toks, dtype=object))
+            win = np.lib.stride_tricks.sliding_window_view(th, n)
+            w1 = (win * coef1[None, :]).sum(axis=1, dtype=np.uint64)
+            w2 = (win * coef2[None, :]).sum(axis=1, dtype=np.uint64)
+            order = np.lexsort((w2, w1))  # distinct windows per doc
+            w1s, w2s = w1[order], w2[order]
+            keep = np.ones(len(w1s), dtype=bool)
+            keep[1:] = (w1s[1:] != w1s[:-1]) | (w2s[1:] != w2s[:-1])
+            w1_out.append(w1s[keep])
+            w2_out.append(w2s[keep])
+            id_out.append(np.full(int(keep.sum()), did, dtype=np.int64))
+        if not w1_out:
+            return pa.table({
+                "w1": pa.array([], type=pa.int64()),
+                "w2": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+            })
+        return pa.table({
+            "w1": pa.array(np.concatenate(w1_out).view(np.int64)),
+            "w2": pa.array(np.concatenate(w2_out).view(np.int64)),
+            id_col: pa.array(np.concatenate(id_out)),
+        })
+
+    keyed = docs.map_batches(windows, batch_format="pyarrow")
+
+    def count_shared(g: pa.Table) -> pa.Table:
+        w2 = g["w2"].to_numpy(zero_copy_only=False)
+        did = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, w2))
+        w2s, dids = w2[order], did[order]
+        starts = np.flatnonzero(np.r_[True, w2s[1:] != w2s[:-1]])
+        lens = np.diff(np.r_[starts, len(w2s)])
+        # (w1, w2, doc) rows are globally unique (per-doc distinct emission),
+        # so a run's length IS its distinct-doc count.
+        shared = np.repeat(lens >= 2, lens)
+        if not shared.any():
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "dup_windows": pa.array([], type=pa.int64())})
+        u, c = np.unique(dids[shared], return_counts=True)
+        return pa.table({id_col: pa.array(u, type=pa.int64()),
+                         "dup_windows": pa.array(c.astype(np.int64))})
+
+    partial = keyed.groupby("w1").map_groups(count_shared, batch_format="pyarrow")
+    return partial.groupby(id_col).aggregate(
+        Sum("dup_windows", alias_name="dup_windows")
+    )

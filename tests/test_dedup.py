@@ -144,3 +144,46 @@ def test_near_dedup_keep_distributed_path_matches_driver_path():
         corpus(), jaccard_threshold=0.5, driver_pair_threshold=0,
         broadcast_victim_threshold=0).take_all())
     assert driver == dist == dist_anti == [0, 3, 4]
+
+
+def test_substring_dup_counts_matches_brute_force():
+    """Randomized check of the windowed substring-dedup op vs brute force."""
+    from collections import Counter
+
+    from newsagency_classification_ray.stages.dedup import substring_dup_counts
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(40):
+        nt = rng.randint(0, 25)
+        texts.append(" ".join(vocab[j] for j in rng.randint(0, 30, size=nt)))
+    # plant exact duplicates and a shared 8-token run
+    texts[7] = texts[3]
+    texts[9] = "x1 x2 " + " ".join(vocab[:8]) + " tail9"
+    texts[11] = "other prefix " + " ".join(vocab[:8])
+    n = 8
+
+    def grams(s):
+        toks = s.split(" ")
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    per_doc = [grams(s) for s in texts]
+    owners = Counter()
+    for gs in per_doc:
+        owners.update(gs)
+    expect = {
+        i: sum(1 for g in gs if owners[g] >= 2)
+        for i, gs in enumerate(per_doc)
+        if any(owners[g] >= 2 for g in gs)
+    }
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    got = {r["doc_id"]: r["dup_windows"]
+           for r in substring_dup_counts(ds, n=n).take_all()}
+    assert got == expect
+    assert got[3] == got[7] and got[3] >= 1  # planted exact dup pair
+    assert 9 in got and 11 in got           # planted shared 8-token run
