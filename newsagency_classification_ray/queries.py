@@ -580,6 +580,39 @@ WHERE len(regexp_extract_all(text, '\S+')) >= 10
       >= 0.1 * greatest(1, len(regexp_extract_all(text, '\S+')))"""
 
 
+def q_docs_lm_scores(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ts.ngram_lm_scores(docs, ref_lang="en")
+
+
+def O_DOCS_LM_SCORES() -> str:
+    """Oracle = pure driver recompute with the SAME shared scoring functions
+    (the distributed orchestration — sparse partial counts, groupby-sum,
+    broadcast model — is what the check verifies)."""
+    import numpy as np
+
+    t = _read_parquet_cols(_SF001, "documents", ["doc_id", "text", "lang"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    langs = t["lang"].to_pylist()
+    uni_c = np.zeros(1 << 16, dtype=np.int64)
+    bi_c = np.zeros(1 << 16, dtype=np.int64)
+    ts._lm_count_batch(
+        [(x or "").split() for x, lg in zip(texts, langs) if lg == "en"],
+        uni_c, bi_c,
+    )
+    rows = []
+    for did, x in zip(ids, texts):
+        s = ts._lm_score_doc((x or "").split(), uni_c, bi_c)
+        if s is not None:
+            rows.append(f"({int(did)}, {int(round(s * 1e6))})")
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(lm_m AS BIGINT) AS lm_m",
+        "t(doc_id, lm_m)", "(0, 0)",
+    )
+
+
 def q_docs_lang_dist(sf_dir: str):
     docs = ops.read_table(sf_dir, "documents", ["lang"])
     return docs.groupby("lang").aggregate(Count(alias_name="n")).map_batches(
@@ -2966,6 +2999,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_top_values": q_events_top_values,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_substring_dups": q_docs_substring_dups,
+    "docs_lm_scores": q_docs_lm_scores,
     "docs_token_stats": q_docs_token_stats,
     "docs_quality_ids": q_docs_quality_ids,
     "docs_lang_dist": q_docs_lang_dist,
@@ -3052,6 +3086,7 @@ def oracles() -> dict[str, str]:
         "events_top_values": O_EVENTS_TOP_VALUES,
         "docs_exact_dedup": O_DOCS_EXACT_DEDUP,
         "docs_substring_dups": O_DOCS_SUBSTRING_DUPS,
+        "docs_lm_scores": O_DOCS_LM_SCORES(),
         "docs_token_stats": O_DOCS_TOKEN_STATS,
         "docs_quality_ids": O_DOCS_QUALITY_IDS,
         "docs_lang_dist": O_DOCS_LANG_DIST,

@@ -177,3 +177,151 @@ def fingerprints(docs: Dataset, text_col: str = "text", window: int = 8) -> Data
         })
 
     return docs.map_batches(fp, batch_format="pandas")
+
+
+# --------------------------------------------------- n-gram LM quality score
+
+_LM_FNV = np.uint64(1099511628211)
+
+
+def _lm_hash_tokens(toks: list[str]) -> np.ndarray:
+    """Deterministic 64-bit token hashes (siphash via pandas)."""
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(toks, dtype=object))
+
+
+def _lm_buckets(th: np.ndarray, buckets: int) -> tuple[np.ndarray, np.ndarray]:
+    """(unigram, bigram) bucket ids for one doc's token-hash array."""
+    b = np.uint64(buckets)
+    uni = (th % b).astype(np.int64)
+    bi = ((th[:-1] * _LM_FNV + th[1:]) % b).astype(np.int64)
+    return uni, bi
+
+
+def _lm_offsets(tok_lists: list[list[str]]) -> tuple[np.ndarray, np.ndarray]:
+    """One hash over the concatenated tokens of many docs + doc offsets."""
+    th = _lm_hash_tokens([tok for tl in tok_lists for tok in tl])
+    offs = np.zeros(len(tok_lists) + 1, dtype=np.int64)
+    np.cumsum([len(tl) for tl in tok_lists], out=offs[1:])
+    return th, offs
+
+
+def _lm_count_batch(
+    tok_lists: list[list[str]], uni_c: np.ndarray, bi_c: np.ndarray
+) -> None:
+    """Accumulate many docs' unigram/bigram bucket counts in place.
+
+    Integer adds are order-independent, so one concatenated pass (with
+    doc-crossing bigram positions masked out) is exactly the per-doc sum.
+    """
+    th, offs = _lm_offsets(tok_lists)
+    if th.size == 0:
+        return
+    uni, bi = _lm_buckets(th, len(uni_c))
+    np.add.at(uni_c, uni, 1)
+    if bi.size:
+        keep = np.ones(bi.size, dtype=bool)
+        cross = offs[1:-1] - 1  # last-token-of-doc positions
+        keep[cross[cross >= 0]] = False
+        np.add.at(bi_c, bi[keep], 1)
+
+
+def _lm_score_hashed(th: np.ndarray, uni_c: np.ndarray, bi_c: np.ndarray) -> float | None:
+    """Mean add-one-smoothed bigram log-prob of ONE doc's token-hash slice.
+
+    score = mean_i log((bi[b(w_i, w_i+1)] + 1) / (uni[b(w_i)] + B))
+
+    Shared by the distributed stage and the pure oracle recompute; all float
+    arithmetic happens on the per-doc slice, so results are independent of
+    how docs were batched.
+    """
+    if th.size < 2:
+        return None
+    B = len(uni_c)
+    uni, bi = _lm_buckets(th, B)
+    logp = np.log((bi_c[bi] + 1.0) / (uni_c[uni[:-1]] + float(B)))
+    return float(logp.mean())
+
+
+def _lm_score_doc(toks: list[str], uni_c: np.ndarray, bi_c: np.ndarray) -> float | None:
+    """Per-doc convenience wrapper over ``_lm_score_hashed``."""
+    return _lm_score_hashed(_lm_hash_tokens(toks), uni_c, bi_c)
+
+
+def ngram_lm_scores(
+    docs: Dataset,
+    *,
+    ref_lang: str = "en",
+    buckets: int = 1 << 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> Dataset:
+    """CCNet-style n-gram LM quality scoring (perplexity proxy), two passes.
+
+    Pass 1 trains a hashed-vocabulary add-one bigram model on the reference
+    slice (``lang == ref_lang``): each batch emits its SPARSE nonzero bucket
+    counts as (bucket, uni, bi) rows, one groupby-sum combines them, and the
+    dense model — two ``buckets``-sized int64 vectors, a fixed ~1 MB
+    regardless of corpus size — is broadcast once with ``ray.put``.
+
+    Pass 2 scores every doc against the broadcast model in one vectorized
+    ``map_batches`` (one token-hash call per batch, gathers + one log).
+    Output: ``(doc_id, lm_m)`` with ``lm_m = round(score * 1e6)`` as int64
+    (micro-log-prob units; integral so the DuckDB comparison is exact);
+    docs with < 2 tokens are dropped.
+
+    Hash collisions in the 2^16 buckets are part of the model definition
+    (deterministic, same in the pure oracle recompute), as in any
+    hashed-feature LM.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        uni_c = np.zeros(buckets, dtype=np.int64)
+        bi_c = np.zeros(buckets, dtype=np.int64)
+        mask = pc.equal(t[lang_col], ref_lang)
+        tok_lists = [(x or "").split()
+                     for x in t.filter(mask)[text_col].to_pylist()]
+        _lm_count_batch(tok_lists, uni_c, bi_c)
+        nz = np.flatnonzero(uni_c | bi_c)
+        return pa.table({
+            "bucket": pa.array(nz, type=pa.int64()),
+            "uni": pa.array(uni_c[nz]),
+            "bi": pa.array(bi_c[nz]),
+        })
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        docs.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("uni", alias_name="uni"), Sum("bi", alias_name="bi"))
+        .take_all()  # bounded: <= `buckets` rows by construction
+    )
+    uni_c = np.zeros(buckets, dtype=np.int64)
+    bi_c = np.zeros(buckets, dtype=np.int64)
+    for r in rows:
+        uni_c[r["bucket"]] = r["uni"]
+        bi_c[r["bucket"]] = r["bi"]
+    model_ref = ray.put((uni_c, bi_c))
+
+    def score(t: pa.Table) -> pa.Table:
+        uni_c, bi_c = ray.get(model_ref)
+        ids_out, scores = [], []
+        ids = pc.cast(t[id_col], pa.int64()).to_pylist()
+        tok_lists = [(x or "").split() for x in t[text_col].to_pylist()]
+        th, offs = _lm_offsets(tok_lists)  # one hash call per batch
+        for i, did in enumerate(ids):
+            s = _lm_score_hashed(th[offs[i]:offs[i + 1]], uni_c, bi_c)
+            if s is not None:
+                ids_out.append(did)
+                scores.append(int(round(s * 1e6)))
+        return pa.table({
+            id_col: pa.array(ids_out, type=pa.int64()),
+            "lm_m": pa.array(scores, type=pa.int64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")

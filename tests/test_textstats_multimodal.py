@@ -133,3 +133,46 @@ def test_decode_rejects_foreign_payload():
 
     with pytest.raises(NotImplementedError):
         _decode_payload(b"\x89PNG\r\n\x1a\n" + b"0" * 20)
+
+
+def test_ngram_lm_scores_semantics_and_batch_invariance():
+    from newsagency_classification_ray.stages.textstats import (
+        _lm_count_batch,
+        _lm_score_doc,
+        ngram_lm_scores,
+    )
+
+    ref = "the cat sat on the mat and the cat ran to the mat again"
+    texts = [ref, "the cat sat on the mat", "zq xv qqq wyx zq plk mnb vcx",
+             "the cat", "one"]
+    langs = ["en", "en", "en", "en", "en"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts), "lang": pa.array(langs),
+    })
+
+    # distributed result, two different batchings -> identical rows
+    got = {}
+    for bs in (2, 5):
+        ds = ray.data.from_arrow(tbl).map_batches(
+            lambda t: t, batch_size=bs, batch_format="pyarrow")
+        r = {x["doc_id"]: x["lm_m"]
+             for x in ngram_lm_scores(ds, ref_lang="en").take_all()}
+        got[bs] = r
+    assert got[2] == got[5]
+    res = got[2]
+
+    # < 2 tokens -> dropped; in-model text scores above unseen-vocab text
+    assert 4 not in res and set(res) == {0, 1, 2, 3}
+    assert res[1] > res[2]
+
+    # matches the pure per-doc recompute (shared scoring fns)
+    uni_c = np.zeros(1 << 16, dtype=np.int64)
+    bi_c = np.zeros(1 << 16, dtype=np.int64)
+    _lm_count_batch([t.split() for t in texts], uni_c, bi_c)
+    for i, t in enumerate(texts):
+        s = _lm_score_doc(t.split(), uni_c, bi_c)
+        if s is None:
+            assert i not in res
+        else:
+            assert res[i] == int(round(s * 1e6))
