@@ -131,6 +131,8 @@ def run_bench() -> dict:
     timed("events_sessions", lambda: Q.q_events_sessions(sf_dir).count())
     timed("orders_lineitem_join", lambda: Q.q_orders_lineitem_join(sf_dir).to_pandas())
     timed("docs_exact_dedup", lambda: Q.q_docs_exact_dedup(sf_dir).count())
+    timed("docs_substring_dups", lambda: Q.q_docs_substring_dups(sf_dir).count())
+    timed("docs_lm_scores", lambda: Q.q_docs_lm_scores(sf_dir).count())
     timed("minhash_pairs", lambda: Q.q_minhash_pairs(sf_dir).count())
     timed("ann_topk", lambda: Q.q_ann_topk(sf_dir).to_pandas())
     timed("docs_tfidf_topk", lambda: Q.q_docs_tfidf_topk(sf_dir).to_pandas())
