@@ -2103,3 +2103,97 @@ def k_hop(
         visited = visited.union(new).materialize()
         frontier = new
     return visited
+
+
+def grouped_ntile_stats(
+    ds: Dataset,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    k: int,
+) -> Dataset:
+    """SQL ``NTILE(k)`` bucket statistics per group: ``(group, tile, n,
+    min_v, max_v)`` of ``order_col``, ordering rows by ``(order_col,
+    id_col)`` so ties are broken deterministically — mirrors
+    ``ntile(k) OVER (PARTITION BY g ORDER BY v, id)`` followed by a
+    per-(g, tile) count/min/max rollup.
+
+    Standard SQL tile sizing: with n rows the first ``n % k`` tiles hold
+    ``ceil(n/k)`` rows and the rest ``floor(n/k)``; when ``n < k`` the
+    trailing tiles are empty and (like the SQL rollup) emit no row.
+
+    ONE shuffle on the group key, then each group sorts its own rows in
+    memory — the same skew bound as :func:`group_quantiles` (a group must
+    fit a worker). For a single corpus-scale group, derive tile BOUNDARIES
+    from :func:`exact_quantiles`'s two-pass histogram instead and bucket by
+    value; rank-exact NTILE fundamentally needs the group's total order.
+    min/max are picked from the sorted values (no float arithmetic), so the
+    result hash-matches the SQL engine exactly.
+    """
+    import numpy as np
+
+    if k <= 0:
+        raise ValueError("grouped_ntile_stats: k must be >= 1")
+
+    def fn(g: pa.Table) -> pa.Table:
+        v = g[order_col].to_numpy(zero_copy_only=False)
+        i = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, v))
+        vs = v[order]
+        n = len(vs)
+        base, rem = divmod(n, k)
+        sizes = np.full(k, base, dtype=np.int64)
+        sizes[:rem] += 1
+        nz = sizes > 0
+        ends = np.cumsum(sizes)
+        starts = ends - sizes
+        m = int(nz.sum())
+        return pa.table({
+            group_col: pa.concat_arrays(
+                [g[group_col].combine_chunks().slice(0, 1)] * m),
+            "tile": pa.array((np.arange(k) + 1)[nz], type=pa.int64()),
+            "n": pa.array(sizes[nz], type=pa.int64()),
+            "min_v": pa.array(vs[starts[nz]], type=pa.float64()),
+            "max_v": pa.array(vs[ends[nz] - 1], type=pa.float64()),
+        })
+
+    return ds.groupby(group_col).map_groups(fn, batch_format="pyarrow")
+
+
+def grouped_mode(ds: Dataset, group_col: str, value_col: str) -> Dataset:
+    """Most frequent ``value_col`` per group (ties → smallest value) —
+    ``row_number() OVER (PARTITION BY g ORDER BY cnt DESC, v) = 1`` over the
+    grouped counts, as ONE shuffle.
+
+    Per-batch Arrow ``group_by`` combiner collapses each block to one
+    partial-count row per (group, value) BEFORE the exchange; the group-key
+    shuffle then carries O(distinct values × blocks) rows per group, never
+    raw rows, and the per-group finalize merges partials and takes the
+    argmax. Skew bound: a group's distinct-value count, not its row count.
+    """
+    import numpy as np
+
+    def local(t: pa.Table) -> pa.Table:
+        part = pa.table({
+            group_col: t[group_col],
+            value_col: t[value_col],
+            "n": pa.array(np.ones(len(t), dtype=np.int64)),
+        }).group_by([group_col, value_col]).aggregate([("n", "sum")])
+        return part.rename_columns([group_col, value_col, "n"])
+
+    def pick(g: pa.Table) -> pa.Table:
+        merged = g.group_by(value_col).aggregate([("n", "sum")])
+        n = merged["n_sum"].to_numpy(zero_copy_only=False)
+        vals = merged[value_col].to_pylist()
+        best = min(range(len(vals)), key=lambda j: (-int(n[j]), vals[j]))
+        return pa.table({
+            group_col: g[group_col].combine_chunks().slice(0, 1),
+            "top_value": pa.array([vals[best]], type=merged[value_col].type),
+            "n": pa.array([int(n[best])], type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(pick, batch_format="pyarrow")
+    )

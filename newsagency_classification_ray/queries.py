@@ -2634,6 +2634,117 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n,
 FROM s"""
 
 
+def q_lineitem_regression(sf_dir: str):
+    """Per-flag OLS regression of price-in-dollars on quantity — slope and
+    intercept derived from the same INTEGER sufficient statistics as
+    ``q_lineitem_price_moments`` (ops.grouped_moments): the reduce is exact
+    and order-independent, and the float finalize is the identical IEEE
+    expression in both engines, so the result hash-matches bit-for-bit."""
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        away = lambda a: pc.round(a, round_mode="half_towards_infinity")
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "x": pc.cast(away(t["l_quantity"]), pa.int64()),
+            "y": pc.cast(away(t["l_extendedprice"]), pa.int64()),
+        })
+
+    m = ops.grouped_moments(li.map_batches(prep, batch_format="pyarrow"),
+                            "l_returnflag", "x", "y")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "slope": pa.array(np.round(slope, 6), type=pa.float64()),
+            "intercept": pa.array(np.round(intercept, 6), type=pa.float64()),
+        })
+
+    return m.map_batches(finish, batch_format="pyarrow")
+
+
+O_LINEITEM_REGRESSION = """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+  FROM lineitem GROUP BY l_returnflag),
+t AS (
+  SELECT l_returnflag, n, sx, sy,
+         (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+         / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS slope
+  FROM s)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round(slope, 6) AS slope,
+       round((CAST(sy AS DOUBLE) - slope * sx) / n, 6) AS intercept
+FROM t"""
+
+
+def q_orders_price_ntile(sf_dir: str):
+    """NTILE(4) price-quartile rollup per order priority
+    (ops.grouped_ntile_stats): tile sizes follow SQL semantics, ordering is
+    tie-broken by o_orderkey, min/max are picked (not computed) from the
+    sorted doubles so the hash matches DuckDB exactly."""
+    o = ops.read_table(sf_dir, "orders",
+                       ["o_orderpriority", "o_totalprice", "o_orderkey"])
+    t = ops.grouped_ntile_stats(o, "o_orderpriority", "o_totalprice",
+                                "o_orderkey", 4)
+    return t.map_batches(
+        lambda b: b.rename_columns(
+            ["o_orderpriority", "tile", "n", "min_price", "max_price"]),
+        batch_format="pyarrow")
+
+
+O_ORDERS_PRICE_NTILE = """
+WITH t AS (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS tile
+  FROM orders)
+SELECT o_orderpriority, CAST(tile AS BIGINT) AS tile,
+       CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM t GROUP BY o_orderpriority, tile"""
+
+
+def q_events_mode_per_user(sf_dir: str):
+    """Most frequent event type per user, ties → lexicographically smallest
+    type (ops.grouped_mode): per-block count combiner before the single
+    group-key shuffle, per-group partial-count merge + argmax finalize."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "event_type"])
+    return ops.grouped_mode(ev, "user_id", "event_type").map_batches(
+        lambda b: b.rename_columns(["user_id", "top_type", "n"]),
+        batch_format="pyarrow")
+
+
+O_EVENTS_MODE_PER_USER = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type),
+r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c)
+SELECT user_id, event_type AS top_type, CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1"""
+
+
 def q_docs_length_histogram(sf_dir: str):
     """Fixed-width histogram of document length (ops.histogram_fixed,
     width 50): per-batch Arrow group_by combiner, bucket-cardinality
@@ -3044,6 +3155,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_days_full_outer": q_orders_days_full_outer,
     "events_view_not_purchase": q_events_view_not_purchase,
     "lineitem_price_moments": q_lineitem_price_moments,
+    "lineitem_regression": q_lineitem_regression,
+    "orders_price_ntile": q_orders_price_ntile,
+    "events_mode_per_user": q_events_mode_per_user,
     "docs_length_histogram": q_docs_length_histogram,
     "docs_domain_cap": q_docs_domain_cap,
     "docs_weighted_sample": q_docs_weighted_sample,
@@ -3150,6 +3264,9 @@ def oracles() -> dict[str, str]:
         "orders_days_full_outer": O_ORDERS_DAYS_FULL_OUTER,
         "events_view_not_purchase": O_EVENTS_VIEW_NOT_PURCHASE,
         "lineitem_price_moments": O_LINEITEM_PRICE_MOMENTS,
+        "lineitem_regression": O_LINEITEM_REGRESSION,
+        "orders_price_ntile": O_ORDERS_PRICE_NTILE,
+        "events_mode_per_user": O_EVENTS_MODE_PER_USER,
         "docs_length_histogram": O_DOCS_LENGTH_HISTOGRAM,
         "docs_domain_cap": O_DOCS_DOMAIN_CAP,
         "docs_weighted_sample": O_DOCS_WEIGHTED_SAMPLE,

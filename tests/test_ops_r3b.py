@@ -268,3 +268,79 @@ def test_broadcast_join_duplicate_small_keys_arrow_path(ray_session):
                     for r in broadcast_join(left, small, on="k",
                                             how="left").take_all()))
     assert got_l == [(1, "a", 10), (1, "a", 11), (2, "b", 20), (3, "c", None)]
+
+
+def test_grouped_ntile_stats_matches_sql_semantics(ray_session):
+    """Randomized check of NTILE(k) bucket stats vs a brute-force Python
+    implementation of the SQL sizing rule (first n%k tiles get ceil(n/k))."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from newsagency_classification_ray.ops import grouped_ntile_stats
+
+    rng = np.random.RandomState(11)
+    n = 700
+    g = rng.randint(0, 7, size=n)          # one group likely < k rows
+    v = rng.randint(0, 20, size=n).astype(np.float64)  # heavy ties
+    i = rng.permutation(n).astype(np.int64)
+    k = 4
+    ds = ray.data.from_arrow(pa.table({"g": g, "v": v, "id": i})).repartition(5)
+    got = {(r["g"], r["tile"]): (r["n"], r["min_v"], r["max_v"])
+           for r in grouped_ntile_stats(ds, "g", "v", "id", k).take_all()}
+
+    want = {}
+    for gg in np.unique(g):
+        m = g == gg
+        order = np.lexsort((i[m], v[m]))
+        vs = v[m][order]
+        nn = len(vs)
+        base, rem = divmod(nn, k)
+        pos = 0
+        for tile in range(1, k + 1):
+            size = base + (1 if tile <= rem else 0)
+            if size == 0:
+                continue
+            want[(gg, tile)] = (size, vs[pos], vs[pos + size - 1])
+            pos += size
+    assert got == want
+
+
+def test_grouped_ntile_stats_group_smaller_than_k(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from newsagency_classification_ray.ops import grouped_ntile_stats
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": ["a", "a", "b"], "v": [3.0, 1.0, 9.0], "id": [1, 2, 3]}))
+    rows = sorted((r["g"], r["tile"], r["n"], r["min_v"], r["max_v"])
+                  for r in grouped_ntile_stats(ds, "g", "v", "id", 4).take_all())
+    assert rows == [("a", 1, 1, 1.0, 1.0), ("a", 2, 1, 3.0, 3.0),
+                    ("b", 1, 1, 9.0, 9.0)]
+
+
+def test_grouped_mode_ties_and_partial_merge(ray_session):
+    """Mode per group with ties → smallest value, across many blocks so the
+    per-block partial counts must merge before the argmax."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from newsagency_classification_ray.ops import grouped_mode
+
+    rng = np.random.RandomState(5)
+    n = 2000
+    g = rng.randint(0, 40, size=n)
+    v = np.array(["abcde"[j] for j in rng.randint(0, 5, size=n)])
+    ds = ray.data.from_arrow(pa.table({"g": g, "v": v})).repartition(8)
+    got = {r["g"]: (r["top_value"], r["n"])
+           for r in grouped_mode(ds, "g", "v").take_all()}
+
+    df = pd.DataFrame({"g": g, "v": v}).groupby(["g", "v"]).size().reset_index(name="n")
+    want = {}
+    for gg, sub in df.groupby("g"):
+        sub = sub.sort_values(["n", "v"], ascending=[False, True])
+        want[gg] = (sub.iloc[0]["v"], int(sub.iloc[0]["n"]))
+    assert got == want

@@ -25,6 +25,9 @@ SUBSET = [
     "docs_exact_dedup",
     "docs_token_stats",
     "ann_topk",
+    "lineitem_regression",
+    "orders_price_ntile",
+    "events_mode_per_user",
 ]
 
 
