@@ -48,11 +48,25 @@ def broadcast_join(
 
     if not unique_keys:
         # one-to-many small side: Acero's in-memory hash join, still
-        # Arrow-native (no pandas round-trip)
+        # Arrow-native (no pandas round-trip). Two determinism guards:
+        # Acero's multi-threaded hash join does NOT preserve left-row
+        # order, so run it single-threaded (per-batch tables are small
+        # enough that this costs nothing and keeps output deterministic);
+        # and Acero ERRORS on overlapping non-key column names where the
+        # old pandas merge silently suffixed — fail fast with a clear
+        # message instead.
         pa_how = "inner" if how == "inner" else "left outer"
+        small_names = set(small_t.column_names) - {on}
 
         def join_arrow(batch: pa.Table) -> pa.Table:
-            return batch.join(ray.get(ref), keys=on, join_type=pa_how)
+            overlap = small_names & set(batch.column_names)
+            if overlap:  # checked per batch to avoid a driver-side schema fetch
+                raise ValueError(
+                    f"broadcast_join: non-key columns {sorted(overlap)} exist "
+                    f"on both sides; rename or pass small_cols= to project "
+                    f"them out")
+            return batch.join(ray.get(ref), keys=on, join_type=pa_how,
+                              use_threads=False)
 
         return ds.map_batches(join_arrow, batch_format="pyarrow")
 
@@ -463,7 +477,10 @@ def uniform_group_sample(
 
     def sample(g: pa.Table) -> pa.Table:
         ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (ids * 2654435761) % 4294967296
+        # hash in uint64: int64 silently wraps (with warnings) for
+        # ids >= ~3.5e9 while the oracle's BIGINT math does not; since
+        # 2^32 | 2^64 the uint64 product mod 2^32 is exact for all ids
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
         order = np.lexsort((ids, h))[: min(n, len(ids))]
         return g.take(order)
 
@@ -838,10 +855,17 @@ def skew_join(
     lands its entire group on one aggregator and that task becomes the job.
 
     Detection is a bounded pre-pass: each left block emits its top
-    ``hot_top`` key counts (one partial row set per block), the driver sums
-    them — an upper-bound estimate that can only over-detect (a key counted
-    hot routes through the salted path, which is correct for any key).
-    Keys whose estimated count exceeds ``hot_threshold`` get salted: hot
+    ``hot_top`` key counts plus one floor row carrying the largest TRUNCATED
+    count (0 if nothing was truncated). Summing the per-key partials alone
+    UNDER-estimates keys that miss some blocks' top lists, so the driver
+    also sums the floors into ``D`` — a global bound on how much any key's
+    count can be under-reported — and flags keys with
+    ``est > hot_threshold - D``. That restores the over-detect-only
+    guarantee (a key counted hot routes through the salted path, which is
+    correct for any key; a diffuse-but-hot key can no longer slip under the
+    threshold). If ``D`` swallows the whole threshold the armor degrades to
+    salting every observed candidate key, which is still correct.
+    Keys whose adjusted estimate exceeds the threshold get salted: hot
     LEFT rows take salt ``i mod salt`` (any assignment is correct — results
     don't depend on which replica matched), hot RIGHT rows REPLICATE to all
     ``salt`` buckets, and the join key becomes (key, salt) so the hot
@@ -854,18 +878,28 @@ def skew_join(
     def top_counts(t: pa.Table) -> pa.Table:
         vc = t[on].value_counts()
         counts = vc.field("counts").to_numpy(zero_copy_only=False)
-        keep = np.argsort(-counts, kind="stable")[:hot_top]
-        return pa.table({"k": vc.field("values").take(pa.array(keep)),
-                         "c": pa.array(counts[keep], type=pa.int64())})
+        order = np.argsort(-counts, kind="stable")
+        keep = order[:hot_top]
+        # floor row: largest truncated count in this block (0 if none) —
+        # bounds how far the per-key sums can under-report a diffuse key
+        floor = int(counts[order[hot_top]]) if len(order) > hot_top else 0
+        kt = pa.table({"k": vc.field("values").take(pa.array(keep)),
+                       "c": pa.array(counts[keep], type=pa.int64())})
+        d = [floor] + [0] * (len(kt) - 1) if len(kt) else []
+        return kt.append_column("d", pa.array(d, type=pa.int64()))
 
     from ray.data.aggregate import Sum
 
-    est = (
-        left.select_columns([on]).map_batches(top_counts, batch_format="pyarrow")
-        .groupby("k").aggregate(Sum("c", alias_name="c"))
+    partials = (
+        left.select_columns([on])
+        .map_batches(top_counts, batch_format="pyarrow")
+        .materialize()  # bounded: O(blocks × hot_top) rows, read twice below
     )
+    d_total = int(partials.sum("d") or 0)
+    est = partials.groupby("k").aggregate(Sum("c", alias_name="c"))
+    eff_threshold = max(hot_threshold - d_total, 0)
     hot = [r["k"] for r in est.filter(
-        lambda r: r["c"] > hot_threshold).take_all()]
+        lambda r: r["c"] > eff_threshold).take_all()]
     if not hot:
         return hash_join(left, right, on=(on,))
     hot_set = pa.array(hot)
@@ -1087,7 +1121,12 @@ def pagerank(
     driver_edge_limit: int = 500_000,
 ) -> Dataset:
     """Weighted PageRank over a directed edge list. Two regimes, same
-    result (per-iteration rounding makes both bit-identical):
+    result after per-iteration rounding in every observed/property-tested
+    case; the regimes necessarily differ in float partial-sum DECOMPOSITION
+    (per-block partials vs one dense pass), so a rank sitting exactly on a
+    rounding boundary could in principle flip an ulp across regimes —
+    rounding makes re-RUNS of the same regime bit-stable, not a
+    cross-regime proof:
 
     * node count ≤ ``broadcast_threshold`` (e.g. an entity/agency graph):
       the rank vector lives on the driver; each iteration is ONE streaming
@@ -1104,9 +1143,10 @@ def pagerank(
     mass (nodes with no out-edges) is redistributed uniformly; parallel
     edges contribute independently (pre-aggregate if undesired). Ranks are
     rounded to ``round_decimals`` each iteration, which makes the result
-    independent of partial-sum reduction order — re-runs are bit-stable
-    across cluster sizes and a pure driver-side recompute can serve as the
-    exact oracle. Returns ``(node, rank)``.
+    independent of partial-sum reduction ORDER within a regime — re-runs
+    are bit-stable across cluster sizes and a pure driver-side recompute
+    serves as the oracle for the regime it mirrors. Returns
+    ``(node, rank)``.
     """
     import numpy as np
 
@@ -1142,7 +1182,10 @@ def pagerank(
         for _ in range(iters):
             share = np.where(wdeg_v > 0, r / np.where(wdeg_v > 0, wdeg_v, 1.0),
                              0.0)
-            dangling = r[wdeg_v == 0].sum()
+            # same decomposition as the dense-broadcast regime (total minus
+            # non-dangling), so the two bounded regimes share accumulation
+            # order for this term
+            dangling = max(float(r.sum() - r[wdeg_v > 0].sum()), 0.0)
             c = np.zeros(nn)
             np.add.at(c, di, wv * share[si])
             r = np.round((1.0 - damping) / nn + damping * dangling / nn
@@ -1934,7 +1977,9 @@ def weighted_sample_topk(
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
         w = np.maximum(w, 1.0)
-        u = ((ids * 2654435761) % 4294967296 + 1) / 4294967297.0
+        # uint64 hash (no int64 wrap/warnings for large ids; exact mod 2^32)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+        u = (h.astype(np.float64) + 1) / 4294967297.0
         key = u ** (1.0 / w)
         order = np.lexsort((ids, -key))[: min(k, len(ids))]
         out = t.select([id_col, *keep_cols]).take(pa.array(order))

@@ -294,10 +294,14 @@ def kmeans_assign(
     # Bounded-input regime: iterating Lloyd rounds as Dataset passes over a
     # table that fits on the driver is pure exchange latency (5 spin-ups to
     # reduce a few MB). Gather ONCE in canonical id order (the same order
-    # the pure-recompute oracle uses), iterate centroids locally with the
-    # identical rounded math, and keep the final per-row assignment
-    # distributed (one streaming pass). Past the limit: the per-block
-    # partial-sum regime below, nothing corpus-sized leaves the workers.
+    # the pure-recompute oracle uses) and iterate centroids locally with
+    # the same rounded update rule. NOTE: this regime's partial-sum
+    # DECOMPOSITION (one np.add.at over all rows) differs from the
+    # per-block partials below; per-round rounding has absorbed the ulp
+    # difference in every property-tested case but is not a cross-regime
+    # bit-identity proof. The final per-row assignment stays distributed
+    # (one streaming pass). Past the limit: the per-block partial-sum
+    # regime below, nothing corpus-sized leaves the workers.
     if driver_row_limit and embeddings.count() <= driver_row_limit:
         parts = [( t[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
                    _batch_matrix(t, dtype=np.float64))
