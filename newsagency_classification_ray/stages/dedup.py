@@ -23,6 +23,7 @@ so the text moves never, and the signatures move only for the candidate set.
 
 from __future__ import annotations
 
+import logging
 import zlib
 
 import numpy as np
@@ -30,6 +31,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min, Sum
+
+_LOG = logging.getLogger(__name__)
 
 _MERSENNE31 = (1 << 31) - 1
 _FNV64 = np.uint64(1099511628211)
@@ -320,7 +323,107 @@ class SimHashStage:
         })
 
 
-def simhash_pairs(docs: Dataset, max_hamming: int = 3) -> Dataset:
+_HOT_RUN = 2048  # bucket-occupancy bound: larger runs refine instead of triu
+
+
+def _hamming64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 XOR array."""
+    x = x.copy()
+    ham = np.zeros(x.size, dtype=np.int64)
+    while x.any():
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return ham
+
+
+def _verify_emit(ia, ib, hs, max_hamming, out):
+    """Append (ia, ib, hamming) for index pairs passing full verification."""
+    if ia.size == 0:
+        return
+    ham = _hamming64(hs[ia] ^ hs[ib])
+    keep = ham <= max_hamming
+    if keep.any():
+        out.append((ia[keep], ib[keep], ham[keep]))
+
+
+def _verify_all_pairs_tiled(idx, hs, max_hamming, out, tile=_HOT_RUN):
+    """All-pairs Hamming verify over ``idx`` (ascending) in tile×tile blocks.
+
+    Peak pair-temporary memory is O(tile²) regardless of the group size —
+    the bound that makes degenerate buckets survivable; surviving pairs are
+    real output and accumulate by output size only.
+    """
+    n = idx.size
+    for s0 in range(0, n, tile):
+        e0 = min(s0 + tile, n)
+        ii, jj = np.triu_indices(e0 - s0, k=1)
+        _verify_emit(idx[s0 + ii], idx[s0 + jj], hs, max_hamming, out)
+        for s1 in range(e0, n, tile):
+            e1 = min(s1 + tile, n)
+            _verify_emit(np.repeat(idx[s0:e0], e1 - s1),
+                         np.tile(idx[s1:e1], e0 - s0), hs, max_hamming, out)
+
+
+def _hot_run_pairs(idx, hs, rem, max_hamming, out, stats,
+                   hot_run=_HOT_RUN):
+    """Multi-index Hamming refinement for an over-occupied simhash bucket.
+
+    ``idx``: ascending indices into ``hs`` (one per distinct doc in the
+    bucket); ``rem``: the 16-bit chunk positions NOT yet matched exactly.
+    Generalized pigeonhole: with per-chunk threshold 1 over ``len(rem)``
+    chunks, Σ(1+1) = 2·len(rem) > max_hamming guarantees every qualifying
+    pair has some remaining chunk at Hamming ≤ 1. So for each remaining
+    chunk: pairs EQUAL on it land in a subgroup (recurse on the chunks after
+    it — any earlier chunk at distance 0 would have caught the pair at that
+    level); pairs at distance exactly 1 are found by 16 single-bit-flip
+    ``searchsorted`` probes (O(n log n) per bit, no pair materialization).
+    When the pigeonhole no longer holds (final chunk / large max_hamming) or
+    the group is small, fall back to the tiled verifier — temporaries stay
+    O(_HOT_RUN²) on every path. Pairs may be discovered via several chunks;
+    the caller dedupes.
+    """
+    n = idx.size
+    if n < 2:
+        return
+    if n <= hot_run or max_hamming >= 2 * len(rem):
+        if n > hot_run:
+            stats["degenerate"] += 1
+            stats["degenerate_max"] = max(stats["degenerate_max"], n)
+        _verify_all_pairs_tiled(idx, hs, max_hamming, out,
+                                tile=min(hot_run, _HOT_RUN))
+        return
+    stats["split"] += 1
+    for pos, j in enumerate(rem):
+        vj = ((hs[idx] >> np.uint64(16 * j)) & np.uint64(0xFFFF)).astype(np.int64)
+        order = np.argsort(vj, kind="stable")
+        sv, sidx = vj[order], idx[order]
+        starts = np.flatnonzero(np.concatenate(([True], sv[1:] != sv[:-1])))
+        ends = np.append(starts[1:], sv.size)
+        for s, e in zip(starts, ends):
+            if e - s >= 2:
+                _hot_run_pairs(np.sort(sidx[s:e]), hs, rem[pos + 1:],
+                               max_hamming, out, stats, hot_run)
+        for b in range(16):
+            w = sv ^ (1 << b)
+            lo = np.searchsorted(sv, w, side="left")
+            hi = np.searchsorted(sv, w, side="right")
+            cnt = hi - lo
+            src = np.flatnonzero(cnt > 0)
+            if src.size == 0:
+                continue
+            reps = cnt[src]
+            total = int(reps.sum())
+            offs = (np.repeat(lo[src], reps)
+                    + np.arange(total)
+                    - np.repeat(np.cumsum(reps) - reps, reps))
+            a = np.repeat(sidx[src], reps)
+            bb = sidx[offs]
+            sel = a < bb  # each 1-bit pair appears once per direction
+            _verify_emit(a[sel], bb[sel], hs, max_hamming, out)
+
+
+def simhash_pairs(docs: Dataset, max_hamming: int = 3,
+                  hot_run: int = _HOT_RUN) -> Dataset:
     """SimHash near-dup pairs with Hamming verification.
 
     Banding: 4 16-bit chunks — any pair within Hamming distance 3 shares at
@@ -328,6 +431,15 @@ def simhash_pairs(docs: Dataset, max_hamming: int = 3) -> Dataset:
     finds all such pairs without an all-pairs scan. Buckets are sorted runs
     (same vectorized pattern as MinHash); the 8-byte simhash rides along for
     in-place verification — no join needed at this payload size.
+
+    Occupancy bound: 16-bit chunks give only 2^16 buckets per band, so a
+    boilerplate-heavy corpus concentrates signatures into hot runs where the
+    previous ``triu_indices(run)`` candidate generation was quadratic in
+    both time and memory. Runs above ``_HOT_RUN`` distinct signatures now
+    refine through ``_hot_run_pairs`` (multi-index Hamming: exact-subgroup
+    recursion + single-bit searchsorted probes), keeping pair temporaries
+    O(_HOT_RUN²) on every path; split/degenerate counts are logged per block
+    (no silent caps).
     """
     sigs = docs.map_batches(SimHashStage, batch_format="pyarrow",
                             batch_size=1024, concurrency=(1, 8), num_cpus=1)
@@ -358,9 +470,11 @@ def simhash_pairs(docs: Dataset, max_hamming: int = 3) -> Dataset:
         ]))
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         hs = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ci = t["chunk_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
         ends = np.append(starts[1:], n)
         out_a, out_b, out_h = [], [], []
+        stats = {"split": 0, "degenerate": 0, "degenerate_max": 0}
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
@@ -370,17 +484,34 @@ def simhash_pairs(docs: Dataset, max_hamming: int = 3) -> Dataset:
             run_ids, run_hs = run_ids[keep_first], run_hs[keep_first]
             if run_ids.size < 2:
                 continue
-            ii, jj = np.triu_indices(run_ids.size, k=1)
-            x = run_hs[ii] ^ run_hs[jj]
-            ham = np.zeros(x.size, dtype=np.int64)
-            while x.any():
-                ham += (x & np.uint64(1)).astype(np.int64)
-                x = x >> np.uint64(1)
-            keep = ham <= max_hamming
-            if keep.any():
-                out_a.append(run_ids[ii][keep])
-                out_b.append(run_ids[jj][keep])
-                out_h.append(ham[keep])
+            found: list = []
+            if run_ids.size <= hot_run:
+                ii, jj = np.triu_indices(run_ids.size, k=1)
+                _verify_emit(ii, jj, run_hs, max_hamming, found)
+                dedupe = False
+            else:  # over-occupied bucket: bounded multi-index refinement
+                rem = [j for j in range(4) if j != int(ci[s])]
+                _hot_run_pairs(np.arange(run_ids.size), run_hs, rem,
+                               max_hamming, found, stats, hot_run)
+                dedupe = True  # a pair can surface via several chunks
+            if found:
+                ia = np.concatenate([f[0] for f in found])
+                ib = np.concatenate([f[1] for f in found])
+                hm = np.concatenate([f[2] for f in found])
+                if dedupe:
+                    pk = (ia.astype(np.uint64) << np.uint64(32)) \
+                        | ib.astype(np.uint64)
+                    _, first = np.unique(pk, return_index=True)
+                    ia, ib, hm = ia[first], ib[first], hm[first]
+                out_a.append(run_ids[ia])
+                out_b.append(run_ids[ib])
+                out_h.append(hm)
+        if stats["split"]:
+            _LOG.info(
+                "simhash_pairs: refined %d hot runs (> %d sigs); "
+                "degenerate 48-bit-equal groups: %d (max %d sigs)",
+                stats["split"], hot_run, stats["degenerate"],
+                stats["degenerate_max"])
         if not out_a:
             return empty
         return pa.table({
