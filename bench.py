@@ -9,17 +9,62 @@ write) at the scale factor of ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1
 ``python bench.py --scaling``  same job in fresh processes at 8 and 32 CPUs →
                                throughput at both + scaling efficiency
                                (sandbox stand-in for the N vs 4N-node rule).
+
+Scaling metric definition (both numbers are first-class, see BASELINE.md):
+
+* ``scaling_efficiency`` — raw ``(thr_hi/thr_lo)/(cpus_hi/cpus_lo)``. On ONE
+  box this conflates two terms: utilization scaling and the per-core
+  clock/memory-bandwidth coupling of running 4× more busy cores on shared
+  silicon (a term that does not exist between separate N- and 4N-node
+  clusters).
+* ``scaling_efficiency_normalized`` — ``(busy_hi/busy_lo)/(cpus_hi/cpus_lo)``
+  from a /proc/stat busy-core probe sampled over each leg's flagship run:
+  did the job actually keep 4× more cores busy? This is the architecture
+  term the N→4N rule targets; ``per_core_coupling`` (the remaining factor,
+  ``raw == normalized × coupling``) is published alongside so nothing is
+  hidden. Keep the box idle during --scaling: the probe measures box-wide
+  busy cores, so co-tenant load contaminates both numbers.
+
+Each run also emits ``phases`` (flagship internal walls: mention extraction,
+the three aggregates, graph write) and ``stage_breakdown`` (per-operator
+wall seconds parsed from ``ds.stats()`` for the slowest secondary queries),
+so environment noise and code regressions are separable after the fact.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import statistics
 import subprocess
 import sys
 import time
+
+
+def _busy_ticks() -> int:
+    """Aggregate non-idle CPU ticks across the box (/proc/stat line 1)."""
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+    return sum(vals) - idle
+
+
+def _op_breakdown(ds) -> dict[str, float]:
+    """Compact per-operator wall seconds from ``ds.stats()`` text."""
+    try:
+        txt = ds.stats()
+    except Exception:
+        return {}
+    out: dict[str, float] = {}
+    for m in re.finditer(
+        r"Operator (\d+) (.+?):(?:.*?produced)? in ([\d.]+)s", txt
+    ):
+        out[f"{m.group(1)}:{m.group(2)[:70]}"] = float(m.group(3))
+    for m in re.finditer(r"Operator (\d+) (.+?): executed in ([\d.]+)s", txt):
+        out.setdefault(f"{m.group(1)}:{m.group(2)[:70]}", float(m.group(3)))
+    return out
 
 
 def run_bench() -> dict:
@@ -81,6 +126,7 @@ def run_bench() -> dict:
     out_root = f"/tmp/nacr_bench_out_{ncpu}"
     n_pages = pages_count_for_sf(sf_of_dir(sf_dir)) * mult
     counts: dict[str, int] = {}
+    phases: dict[str, float] = {}
 
     def flagship():
         # fresh output dir per run — the manifest resume would otherwise make
@@ -93,6 +139,7 @@ def run_bench() -> dict:
         # task length (measured: ~150 s tail at mult=4 with fixed blocks).
         blocks = ncpu * 2 * mult if model == "alias" else ncpu * 4 * mult
         pages = kg.read_pages(pages_path, override_num_blocks=blocks)
+        p0 = time.perf_counter()
         mentions = kg.extract_mentions(
             pages,
             # fixed pool at 3/4 of the CPUs: the 8→32 comparison then holds
@@ -103,6 +150,9 @@ def run_bench() -> dict:
             batch_size=1024 if model == "alias" else 256,
             model=model,
         ).materialize()
+        phases["extract_mentions"] = round(time.perf_counter() - p0, 3)
+        phases["extract_ops"] = _op_breakdown(mentions)
+        p0 = time.perf_counter()
         # the aggregates are ~10^4x smaller than the input and each has two
         # downstream consumers (nodes + edges) — pin them once. They are
         # independent, and at sandbox scale each is exchange-LATENCY-bound
@@ -116,28 +166,54 @@ def run_bench() -> dict:
             f_canon = pool.submit(lambda: kg.canonicalize(mentions).materialize())
             f_cooc = pool.submit(lambda: kg.cooccurrence_edges(mentions).materialize())
             trip, canon, cooc = f_trip.result(), f_canon.result(), f_cooc.result()
+        phases["aggregates"] = round(time.perf_counter() - p0, 3)
+        p0 = time.perf_counter()
         nodes = kg.build_nodes(canon, trip)
         edges = kg.build_edges(trip, cooc)
         graph.materialize_graph(nodes, edges, mentions, out_root,
                                 num_partitions=16, input_fragments=[pages_path])
+        phases["graph_write"] = round(time.perf_counter() - p0, 3)
         counts["mentions"] = mentions.count()
         counts["triples"] = trip.count()
 
     # model-bound (simbert) runs cost minutes per repeat — single-shot those;
-    # the alias headline is cheap enough to median like the rest
+    # the alias headline is cheap enough to median like the rest.
+    # /proc/stat probe brackets the flagship runs: average busy cores over
+    # the interval feeds the normalized scaling metric (see module docstring)
+    _hz = os.sysconf("SC_CLK_TCK")
+    _b0, _t0 = _busy_ticks(), time.perf_counter()
     timed("kg_flagship", flagship, n=repeats if model == "alias" else 1)
+    _b1, _t1 = _busy_ticks(), time.perf_counter()
+    busy_cores = round((_b1 - _b0) / _hz / max(_t1 - _t0, 1e-9), 2)
+    # the historically-slowest secondary queries also record a per-operator
+    # wall breakdown (ds.stats() of their final materialized dataset) so a
+    # future wall-time shift is attributable to a stage, not guessed
+    stage_breakdown: dict[str, dict] = {}
+
+    def timed_stats(name: str, make):
+        holder = {}
+
+        def run():
+            m = make().materialize()
+            holder["m"] = m
+            return m.count()
+
+        timed(name, run)
+        if "m" in holder:
+            stage_breakdown[name] = _op_breakdown(holder["m"])
+
     timed("pricing_summary", lambda: Q.q_pricing_summary(sf_dir).to_pandas())
     timed("events_hourly", lambda: Q.q_events_hourly(sf_dir).to_pandas())
     timed("events_sessions", lambda: Q.q_events_sessions(sf_dir).count())
-    timed("orders_lineitem_join", lambda: Q.q_orders_lineitem_join(sf_dir).to_pandas())
+    timed_stats("orders_lineitem_join", lambda: Q.q_orders_lineitem_join(sf_dir))
     timed("docs_exact_dedup", lambda: Q.q_docs_exact_dedup(sf_dir).count())
-    timed("docs_substring_dups", lambda: Q.q_docs_substring_dups(sf_dir).count())
-    timed("docs_lm_scores", lambda: Q.q_docs_lm_scores(sf_dir).count())
-    timed("minhash_pairs", lambda: Q.q_minhash_pairs(sf_dir).count())
+    timed_stats("docs_substring_dups", lambda: Q.q_docs_substring_dups(sf_dir))
+    timed_stats("docs_lm_scores", lambda: Q.q_docs_lm_scores(sf_dir))
+    timed_stats("minhash_pairs", lambda: Q.q_minhash_pairs(sf_dir))
     timed("ann_topk", lambda: Q.q_ann_topk(sf_dir).to_pandas())
     timed("docs_tfidf_topk", lambda: Q.q_docs_tfidf_topk(sf_dir).to_pandas())
     timed("embeddings_kmeans", lambda: Q.q_embeddings_kmeans(sf_dir).count())
-    timed("kg_pagerank", lambda: Q.q_kg_pagerank(sf_dir).count())
+    timed_stats("kg_pagerank", lambda: Q.q_kg_pagerank(sf_dir))
 
     headline = queries["kg_flagship"]
     result = {
@@ -155,6 +231,9 @@ def run_bench() -> dict:
         "tagger_model": model,
         "repeats": repeats,
         "runs": runs,
+        "busy_cores_flagship": busy_cores,
+        "phases": phases,
+        "stage_breakdown": stage_breakdown,
     }
     ray.shutdown()
     return result
@@ -189,7 +268,7 @@ def run_scaling() -> dict:
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
-    return {
+    out = {
         "metric": "kg_flagship_scaling",
         "unit": "sec",
         "cpus_lo": lo,
@@ -206,7 +285,26 @@ def run_scaling() -> dict:
         "value": r_hi["value"],
         "queries": r_hi["queries"],
         "num_cpus": hi,
+        "phases_lo": r_lo.get("phases"),
+        "phases_hi": r_hi.get("phases"),
     }
+    # Decompose raw efficiency into the architecture term (utilization: did
+    # the hi leg keep cpus_hi/cpus_lo× more cores busy?) and the single-box
+    # coupling term (per-busy-core slowdown from clocks/memory bandwidth —
+    # absent between real separate N and 4N nodes). raw == norm × coupling.
+    b_lo, b_hi = r_lo.get("busy_cores_flagship"), r_hi.get("busy_cores_flagship")
+    if b_lo and b_hi:
+        thr_lo = r_lo["pages_per_sec"] / b_lo
+        thr_hi = r_hi["pages_per_sec"] / b_hi
+        out.update({
+            f"busy_cores_{lo}": b_lo,
+            f"busy_cores_{hi}": b_hi,
+            f"pages_per_sec_per_busy_core_{lo}": round(thr_lo, 1),
+            f"pages_per_sec_per_busy_core_{hi}": round(thr_hi, 1),
+            "scaling_efficiency_normalized": round((b_hi / b_lo) / (hi / lo), 3),
+            "per_core_coupling": round(thr_hi / thr_lo, 3),
+        })
+    return out
 
 
 if __name__ == "__main__":

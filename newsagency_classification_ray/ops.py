@@ -526,7 +526,13 @@ def hash_join(
     """Distributed hash join (both sides large — contrast
     :func:`broadcast_join` for small dimension tables). Partition count
     adapts to the session CPU budget: Ray's join spawns that many aggregator
-    actors per join, and over-provisioning starves small sessions."""
+    actors per join, and over-provisioning starves small sessions.
+
+    Known Ray limitation (2.49): if an input side delivers ZERO blocks, the
+    aggregator builds zero-column partition tables and Acero raises
+    ArrowInvalid ('No match ... FieldRef'). Callers whose sides can
+    legitimately drain (iterative frontiers, filtered candidate sets) must
+    materialize + early-exit on empty first — see :func:`k_hop`."""
     if num_partitions is None:
         # measured sweet spot at this scale: ~cpus/4 (more partitions just
         # spin up more aggregator actors than the data feeds)
@@ -2129,7 +2135,14 @@ def k_hop(
             ).map_batches(lambda t: pa.table({"node": t["dst"]}),
                           batch_format="pyarrow"),
             ["node"],
-        ))
+        )).materialize()  # node-scale; also needed for the empty check below
+        # Ray's hash-shuffle join raises ArrowInvalid (zero-column partition
+        # tables) when an input side delivers zero blocks — which is exactly
+        # what a drained neighbor set produces (e.g. a seed with no
+        # out-edges). An empty frontier also just means BFS is done, so
+        # early-exit BEFORE the anti-join instead of after it.
+        if nbrs.count() == 0:
+            break
         seen = visited.map_batches(
             lambda t: pa.table({"node": t["node"],
                                 "_m": pa.array([1] * len(t), type=pa.int8())}),

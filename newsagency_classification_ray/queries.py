@@ -2288,9 +2288,8 @@ def O_DOCS_DSIR_SCORES() -> str:
     """Pure driver-side recompute (no Ray): same histogram + smoothed
     log-ratio + matvec on the raw parquet, emitted as VALUES."""
     t = _read_parquet_cols(_SF001, "documents", ["doc_id", "text", "lang"])
-    texts = pd.Series(t["text"].to_pylist()).fillna("")
     langs = np.asarray(t["lang"].to_pylist(), dtype=object)
-    mat = cur._hashed_feature_matrix(texts, _DSIR_DIM, _DSIR_NMAX)
+    mat = cur._hashed_feature_matrix(t["text"], _DSIR_DIM, _DSIR_NMAX)
     t_hist = mat[langs == "en"].sum(axis=0)
     w_hist = mat.sum(axis=0)
     r = np.round(

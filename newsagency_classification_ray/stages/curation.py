@@ -3,16 +3,23 @@ PII redaction, deterministic hash-based train/val/test splitting,
 benchmark-contamination detection, and intra-document repetition stats
 (the Gopher/CCNet-style duplicate-n-gram filter signal).
 
-All four are single-pass ``map_batches`` stages with no shuffle:
+All four are single-pass ``map_batches`` stages with no shuffle, running
+``batch_format="pyarrow"`` (zero-copy from the object store — the per-byte
+curation hot path pays no Arrow→pandas conversion tax):
 
-* ``pii_redact`` — compiled-regex scrubbing, vectorized ``Series.str`` ops;
+* ``pii_redact`` — RE2 kernels (``count_substring_regex`` /
+  ``replace_substring_regex``) straight on the Arrow string column;
 * ``split_assign`` — salted md5 bucket per key (stable across runs, engines
   and cluster sizes; mirrors DuckDB's ``md5_number_lower`` exactly);
 * ``contamination`` — the benchmark n-gram set is built once from a
   *bounded* benchmark dataset (benchmarks are small by definition),
   ``ray.put`` once and probed per batch — never re-shipped, never shuffled;
-* ``repetition_stats`` — exploded-token n-gram construction with numpy
-  shifts, no Python-per-row loop.
+* ``repetition_stats`` — Arrow whitespace-split + ``list_parent_indices``
+  explode, n-grams joined with numpy shifts, no Python-per-row loop.
+
+pandas appears only where Arrow genuinely lacks the kernel: the per-group
+``nunique`` over already-exploded gram arrays (a tiny index-groupby, never
+the full batch).
 """
 
 from __future__ import annotations
@@ -24,6 +31,7 @@ import struct
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
@@ -42,24 +50,25 @@ def pii_redact(docs: Dataset, text_col: str = "text") -> Dataset:
     Adds ``n_emails`` / ``n_phones`` / ``n_ipv4`` (match counts on the
     original text, int64) and ``text_redacted``. Replacement order is
     email → phone → ipv4 (fixed, so the oracle can mirror it). Pure map —
-    no shuffle, regexes compiled once at module import.
+    no shuffle; Arrow RE2 kernels (``count_substring_regex`` /
+    ``replace_substring_regex``) run directly on the zero-copy string
+    column, no pandas round-trip.
     """
-    pats = {k: (re.compile(p), tok) for k, (p, tok) in PII_PATTERNS.items()}
 
-    def redact(batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch[text_col].fillna("")
-        out = batch.copy()
-        for name, (rx, _) in pats.items():
-            out[f"n_{name}s" if name != "ipv4" else "n_ipv4"] = (
-                text.str.count(rx).astype("int64")
-            )
+    def redact(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        out = t
+        for name, (p, _) in PII_PATTERNS.items():
+            col = f"n_{name}s" if name != "ipv4" else "n_ipv4"
+            out = out.append_column(
+                col, pc.cast(pc.count_substring_regex(text, pattern=p),
+                             pa.int64()))
         red = text
-        for rx, tok in pats.values():
-            red = red.str.replace(rx, tok, regex=True)
-        out["text_redacted"] = red
-        return out
+        for p, tok in PII_PATTERNS.values():
+            red = pc.replace_substring_regex(red, pattern=p, replacement=tok)
+        return out.append_column("text_redacted", red)
 
-    return docs.map_batches(redact, batch_format="pandas")
+    return docs.map_batches(redact, batch_format="pyarrow")
 
 
 def _md5_bucket(keys: list[str], buckets: int) -> np.ndarray:
@@ -102,24 +111,33 @@ def split_assign(
     return docs.map_batches(assign, batch_format="pyarrow")
 
 
-def _word_ngrams(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
-    """(row_index, gram) arrays of word ``n``-grams for every row, built by
-    exploding the whitespace tokens once and joining ``n`` shifted views —
-    no Python loop over rows or grams."""
-    ex = texts.str.split().explode().dropna()
-    if not len(ex):
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
-    tok = ex.to_numpy(dtype=object)
-    row = ex.index.to_numpy()
-    m = len(tok) - n + 1
-    if m <= 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
+_EMPTY_NGRAMS = (np.empty(0, dtype=np.int64), np.empty(0, dtype=object))
+
+
+def _word_ngrams(text: pa.Array | pa.ChunkedArray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(row_index, gram) arrays of word ``n``-grams for every row.
+
+    Tokenization is Arrow-native (``utf8_split_whitespace`` +
+    ``list_parent_indices`` explode; empty tokens from leading/trailing
+    whitespace are dropped, matching Python ``str.split()`` semantics), then
+    grams are joined from ``n`` shifted object-array views — no Python loop
+    over rows or grams, and no pandas conversion of the batch."""
+    arr = pc.fill_null(pc.cast(text, pa.string()), "")
+    split = pc.utf8_split_whitespace(arr)
+    row = pc.list_parent_indices(split).to_numpy(zero_copy_only=False).astype(np.int64)
+    tok = np.asarray(pc.list_flatten(split).to_pylist(), dtype=object)
+    if tok.size:
+        keep = tok != ""
+        tok, row = tok[keep], row[keep]
+    m = tok.size - n + 1
+    if tok.size == 0 or m <= 0:
+        return _EMPTY_NGRAMS
     grams = tok[:m].copy()
     for j in range(1, n):
         grams = grams + " "
         grams = grams + tok[j:m + j]
     valid = row[:m] == row[n - 1:]
-    return row[:m][valid].astype(np.int64), grams[valid]
+    return row[:m][valid], grams[valid]
 
 
 def contamination(
@@ -139,30 +157,32 @@ def contamination(
     ``map_batches`` probe. Emits ``(id_col, n_hits)`` for contaminated docs
     only, ``n_hits`` = distinct benchmark n-grams present.
     """
-    bench_texts = pd.Series(
-        [r[text_col] for r in benchmark.select_columns([text_col]).take_all()]
-    ).fillna("")
+    bench_texts = pa.array(
+        [r[text_col] for r in benchmark.select_columns([text_col]).take_all()],
+        type=pa.string())
     _, grams = _word_ngrams(bench_texts, n)
     gram_ref = ray.put(frozenset(grams.tolist()))
+    _empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                       "n_hits": pa.array([], type=pa.int64())})
 
-    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+    def probe(t: pa.Table) -> pa.Table:
         gset = ray.get(gram_ref)
-        texts = batch[text_col].fillna("").reset_index(drop=True)
-        row, grams = _word_ngrams(texts, n)
+        row, grams = _word_ngrams(t[text_col], n)
         if not len(row):
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
-                                 "n_hits": pd.Series([], dtype="int64")})
+            return _empty
+        # per-group nunique over the exploded gram array: the one step with
+        # no Arrow kernel — pandas sees only (row, gram) pairs, not the batch
         s = pd.Series(grams, index=row)
         hits = s[s.isin(gset)]
         if not len(hits):
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
-                                 "n_hits": pd.Series([], dtype="int64")})
+            return _empty
         per_doc = hits.groupby(level=0).nunique()
-        ids = batch[id_col].to_numpy()[per_doc.index.to_numpy()]
-        return pd.DataFrame({id_col: ids.astype("int64"),
-                             "n_hits": per_doc.to_numpy(dtype="int64")})
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)[per_doc.index.to_numpy()]
+        return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                         "n_hits": pa.array(per_doc.to_numpy(), type=pa.int64())})
 
-    return docs.map_batches(probe, batch_format="pandas")
+    return docs.map_batches(probe, batch_format="pyarrow")
 
 
 def chunk_text(
@@ -177,34 +197,36 @@ def chunk_text(
     training-context chunking step (windows ``[k·stride, k·stride+size)``
     for every ``k·stride < len``; the final window may be short).
 
-    Fully vectorized: one ``str.slice`` over the whole batch per window
-    index ``k`` (the loop is over the per-batch max window count, not rows).
-    Pure map, no shuffle; output rows ≈ ``len/stride`` per doc.
+    Fully vectorized: one ``utf8_slice_codeunits`` over the surviving rows
+    per window index ``k`` (the loop is over the per-batch max window count,
+    not rows). Pure map, no shuffle, Arrow in/out; output rows ≈
+    ``len/stride`` per doc.
     """
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    _empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                       "chunk_id": pa.array([], type=pa.int64()),
+                       "chunk": pa.array([], type=pa.string())})
 
-    def chunks(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch[text_col].fillna("").reset_index(drop=True)
-        ids = batch[id_col].to_numpy(dtype=np.int64)
-        n = texts.str.len().to_numpy(dtype=np.int64)
+    def chunks(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        n = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
         outs = []
         for k in range(int(np.ceil(n.max() / stride)) if len(n) else 0):
-            alive = n > k * stride
-            if not alive.any():
+            alive = np.flatnonzero(n > k * stride)
+            if alive.size == 0:
                 break
-            outs.append(pd.DataFrame({
-                id_col: ids[alive],
-                "chunk_id": np.int64(k),
-                "chunk": texts[alive].str.slice(k * stride, k * stride + size),
+            outs.append(pa.table({
+                id_col: pa.array(ids[alive], type=pa.int64()),
+                "chunk_id": pa.array(np.full(alive.size, k, dtype=np.int64)),
+                "chunk": pc.utf8_slice_codeunits(
+                    text.take(pa.array(alive)),
+                    start=k * stride, stop=k * stride + size),
             }))
-        if not outs:
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
-                                 "chunk_id": pd.Series([], dtype="int64"),
-                                 "chunk": pd.Series([], dtype=object)})
-        return pd.concat(outs, ignore_index=True)
+        return pa.concat_tables(outs) if outs else _empty
 
-    return docs.map_batches(chunks, batch_format="pandas")
+    return docs.map_batches(chunks, batch_format="pyarrow")
 
 
 def repetition_stats(
@@ -212,25 +234,27 @@ def repetition_stats(
 ) -> Dataset:
     """Intra-document repetition signal: total vs duplicated word n-grams
     (``n_dup = total - distinct``), the Gopher-style "fraction of duplicate
-    n-grams" quality feature. One pass, vectorized n-gram build."""
+    n-grams" quality feature. One pass, Arrow in/out, vectorized n-gram
+    build (pandas touches only the exploded gram pairs for the per-group
+    nunique Arrow lacks)."""
 
-    def stats(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch[text_col].fillna("").reset_index(drop=True)
-        row, grams = _word_ngrams(texts, n)
-        idx = pd.RangeIndex(len(batch))
+    def stats(t: pa.Table) -> pa.Table:
+        row, grams = _word_ngrams(t[text_col], n)
+        total = np.zeros(len(t), dtype=np.int64)
+        distinct = np.zeros(len(t), dtype=np.int64)
         if len(row):
             s = pd.Series(grams, index=row)
-            total = s.groupby(level=0).size().reindex(idx, fill_value=0)
-            distinct = s.groupby(level=0).nunique().reindex(idx, fill_value=0)
-        else:
-            total = distinct = pd.Series(0, index=idx)
-        return pd.DataFrame({
-            id_col: batch[id_col].astype("int64"),
-            f"n_{n}grams": total.to_numpy(dtype="int64"),
-            f"n_dup_{n}grams": (total - distinct).to_numpy(dtype="int64"),
+            tot = s.groupby(level=0).size()
+            dis = s.groupby(level=0).nunique()
+            total[tot.index.to_numpy()] = tot.to_numpy()
+            distinct[dis.index.to_numpy()] = dis.to_numpy()
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            f"n_{n}grams": pa.array(total),
+            f"n_dup_{n}grams": pa.array(total - distinct),
         })
 
-    return docs.map_batches(stats, batch_format="pandas")
+    return docs.map_batches(stats, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -238,14 +262,15 @@ def repetition_stats(
 # --------------------------------------------------------------------------
 
 
-def _hashed_feature_matrix(texts: pd.Series, dim: int, n_max: int) -> np.ndarray:
-    """(len(texts), dim) int64 hashed n-gram count matrix (1..n_max word
+def _hashed_feature_matrix(text: pa.Array | pa.ChunkedArray, dim: int,
+                           n_max: int) -> np.ndarray:
+    """(len(text), dim) int64 hashed n-gram count matrix (1..n_max word
     grams), built on the shared exploded-token path (`_word_ngrams`) —
     no Python loop over rows. Bucketing uses pandas' fixed-key siphash
     (`pd.util.hash_array`), which is stable across processes, runs and
     cluster sizes (unlike Python's seeded `hash`)."""
-    mat = np.zeros((len(texts), dim), dtype=np.int64)
-    low = texts.str.lower()
+    mat = np.zeros((len(text), dim), dtype=np.int64)
+    low = pc.utf8_lower(pc.fill_null(pc.cast(text, pa.string()), ""))
     for n in range(1, n_max + 1):
         row, grams = _word_ngrams(low, n)
         if len(row):
@@ -284,14 +309,14 @@ def dsir_scores(
     ``batch_size × dim × 8`` bytes — size ``batch_size`` down if you raise
     ``dim``.
     """
-    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch[text_col].fillna("").reset_index(drop=True)
-        mat = _hashed_feature_matrix(texts, dim, n_max)
-        return pd.DataFrame({"h": [mat.sum(axis=0).tolist()]})
+    def hist_partial(t: pa.Table) -> pa.Table:
+        mat = _hashed_feature_matrix(t[text_col], dim, n_max)
+        return pa.table({"h": pa.array([mat.sum(axis=0).tolist()],
+                                       type=pa.list_(pa.int64()))})
 
     def reduce_hist(ds: Dataset) -> np.ndarray:
         out = np.zeros(dim, dtype=np.int64)
-        for row in ds.map_batches(hist_partial, batch_format="pandas").take_all():
+        for row in ds.map_batches(hist_partial, batch_format="pyarrow").take_all():
             out += np.asarray(row["h"], dtype=np.int64)
         return out
 
@@ -304,14 +329,13 @@ def dsir_scores(
     )
     rref = ray.put(r)
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
+    def score(t: pa.Table) -> pa.Table:
         rv = ray.get(rref)
-        texts = batch[text_col].fillna("").reset_index(drop=True)
-        mat = _hashed_feature_matrix(texts, dim, n_max)
+        mat = _hashed_feature_matrix(t[text_col], dim, n_max)
         s = mat.astype(np.float64) @ rv
-        return pd.DataFrame({
-            id_col: batch[id_col].astype("int64"),
-            "score_micro": np.floor(s * 1e6 + 0.5).astype(np.int64),
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "score_micro": pa.array(np.floor(s * 1e6 + 0.5).astype(np.int64)),
         })
 
-    return docs.map_batches(score, batch_format="pandas")
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -1,4 +1,4 @@
-"""Corpus retrieval operators: TF-IDF scoring and inverted-index build.
+"""Corpus retrieval operators: TF-IDF / BM25 scoring and inverted-index build.
 
 Both follow the two-pass / combiner discipline the rest of the engine uses:
 
@@ -12,17 +12,43 @@ Both follow the two-pass / combiner discipline the rest of the engine uses:
   output is inherently corpus-proportional (it IS the index) — at scale it
   is partitioned by token hash, and hot-token posting lists are the
   documented skew (cap with ``max_postings`` when building probe indexes).
+
+Batches run ``batch_format="pyarrow"`` (zero-copy): tokenization is Arrow
+``utf8_split_whitespace`` + ``list_parent_indices``; pandas appears only for
+the term-vocabulary ``Index.get_indexer`` probe over already-exploded token
+arrays, never for the batch.
+
+Scale bound (documented, asserted): the DF pre-pass emits one
+``len(terms)``-long partial per block, so the QUERY TERM SET must be bounded
+— it is the retrieval analogue of a broadcast side. ``_MAX_QUERY_TERMS``
+guards it; corpus-sized vocabularies belong in :func:`inverted_index`
+(which shuffles (token, id) pairs instead of densifying per block).
 """
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
+
+# The per-block DF partial is a dense len(terms) vector; at B blocks the
+# driver reduce holds O(B · len(terms)) int64. 4096 terms × 10^4 blocks is
+# ~335 MB — the practical ceiling for the broadcast-query design.
+_MAX_QUERY_TERMS = 4096
+
+
+def _check_terms(terms: list[str]) -> list[str]:
+    terms = list(terms)
+    if len(terms) > _MAX_QUERY_TERMS:
+        raise ValueError(
+            f"query term set has {len(terms)} terms; the dense per-block DF "
+            f"partial bounds this design at {_MAX_QUERY_TERMS}. For "
+            f"corpus-scale vocabularies build an inverted_index (sparse "
+            f"(token, doc) shuffle) instead.")
+    return terms
 
 
 def _reduce_score_topk(local, k: int, id_col: str,
@@ -46,17 +72,32 @@ def _reduce_score_topk(local, k: int, id_col: str,
         preserve_index=False))
 
 
-def _term_matrix(texts: pd.Series, terms: list[str]) -> np.ndarray:
+def _explode_tokens(text: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(row_index, token) arrays — Arrow whitespace split + parent-index
+    explode, empty tokens dropped (Python ``str.split()`` semantics)."""
+    split = pc.utf8_split_whitespace(
+        pc.fill_null(pc.cast(text, pa.string()), ""))
+    row = pc.list_parent_indices(split).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    tok = np.asarray(pc.list_flatten(split).to_pylist(), dtype=object)
+    if tok.size:
+        keep = tok != ""
+        tok, row = tok[keep], row[keep]
+    return row, tok
+
+
+def _term_matrix(text: pa.Array | pa.ChunkedArray, terms: list[str],
+                 n_rows: int) -> np.ndarray:
     """(n_rows, n_terms) exact whitespace-token counts, vectorized:
-    one explode + one isin + one add.at."""
-    tf = np.zeros((len(texts), len(terms)), dtype=np.int64)
-    ex = texts.str.split().explode().dropna()
-    if not len(ex):
+    one Arrow explode + one ``Index.get_indexer`` probe + one ``add.at``."""
+    tf = np.zeros((n_rows, len(terms)), dtype=np.int64)
+    row, tok = _explode_tokens(text)
+    if not tok.size:
         return tf
-    cols = pd.Index(terms).get_indexer(ex.to_numpy(dtype=object))
+    cols = pd.Index(terms).get_indexer(tok)
     hit = cols >= 0
     if hit.any():
-        np.add.at(tf, (ex.index.to_numpy(dtype=np.int64)[hit], cols[hit]), 1)
+        np.add.at(tf, (row[hit], cols[hit]), 1)
     return tf
 
 
@@ -64,18 +105,19 @@ def term_doc_frequencies(
     docs: Dataset, terms: list[str], text_col: str = "text"
 ) -> tuple[np.ndarray, int]:
     """(df per term, total docs) in one streaming pass: each block emits ONE
-    bounded partial row; the driver reduces ``num_blocks`` rows."""
-    terms = list(terms)
+    bounded partial row (dense ``len(terms)`` vector — hence the
+    ``_MAX_QUERY_TERMS`` guard); the driver reduces ``num_blocks`` rows."""
+    terms = _check_terms(terms)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch[text_col].fillna("").reset_index(drop=True)
-        tf = _term_matrix(texts, terms)
-        return pd.DataFrame({
-            "n_docs": [len(batch)],
-            "df": [(tf > 0).sum(axis=0).tolist()],
+    def partial(t: pa.Table) -> pa.Table:
+        tf = _term_matrix(t[text_col], terms, len(t))
+        return pa.table({
+            "n_docs": pa.array([len(t)], type=pa.int64()),
+            "df": pa.array([(tf > 0).sum(axis=0).tolist()],
+                           type=pa.list_(pa.int64())),
         })
 
-    parts = docs.map_batches(partial, batch_format="pandas").take_all()
+    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()
     df = np.zeros(len(terms), dtype=np.int64)
     n = 0
     for r in parts:
@@ -96,25 +138,25 @@ def tfidf_topk(
     ``(id_col, score_micro)`` — score ×1e6 rounded to int64 so the value
     hash is float-order-stable across engines. Ties break to the lower id.
     """
-    terms = list(terms)
+    terms = _check_terms(terms)
     df, n = term_doc_frequencies(docs, terms, text_col)
     idf = np.where(df > 0, np.log(np.maximum(n, 1) / np.maximum(df, 1)), 0.0)
     idf_ref = ray.put(idf.astype(np.float64))
 
-    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(t: pa.Table) -> pa.Table:
         w = ray.get(idf_ref)
-        texts = batch[text_col].fillna("").reset_index(drop=True)
-        tf = _term_matrix(texts, terms)
+        tf = _term_matrix(t[text_col], terms, len(t))
         score = tf.astype(np.float64) @ w
         # floor(x + .5): round-half-away for positive scores, matching SQL round()
         micro = np.floor(score * 1e6 + 0.5).astype(np.int64)
-        ids = batch[id_col].to_numpy(dtype=np.int64)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
         keep = micro > 0
         ids, micro = ids[keep], micro[keep]
         sel = np.lexsort((ids, -micro))[: min(k, len(ids))]
-        return pd.DataFrame({id_col: ids[sel], "score_micro": micro[sel]})
+        return pa.table({id_col: pa.array(ids[sel], type=pa.int64()),
+                         "score_micro": pa.array(micro[sel], type=pa.int64())})
 
-    local = docs.map_batches(local_topk, batch_format="pandas")
+    local = docs.map_batches(local_topk, batch_format="pyarrow")
     return _reduce_score_topk(local, k, id_col)
 
 
@@ -127,16 +169,19 @@ def inverted_index(
     """Posting lists: ``(token, df, postings)`` with ``postings`` the sorted
     comma-joined distinct doc ids. ``df`` counts ALL matching docs even when
     ``max_postings`` truncates the stored list (probe-index mode)."""
+    _empty = pa.table({"token": pa.array([], type=pa.string()),
+                       id_col: pa.array([], type=pa.int64())})
 
-    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch[text_col].fillna("").reset_index(drop=True)
-        ex = texts.str.split().explode().dropna()
-        if not len(ex):
-            return pd.DataFrame({"token": pd.Series([], dtype=object),
-                                 id_col: pd.Series([], dtype="int64")})
-        ids = batch[id_col].to_numpy(dtype=np.int64)[ex.index.to_numpy(dtype=np.int64)]
-        out = pd.DataFrame({"token": ex.to_numpy(dtype=object), id_col: ids})
-        return out.drop_duplicates()  # within-batch combiner
+    def pairs(t: pa.Table) -> pa.Table:
+        row, tok = _explode_tokens(t[text_col])
+        if not tok.size:
+            return _empty
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)[row]
+        out = pa.table({"token": pa.array(tok, type=pa.string()),
+                        id_col: pa.array(ids, type=pa.int64())})
+        # within-batch combiner: Arrow group_by distinct
+        return out.group_by(["token", id_col]).aggregate([])
 
     def build(g: pa.Table) -> pa.Table:
         tok = g["token"][0].as_py()
@@ -152,7 +197,7 @@ def inverted_index(
         })
 
     return (
-        docs.map_batches(pairs, batch_format="pandas")
+        docs.map_batches(pairs, batch_format="pyarrow")
         .groupby("token")
         .map_groups(build, batch_format="pyarrow")
     )
@@ -179,20 +224,25 @@ def bm25_topk(
     with ``dl`` = whitespace token count. Scores ×1e6 rounded half-away to
     int64 (hash-stable); ties break to the lower id.
     """
-    terms = list(terms)
+    terms = _check_terms(terms)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch[text_col].fillna("").reset_index(drop=True)
-        tf = _term_matrix(texts, terms)
-        return pd.DataFrame({
-            "n_docs": [len(batch)],
-            "n_tokens": [int(texts.str.split().str.len().sum())],
-            "df": [(tf > 0).sum(axis=0).tolist()],
+    def _dl(t: pa.Table) -> np.ndarray:
+        return pc.count_substring_regex(
+            pc.fill_null(pc.cast(t[text_col], pa.string()), ""),
+            pattern=r"[^\s]+").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tf = _term_matrix(t[text_col], terms, len(t))
+        return pa.table({
+            "n_docs": pa.array([len(t)], type=pa.int64()),
+            "n_tokens": pa.array([int(_dl(t).sum())], type=pa.int64()),
+            "df": pa.array([(tf > 0).sum(axis=0).tolist()],
+                           type=pa.list_(pa.int64())),
         })
 
     df = np.zeros(len(terms), dtype=np.int64)
     n = toks = 0
-    for r in docs.map_batches(partial, batch_format="pandas").take_all():
+    for r in docs.map_batches(partial, batch_format="pyarrow").take_all():
         n += int(r["n_docs"])
         toks += int(r["n_tokens"])
         df += np.asarray(r["df"], dtype=np.int64)
@@ -200,19 +250,19 @@ def bm25_topk(
     idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
     ref = ray.put((idf.astype(np.float64), float(avgdl)))
 
-    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(t: pa.Table) -> pa.Table:
         w, adl = ray.get(ref)
-        texts = batch[text_col].fillna("").reset_index(drop=True)
-        tf = _term_matrix(texts, terms).astype(np.float64)
-        dl = texts.str.split().str.len().to_numpy(dtype=np.float64)
+        tf = _term_matrix(t[text_col], terms, len(t)).astype(np.float64)
+        dl = _dl(t).astype(np.float64)
         denom = tf + k1 * (1.0 - b + b * dl[:, None] / adl)
         score = ((tf * (k1 + 1.0) / denom) @ w)
         micro = np.floor(score * 1e6 + 0.5).astype(np.int64)
-        ids = batch[id_col].to_numpy(dtype=np.int64)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
         keep = micro > 0
         ids, micro = ids[keep], micro[keep]
         sel = np.lexsort((ids, -micro))[: min(k, len(ids))]
-        return pd.DataFrame({id_col: ids[sel], "score_micro": micro[sel]})
+        return pa.table({id_col: pa.array(ids[sel], type=pa.int64()),
+                         "score_micro": pa.array(micro[sel], type=pa.int64())})
 
-    local = docs.map_batches(local_topk, batch_format="pandas")
+    local = docs.map_batches(local_topk, batch_format="pyarrow")
     return _reduce_score_topk(local, k, id_col)

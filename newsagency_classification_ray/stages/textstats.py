@@ -14,6 +14,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 # BPE-ish token regex: word runs OR single non-space punctuation
@@ -76,44 +77,62 @@ class LangIdStage:
         ).append_column("lang_conf", pa.array(best.astype(np.float32)))
 
 
+def _ws_token_nunique(text: pa.Array | pa.ChunkedArray, n_rows: int) -> np.ndarray:
+    """Distinct whitespace-token count per row: Arrow split + parent-index
+    explode, pandas only for the per-group ``nunique`` Arrow lacks."""
+    split = pc.utf8_split_whitespace(text)
+    row = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+    tok = np.asarray(pc.list_flatten(split).to_pylist(), dtype=object)
+    out = np.zeros(n_rows, dtype=np.int64)
+    if tok.size:
+        keep = tok != ""  # Python str.split() semantics
+        tok, row = tok[keep], row[keep]
+    if tok.size:
+        nu = pd.Series(tok, index=row).groupby(level=0).nunique()
+        out[nu.index.to_numpy()] = nu.to_numpy()
+    return out
+
+
 def doc_stats(docs: Dataset, text_col: str = "text") -> Dataset:
-    """Quality/statistics columns per document (vectorized pandas .str ops):
+    """Quality/statistics columns per document, Arrow-native (RE2 count
+    kernels on the zero-copy string column; no pandas batch conversion):
 
     n_chars, n_tokens (BPE-ish regex), n_ws_tokens (whitespace split),
     n_punct, n_unique_ws_tokens, mean_token_len, punct_ratio.
+
+    ``mean_token_len`` uses the identity that ``\\w+|[^\\w\\s]`` matches
+    partition exactly the non-whitespace characters, so the summed token
+    length is ``n_chars − n_whitespace`` — no findall/explode needed.
     """
 
-    def stats(batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch[text_col].fillna("")
-        toks = text.str.findall(TOKEN_RE)
-        ws = text.str.split()
-        n_tokens = toks.str.len().astype("int64")
-        n_ws = ws.str.len().astype("int64")
-        n_chars = text.str.len().astype("int64")
-        n_punct = text.str.count(PUNCT_RE.pattern).astype("int64")
-        # explode + index-groupby instead of a Python set()/mean() per row
-        n_unique = (
-            ws.explode().groupby(level=0).nunique()
-            .reindex(ws.index, fill_value=0).astype("int64")
-        )
-        tok_len_sum = (
-            toks.explode().str.len().groupby(level=0).sum()
-            .reindex(toks.index, fill_value=0).astype("float64")
-        )
-        mean_tok = (tok_len_sum / n_tokens.clip(lower=1)).where(n_tokens > 0, 0.0)
-        out = pd.DataFrame({
-            "doc_id": batch["doc_id"].astype("int64"),
-            "n_chars": n_chars,
-            "n_tokens": n_tokens,
-            "n_ws_tokens": n_ws,
-            "n_punct": n_punct,
-            "n_unique_ws_tokens": n_unique,
-            "mean_token_len": mean_tok.astype("float64"),
-            "punct_ratio": (n_punct / n_chars.clip(lower=1)).astype("float64"),
-        })
-        return out
+    def stats(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
 
-    return docs.map_batches(stats, batch_format="pandas")
+        def rc(pattern: str) -> np.ndarray:
+            return pc.count_substring_regex(text, pattern=pattern).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+
+        n_chars = pc.utf8_length(text).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_tokens = rc(TOKEN_RE.pattern)
+        n_ws = rc(r"[^\s]+")
+        n_punct = rc(PUNCT_RE.pattern)
+        non_ws_chars = n_chars - rc(r"\s")
+        n_unique = _ws_token_nunique(text, len(t))
+        mean_tok = non_ws_chars / np.maximum(n_tokens, 1)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_chars": pa.array(n_chars),
+            "n_tokens": pa.array(n_tokens),
+            "n_ws_tokens": pa.array(n_ws),
+            "n_punct": pa.array(n_punct),
+            "n_unique_ws_tokens": pa.array(n_unique),
+            "mean_token_len": pa.array(mean_tok, type=pa.float64()),
+            "punct_ratio": pa.array(n_punct / np.maximum(n_chars, 1),
+                                    type=pa.float64()),
+        })
+
+    return docs.map_batches(stats, batch_format="pyarrow")
 
 
 def quality_filter(
@@ -123,25 +142,25 @@ def quality_filter(
     max_punct_ratio: float = 0.3,
     min_unique_ratio: float = 0.1,
 ) -> Dataset:
-    """Keep documents passing the standard web-corpus quality gates."""
+    """Keep documents passing the standard web-corpus quality gates.
+    Arrow-native: RE2 count kernels + the shared token-nunique explode."""
 
-    def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].fillna("")
-        ws = text.str.split()
-        n_ws = ws.str.len()
-        n_chars = text.str.len().clip(lower=1)
-        punct_ratio = text.str.count(PUNCT_RE.pattern) / n_chars
-        n_unique = (
-            ws.explode().groupby(level=0).nunique()
-            .reindex(ws.index, fill_value=0)
-        )
-        uniq_ratio = n_unique / n_ws.clip(lower=1)
-        mask = (n_ws >= min_tokens) & (punct_ratio <= max_punct_ratio) & (
-            uniq_ratio >= min_unique_ratio
-        )
-        return batch[mask]
+    def keep(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        n_ws = pc.count_substring_regex(text, pattern=r"[^\s]+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_chars = np.maximum(pc.utf8_length(text).to_numpy(
+            zero_copy_only=False).astype(np.int64), 1)
+        n_punct = pc.count_substring_regex(
+            text, pattern=PUNCT_RE.pattern).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_unique = _ws_token_nunique(text, len(t))
+        mask = ((n_ws >= min_tokens)
+                & (n_punct / n_chars <= max_punct_ratio)
+                & (n_unique / np.maximum(n_ws, 1) >= min_unique_ratio))
+        return t.filter(pa.array(mask))
 
-    return docs.map_batches(keep, batch_format="pandas")
+    return docs.map_batches(keep, batch_format="pyarrow")
 
 
 def fingerprints(docs: Dataset, text_col: str = "text", window: int = 8) -> Dataset:
@@ -152,10 +171,12 @@ def fingerprints(docs: Dataset, text_col: str = "text", window: int = 8) -> Data
     window position, winnowed to the global minimum: a cheap locality sketch.
     """
 
-    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+    def fp(t: pa.Table) -> pa.Table:
         out_md5, out_win = [], []
-        for text in batch[text_col].fillna(""):
-            data = text.encode()
+        # md5 + rolling hash need the bytes row-by-row (hashlib is
+        # per-object); only the text column leaves Arrow, not the batch
+        for text in t[text_col].to_pylist():
+            data = (text or "").encode()
             out_md5.append(hashlib.md5(data).hexdigest())
             if len(data) < window:
                 out_win.append(0)
@@ -170,13 +191,13 @@ def fingerprints(docs: Dataset, text_col: str = "text", window: int = 8) -> Data
                 for j in range(window):
                     h = h * base + arr[j:j + nh]
             out_win.append(int(h.min()))
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"].astype("int64"),
-            "fp_md5": out_md5,
-            "fp_winnow": pd.Series(out_win, dtype="uint64"),
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "fp_md5": pa.array(out_md5, type=pa.string()),
+            "fp_winnow": pa.array(out_win, type=pa.uint64()),
         })
 
-    return docs.map_batches(fp, batch_format="pandas")
+    return docs.map_batches(fp, batch_format="pyarrow")
 
 
 # --------------------------------------------------- n-gram LM quality score

@@ -1,7 +1,11 @@
 """Developer harness: run every oracle-backed query vs DuckDB, like the driver.
 
-Usage: python scripts/check_oracles.py [sf_dir]
+Usage: python scripts/check_oracles.py [sf_dir] [--only name1,name2,...]
 Compares row-count, column names, and order-insensitive value equality.
+
+Note: the four frozen-VALUES metric oracles (kg_eval_strict, hipe_*) pin
+sf0.01 numbers — at other scale factors kg_eval_strict legitimately
+mismatches (use --only to exclude it, or run at sf0.01).
 """
 
 from __future__ import annotations
@@ -33,7 +37,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
@@ -50,6 +60,8 @@ def main() -> int:
         )
 
     oracles = Q.oracles()
+    if only is not None:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     failures = 0
     for name, sql in oracles.items():
         try:

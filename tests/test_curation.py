@@ -95,7 +95,7 @@ def test_word_ngrams_matches_brute_force():
     vocab = list("abcdefg")
     texts = [" ".join(rng.choice(vocab, size=int(k))) for k in rng.integers(0, 12, 40)]
     for n in (2, 3, 5):
-        row, grams = _word_ngrams(pd.Series(texts), n)
+        row, grams = _word_ngrams(pa.array(texts, type=pa.string()), n)
         got = {}
         for r, g in zip(row, grams):
             got.setdefault(int(r), []).append(g)
@@ -174,9 +174,9 @@ def test_dsir_scores_separate_target_like_docs():
     assert min(s[0], s[1]) > max(s[i] for i in range(2, 6))
 
     # exact parity with a driver-side recompute (the oracle's contract)
-    texts = pd.Series(raw_texts)
-    mat = _hashed_feature_matrix(texts, 512, 2)
-    t_hist = _hashed_feature_matrix(pd.Series(target_texts), 512, 2).sum(axis=0)
+    mat = _hashed_feature_matrix(pa.array(raw_texts, type=pa.string()), 512, 2)
+    t_hist = _hashed_feature_matrix(
+        pa.array(target_texts, type=pa.string()), 512, 2).sum(axis=0)
     w_hist = mat.sum(axis=0)
     r = np.round(np.log((t_hist + 1.0) / (t_hist.sum() + 512))
                  - np.log((w_hist + 1.0) / (w_hist.sum() + 512)), 9)

@@ -1,9 +1,14 @@
 """Driver-style oracle conformance at sf0.001 (§5 plan (d)).
 
-Mirrors the driver's compare: row count, sorted column names, value equality.
-The full set runs via ``python scripts/check_oracles.py``; here a
-representative subset keeps the suite fast while covering every operator
-family (KG pipeline, aggregate, join, window, dedup, text stats, ANN).
+Mirrors the driver's compare — row count, sorted column names, value
+equality — over EVERY registered query, so local green == all-96 green on
+every commit, independent of the driver's first-50 sampling window.
+
+One special case: ``kg_eval_strict``'s frozen VALUES oracle pins the sf0.01
+conformance numbers (the driver's scale); at sf0.001 the row legitimately
+differs, so here it is checked against the north-star CONTRACT instead
+(precision == 1.0, recall >= 0.95). The three ``hipe_*`` frozen oracles read
+the reference's own TSVs and are sf-independent, so they compare exactly.
 """
 
 import duckdb
@@ -15,20 +20,10 @@ import newsagency_classification_ray.queries as Q
 
 SF = "/root/testdata/sf0.001"
 
-SUBSET = [
-    "kg_triples",
-    "kg_canonical",
-    "kg_cooccurrence",
-    "pricing_summary",
-    "top_customers",
-    "events_hourly",
-    "docs_exact_dedup",
-    "docs_token_stats",
-    "ann_topk",
-    "lineitem_regression",
-    "orders_price_ntile",
-    "events_mode_per_user",
-]
+# frozen sf0.01 VALUES row — verified against the contract at this sf instead
+_SF_PINNED = {"kg_eval_strict"}
+
+ALL_QUERIES = sorted(Q.QUERIES)
 
 
 @pytest.fixture(scope="module")
@@ -53,13 +48,23 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", SUBSET)
-def test_query_matches_oracle(name, con, oracle_map):
-    res = Q.QUERIES[name](SF)
-    got = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
-    if isinstance(got, pa.Table):
-        got = got.to_pandas()
-    got = canon(got)
+def _to_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_query_matches_oracle(name, con, oracle_map, ray_session):
+    got = canon(_to_df(Q.QUERIES[name](SF)))
+    if name in _SF_PINNED:
+        row = got.iloc[0]
+        assert row["precision"] == 1.0
+        assert row["recall"] >= 0.95
+        return
+    assert name in oracle_map, f"{name} has no oracle entry"
     want = canon(con.execute(oracle_map[name]).fetchdf())
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
