@@ -2006,7 +2006,9 @@ def O_KG_PAGERANK() -> str:
     di = np.asarray([pos[b] for b in d], dtype=np.int64)
     for _ in range(_PR_ITERS):
         share = np.where(wdeg > 0, r / np.where(wdeg > 0, wdeg, 1.0), 0.0)
-        dangling = r[wdeg == 0].sum()
+        # same total-minus-non-dangling decomposition as ops.pagerank's
+        # bounded regimes (ADVICE r3: keep the accumulation order identical)
+        dangling = max(float(r.sum() - r[wdeg > 0].sum()), 0.0)
         c = np.zeros(n)
         np.add.at(c, di, w * share[si])
         r = np.round((1 - _PR_DAMPING) / n + _PR_DAMPING * dangling / n
@@ -3073,6 +3075,186 @@ JOIN s hi ON hi.rn = CAST(ceil(p.pos) AS BIGINT)
 ORDER BY q"""
 
 
+
+# --------------------------------------------------------------------------
+# round-4 additions: SemDeDup, domain-mixture resampling, host co-citation
+# --------------------------------------------------------------------------
+
+# tau=0.35: the synthetic embeddings are near-orthogonal (max off-diagonal
+# cosine ~0.51), so a web-style 0.9 threshold would drop nothing; 0.35
+# exercises the within-cluster dedup as semantic-neighborhood thinning
+_SEMD_K, _SEMD_ITERS, _SEMD_TAU, _SEMD_RD, _SEMD_CD = 8, 5, 0.35, 6, 6
+
+
+def q_docs_semdedup(sf_dir: str):
+    """SemDeDup keep-list: k-means clusters + within-cluster cosine dedup
+    (drop a row when a lower-id same-cluster row has cosine >= tau)."""
+    emb = ops.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return sim.semdedup_keep(emb, k=_SEMD_K, iters=_SEMD_ITERS, tau=_SEMD_TAU,
+                             round_decimals=_SEMD_RD, cos_decimals=_SEMD_CD)
+
+
+def O_DOCS_SEMDEDUP() -> str:
+    """Pure recompute: the identical rounded Lloyd fit (same init, same
+    per-round centroid rounding) + the identical id-ordered greedy cosine
+    dedup per cluster, emitted as VALUES."""
+    t = _read_parquet_cols(_SF001, "embeddings", ["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    k, rd = _SEMD_K, _SEMD_RD
+    c = np.round(m[np.isin(ids, np.arange(k))], rd)
+
+    def assign(mm, cc):
+        return (-2.0 * (mm @ cc.T) + (cc * cc).sum(axis=1)).argmin(axis=1)
+
+    for _ in range(_SEMD_ITERS):
+        a = assign(m, c)
+        sums = np.zeros_like(c)
+        np.add.at(sums, a, m)
+        counts = np.bincount(a, minlength=k)
+        ne = counts > 0
+        c = c.copy()
+        c[ne] = np.round(sums[ne] / counts[ne, None], rd)
+    a = assign(m, c)
+    nn = np.linalg.norm(m, axis=1, keepdims=True)
+    nn[nn == 0] = 1.0
+    nrm = m / nn
+    rows = []
+    for cl in range(k):
+        idx = np.flatnonzero(a == cl)  # ids already ascending
+        sub = nrm[idx]
+        sims = np.round(sub @ sub.T, _SEMD_CD)
+        drop = np.zeros(idx.size, dtype=bool)
+        for i in range(idx.size):
+            if not drop[i] and np.any((sims[i, :i] >= _SEMD_TAU) & ~drop[:i]):
+                drop[i] = True
+        rows.extend(f"({int(ids[j])}, {cl})" for j in idx[~drop])
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS cluster",
+        "t(vec_id, cluster)", "(0, 0)",
+    )
+
+
+# nonuniform target over the 20 uniform sources: src0 3x, src1 2x, rest 1x
+_MIX_FRAC = 0.5
+_MIX_TARGET = {f"src{i}": (3.0 if i == 0 else 2.0 if i == 1 else 1.0)
+               for i in range(20)}
+
+
+def q_docs_domain_mix(sf_dir: str):
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "source"])
+    return cur.domain_mixture(docs, _MIX_TARGET, frac=_MIX_FRAC)
+
+
+def _mix_weights_values() -> str:
+    wsum = sum(_MIX_TARGET.values())
+    return ", ".join(f"({_sq(s)}, {w / wsum!r})" for s, w in _MIX_TARGET.items())
+
+
+O_DOCS_DOMAIN_MIX = f"""
+WITH counts AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_s
+                FROM documents GROUP BY source),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+w(source, wt) AS (VALUES {{values}}),
+thr AS (SELECT c.source,
+               CAST(floor(least(1.0, ({_MIX_FRAC} * w.wt) * tot.n / c.n_s)
+                          * 4294967296.0) AS BIGINT) AS thr
+        FROM counts c JOIN w ON c.source = w.source CROSS JOIN tot)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr ON d.source = thr.source
+WHERE (d.doc_id * 2654435761) % 4294967296 < thr.thr"""
+
+
+def O_DOCS_DOMAIN_MIX_SQL() -> str:
+    return O_DOCS_DOMAIN_MIX.replace("{values}", _mix_weights_values())
+
+
+def q_kg_host_pagerank(sf_dir: str):
+    """Host-level co-citation graph: hosts that cite the same agency QID in
+    the same year get an edge weighted by the number of shared (qid, year)
+    pairs; weighted PageRank ranks the hosts. Second-order analytics over
+    the constructed KG, all on the existing mention table."""
+    chq = ops.distinct(
+        _linked(sf_dir).map_batches(
+            lambda t: t.select(["host", "year", "qid"]), batch_format="pyarrow"),
+        ["host", "year", "qid"],
+    )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        hosts = np.unique(np.asarray(g["host"].to_pylist(), dtype=object))
+        if hosts.size < 2:
+            return pa.table({"s": pa.array([], type=pa.string()),
+                             "d": pa.array([], type=pa.string())})
+        ii, jj = np.triu_indices(hosts.size, k=1)  # bounded: #hosts per group
+        return pa.table({"s": pa.array(hosts[ii], type=pa.string()),
+                         "d": pa.array(hosts[jj], type=pa.string())})
+
+    e = (
+        chq.groupby(["year", "qid"]).map_groups(pairs, batch_format="pyarrow")
+        .groupby(["s", "d"]).aggregate(Count(alias_name="w"))
+    )
+    ef = e.map_batches(lambda t: pa.table(
+        {"s": t["s"], "d": t["d"], "w": pc.cast(t["w"], pa.float64())}),
+        batch_format="pyarrow")
+    sym = ef.union(ef.map_batches(
+        lambda t: pa.table({"s": t["d"], "d": t["s"], "w": t["w"]}),
+        batch_format="pyarrow"))
+    pr = ops.pagerank(sym, src="s", dst="d", weight="w",
+                      damping=_PR_DAMPING, iters=_PR_ITERS,
+                      round_decimals=_PR_RD)
+    return pr.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "rank_nano": pc.cast(pc.round(pc.multiply(t["rank"], 1e9)),
+                                 pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def O_KG_HOST_PAGERANK() -> str:
+    """Pure recompute: DuckDB derives the host co-citation edges from the
+    pages parquet, numpy runs the identical rounded power iteration."""
+    import duckdb
+
+    sql = f"""WITH {_pages_cte(_SF001)},
+  chq AS (SELECT DISTINCT host, year, qid FROM sql_mentions WHERE qid <> 'NIL'),
+  e AS (SELECT a.host AS s, b.host AS d, CAST(count(*) AS DOUBLE) AS w
+        FROM chq a JOIN chq b ON a.qid = b.qid AND a.year = b.year
+                               AND a.host < b.host
+        GROUP BY 1, 2)
+SELECT s, d, w FROM e"""
+    df = duckdb.connect().execute(sql).fetchdf()
+    s = df["s"].tolist() + df["d"].tolist()
+    d = df["d"].tolist() + df["s"].tolist()
+    w = np.concatenate([df["w"].to_numpy(dtype=np.float64)] * 2) \
+        if len(df) else np.zeros(0)
+    nodes = sorted(set(s) | set(d))
+    pos = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    wdeg = np.zeros(n)
+    np.add.at(wdeg, [pos[a] for a in s], w)
+    r = np.full(n, round(1.0 / max(n, 1), _PR_RD))
+    si = np.asarray([pos[a] for a in s], dtype=np.int64)
+    di = np.asarray([pos[b] for b in d], dtype=np.int64)
+    for _ in range(_PR_ITERS):
+        share = np.where(wdeg > 0, r / np.where(wdeg > 0, wdeg, 1.0), 0.0)
+        dangling = max(float(r.sum() - r[wdeg > 0].sum()), 0.0)
+        c = np.zeros(n)
+        np.add.at(c, di, w * share[si])
+        r = np.round((1 - _PR_DAMPING) / n + _PR_DAMPING * dangling / n
+                     + _PR_DAMPING * c, _PR_RD)
+    rows = [f"({_sq(v)}, {int(round(rv * 1e9))})" for v, rv in zip(nodes, r)]
+    return _values_or_empty(
+        rows,
+        "SELECT node, CAST(rank_nano AS BIGINT) AS rank_nano",
+        "t(node, rank_nano)", "('', 0)",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3133,7 +3315,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_canonical": q_kg_canonical,
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_eval_strict": q_kg_eval_strict,
-    # --- beyond the driver 50-sample window (green in r1-r3 driver rows) ---
+    # --- beyond the driver 50-sample window ---
+    # (r4 additions first — candidates for the next rotation's window)
+    "docs_semdedup": q_docs_semdedup,
+    "docs_domain_mix": q_docs_domain_mix,
+    "kg_host_pagerank": q_kg_host_pagerank,
+    # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
     "hipe_scorer_parity": q_hipe_scorer_parity,
@@ -3289,4 +3476,7 @@ def oracles() -> dict[str, str]:
         "lineitem_quantiles_cont": O_LINEITEM_QUANTILES_CONT,
         "media_frame_sample": O_MEDIA_FRAME_SAMPLE(),
         "events_pruned_scan": O_EVENTS_PRUNED_SCAN,
+        "docs_semdedup": O_DOCS_SEMDEDUP(),
+        "docs_domain_mix": O_DOCS_DOMAIN_MIX_SQL(),
+        "kg_host_pagerank": O_KG_HOST_PAGERANK(),
     }

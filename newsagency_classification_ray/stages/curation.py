@@ -339,3 +339,82 @@ def dsir_scores(
         })
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def domain_mixture(
+    docs: Dataset,
+    target: dict[str, float],
+    frac: float = 0.5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Deterministic domain-mixture resampling — the 'rebalance the corpus
+    toward a target domain distribution' curation step (cf. DoReMi / Pile
+    mixture weights). Keeps ≈ ``frac·N`` rows distributed per ``target``
+    (weights normalized here; domains absent from ``target`` are dropped).
+
+    Two bounded passes, no shuffle:
+
+    1. per-domain counts — per-batch Arrow ``value_counts`` combiner + one
+       O(domains)-row groupby; the per-domain keep threshold is
+       ``thr_s = floor(min(1, (frac·w_s)·N / n_s) · 2^32)`` (computed with
+       plain IEEE doubles in exactly this association so a SQL oracle's
+       double math lands on the identical integer);
+    2. one streaming filter keeping rows whose Knuth multiplicative hash
+       ``(id·2654435761) mod 2^32 < thr_s`` — the same id-keyed rule the
+       samplers use: content-free, stable under repartitioning and cluster
+       size, exactly reproducible cross-engine.
+
+    A domain whose target share exceeds its availability saturates at
+    keep-everything (thr = 2^32) — logged, not silently capped.
+    """
+    import logging
+
+    wsum = float(sum(target.values()))
+    if wsum <= 0:
+        raise ValueError("target weights must sum to a positive value")
+    norm = {s: w / wsum for s, w in target.items()}
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        vc = t[group_col].value_counts()
+        return pa.table({
+            group_col: vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        docs.select_columns([group_col])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(group_col).aggregate(Sum("n", alias_name="n"))
+        .take_all()  # bounded: one row per domain
+    )
+    n_total = float(sum(r["n"] for r in rows))
+    thr: dict[str, int] = {}
+    saturated = []
+    for r in rows:
+        s = r[group_col]
+        if s not in norm:
+            continue
+        rate = min(1.0, (frac * norm[s]) * n_total / float(r["n"]))
+        if rate >= 1.0:
+            saturated.append(s)
+        thr[s] = int(np.floor(rate * 4294967296.0))
+    if saturated:
+        logging.getLogger(__name__).info(
+            "domain_mixture: %d domains saturated (target share exceeds "
+            "availability; kept whole): %s", len(saturated), saturated[:10])
+    tref = ray.put(thr)
+
+    def keep(t: pa.Table) -> pa.Table:
+        th = ray.get(tref)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+        src = t[group_col].to_pylist()
+        lim = np.fromiter((th.get(s, 0) for s in src), dtype=np.uint64,
+                          count=len(src))
+        return t.filter(pa.array(h < lim))
+
+    return docs.map_batches(keep, batch_format="pyarrow")

@@ -248,7 +248,7 @@ def ivf_topk(
     return _reduce_topk(local, k)
 
 
-def kmeans_assign(
+def kmeans_fit(
     embeddings: Dataset,
     k: int = 8,
     iters: int = 5,
@@ -256,9 +256,11 @@ def kmeans_assign(
     init_ids: list[int] | None = None,
     round_decimals: int = 6,
     driver_row_limit: int = 200_000,
-) -> Dataset:
-    """Distributed Lloyd's k-means over the embedding column (the
-    cluster-then-curate step, e.g. SemDeDup-style corpus clustering).
+) -> "np.ndarray":
+    """Fit Lloyd's k-means and return the final (k, d) centroid matrix —
+    the shared training loop behind :func:`kmeans_assign` and
+    :func:`semdedup_keep`. See :func:`kmeans_assign` for the regime and
+    determinism contract.
 
     Deterministic, RNG-free init: the vectors whose ids are in ``init_ids``
     (default ``0..k-1`` — pass explicit ids when the id space isn't dense).
@@ -269,7 +271,7 @@ def kmeans_assign(
     ``round_decimals`` each round so the result is independent of
     partial-sum reduction order (what makes a pure-recompute oracle exact).
     Squared-Euclidean assignment, ties to the lowest cluster index; empty
-    clusters keep their previous centroid. Returns ``(id_col, cluster)``.
+    clusters keep their previous centroid. Returns the centroid matrix.
     """
     init_ids = list(range(k)) if init_ids is None else list(init_ids)
     if len(init_ids) != k:
@@ -362,6 +364,29 @@ def kmeans_assign(
             sums[nonempty] / counts[nonempty, None], round_decimals
         )
 
+    return centroids
+
+
+def _assign_to(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """argmin ||m - c||² = argmin (-2 m·c + |c|²); ties → lowest index."""
+    return (-2.0 * (m @ c.T) + (c * c).sum(axis=1)).argmin(axis=1)
+
+
+def kmeans_assign(
+    embeddings: Dataset,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    init_ids: list[int] | None = None,
+    round_decimals: int = 6,
+    driver_row_limit: int = 200_000,
+) -> Dataset:
+    """Distributed Lloyd's k-means over the embedding column (the
+    cluster-then-curate step): :func:`kmeans_fit` trains the centroids, then
+    one streaming broadcast-assignment pass labels every row. Returns
+    ``(id_col, cluster)``."""
+    centroids = kmeans_fit(embeddings, k, iters, id_col, init_ids,
+                           round_decimals, driver_row_limit)
     cref = ray.put(centroids)
 
     def final_assign(t: pa.Table) -> pa.Table:
@@ -370,7 +395,7 @@ def kmeans_assign(
         return pa.table({
             id_col: pa.array(t[id_col].to_numpy(zero_copy_only=False),
                              type=pa.int64()),
-            "cluster": pa.array(assign_to(m, c), type=pa.int64()),
+            "cluster": pa.array(_assign_to(m, c), type=pa.int64()),
         })
 
     return embeddings.map_batches(final_assign, batch_format="pyarrow")
@@ -424,3 +449,75 @@ def embedding_cosine_dups(
         "bucket"
     ).map_groups(bucket_pairs, batch_format="pyarrow")
     return pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("cosine", alias_name="cosine"))
+
+
+def semdedup_keep(
+    embeddings: Dataset,
+    k: int = 8,
+    iters: int = 5,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+    cos_decimals: int = 6,
+) -> Dataset:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): k-means-cluster the
+    embedding space, then drop within-cluster semantic duplicates — a row is
+    dropped when a LOWER-id row in the same cluster has cosine ≥ ``tau``.
+    Returns the keep-list ``(id_col, cluster)``.
+
+    Scale shape: :func:`kmeans_fit` trains centroids with bounded partials
+    (no shuffle); ONE labeling map + ONE groupby(cluster) exchange co-locates
+    each cluster's vectors (the only time embeddings move); the per-cluster
+    dedup is a vectorized normalized matmul. Partitioning assumption — each
+    CLUSTER fits a worker (corpus/k on average); pick ``k`` so it does, as
+    SemDeDup itself prescribes (the paper runs k≈10^4-10^5 for web corpora).
+    Cosines are rounded to ``cos_decimals`` before the ≥ τ test so the
+    keep-set is reproducible bit-exactly by a pure driver recompute.
+    """
+    centroids = kmeans_fit(embeddings, k, iters, id_col=id_col,
+                           round_decimals=round_decimals)
+    cref = ray.put(centroids)
+
+    def label(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _batch_matrix(t, dtype=np.float64)
+        return pa.table({
+            id_col: pa.array(t[id_col].to_numpy(zero_copy_only=False),
+                             type=pa.int64()),
+            "cluster": pa.array(_assign_to(m, c), type=pa.int64()),
+            "embedding": t["embedding"],
+        })
+
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = _normalize(_batch_matrix(g, dtype=np.float64)[order])
+        # upper-triangular scan, tiled so temporaries stay bounded even on a
+        # degenerate giant cluster (same discipline as the simhash verifier)
+        drop = np.zeros(ids.size, dtype=bool)
+        tile = 2048
+        for s in range(0, ids.size, tile):
+            e = min(s + tile, ids.size)
+            sims = np.round(m[s:e] @ m.T, cos_decimals)
+            for i in range(s, e):
+                if drop[i]:
+                    continue
+                row = sims[i - s, :i]
+                # duplicate iff some KEPT earlier row is >= tau
+                if np.any((row >= tau) & ~drop[:i]):
+                    drop[i] = True
+        keep = ~drop
+        return pa.table({
+            id_col: pa.array(ids[keep], type=pa.int64()),
+            "cluster": pa.array(
+                np.full(int(keep.sum()), g["cluster"][0].as_py(),
+                        dtype=np.int64)),
+        })
+
+    return (
+        embeddings.map_batches(label, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pyarrow")
+    )

@@ -34,13 +34,14 @@ class LangIdStage:
     """Heuristic language-ID: argmax stopword-hit-rate over profiles.
 
     Emits ``lang_pred`` (or 'und' when nothing matches) + ``lang_conf``.
-    Arrow in/out, fully vectorized: the batch is tokenized once
-    (``Series.str.split`` + ``explode``), tokens hit the stopword vocabulary
-    through one ``Index.get_indexer`` probe, and per-(doc, lang) hit counts
-    accumulate with ``np.add.at`` over the (token → per-lang membership)
-    matrix built once per actor. Ties in the argmax break to the
-    lexicographically greatest language (the original dict-max semantics,
-    mirrored exactly by the SQL oracle).
+    Arrow in/out, fully vectorized: the batch is tokenized once (Arrow
+    ``utf8_lower`` + ``utf8_split_whitespace`` + ``list_parent_indices``
+    explode — no pandas conversion of the text column), tokens hit the
+    stopword vocabulary through one ``Index.get_indexer`` probe, and
+    per-(doc, lang) hit counts accumulate with ``np.add.at`` over the
+    (token → per-lang membership) matrix built once per actor. Ties in the
+    argmax break to the lexicographically greatest language (the original
+    dict-max semantics, mirrored exactly by the SQL oracle).
     """
 
     def __init__(self, profiles: dict[str, set[str]] | None = None):
@@ -57,16 +58,23 @@ class LangIdStage:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = pd.Series(batch["text"].to_pylist()).fillna("")
-        toks = texts.str.lower().str.split()
-        n_toks = toks.str.len().to_numpy(dtype=np.int64)
-        n_docs, n_langs = len(texts), len(self.langs)
+        low = pc.utf8_lower(pc.fill_null(pc.cast(batch["text"], pa.string()), ""))
+        split = pc.utf8_split_whitespace(low)
+        row = pc.list_parent_indices(split).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tok = np.asarray(pc.list_flatten(split).to_pylist(), dtype=object)
+        if tok.size:
+            keep = tok != ""  # Python str.split() semantics
+            tok, row = tok[keep], row[keep]
+        n_docs, n_langs = len(batch), len(self.langs)
+        n_toks = np.zeros(n_docs, dtype=np.int64)
+        if row.size:
+            np.add.at(n_toks, row, 1)
         counts = np.zeros((n_docs, n_langs), dtype=np.int64)
-        ex = toks.explode().dropna()
-        if len(ex):
-            vidx = self.vocab_index.get_indexer(ex.to_numpy(dtype=object))
+        if tok.size:
+            vidx = self.vocab_index.get_indexer(tok)
             hit = vidx >= 0
-            np.add.at(counts, ex.index.to_numpy()[hit], self.vocab_mat[vidx[hit]])
+            np.add.at(counts, row[hit], self.vocab_mat[vidx[hit]])
         scores = counts / np.maximum(n_toks, 1)[:, None]
         # argmax with ties to the LAST (lexicographically greatest) language
         best_idx = n_langs - 1 - np.argmax(scores[:, ::-1], axis=1)
