@@ -3255,6 +3255,132 @@ SELECT s, d, w FROM e"""
     )
 
 
+def q_docs_bpe_pairs(sf_dir: str):
+    """Distributed BPE-style adjacent token-pair counting — the inner loop
+    of tokenizer training (count every adjacent (left, right) token pair
+    across the corpus, take the most frequent merge candidates). At 100 TB
+    the distinct-pair space is quadratic in the vocabulary, so a full
+    groupby over pairs is the wrong shape; this reuses the certified
+    two-pass Misra–Gries heavy-hitter layout (O(blocks × cap) exchange +
+    exact recount of candidates only). Pair extraction is pure Arrow:
+    split → flatten with parent indices → shifted self-comparison masks
+    pairs that would cross a document boundary → binary_join_element_wise.
+    """
+    docs = ops.read_table(sf_dir, "documents", columns=["text"])
+
+    def pairs(t: pa.Table) -> pa.Array:
+        lst = pc.split_pattern_regex(t["text"], pattern=r"\s+")
+        flat = pc.list_flatten(lst)
+        par = pc.list_parent_indices(lst)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep).combine_chunks() \
+            if isinstance(flat, pa.ChunkedArray) else flat.filter(keep)
+        par = par.filter(keep).combine_chunks() \
+            if isinstance(par, pa.ChunkedArray) else par.filter(keep)
+        n = len(flat)
+        if n < 2:
+            return pa.array([], pa.string())
+        left, right = flat.slice(0, n - 1), flat.slice(1)
+        same_doc = pc.equal(par.slice(0, n - 1), par.slice(1))
+        return pc.binary_join_element_wise(
+            left.filter(same_doc), right.filter(same_doc), " ")
+
+    return ops.heavy_hitters_topk(docs, pairs, k=32, cap=4096)
+
+
+O_DOCS_BPE_PAIRS = r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+  FROM documents
+)
+SELECT ts[i] || ' ' || ts[i + 1] AS item, CAST(count(*) AS BIGINT) AS n
+FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+GROUP BY item
+ORDER BY n DESC, item
+LIMIT 32"""
+
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel (view → click → purchase): users completing each
+    prefix of the stage chain, where stage k must occur STRICTLY AFTER the
+    user's earliest valid completion of stage k-1 (min-ts chaining — the
+    deterministic, SQL-checkable funnel semantics).
+
+    Scale shape: no per-user Python. Each stage transition is one
+    distributed ``hash_join`` keyed on user_id (both sides are
+    user-cardinality — a broadcast would not hold at 10^9 users) over
+    stage-filtered, column-pruned event rows, then a vectorized ``ts >
+    t_prev`` filter and a min-combiner + groupby. Each survivor table is
+    one row per surviving user, materialized once so the next stage's join
+    and the stage count read it without recomputing the chain; it drains
+    monotonically, and an empty survivor set short-circuits the remaining
+    stages (Ray's join cannot take a zero-block side).
+    """
+    from ray.data.aggregate import Min
+
+    ev = ops.read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def stage_events(etype: str):
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], etype))
+            return pa.table({
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                # int64 micros: keeps every min/compare in integer kernels
+                "ts": pc.cast(t["ts"], pa.int64()),
+            })
+        return ev.map_batches(prep, batch_format="pyarrow")
+
+    def min_per_user(ds):
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by(["user_id"]).aggregate([("ts", "min")])
+            return pa.table({"user_id": g["user_id"], "ts": g["ts_min"]})
+        return (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("user_id").aggregate(Min("ts", alias_name="ts")))
+
+    users: list[int] = []
+    prev = min_per_user(stage_events(_FUNNEL_STAGES[0])).materialize()
+    users.append(prev.count())
+    for etype in _FUNNEL_STAGES[1:]:
+        if users[-1] == 0:
+            users.append(0)
+            continue
+        prev_t = prev.map_batches(
+            lambda t: pa.table({"user_id": t["user_id"], "t_prev": t["ts"]}),
+            batch_format="pyarrow")
+        joined = ops.hash_join(stage_events(etype), prev_t, on=("user_id",))
+        after = joined.map_batches(
+            lambda t: t.filter(pc.greater(t["ts"], t["t_prev"]))
+                       .select(["user_id", "ts"]),
+            batch_format="pyarrow")
+        prev = min_per_user(after).materialize()
+        users.append(prev.count())
+    return pa.table({
+        "stage": pa.array(range(1, len(_FUNNEL_STAGES) + 1), pa.int64()),
+        "event_type": pa.array(list(_FUNNEL_STAGES), pa.string()),
+        "users": pa.array(users, pa.int64()),
+    })
+
+
+O_EVENTS_FUNNEL = """
+WITH v AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+         CAST((SELECT count(*) FROM v) AS BIGINT) AS users
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p))
+ORDER BY stage"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3320,6 +3446,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_semdedup": q_docs_semdedup,
     "docs_domain_mix": q_docs_domain_mix,
     "kg_host_pagerank": q_kg_host_pagerank,
+    "docs_bpe_pairs": q_docs_bpe_pairs,
+    "events_funnel": q_events_funnel,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -3479,4 +3607,6 @@ def oracles() -> dict[str, str]:
         "docs_semdedup": O_DOCS_SEMDEDUP(),
         "docs_domain_mix": O_DOCS_DOMAIN_MIX_SQL(),
         "kg_host_pagerank": O_KG_HOST_PAGERANK(),
+        "docs_bpe_pairs": O_DOCS_BPE_PAIRS,
+        "events_funnel": O_EVENTS_FUNNEL,
     }

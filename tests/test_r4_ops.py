@@ -113,3 +113,96 @@ def test_domain_mixture_saturation_keeps_whole_domain(ray_session):
 def test_domain_mixture_rejects_bad_weights(ray_session):
     with pytest.raises(ValueError):
         domain_mixture(_docs_ds(8, ["a"]), {"a": 0.0})
+
+
+# --------------------------------------------------------------------------
+# BPE adjacent-pair counting + ordered funnel
+# --------------------------------------------------------------------------
+
+def test_bpe_pairs_matches_bruteforce(ray_session, tmp_path):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from newsagency_classification_ray import queries as Q
+
+    texts = [
+        "a b a b c",          # pairs: a b, b a, a b, b c
+        "  a   b  ",          # leading/trailing whitespace → one pair a b
+        "solo",               # no pairs
+        "",                   # no pairs
+        "b c b c b c",
+        "x y",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+
+    exp = collections.Counter()
+    for t in texts:
+        toks = [w for w in t.split() if w]
+        exp.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:32]
+
+    out = Q.q_docs_bpe_pairs(str(tmp_path))
+    got = list(zip(out["item"].to_pylist(), out["n"].to_pylist()))
+    assert got == want
+    # no pair crosses a document boundary: "c a" (doc0→doc1) must not appear
+    assert "c a" not in dict(got)
+
+
+def _events_tbl(rows):
+    return pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+    })
+
+
+def test_events_funnel_chain_semantics(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from newsagency_classification_ray import queries as Q
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # u1 completes the full chain in order
+        (1, s(0), "view"), (1, s(10), "click"), (1, s(20), "purchase"),
+        # u2: click BEFORE first view → stage-2 fails
+        (2, s(10), "click"), (2, s(20), "view"),
+        # u3: purchase before the first post-view click → stage-3 fails
+        (3, s(0), "view"), (3, s(5), "purchase"), (3, s(10), "click"),
+        # u4: ties are strict — click at exactly the view ts does not count
+        (4, s(0), "view"), (4, s(0), "click"),
+        # u5: second view earlier than first click; chain uses MIN view
+        (5, s(50), "view"), (5, s(5), "view"), (5, s(30), "click"),
+        (5, s(40), "purchase"),
+        # u6: never views
+        (6, s(0), "purchase"), (6, s(1), "click"),
+    ]
+    pq.write_table(_events_tbl(rows), tmp_path / "events.parquet")
+    out = Q.q_events_funnel(str(tmp_path))
+    assert out["stage"].to_pylist() == [1, 2, 3]
+    assert out["event_type"].to_pylist() == ["view", "click", "purchase"]
+    # stage1: u1..u5 viewed; stage2: u1, u3, u5; stage3: u1, u5
+    assert out["users"].to_pylist() == [5, 3, 2]
+
+
+def test_events_funnel_short_circuits_empty_stage(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from newsagency_classification_ray import queries as Q
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, "click"), (2, t0, "purchase")]  # nobody views
+    pq.write_table(_events_tbl(rows), tmp_path / "events.parquet")
+    out = Q.q_events_funnel(str(tmp_path))
+    assert out["users"].to_pylist() == [0, 0, 0]
