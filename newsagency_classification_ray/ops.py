@@ -540,6 +540,29 @@ def hash_join(
     return left.join(right, how, num_partitions, on=on, right_on=right_on)
 
 
+def hash_join_sized(
+    left: Dataset,
+    right: Dataset,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...] | None = None,
+    how: str = "inner",
+) -> Dataset:
+    """:func:`hash_join` with the partition count clamped to the RIGHT
+    side's (materialized) cardinality. Second known Ray 2.49 hash-join
+    limitation, sibling of the zero-block one above: a side SPARSER than
+    the partition count (rows < partitions) can leave a partition with no
+    schema-carrying bundle, and the aggregator's finalize then joins
+    against a zero-column table (ArrowInvalid 'No match ... FieldRef').
+    Clamping to ceil(rows/4) keeps every partition fed at small scale and
+    leaves the CPU-adaptive default untouched at real scale (any right
+    side with ≥ 4×cpus/4 rows). Use when the right side can be filtered
+    near-empty (e.g. a region-restricted dimension probe); the right side
+    must still be non-empty, per the zero-block caveat above."""
+    right = right.materialize()
+    parts = max(1, min(_join_parts(), (right.count() + 3) // 4))
+    return hash_join(left, right, on, how, parts, right_on)
+
+
 # --------------------------------------------------------------------------
 # HyperLogLog approximate distinct-count (sketch aggregate)
 # --------------------------------------------------------------------------
@@ -1022,6 +1045,64 @@ def pack_by_token_budget(
         })
 
     return s.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
+def running_sum(
+    ds: Dataset, key_col: str, weight_col: str, out_col: str = "running"
+) -> Dataset:
+    """Inclusive running total of ``weight_col`` in ``key_col`` order — the
+    ``sum(w) OVER (ORDER BY key)`` window as a distributed two-pass prefix
+    sum (same layout as :func:`pack_by_token_budget`): one range sort, then
+    pass 1 reduces each block to (first_key, weight_sum) — O(blocks) driver
+    state — and pass 2 adds the broadcast per-block exclusive offset to the
+    in-block cumulative sum. No all-to-all beyond the sort, and the full
+    column never leaves its blocks.
+
+    Requires UNIQUE ``key_col`` values (the range sort may split equal keys
+    across block boundaries, making the first-key→offset map ambiguous);
+    callers with duplicate keys must pre-aggregate per key first (which is
+    also what makes the driver state O(blocks), not O(rows)).
+    """
+    import numpy as np
+
+    s = ds.select_columns([key_col, weight_col]).sort(key_col).materialize()
+
+    def block_stat(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"first_key": pa.array([], type=pa.int64()),
+                             "wsum": pa.array([], type=pa.int64())})
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "first_key": pa.array([_key_as_i64(t[key_col][0])], type=pa.int64()),
+            "wsum": pa.array([int(w.sum())], type=pa.int64())})
+
+    stats = s.map_batches(block_stat, batch_size=None,
+                          batch_format="pyarrow").to_pandas()
+    stats = stats.sort_values("first_key", kind="stable")
+    offsets = stats["wsum"].cumsum().shift(fill_value=0)
+    off_by_first = dict(zip(stats["first_key"].astype(np.int64),
+                            offsets.astype(np.int64)))
+    ref = ray.put(off_by_first)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({key_col: t[key_col], weight_col: t[weight_col],
+                             out_col: pa.array([], type=pa.int64())})
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = ray.get(ref)[_key_as_i64(t[key_col][0])]
+        return t.append_column(
+            out_col, pa.array(base + np.cumsum(w), type=pa.int64()))
+
+    return s.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
+def _key_as_i64(scalar: pa.Scalar) -> int:
+    """Sort-key scalar → canonical int64 (timestamps hash by their epoch
+    micros so a timestamp key column works as a prefix-sum block key)."""
+    v = scalar.as_py()
+    if hasattr(v, "timestamp"):
+        return int(pa.scalar(v, type=pa.timestamp("us")).cast(pa.int64()).as_py())
+    return int(v)
 
 
 def approx_distinct(ds: Dataset, col: str, p: int = 12) -> int:

@@ -3381,6 +3381,218 @@ SELECT * FROM (
 ORDER BY stage"""
 
 
+_Q5_REGION = "ASIA"
+_Q5_LO, _Q5_HI = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+
+def q5_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — local-supplier volume by nation: revenue from
+    lineitems whose ORDER customer and SUPPLIER sit in the same nation of
+    one region, for one order year. The multi-way join composition the
+    relational surface is for:
+
+    - nation⋈region are calendar-bounded dims → driver merge, broadcast
+      into the supplier/customer filters (no shuffle);
+    - supplier and customer are fact-scaled → filtered + pruned FIRST
+      (region predicate pushes into the probe sides, shrinking both
+      exchanges), then distributed hash joins;
+    - lineitem⋈orders is the fact-fact join, orders date-filtered at the
+      read side so only the qualifying year enters the exchange;
+    - final same-nation predicate is a vectorized post-join filter, then a
+      per-batch (nation, revenue) combiner so the last groupby exchanges
+      one row per block per nation.
+    Revenue compares in integer 1e-4 units (see pricing_summary).
+    """
+    nation = ops.read_table(sf_dir, "nation").to_pandas()
+    region = ops.read_table(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim[dim["r_name"] == _Q5_REGION]
+    nkey_to_name = dict(zip(dim["n_nationkey"].astype(int), dim["n_name"]))
+    nk_ref = ray.put(nkey_to_name)
+
+    lo = pa.scalar(_Q5_LO, type=pa.timestamp("us"))
+    hi = pa.scalar(_Q5_HI, type=pa.timestamp("us"))
+
+    orders = ops.read_table(sf_dir, "orders",
+                            ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "o_custkey": pc.cast(t["o_custkey"], pa.int64())})
+
+    def in_region(name: str, key: str, nat: str):
+        ds = ops.read_table(sf_dir, name, [key, nat])
+
+        def prep(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t[nat], value_set=pa.array(
+                list(ray.get(nk_ref)), pa.int64()))
+            t = t.filter(keep)
+            return pa.table({key: pc.cast(t[key], pa.int64()),
+                             nat: pc.cast(t[nat], pa.int64())})
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_orderkey", "l_suppkey", "l_extendedprice",
+                         "l_discount"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                         "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                         "rev": rev})
+
+    lo_j = ops.hash_join(li.map_batches(l_prep, batch_format="pyarrow"),
+                         orders.map_batches(o_prep, batch_format="pyarrow"),
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+    # region-filtered probe sides can be sparser than the partition count
+    # at small SF → size-adaptive partitioning (see ops.hash_join_sized)
+    los = ops.hash_join_sized(lo_j,
+                              in_region("supplier", "s_suppkey", "s_nationkey"),
+                              on=("l_suppkey",), right_on=("s_suppkey",))
+    losc = ops.hash_join_sized(los,
+                               in_region("customer", "c_custkey", "c_nationkey"),
+                               on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["s_nationkey"], t["c_nationkey"]))
+        nmap = ray.get(nk_ref)
+        key_arr = pa.array(list(nmap.keys()), pa.int64())
+        name_arr = pa.array(list(nmap.values()), pa.string())
+        # vectorized dict probe (broadcast_join's index_in+take layout)
+        idx = pc.index_in(t["s_nationkey"], value_set=key_arr)
+        names = pc.take(name_arr, idx)
+        g = pa.table({"n_name": names, "rev": t["rev"]}).group_by(
+            ["n_name"]).aggregate([("rev", "sum")])
+        return pa.table({"n_name": g["n_name"], "rev": g["rev_sum"]})
+
+    g = (losc.map_batches(partial, batch_format="pyarrow")
+         .groupby("n_name").aggregate(Sum("rev", alias_name="rev_raw")))
+    out = g.map_batches(
+        lambda t: pa.table({
+            "n_name": t["n_name"],
+            "revenue_e4": pc.cast(pc.round(pc.multiply(t["rev_raw"], 10000)),
+                                  pa.int64())}),
+        batch_format="pyarrow")
+    return out.sort(["revenue_e4", "n_name"], descending=[True, False])
+
+
+O_Q5_SUPPLIER_VOLUME = f"""
+SELECT n.n_name,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+            AS BIGINT) AS revenue_e4
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{_Q5_REGION}'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue_e4 DESC, n_name"""
+
+
+_RETENTION_MAX_OFFSET = 6
+
+
+def q_events_retention(sf_dir: str):
+    """Cohort retention: cohort = a user's first-ever event day; for day
+    offsets 0..6, how many of that cohort's users were active on
+    cohort_day + offset. Per-batch (user, day) distinct combiner, groupby
+    min for the cohort day, one user_id hash join back (both sides
+    user-cardinality), vectorized day arithmetic, then a (cohort, offset)
+    count with a per-batch combiner."""
+    from ray.data.aggregate import Min
+
+    ev = ops.read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            # keep day as int64 epoch-micros through the exchanges: Ray's
+            # distinct/groupby round-trips timestamps through numpy at
+            # seconds precision, which silently changes the time unit under
+            # downstream duration arithmetic
+            "day": pc.cast(pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                                   pa.timestamp("us")), pa.int64()),
+        })
+        return d.group_by(["user_id", "day"]).aggregate([])  # block-distinct
+
+    ud = ops.distinct(ev.map_batches(days, batch_format="pyarrow"),
+                      ["user_id", "day"]).materialize()
+    first = ud.groupby("user_id").aggregate(Min("day", alias_name="cohort"))
+    j = ops.hash_join(ud, first, on=("user_id",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        off = pc.divide(pc.subtract(t["day"], t["cohort"]), 86_400_000_000)
+        t = pa.table({"cohort": t["cohort"], "day_offset": off})
+        t = t.filter(pc.less_equal(t["day_offset"], _RETENTION_MAX_OFFSET))
+        g = t.group_by(["cohort", "day_offset"]).aggregate(
+            [("day_offset", "count", pc.CountOptions(mode="all"))])
+        return pa.table({"cohort": g["cohort"], "day_offset": g["day_offset"],
+                         "users": pc.cast(g["day_offset_count"], pa.int64())})
+
+    g = (j.map_batches(partial, batch_format="pyarrow")
+         .groupby(["cohort", "day_offset"])
+         .aggregate(Sum("users", alias_name="users")))
+    return g.map_batches(
+        lambda t: pa.table({
+            "cohort": pc.cast(t["cohort"], pa.timestamp("us")),
+            "day_offset": pc.cast(t["day_offset"], pa.int64()),
+            "users": pc.cast(t["users"], pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
+O_EVENTS_RETENTION = f"""
+WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+f AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1)
+SELECT f.cohort, CAST(date_diff('day', f.cohort, ud.day) AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS users
+FROM ud JOIN f ON ud.user_id = f.user_id
+WHERE date_diff('day', f.cohort, ud.day) <= {_RETENTION_MAX_OFFSET}
+GROUP BY 1, 2"""
+
+
+def q_events_daily_new_users(sf_dir: str):
+    """Daily new-user counts plus the cumulative total — running
+    ``sum() OVER (ORDER BY day)`` via ops.running_sum's distributed two-pass
+    prefix sum (per-day pre-aggregation makes the sort key unique and the
+    driver state O(blocks), per the operator's contract)."""
+    from ray.data.aggregate import Min
+
+    ev = ops.read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                      "day": pc.floor_temporal(t["ts"], unit="day")})
+        g = d.group_by(["user_id"]).aggregate([("day", "min")])
+        return pa.table({"user_id": g["user_id"], "day": g["day_min"]})
+
+    first = (ev.map_batches(partial, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("day", alias_name="day")))
+    per_day = (first.map_batches(
+        lambda t: pa.table({"day": t["day"]}), batch_format="pyarrow")
+        .groupby("day").aggregate(Count(alias_name="new_users")))
+    per_day = per_day.map_batches(lambda t: _i64(t, ["new_users"]),
+                                  batch_format="pyarrow")
+    return ops.running_sum(per_day, "day", "new_users", out_col="cume_users")
+
+
+O_EVENTS_DAILY_NEW_USERS = """
+WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS day
+           FROM events GROUP BY 1),
+d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cume_users
+FROM d"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3448,6 +3660,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_host_pagerank": q_kg_host_pagerank,
     "docs_bpe_pairs": q_docs_bpe_pairs,
     "events_funnel": q_events_funnel,
+    "q5_supplier_volume": q5_supplier_volume,
+    "events_retention": q_events_retention,
+    "events_daily_new_users": q_events_daily_new_users,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -3609,4 +3824,7 @@ def oracles() -> dict[str, str]:
         "kg_host_pagerank": O_KG_HOST_PAGERANK(),
         "docs_bpe_pairs": O_DOCS_BPE_PAIRS,
         "events_funnel": O_EVENTS_FUNNEL,
+        "q5_supplier_volume": O_Q5_SUPPLIER_VOLUME,
+        "events_retention": O_EVENTS_RETENTION,
+        "events_daily_new_users": O_EVENTS_DAILY_NEW_USERS,
     }

@@ -206,3 +206,35 @@ def test_events_funnel_short_circuits_empty_stage(ray_session, tmp_path):
     pq.write_table(_events_tbl(rows), tmp_path / "events.parquet")
     out = Q.q_events_funnel(str(tmp_path))
     assert out["users"].to_pylist() == [0, 0, 0]
+
+
+def test_running_sum_matches_cumsum(ray_session):
+    import numpy as np
+
+    from newsagency_classification_ray import ops
+
+    rng = np.random.default_rng(5)
+    keys = rng.permutation(200).astype(np.int64)       # unique, shuffled
+    w = rng.integers(0, 50, size=200).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys), "w": pa.array(w)})).repartition(7)
+    out = ops.running_sum(ds, "k", "w", out_col="cume").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    order = np.argsort(keys)
+    assert (out["k"].to_numpy() == keys[order]).all()
+    assert (out["cume"].to_numpy() == np.cumsum(w[order])).all()
+
+
+def test_hash_join_sized_sparse_right(ray_session):
+    from newsagency_classification_ray import ops
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(range(100), pa.int64()),
+        "x": pa.array(range(100), pa.int64())})).repartition(8)
+    # 1-row right side: sparser than the default partition count — the
+    # plain hash_join hits Ray 2.49's unfed-partition ArrowInvalid here
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([42], pa.int64()),
+        "y": pa.array([7], pa.int64())})).repartition(8)
+    out = ops.hash_join_sized(left, right, on=("k",), right_on=("rk",))
+    assert out.take_all() == [{"k": 42, "x": 42, "y": 7}]
