@@ -3593,6 +3593,71 @@ SELECT day, new_users,
 FROM d"""
 
 
+def q_docs_curation_e2e(sf_dir: str):
+    """End-to-end curation composition — the full pre-training data prep a
+    reference user would run as ONE streaming pipeline: quality gates →
+    exact dedup (min-id keep) → deterministic md5 train split → token-budget
+    shard packing. Exercises operator COMPOSITION: each stage is the same
+    primitive its standalone query uses, chained lazily so blocks stream
+    through the quality/split maps and only the dedup groupby, the keep-id
+    join, and the packing sort exchange anything.
+
+    Scale notes: the dedup keep-list is document-cardinality → distributed
+    hash join back (not a broadcast); packing's prefix sum keeps O(blocks)
+    driver state; the text column is dropped before any exchange.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Min
+
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    q = ts.quality_filter(docs)
+
+    def slim_hash(t: pa.Table) -> pa.Table:
+        # drop text here: everything downstream (dedup groupby, keep join,
+        # packing sort) exchanges only (id, n_chars, 20-byte hash) rows
+        hashes = [hashlib.sha1((s or "").encode()).hexdigest()
+                  for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "n_chars": pc.cast(t["n_chars"], pa.int64()),
+                         "text_hash": pa.array(hashes, pa.string())})
+
+    # one quality+hash pass, materialized slim (text already dropped) so the
+    # keep-list branch and the join probe don't re-run the corpus scan
+    slim = q.map_batches(slim_hash, batch_format="pyarrow").materialize()
+    keep = slim.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="doc_id")).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    surv = ops.hash_join(
+        slim.map_batches(lambda t: t.select(["doc_id", "n_chars"]),
+                         batch_format="pyarrow"),
+        keep, on=("doc_id",))
+    train = cur.split_assign(surv).map_batches(
+        lambda t: t.filter(pc.equal(t["split"], "train"))
+                   .select(["doc_id", "n_chars"]),
+        batch_format="pyarrow")
+    return ops.pack_by_token_budget(train, "doc_id", "n_chars",
+                                    capacity=10_000)
+
+
+O_DOCS_CURATION_E2E = r"""
+WITH q AS (
+  SELECT doc_id, n_chars, text FROM documents
+  WHERE len(regexp_extract_all(text, '\S+')) >= 10
+    AND len(regexp_extract_all(text, '[^\w\s]'))
+        <= 0.3 * greatest(1, length(text))
+    AND len(list_distinct(regexp_extract_all(text, '\S+')))
+        >= 0.1 * greatest(1, len(regexp_extract_all(text, '\S+')))),
+d AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+s AS (SELECT q.doc_id, q.n_chars FROM q JOIN d ON q.doc_id = d.doc_id
+      WHERE md5_number_lower('split:' || CAST(q.doc_id AS VARCHAR)) % 100 < 80)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(floor(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 10000) AS BIGINT) AS shard_id
+FROM s"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3663,6 +3728,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q5_supplier_volume": q5_supplier_volume,
     "events_retention": q_events_retention,
     "events_daily_new_users": q_events_daily_new_users,
+    "docs_curation_e2e": q_docs_curation_e2e,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -3827,4 +3893,5 @@ def oracles() -> dict[str, str]:
         "q5_supplier_volume": O_Q5_SUPPLIER_VOLUME,
         "events_retention": O_EVENTS_RETENTION,
         "events_daily_new_users": O_EVENTS_DAILY_NEW_USERS,
+        "docs_curation_e2e": O_DOCS_CURATION_E2E,
     }

@@ -238,3 +238,43 @@ def test_hash_join_sized_sparse_right(ray_session):
         "y": pa.array([7], pa.int64())})).repartition(8)
     out = ops.hash_join_sized(left, right, on=("k",), right_on=("rk",))
     assert out.take_all() == [{"k": 42, "x": 42, "y": 7}]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_events_funnel_matches_bruteforce_random(ray_session, tmp_path, seed):
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from newsagency_classification_ray import queries as Q
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    t0 = dt.datetime(2024, 1, 1)
+    types = np.array(["view", "click", "purchase", "error"])
+    rows = [(int(rng.integers(0, 25)),
+             t0 + dt.timedelta(seconds=int(rng.integers(0, 500))),
+             str(types[rng.integers(0, 4)]))
+            for _ in range(n)]
+    pq.write_table(_events_tbl(rows), tmp_path / "events.parquet")
+
+    # brute force min-ts chaining per user (duplicate timestamps included)
+    by_user: dict = {}
+    for u, ts_, et in rows:
+        by_user.setdefault(u, []).append((ts_, et))
+    want = [0, 0, 0]
+    for evs in by_user.values():
+        t_prev, depth = None, 0
+        for i, stage in enumerate(("view", "click", "purchase")):
+            cand = [ts_ for ts_, et in evs
+                    if et == stage and (t_prev is None or ts_ > t_prev)]
+            if not cand:
+                break
+            t_prev = min(cand)
+            depth = i + 1
+        for i in range(depth):
+            want[i] += 1
+
+    out = Q.q_events_funnel(str(tmp_path))
+    assert out["users"].to_pylist() == want
