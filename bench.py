@@ -214,6 +214,10 @@ def run_bench() -> dict:
     timed("docs_tfidf_topk", lambda: Q.q_docs_tfidf_topk(sf_dir).to_pandas())
     timed("embeddings_kmeans", lambda: Q.q_embeddings_kmeans(sf_dir).count())
     timed_stats("kg_pagerank", lambda: Q.q_kg_pagerank(sf_dir))
+    timed("docs_bpe_pairs", lambda: Q.q_docs_bpe_pairs(sf_dir).num_rows)
+    timed("docs_curation_e2e", lambda: Q.q_docs_curation_e2e(sf_dir).count())
+    timed("events_funnel", lambda: Q.q_events_funnel(sf_dir).num_rows)
+    timed("q5_supplier_volume", lambda: Q.q5_supplier_volume(sf_dir).count())
 
     headline = queries["kg_flagship"]
     result = {
