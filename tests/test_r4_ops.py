@@ -278,18 +278,3 @@ def test_events_funnel_matches_bruteforce_random(ray_session, tmp_path, seed):
 
     out = Q.q_events_funnel(str(tmp_path))
     assert out["users"].to_pylist() == want
-
-
-def test_cli_flagship_runs_and_resumes(ray_session, tmp_path):
-    from newsagency_classification_ray import cli
-    from newsagency_classification_ray.sources.pages import ensure_pages
-
-    p = ensure_pages("/root/testdata/sf0.001")
-    argv = ["--input", p, "--output", str(tmp_path / "kg"), "--partitions", "2"]
-    out = cli.main(argv)
-    assert (out["mentions"], out["triples"]) == (371, 330)
-    assert out["partitions_written"] > 0 and out["partitions_skipped"] == 0
-    # second submit of the same job: lineage manifests skip every partition
-    out2 = cli.main(argv)
-    assert out2["partitions_written"] == 0
-    assert out2["partitions_skipped"] == out["partitions_written"]
