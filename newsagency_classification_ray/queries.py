@@ -3350,7 +3350,9 @@ def q_events_funnel(sf_dir: str):
         prev_t = prev.map_batches(
             lambda t: pa.table({"user_id": t["user_id"], "t_prev": t["ts"]}),
             batch_format="pyarrow")
-        joined = ops.hash_join(stage_events(etype), prev_t, on=("user_id",))
+        # sized: survivor sets drain toward zero — partition count follows
+        joined = ops.hash_join_sized(stage_events(etype), prev_t,
+                                     on=("user_id",))
         after = joined.map_batches(
             lambda t: t.filter(pc.greater(t["ts"], t["t_prev"]))
                        .select(["user_id", "ts"]),
@@ -3526,7 +3528,7 @@ def q_events_retention(sf_dir: str):
     ud = ops.distinct(ev.map_batches(days, batch_format="pyarrow"),
                       ["user_id", "day"]).materialize()
     first = ud.groupby("user_id").aggregate(Min("day", alias_name="cohort"))
-    j = ops.hash_join(ud, first, on=("user_id",))
+    j = ops.hash_join_sized(ud, first, on=("user_id",))
 
     def partial(t: pa.Table) -> pa.Table:
         off = pc.divide(pc.subtract(t["day"], t["cohort"]), 86_400_000_000)
