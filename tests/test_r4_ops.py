@@ -278,3 +278,36 @@ def test_events_funnel_matches_bruteforce_random(ray_session, tmp_path, seed):
 
     out = Q.q_events_funnel(str(tmp_path))
     assert out["users"].to_pylist() == want
+
+
+def test_events_hourly_counts_null_values(ray_session, tmp_path, monkeypatch):
+    """Regression (advisor r3): the per-batch combiner must count ROWS
+    (count mode='all'), not non-null values — a null event value still
+    contributes to n, matching the oracle's count(*)."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from newsagency_classification_ray import queries as Q
+
+    t0 = dt.datetime(2024, 3, 1, 10, 30)
+    tbl = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "ts": pa.array([t0] * 3 + [t0 + dt.timedelta(hours=2)] * 3,
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 3, 1, 2, 3], pa.int64()),
+        "event_type": pa.array(["view"] * 6, pa.string()),
+        "value": pa.array([1.5, None, None, 2.0, 3.0, None], pa.float64()),
+        "props": pa.array(["{}"] * 6, pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = (Q.q_events_hourly(str(tmp_path)).to_pandas()
+           .sort_values(["event_type", "hour"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp_path}/events.parquet'")
+    want = (con.execute(Q.O_EVENTS_HOURLY).fetchdf()
+            .sort_values(["event_type", "hour"]).reset_index(drop=True))
+    assert got["n"].tolist() == want["n"].tolist() == [3, 3]
+    assert got["value_cents"].tolist() == want["value_cents"].tolist()
