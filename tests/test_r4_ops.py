@@ -311,3 +311,28 @@ def test_events_hourly_counts_null_values(ray_session, tmp_path, monkeypatch):
             .sort_values(["event_type", "hour"]).reset_index(drop=True))
     assert got["n"].tolist() == want["n"].tolist() == [3, 3]
     assert got["value_cents"].tolist() == want["value_cents"].tolist()
+
+
+def test_actor_pool_stage_survives_worker_death(ray_session, tmp_path):
+    """Fault model of a real multi-node run: an actor-pool worker dies
+    mid-stream (OOM kill, node loss). Ray Data must reconstruct the actor
+    and re-run the failed block with exactly-once output — no lost and no
+    duplicated rows. This is the retry layer the flagship's tagger/linker
+    pools (and every map_batches stage) inherit for free; the manifest
+    layer (test_cli / graph resume tests) covers the driver-level rerun."""
+    import os
+
+    marker = tmp_path / "died_once"
+
+    class Flaky:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if not marker.exists():
+                marker.write_text("x")
+                os._exit(1)  # hard process kill, not a catchable exception
+            return t
+
+    ds = ray.data.range(1000, override_num_blocks=8).map_batches(
+        Flaky, concurrency=2, batch_size=100, batch_format="pyarrow")
+    rows = ds.take_all()
+    assert sorted(r["id"] for r in rows) == list(range(1000))
+    assert marker.exists()
