@@ -1755,6 +1755,94 @@ def triangles(edges: Dataset, src: str = "src", dst: str = "dst") -> Dataset:
     return tri.map_batches(canonical, batch_format="pyarrow")
 
 
+def edge_common_neighbors(
+    edges: Dataset, src: str = "src", dst: str = "dst"
+) -> Dataset:
+    """Per-edge link-prediction features over an undirected simple graph:
+    for every edge {u, v} (output normalized u < v), ``common`` =
+    |N(u) ∩ N(v)| and ``uni`` = |N(u) ∪ N(v)| — the exact-integer
+    sufficient statistics for neighborhood Jaccard / common-neighbor /
+    Adamic-Adar-style scores (kept as integers so cross-engine float
+    rounding can never diverge; Jaccard = common/uni downstream).
+
+    Scale shape: ``common(u,v)`` for an EXISTING edge equals the number of
+    triangles containing it, so the count rides :func:`triangles`' degree
+    orientation — the wedge intermediate stays O(Σ out-deg²) with out-deg
+    O(√m) even on power-law graphs, instead of the naive adjacency
+    self-join's O(Σ deg²) hub blow-up. Degrees and the per-edge triangle
+    tally are joins/groupbys; the triangle side can legitimately drain
+    (triangle-free graphs) → materialize + short-circuit per the join
+    caveat, and the sized join keeps sparse sides finalizable.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    def norm(t: pa.Table) -> pa.Table:
+        m = np.stack([t[src].to_numpy(zero_copy_only=False),
+                      t[dst].to_numpy(zero_copy_only=False)], axis=1)
+        m.sort(axis=1)
+        typ = t[src].type
+        keep = m[:, 0] != m[:, 1]  # drop self-loops
+        return pa.table({"u": pa.array(m[keep, 0], type=typ),
+                         "v": pa.array(m[keep, 1], type=typ)})
+
+    e = distinct(edges.map_batches(norm, batch_format="pyarrow"),
+                 ["u", "v"]).materialize()
+
+    deg = _compact(
+        e.map_batches(lambda t: pa.table({"node": t["u"]}),
+                      batch_format="pyarrow")
+        .union(e.map_batches(lambda t: pa.table({"node": t["v"]}),
+                             batch_format="pyarrow"))
+        .groupby("node").aggregate(Count(alias_name="deg"))
+    )
+
+    tri = triangles(e, src="u", dst="v")
+
+    def tri_edges(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"u": t["a"], "v": t["b"]}),
+            pa.table({"u": t["a"], "v": t["c"]}),
+            pa.table({"u": t["b"], "v": t["c"]}),
+        ])
+
+    def partial_cnt(t: pa.Table) -> pa.Table:
+        t2 = t.append_column("one", pa.array(np.ones(len(t), dtype=np.int64)))
+        g = t2.group_by(["u", "v"]).aggregate([("one", "sum")])
+        return pa.table({"u": g["u"], "v": g["v"],
+                         "n": pc.cast(g["one_sum"], pa.int64())})
+
+    common = (tri.map_batches(tri_edges, batch_format="pyarrow")
+              .map_batches(partial_cnt, batch_format="pyarrow")
+              .groupby(["u", "v"]).aggregate(Sum("n", alias_name="common"))
+              ).materialize()
+
+    if common.count() > 0:
+        ec = hash_join_sized(e, common, on=("u", "v"), how="left_outer")
+    else:  # triangle-free graph: every edge has zero common neighbors
+        ec = e.map_batches(
+            lambda t: t.append_column(
+                "common", pa.nulls(len(t), pa.int64())),
+            batch_format="pyarrow")
+
+    withdeg = hash_join_sized(
+        hash_join_sized(ec, deg, on=("u",), right_on=("node",)).map_batches(
+            lambda t: pa.table({"u": t["u"], "v": t["v"],
+                                "common": t["common"], "deg_u": t["deg"]}),
+            batch_format="pyarrow"),
+        deg, on=("v",), right_on=("node",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.coalesce(t["common"], 0), pa.int64())
+        uni = pc.subtract(
+            pc.add(pc.cast(t["deg_u"], pa.int64()),
+                   pc.cast(t["deg"], pa.int64())), c)
+        return pa.table({"u": t["u"], "v": t["v"], "common": c, "uni": uni})
+
+    return withdeg.map_batches(finish, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # Label propagation (community detection) — pure Dataset formulation
 # --------------------------------------------------------------------------

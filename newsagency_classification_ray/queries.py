@@ -3660,6 +3660,41 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM s"""
 
 
+def q_kg_link_features(sf_dir: str):
+    """Link-prediction features over the agency co-occurrence graph: per
+    edge {u, v}, the common-neighbor count and neighborhood-union size
+    (exact integers — Jaccard = common/uni downstream, no float rounding
+    across engines). common(u,v) for an existing edge is the number of
+    triangles through it, so the count rides the degree-oriented wedge
+    machinery (ops.edge_common_neighbors)."""
+    edges = kg.cooccurrence_edges(_mentions(sf_dir))
+    out = ops.edge_common_neighbors(
+        edges.map_batches(lambda t: t.select(["src_qid", "dst_qid"]),
+                          batch_format="pyarrow"),
+        src="src_qid", dst="dst_qid")
+    return out.map_batches(lambda t: _i64(t, ["common", "uni"]),
+                           batch_format="pyarrow")
+
+
+O_KG_LINK_FEATURES = lambda sf: f"""WITH {_pages_cte(sf)},
+  counts AS (SELECT host, year, qid FROM sql_mentions
+             WHERE qid <> 'NIL' GROUP BY host, year, qid),
+  e AS (SELECT DISTINCT a.qid AS u, b.qid AS v
+        FROM counts a JOIN counts b
+          ON a.host = b.host AND a.year = b.year AND a.qid < b.qid),
+  adj AS (SELECT u AS x, v AS n FROM e UNION ALL SELECT v, u FROM e),
+  deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY x),
+  cn AS (SELECT a1.x AS u, a2.x AS v, CAST(count(*) AS BIGINT) AS common
+         FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.x < a2.x
+         GROUP BY 1, 2)
+SELECT e.u, e.v, CAST(coalesce(cn.common, 0) AS BIGINT) AS common,
+       CAST(du.d + dv.d - coalesce(cn.common, 0) AS BIGINT) AS uni
+FROM e
+JOIN deg du ON du.x = e.u
+JOIN deg dv ON dv.x = e.v
+LEFT JOIN cn ON cn.u = e.u AND cn.v = e.v"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3731,6 +3766,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_retention": q_events_retention,
     "events_daily_new_users": q_events_daily_new_users,
     "docs_curation_e2e": q_docs_curation_e2e,
+    "kg_link_features": q_kg_link_features,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -3896,4 +3932,5 @@ def oracles() -> dict[str, str]:
         "events_retention": O_EVENTS_RETENTION,
         "events_daily_new_users": O_EVENTS_DAILY_NEW_USERS,
         "docs_curation_e2e": O_DOCS_CURATION_E2E,
+        "kg_link_features": O_KG_LINK_FEATURES(_SF001),
     }

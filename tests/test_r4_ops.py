@@ -336,3 +336,40 @@ def test_actor_pool_stage_survives_worker_death(ray_session, tmp_path):
     rows = ds.take_all()
     assert sorted(r["id"] for r in rows) == list(range(1000))
     assert marker.exists()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_edge_common_neighbors_matches_bruteforce(ray_session, seed):
+    from newsagency_classification_ray import ops
+
+    rng = np.random.default_rng(seed)
+    n_nodes, n_edges = 30, 120
+    raw = rng.integers(0, n_nodes, size=(n_edges, 2))
+    ds = ray.data.from_arrow(pa.table({
+        "s": pa.array(raw[:, 0], pa.int64()),
+        "d": pa.array(raw[:, 1], pa.int64())})).repartition(4)
+    out = ops.edge_common_neighbors(ds, src="s", dst="d").to_pandas()
+    got = {(r.u, r.v): (r.common, r.uni) for r in out.itertuples()}
+
+    # brute force over the normalized simple graph
+    pairs = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    nbrs: dict = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = {(a, b): (len(nbrs[a] & nbrs[b]), len(nbrs[a] | nbrs[b]))
+            for a, b in pairs}
+    assert got == want
+
+
+def test_edge_common_neighbors_triangle_free(ray_session):
+    from newsagency_classification_ray import ops
+
+    # a path graph has no triangles: every edge must report common=0
+    ds = ray.data.from_arrow(pa.table({
+        "s": pa.array([0, 1, 2, 3], pa.int64()),
+        "d": pa.array([1, 2, 3, 4], pa.int64())}))
+    out = ops.edge_common_neighbors(ds, src="s", dst="d").to_pandas()
+    assert sorted(out["common"]) == [0, 0, 0, 0]
+    mid = out[(out.u == 1) & (out.v == 2)].iloc[0]
+    assert mid["uni"] == 4  # N(1)={0,2}, N(2)={1,3}
