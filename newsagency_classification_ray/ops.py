@@ -1443,6 +1443,36 @@ def window_lag_lead(
     return ds.groupby(part_col).map_groups(fn, batch_format="pyarrow")
 
 
+def window_running_sum(
+    ds: Dataset,
+    part_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+) -> Dataset:
+    """Per-partition running total — ``sum(v) OVER (PARTITION BY part_col
+    ORDER BY order_cols ROWS UNBOUNDED PRECEDING)``. Same single-shuffle
+    grouped-sort shape (and hot-key caveat) as :func:`window_lag_lead`;
+    contrast :func:`running_sum`, the GLOBAL-order prefix sum.
+
+    ``value_col`` must be int64 and non-null (callers pre-scale money to
+    cents and coalesce nulls): the cumsum is then sequential integer math,
+    so results hash-match any SQL engine bit-for-bit — a float cumsum would
+    be at the mercy of the other engine's window accumulation order.
+    """
+    import numpy as np
+
+    def fn(g: pa.Table) -> pa.Table:
+        keys = [g[c].to_numpy(zero_copy_only=False) for c in reversed(order_cols)]
+        g = g.take(np.lexsort(keys))
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {c: g[c] for c in g.column_names}
+        cols[out_col] = pa.array(np.cumsum(v), type=pa.int64())
+        return pa.table(cols)
+
+    return ds.groupby(part_col).map_groups(fn, batch_format="pyarrow")
+
+
 def grouped_sequence(
     ds: Dataset,
     key: str,

@@ -3660,6 +3660,37 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM s"""
 
 
+def q_events_user_cume(sf_dir: str):
+    """Per-user running spend — sum() OVER (PARTITION BY user ORDER BY ts)
+    in integer cents (ops.window_running_sum: one user_id shuffle, in-group
+    sort, sequential int cumsum — hash-exact vs any SQL engine)."""
+    ev = ops.read_table(sf_dir, "events",
+                        ["event_id", "ts", "user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(
+            pc.coalesce(t["value"], 0.0), 100)), pa.int64())
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "ts": t["ts"],
+                         "user_id": pc.cast(t["user_id"], pa.int64()),
+                         "cents": c})
+
+    out = ops.window_running_sum(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "user_id", ["ts", "event_id"], "cents", out_col="cume_cents")
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "cume_cents"]),
+        batch_format="pyarrow")
+
+
+O_EVENTS_USER_CUME = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cume_cents
+FROM events"""
+
+
 def q_kg_link_features(sf_dir: str):
     """Link-prediction features over the agency co-occurrence graph: per
     edge {u, v}, the common-neighbor count and neighborhood-union size
@@ -3767,6 +3798,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_daily_new_users": q_events_daily_new_users,
     "docs_curation_e2e": q_docs_curation_e2e,
     "kg_link_features": q_kg_link_features,
+    "events_user_cume": q_events_user_cume,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -3933,4 +3965,5 @@ def oracles() -> dict[str, str]:
         "events_daily_new_users": O_EVENTS_DAILY_NEW_USERS,
         "docs_curation_e2e": O_DOCS_CURATION_E2E,
         "kg_link_features": O_KG_LINK_FEATURES(_SF001),
+        "events_user_cume": O_EVENTS_USER_CUME,
     }

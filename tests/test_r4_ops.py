@@ -373,3 +373,22 @@ def test_edge_common_neighbors_triangle_free(ray_session):
     assert sorted(out["common"]) == [0, 0, 0, 0]
     mid = out[(out.u == 1) & (out.v == 2)].iloc[0]
     assert mid["uni"] == 4  # N(1)={0,2}, N(2)={1,3}
+
+
+def test_window_running_sum_matches_pandas(ray_session):
+    from newsagency_classification_ray import ops
+
+    rng = np.random.default_rng(9)
+    n = 300
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 7, n), pa.int64()),
+        "o": pa.array(rng.permutation(n), pa.int64()),
+        "v": pa.array(rng.integers(-50, 50, n), pa.int64()),
+    })
+    out = (ops.window_running_sum(
+        ray.data.from_arrow(t).repartition(5), "k", ["o"], "v")
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    import pandas as pd
+    df = t.to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    want = df.groupby("k")["v"].cumsum()
+    assert (out["running"].to_numpy() == want.to_numpy()).all()
