@@ -392,3 +392,22 @@ def test_window_running_sum_matches_pandas(ray_session):
     df = t.to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
     want = df.groupby("k")["v"].cumsum()
     assert (out["running"].to_numpy() == want.to_numpy()).all()
+
+
+def test_export_ntriples_round_trip(ray_session, tmp_path):
+    from newsagency_classification_ray.pipelines import kg
+    from newsagency_classification_ray.pipelines.graph import export_ntriples
+    from newsagency_classification_ray.sources.pages import ensure_pages
+
+    p = ensure_pages("/root/testdata/sf0.001")
+    trip = kg.triples(kg.extract_mentions(kg.read_pages(p))).materialize()
+    out = export_ntriples(trip, str(tmp_path / "kg.nt"))
+    lines = open(out, encoding="utf-8").read().splitlines()
+    assert len(lines) == trip.count() == 330
+    # every line is a well-formed triple statement over our IRI scheme
+    for ln in lines[:20]:
+        s, pred, o, dot = ln.split(" ")
+        assert s.startswith("<urn:x-page:") and pred.startswith("<urn:x-rel:")
+        assert o.startswith("<urn:x-qid:Q") and dot == "."
+    # IRIs are unique per (url, qid): no duplicate statements
+    assert len(set(lines)) == len(lines)
