@@ -3691,6 +3691,58 @@ SELECT user_id, event_id,
 FROM events"""
 
 
+_PATHS_K = 10
+
+
+def q_events_top_paths(sf_dir: str):
+    """User-path mining: the K most common 3-step event-type sequences
+    across per-user chronological streams. One user_id shuffle (the
+    window_lag_lead partitioning contract — per-user rows bounded), trigram
+    assembly vectorized inside each group via shifted-array joins, per-batch
+    path-count combiner, one tiny groupby, deterministic (n DESC, path)
+    top-k."""
+    ev = ops.read_table(sf_dir, "events", ["event_id", "ts", "user_id",
+                                           "event_type"])
+
+    def trigrams(g: pa.Table) -> pa.Table:
+        order = np.lexsort([g["event_id"].to_numpy(zero_copy_only=False),
+                            g["ts"].to_numpy(zero_copy_only=False)])
+        et = g["event_type"].take(order).combine_chunks() \
+            if isinstance(g["event_type"], pa.ChunkedArray) \
+            else g["event_type"].take(order)
+        n = len(et)
+        if n < 3:
+            return pa.table({"path": pa.array([], pa.string())})
+        return pa.table({"path": pc.binary_join_element_wise(
+            et.slice(0, n - 2), et.slice(1, n - 2), et.slice(2), ">")})
+
+    paths = ev.groupby("user_id").map_groups(trigrams, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.append_column("one", pa.array(
+            np.ones(len(t), dtype=np.int64))).group_by(["path"]).aggregate(
+            [("one", "sum")])
+        return pa.table({"path": g["path"],
+                         "n": pc.cast(g["one_sum"], pa.int64())})
+
+    counts = (paths.map_batches(partial, batch_format="pyarrow")
+              .groupby("path").aggregate(Sum("n", alias_name="n")))
+    out = counts.map_batches(lambda t: _i64(t, ["n"]), batch_format="pyarrow")
+    return out.sort(["n", "path"], descending=[True, False]).limit(_PATHS_K)
+
+
+O_EVENTS_TOP_PATHS = f"""
+WITH s AS (
+  SELECT event_type AS e1,
+         lead(event_type) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT {_PATHS_K}"""
+
+
 def q_kg_link_features(sf_dir: str):
     """Link-prediction features over the agency co-occurrence graph: per
     edge {u, v}, the common-neighbor count and neighborhood-union size
@@ -3799,6 +3851,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_curation_e2e": q_docs_curation_e2e,
     "kg_link_features": q_kg_link_features,
     "events_user_cume": q_events_user_cume,
+    "events_top_paths": q_events_top_paths,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -3966,4 +4019,5 @@ def oracles() -> dict[str, str]:
         "docs_curation_e2e": O_DOCS_CURATION_E2E,
         "kg_link_features": O_KG_LINK_FEATURES(_SF001),
         "events_user_cume": O_EVENTS_USER_CUME,
+        "events_top_paths": O_EVENTS_TOP_PATHS,
     }

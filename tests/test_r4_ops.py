@@ -411,3 +411,25 @@ def test_export_ntriples_round_trip(ray_session, tmp_path):
         assert o.startswith("<urn:x-qid:Q") and dot == "."
     # IRIs are unique per (url, qid): no duplicate statements
     assert len(set(lines)) == len(lines)
+
+
+def test_events_top_paths_short_streams(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from newsagency_classification_ray import queries as Q
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda k: t0 + dt.timedelta(seconds=k)
+    rows = [
+        (1, s(0), "view"), (1, s(1), "click"), (1, s(2), "purchase"),
+        (1, s(3), "view"),                       # u1: v>c>p, c>p>v
+        (2, s(0), "view"), (2, s(1), "click"),   # u2: too short, no trigram
+        (3, s(0), "view"), (3, s(1), "click"), (3, s(2), "purchase"),
+    ]
+    pq.write_table(_events_tbl(rows), tmp_path / "events.parquet")
+    out = Q.q_events_top_paths(str(tmp_path)).to_pandas()
+    assert out.iloc[0]["path"] == "view>click>purchase"
+    assert out.iloc[0]["n"] == 2
+    assert set(out["path"]) == {"view>click>purchase", "click>purchase>view"}
