@@ -1030,6 +1030,12 @@ def pack_by_token_budget(
     offsets = stats["wsum"].cumsum().shift(fill_value=0)
     off_by_first = dict(zip(stats["first_id"].astype(np.int64),
                             offsets.astype(np.int64)))
+    if len(off_by_first) != len(stats):
+        # unique-id contract violated across a block boundary: a silent dict
+        # collision would shift every downstream shard offset
+        raise ValueError(
+            "pack_by_token_budget requires unique id values; duplicate ids "
+            "crossed a block boundary")
     ref = ray.put(off_by_first)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -1082,6 +1088,12 @@ def running_sum(
     offsets = stats["wsum"].cumsum().shift(fill_value=0)
     off_by_first = dict(zip(stats["first_key"].astype(np.int64),
                             offsets.astype(np.int64)))
+    if len(off_by_first) != len(stats):
+        # two blocks started with the same key ⇒ the unique-key contract is
+        # violated; a silent dict collision here would corrupt every offset
+        raise ValueError(
+            "running_sum requires unique key values; duplicate keys crossed "
+            "a block boundary — pre-aggregate per key first")
     ref = ray.put(off_by_first)
 
     def assign(t: pa.Table) -> pa.Table:

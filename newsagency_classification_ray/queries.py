@@ -3839,7 +3839,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_eval_strict": q_kg_eval_strict,
     # --- beyond the driver 50-sample window ---
-    # (r4 additions first — candidates for the next rotation's window)
+    # (r4 additions first — ROUND 5: rotate these 12 into the first-50
+    # window, displacing r1-r3 anchors that already have green driver rows:
+    # docs_semdedup docs_domain_mix kg_host_pagerank docs_bpe_pairs
+    # events_funnel q5_supplier_volume events_retention
+    # events_daily_new_users docs_curation_e2e kg_link_features
+    # events_user_cume events_top_paths)
     "docs_semdedup": q_docs_semdedup,
     "docs_domain_mix": q_docs_domain_mix,
     "kg_host_pagerank": q_kg_host_pagerank,
