@@ -3743,6 +3743,50 @@ FROM s WHERE e3 IS NOT NULL
 GROUP BY 1 ORDER BY n DESC, path LIMIT {_PATHS_K}"""
 
 
+_BASKET_K = 20
+
+
+def q_orders_basket_pairs(sf_dir: str):
+    """Market-basket pair mining: the K most frequent part pairs bought in
+    the same order (the Apriori candidate-pair step). Scale shape: a keyed
+    SELF-JOIN on l_orderkey over the distinct (order, part) table — pair
+    expansion is bounded by items-per-order², never by part popularity (a
+    per-part join would square the hot heads) — then a per-batch pair-count
+    combiner, one groupby, deterministic top-k. No per-group Python."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    d = ops.distinct(
+        li.map_batches(
+            lambda t: pa.table({"o": pc.cast(t["l_orderkey"], pa.int64()),
+                                "p": pc.cast(t["l_partkey"], pa.int64())}),
+            batch_format="pyarrow"),
+        ["o", "p"])
+    right = d.map_batches(lambda t: pa.table({"o2": t["o"], "b": t["p"]}),
+                          batch_format="pyarrow")
+    pairs = ops.hash_join(d, right, on=("o",), right_on=("o2",)).map_batches(
+        lambda t: t.filter(pc.less(t["p"], t["b"])), batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.append_column("one", pa.array(
+            np.ones(len(t), dtype=np.int64))).group_by(["p", "b"]).aggregate(
+            [("one", "sum")])
+        return pa.table({"a": g["p"], "b": g["b"],
+                         "n": pc.cast(g["one_sum"], pa.int64())})
+
+    counts = (pairs.map_batches(partial, batch_format="pyarrow")
+              .groupby(["a", "b"]).aggregate(Sum("n", alias_name="n")))
+    out = counts.map_batches(lambda t: _i64(t, ["n"]), batch_format="pyarrow")
+    return out.sort(["n", "a", "b"],
+                    descending=[True, False, False]).limit(_BASKET_K)
+
+
+O_ORDERS_BASKET_PAIRS = f"""
+WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS n
+FROM d x JOIN d y ON x.o = y.o AND x.p < y.p
+GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT {_BASKET_K}"""
+
+
 def q_kg_link_features(sf_dir: str):
     """Link-prediction features over the agency co-occurrence graph: per
     edge {u, v}, the common-neighbor count and neighborhood-union size
@@ -3839,12 +3883,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_eval_strict": q_kg_eval_strict,
     # --- beyond the driver 50-sample window ---
-    # (r4 additions first — ROUND 5: rotate these 12 into the first-50
+    # (r4 additions first — ROUND 5: rotate these 13 into the first-50
     # window, displacing r1-r3 anchors that already have green driver rows:
     # docs_semdedup docs_domain_mix kg_host_pagerank docs_bpe_pairs
     # events_funnel q5_supplier_volume events_retention
     # events_daily_new_users docs_curation_e2e kg_link_features
-    # events_user_cume events_top_paths)
+    # events_user_cume events_top_paths orders_basket_pairs)
     "docs_semdedup": q_docs_semdedup,
     "docs_domain_mix": q_docs_domain_mix,
     "kg_host_pagerank": q_kg_host_pagerank,
@@ -3857,6 +3901,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_link_features": q_kg_link_features,
     "events_user_cume": q_events_user_cume,
     "events_top_paths": q_events_top_paths,
+    "orders_basket_pairs": q_orders_basket_pairs,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -4025,4 +4070,5 @@ def oracles() -> dict[str, str]:
         "kg_link_features": O_KG_LINK_FEATURES(_SF001),
         "events_user_cume": O_EVENTS_USER_CUME,
         "events_top_paths": O_EVENTS_TOP_PATHS,
+        "orders_basket_pairs": O_ORDERS_BASKET_PAIRS,
     }
