@@ -3787,6 +3787,80 @@ FROM d x JOIN d y ON x.o = y.o AND x.p < y.p
 GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT {_BASKET_K}"""
 
 
+def q_events_hourly_anomalies(sf_dir: str):
+    """Anomaly flags on hourly event counts — |n − mean| > 2σ per
+    event_type, evaluated entirely in int64: (n·C − S)² > 4·(C·SS − S²)
+    where C/S/SS are the per-type hour-count/sum/sum-of-squares. Integer
+    sufficient statistics make the flag hash-exact across engines (a float
+    z-score could flip on the boundary). Per-batch hour-count combiner →
+    one groupby; the per-type stats reduce to ≤|event_types| rows,
+    broadcast back into a vectorized flag map. n² stays within int64 up to
+    ~3·10⁹ events per (type, hour)."""
+    ev = ops.read_table(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"event_type": t["event_type"],
+                       "hour": ops.floor_to_hour(t["ts"])})
+        g = tt.append_column("one", pa.array(
+            np.ones(len(t), dtype=np.int64))).group_by(
+            ["event_type", "hour"]).aggregate([("one", "sum")])
+        return pa.table({"event_type": g["event_type"], "hour": g["hour"],
+                         "n": pc.cast(g["one_sum"], pa.int64())})
+
+    hourly = (ev.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "hour"])
+              .aggregate(Sum("n", alias_name="n"))).materialize()
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64())
+        tt = pa.table({"event_type": t["event_type"], "n": n,
+                       "n2": pc.multiply(n, n),
+                       "one": pa.array(np.ones(len(t), dtype=np.int64))})
+        g = tt.group_by(["event_type"]).aggregate(
+            [("one", "sum"), ("n", "sum"), ("n2", "sum")])
+        return pa.table({"event_type": g["event_type"], "c": g["one_sum"],
+                         "s": g["n_sum"], "ss": g["n2_sum"]})
+
+    # ≤ |event_types| rows: a bounded driver reduce, broadcast back
+    import pandas as pd_  # noqa: F401 (clarity: pandas reduce below)
+    st = (hourly.map_batches(stat_partial, batch_format="pyarrow")
+          .to_pandas().groupby("event_type", as_index=False).sum())
+    stats = {r.event_type: (int(r.c), int(r.s), int(r.ss))
+             for r in st.itertuples()}
+    ref = ray.put(stats)
+
+    def flag(t: pa.Table) -> pa.Table:
+        sm = ray.get(ref)
+        keys = list(sm)
+        idx = pc.index_in(t["event_type"], value_set=pa.array(keys))
+        c = pc.take(pa.array([sm[k][0] for k in keys], pa.int64()), idx)
+        s = pc.take(pa.array([sm[k][1] for k in keys], pa.int64()), idx)
+        ss = pc.take(pa.array([sm[k][2] for k in keys], pa.int64()), idx)
+        n = pc.cast(t["n"], pa.int64())
+        lhs = pc.subtract(pc.multiply(n, c), s)
+        lhs2 = pc.multiply(lhs, lhs)
+        rhs = pc.multiply(pa.scalar(4, pa.int64()),
+                          pc.subtract(pc.multiply(c, ss), pc.multiply(s, s)))
+        return pa.table({"event_type": t["event_type"], "hour": t["hour"],
+                         "n": n, "is_anomaly": pc.greater(lhs2, rhs)})
+
+    return hourly.map_batches(flag, batch_format="pyarrow")
+
+
+O_EVENTS_HOURLY_ANOMALIES = """
+WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(n) AS BIGINT) AS sm,
+             CAST(sum(n * n) AS BIGINT) AS ss
+      FROM h GROUP BY 1)
+SELECT h.event_type, h.hour, h.n,
+       (h.n * s.c - s.sm) * (h.n * s.c - s.sm)
+         > 4 * (s.c * s.ss - s.sm * s.sm) AS is_anomaly
+FROM h JOIN s ON h.event_type = s.event_type"""
+
+
 def q_kg_link_features(sf_dir: str):
     """Link-prediction features over the agency co-occurrence graph: per
     edge {u, v}, the common-neighbor count and neighborhood-union size
@@ -3888,7 +3962,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # docs_semdedup docs_domain_mix kg_host_pagerank docs_bpe_pairs
     # events_funnel q5_supplier_volume events_retention
     # events_daily_new_users docs_curation_e2e kg_link_features
-    # events_user_cume events_top_paths orders_basket_pairs)
+    # events_user_cume events_top_paths orders_basket_pairs
+    # events_hourly_anomalies)
     "docs_semdedup": q_docs_semdedup,
     "docs_domain_mix": q_docs_domain_mix,
     "kg_host_pagerank": q_kg_host_pagerank,
@@ -3902,6 +3977,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_user_cume": q_events_user_cume,
     "events_top_paths": q_events_top_paths,
     "orders_basket_pairs": q_orders_basket_pairs,
+    "events_hourly_anomalies": q_events_hourly_anomalies,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -4071,4 +4147,5 @@ def oracles() -> dict[str, str]:
         "events_user_cume": O_EVENTS_USER_CUME,
         "events_top_paths": O_EVENTS_TOP_PATHS,
         "orders_basket_pairs": O_ORDERS_BASKET_PAIRS,
+        "events_hourly_anomalies": O_EVENTS_HOURLY_ANOMALIES,
     }
