@@ -433,3 +433,22 @@ def test_events_top_paths_short_streams(ray_session, tmp_path):
     assert out.iloc[0]["path"] == "view>click>purchase"
     assert out.iloc[0]["n"] == 2
     assert set(out["path"]) == {"view>click>purchase", "click>purchase>view"}
+
+
+def test_hourly_anomalies_zero_variance(ray_session, tmp_path):
+    """Constant hourly counts (variance 0): nothing may be flagged — the
+    integer test degenerates to 0 > 0."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from newsagency_classification_ray import queries as Q
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + dt.timedelta(hours=h, seconds=i), "view")
+            for h in range(6) for i in range(3)]   # 3 views every hour
+    pq.write_table(_events_tbl(rows), tmp_path / "events.parquet")
+    out = Q.q_events_hourly_anomalies(str(tmp_path)).to_pandas()
+    assert len(out) == 6
+    assert not out["is_anomaly"].any()
+    assert (out["n"] == 3).all()
