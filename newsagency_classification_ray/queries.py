@@ -3896,6 +3896,283 @@ JOIN deg dv ON dv.x = e.v
 LEFT JOIN cn ON cn.u = e.u AND cn.v = e.v"""
 
 
+def q_events_gap_stats(sf_dir: str):
+    """Per-user inter-event gap statistics — n_gaps, sum/max and LOWER-
+    MEDIAN gap, all in exact int64 epoch-micros (the timestamp-precision
+    contract: time math never leaves int64 across an exchange). One key
+    shuffle, in-group vectorized diff over the (ts, event_id)-sorted run —
+    the lag()-window shape on Ray. Single-event users emit no row (they
+    have no gap), matching the oracle's ``WHERE gap IS NOT NULL``."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def gaps(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        if len(ts) < 2:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "n_gaps": pa.array([], type=pa.int64()),
+                "sum_gap_us": pa.array([], type=pa.int64()),
+                "max_gap_us": pa.array([], type=pa.int64()),
+                "p50_gap_us": pa.array([], type=pa.int64()),
+            })
+        d = np.diff(np.sort(ts))  # gap multiset only depends on sorted ts
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], type=pa.int64()),
+            "n_gaps": pa.array([len(d)], type=pa.int64()),
+            "sum_gap_us": pa.array([int(d.sum())], type=pa.int64()),
+            "max_gap_us": pa.array([int(d.max())], type=pa.int64()),
+            "p50_gap_us": pa.array(
+                [int(np.sort(d)[int(0.5 * (len(d) - 1))])], type=pa.int64()),
+        })
+
+    return ev.groupby("user_id").map_groups(gaps, batch_format="pyarrow")
+
+
+O_EVENTS_GAP_STATS = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events),
+gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+med AS (
+  SELECT user_id, gap AS p50 FROM (
+    SELECT user_id, gap,
+           row_number() OVER (PARTITION BY user_id ORDER BY gap) - 1 AS rn,
+           count(*) OVER (PARTITION BY user_id) AS cnt
+    FROM gg)
+  WHERE rn = CAST(floor(0.5 * (cnt - 1)) AS BIGINT))
+SELECT a.user_id, a.n_gaps, a.sum_gap_us, a.max_gap_us,
+       CAST(med.p50 AS BIGINT) AS p50_gap_us
+FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+             CAST(max(gap) AS BIGINT) AS max_gap_us
+      FROM gg GROUP BY user_id) a
+JOIN med ON med.user_id = a.user_id"""
+
+
+def q_events_attribution(sf_dir: str):
+    """First-touch attribution: every 30-minute session that contains a
+    purchase is credited to the session's FIRST event_type (the acquisition
+    channel). Sessionization is the per-key ordered scan (one shuffle on
+    user_id); each group emits per-channel PARTIAL counts, so the final
+    groupby exchanges at most |users|·|event_types| tiny rows — the
+    combiner-before-shuffle shape."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "ts", "event_id",
+                                           "event_type"])
+
+    def credit(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts))
+        ts, et = ts[order], et[order]
+        # session start indices: first event + every >30 min gap
+        starts = np.flatnonzero(
+            np.concatenate([[True], np.diff(ts) > 30 * 60 * 1_000_000]))
+        ends = np.concatenate([starts[1:], [len(ts)]])
+        first_types: dict[str, int] = {}
+        for s, e in zip(starts, ends):
+            if (et[s:e] == "purchase").any():
+                ft = et[s]
+                first_types[ft] = first_types.get(ft, 0) + 1
+        return pa.table({
+            "first_type": pa.array(list(first_types), type=pa.string()),
+            "n": pa.array(list(first_types.values()), type=pa.int64()),
+        })
+
+    partial = ev.groupby("user_id").map_groups(credit, batch_format="pyarrow")
+    out = partial.groupby("first_type").aggregate(
+        Sum("n", alias_name="n_sessions"))
+    return out.map_batches(lambda t: _i64(t, ["n_sessions"]),
+                           batch_format="pyarrow")
+
+
+O_EVENTS_ATTRIBUTION = """
+WITH b AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM b),
+f AS (
+  SELECT user_id, sess,
+         first_value(event_type)
+           OVER (PARTITION BY user_id, sess ORDER BY ts, event_id) AS first_type,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id, sess) AS has_purchase
+  FROM s)
+SELECT first_type, CAST(count(*) AS BIGINT) AS n_sessions
+FROM (SELECT DISTINCT user_id, sess, first_type, has_purchase FROM f)
+WHERE has_purchase = 1
+GROUP BY first_type"""
+
+
+def q_lineitem_mad(sf_dir: str):
+    """Grouped median absolute deviation of l_extendedprice by returnflag
+    — the robust-dispersion statistic, in exact int64 cents with LOWER-
+    MEDIAN semantics on both passes so the value hash can never float-flip.
+    Two-pass distributed shape: pass 1 per-group median via
+    ops.group_quantiles, the ≤|flags|-row result broadcast back; pass 2
+    re-streams the column as |cents − med(flag)| through the same grouped-
+    quantile machinery. No pass materializes the fact table."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    cents = li.map_batches(
+        lambda t: pa.table({"l_returnflag": t["l_returnflag"],
+                            "cents": _cents(t["l_extendedprice"])}),
+        batch_format="pyarrow")
+    med_rows = ops.group_quantiles(cents, "l_returnflag", "cents",
+                                   [0.5]).take_all()  # one row per flag
+    med = {r["l_returnflag"]: int(r["value"]) for r in med_rows}
+    ref = ray.put(med)
+
+    def dev(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        keys = list(m)
+        idx = pc.index_in(t["l_returnflag"], value_set=pa.array(keys))
+        mv = pc.take(pa.array([m[k] for k in keys], pa.int64()), idx)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "d": pc.abs(pc.subtract(t["cents"], mv)),
+        })
+
+    mad_rows = ops.group_quantiles(
+        cents.map_batches(dev, batch_format="pyarrow"),
+        "l_returnflag", "d", [0.5]).take_all()
+    mad = {r["l_returnflag"]: int(r["value"]) for r in mad_rows}
+    flags = sorted(med)
+    return pa.table({
+        "l_returnflag": pa.array(flags, type=pa.string()),
+        "median_cents": pa.array([med[f] for f in flags], type=pa.int64()),
+        "mad_cents": pa.array([mad[f] for f in flags], type=pa.int64()),
+    })
+
+
+O_LINEITEM_MAD = """
+WITH c AS (SELECT l_returnflag,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+med AS (
+  SELECT l_returnflag, cents AS m FROM (
+    SELECT l_returnflag, cents,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) - 1 AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS cnt
+    FROM c)
+  WHERE rn = CAST(floor(0.5 * (cnt - 1)) AS BIGINT)),
+dev AS (SELECT c.l_returnflag, abs(c.cents - med.m) AS d
+        FROM c JOIN med ON med.l_returnflag = c.l_returnflag),
+mad AS (
+  SELECT l_returnflag, d FROM (
+    SELECT l_returnflag, d,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY d) - 1 AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS cnt
+    FROM dev)
+  WHERE rn = CAST(floor(0.5 * (cnt - 1)) AS BIGINT))
+SELECT med.l_returnflag, CAST(med.m AS BIGINT) AS median_cents,
+       CAST(mad.d AS BIGINT) AS mad_cents
+FROM med JOIN mad ON mad.l_returnflag = med.l_returnflag"""
+
+
+def q_events_user_day_types(sf_dir: str):
+    """Ordered set-concatenation aggregate (``string_agg(DISTINCT …)``) —
+    per (user, day), the sorted comma-joined distinct event types. Distinct
+    runs FIRST (per-batch combiner + key groupby, ops.distinct) so the
+    ordered-concat groupby only exchanges the already-deduped triples —
+    the ordered-aggregate analogue of pre-aggregation before a shuffle."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+    d = ev.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "day": pc.floor_temporal(t["ts"], unit="day"),
+            "event_type": t["event_type"],
+        }),
+        batch_format="pyarrow")
+    dist = ops.distinct(d, ["user_id", "day", "event_type"])
+
+    def concat(g: pa.Table) -> pa.Table:
+        types = sorted(set(g["event_type"].to_pylist()))
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], type=pa.int64()),
+            "day": g["day"].combine_chunks().slice(0, 1),
+            "types": pa.array([",".join(types)], type=pa.string()),
+        })
+
+    return dist.groupby(["user_id", "day"]).map_groups(
+        concat, batch_format="pyarrow")
+
+
+O_EVENTS_USER_DAY_TYPES = """
+SELECT user_id, date_trunc('day', ts) AS day,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+FROM events GROUP BY 1, 2"""
+
+
+def q_docs_vocab_growth(sf_dir: str):
+    """Vocabulary-growth (Heaps-law) curve over the BIGRAM vocabulary: per
+    4-doc bucket, how many distinct adjacent-token pairs appear for the
+    FIRST time, plus the running vocabulary size. The first-occurrence
+    reduction runs over the vocabulary-scale key domain — per-block
+    (bigram → min bucket) combiners shrink the exchange to one row per
+    distinct bigram per block BEFORE the key groupby, then the bounded
+    bucket-level counts flow through the distributed prefix sum
+    (ops.running_sum). Same whitespace tokenizer as docs_token_topk;
+    bigrams (not unigrams) because they are the standard unit for
+    vocabulary-saturation studies and stay sub-saturated far longer."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"], pattern=r"\s+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "bucket": pa.array([], type=pa.int64())})
+        # adjacent pairs within the same document, both sides non-empty
+        left, right = flat.slice(0, len(flat) - 1), flat.slice(1)
+        same_doc = pa.array(parents[1:] == parents[:-1])
+        keep = pc.and_(same_doc, pc.and_(pc.not_equal(left, ""),
+                                         pc.not_equal(right, "")))
+        bigram = pc.binary_join_element_wise(left, right, " ")
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        bucket = pa.array(ids[parents[:-1]] // 4, type=pa.int64())
+        tbl = pa.table({"bigram": bigram, "bucket": bucket}).filter(keep)
+        g = tbl.group_by("bigram").aggregate([("bucket", "min")])
+        return pa.table({"bigram": g["bigram"], "bucket": g["bucket_min"]})
+
+    from ray.data.aggregate import Min
+    first = (docs.map_batches(partial, batch_format="pyarrow")
+             .groupby("bigram").aggregate(Min("bucket", alias_name="bucket")))
+    per_bucket = (first.map_batches(
+        lambda t: pa.table({"bucket": t["bucket"]}), batch_format="pyarrow")
+        .groupby("bucket").aggregate(Count(alias_name="new_bigrams")))
+    per_bucket = per_bucket.map_batches(
+        lambda t: _i64(t, ["new_bigrams"]), batch_format="pyarrow")
+    return ops.running_sum(per_bucket, "bucket", "new_bigrams",
+                           out_col="vocab_size")
+
+
+O_DOCS_VOCAB_GROWTH = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS a
+           FROM documents),
+big AS (
+  SELECT t.doc_id // 4 AS bucket, t.a[r.i] || ' ' || t.a[r.i + 1] AS bigram
+  FROM t, unnest(generate_series(1, len(t.a) - 1)) AS r(i)
+  WHERE t.a[r.i] <> '' AND t.a[r.i + 1] <> ''),
+f AS (SELECT bigram, min(bucket) AS bucket FROM big GROUP BY 1),
+d AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_bigrams FROM f GROUP BY 1)
+SELECT CAST(bucket AS BIGINT) AS bucket, new_bigrams,
+       CAST(sum(new_bigrams) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size
+FROM d"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3957,13 +4234,19 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_eval_strict": q_kg_eval_strict,
     # --- beyond the driver 50-sample window ---
-    # (r4 additions first — ROUND 5: rotate these 13 into the first-50
+    # (r4 additions first — ROUND 5: rotate these into the first-50
     # window, displacing r1-r3 anchors that already have green driver rows:
     # docs_semdedup docs_domain_mix kg_host_pagerank docs_bpe_pairs
     # events_funnel q5_supplier_volume events_retention
     # events_daily_new_users docs_curation_e2e kg_link_features
     # events_user_cume events_top_paths orders_basket_pairs
-    # events_hourly_anomalies)
+    # events_hourly_anomalies events_gap_stats events_attribution
+    # lineitem_mad events_user_day_types docs_vocab_growth kg_ppr)
+    "events_gap_stats": q_events_gap_stats,
+    "events_attribution": q_events_attribution,
+    "lineitem_mad": q_lineitem_mad,
+    "events_user_day_types": q_events_user_day_types,
+    "docs_vocab_growth": q_docs_vocab_growth,
     "docs_semdedup": q_docs_semdedup,
     "docs_domain_mix": q_docs_domain_mix,
     "kg_host_pagerank": q_kg_host_pagerank,
@@ -4148,4 +4431,9 @@ def oracles() -> dict[str, str]:
         "events_top_paths": O_EVENTS_TOP_PATHS,
         "orders_basket_pairs": O_ORDERS_BASKET_PAIRS,
         "events_hourly_anomalies": O_EVENTS_HOURLY_ANOMALIES,
+        "events_gap_stats": O_EVENTS_GAP_STATS,
+        "events_attribution": O_EVENTS_ATTRIBUTION,
+        "lineitem_mad": O_LINEITEM_MAD,
+        "events_user_day_types": O_EVENTS_USER_DAY_TYPES,
+        "docs_vocab_growth": O_DOCS_VOCAB_GROWTH,
     }

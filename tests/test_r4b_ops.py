@@ -1,0 +1,131 @@
+"""Round-4 late additions: gap stats, attribution, MAD, string-agg,
+vocabulary growth — edge semantics the sf-scale oracle data can't pin."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from newsagency_classification_ray import queries as Q
+
+
+def _events_tbl(rows):
+    return pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+    })
+
+
+def test_gap_stats_semantics(ray_session, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # u1: gaps 10s, 20s, 30s → n=3, sum=60s, max=30s, lower-median=20s
+        (1, s(0), "a"), (1, s(10), "a"), (1, s(30), "a"), (1, s(60), "a"),
+        # u2: single event → NO row
+        (2, s(0), "a"),
+        # u3: duplicate timestamps → gaps 0s, 5s; lower median = 0
+        (3, s(5), "a"), (3, s(5), "b"), (3, s(10), "a"),
+    ]
+    pq.write_table(_events_tbl(rows), tmp_path / "events.parquet")
+    out = Q.q_events_gap_stats(str(tmp_path)).to_pandas() \
+        .set_index("user_id").sort_index()
+    assert list(out.index) == [1, 3]
+    u1 = out.loc[1]
+    assert (u1.n_gaps, u1.sum_gap_us, u1.max_gap_us, u1.p50_gap_us) == \
+        (3, 60_000_000, 30_000_000, 20_000_000)
+    u3 = out.loc[3]
+    assert (u3.n_gaps, u3.sum_gap_us, u3.max_gap_us, u3.p50_gap_us) == \
+        (2, 5_000_000, 5_000_000, 0)
+
+
+def test_attribution_credits_per_session_first_touch(ray_session, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda mins: t0 + dt.timedelta(minutes=mins)
+    rows = [
+        # u1 session A (no purchase, starts 'view') — no credit;
+        # session B 2h later starts 'click' and purchases → credit 'click'
+        (1, s(0), "view"), (1, s(5), "click"),
+        (1, s(120), "click"), (1, s(125), "purchase"),
+        # u2: purchase IS the session's first event → credit 'purchase'
+        (2, s(0), "purchase"),
+        # u3: two purchases in ONE session → one credit, not two
+        (3, s(0), "view"), (3, s(10), "purchase"), (3, s(20), "purchase"),
+        # u4: gap of exactly 30min keeps the session together (strict >)
+        (4, s(0), "view"), (4, s(30), "purchase"),
+    ]
+    pq.write_table(_events_tbl(rows), tmp_path / "events.parquet")
+    out = Q.q_events_attribution(str(tmp_path)).to_pandas() \
+        .set_index("first_type")["n_sessions"].to_dict()
+    assert out == {"click": 1, "purchase": 1, "view": 2}
+
+
+def test_lineitem_mad_matches_bruteforce(ray_session, tmp_path):
+    rng = np.random.default_rng(42)
+    flags = rng.choice(["A", "N", "R"], size=400)
+    price = np.round(rng.uniform(10, 10_000, size=400), 2)
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(flags.tolist(), pa.string()),
+        "l_extendedprice": pa.array(price, pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+    out = Q.q_lineitem_mad(str(tmp_path)).to_pandas() \
+        .set_index("l_returnflag").sort_index()
+    cents = np.round(price * 100).astype(np.int64)
+    lower_med = lambda v: int(np.sort(v)[int(0.5 * (len(v) - 1))])
+    for f in "ANR":
+        v = cents[flags == f]
+        med = lower_med(v)
+        assert out.loc[f, "median_cents"] == med
+        assert out.loc[f, "mad_cents"] == lower_med(np.abs(v - med))
+
+
+def test_user_day_types_sorted_distinct(ray_session, tmp_path):
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (1, t0, "view"), (1, t0 + dt.timedelta(hours=2), "click"),
+        (1, t0 + dt.timedelta(hours=3), "view"),          # dup type, same day
+        (1, t0 + dt.timedelta(days=1), "purchase"),       # next day
+        (2, t0, "zeta"), (2, t0 + dt.timedelta(minutes=1), "alpha"),
+    ]
+    pq.write_table(_events_tbl(rows), tmp_path / "events.parquet")
+    out = Q.q_events_user_day_types(str(tmp_path)).to_pandas()
+    got = {(r.user_id, str(r.day)[:10]): r.types for r in out.itertuples()}
+    assert got == {
+        (1, "2024-03-01"): "click,view",
+        (1, "2024-03-02"): "purchase",
+        (2, "2024-03-01"): "alpha,zeta",
+    }
+
+
+def test_vocab_growth_matches_bruteforce(ray_session, tmp_path):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 9)))
+             for _ in range(40)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), tmp_path / "documents.parquet")
+    out = Q.q_docs_vocab_growth(str(tmp_path)).to_pandas() \
+        .sort_values("bucket").reset_index(drop=True)
+
+    seen: set[str] = set()
+    exp: dict[int, int] = {}
+    for d, txt in enumerate(texts):
+        toks = txt.split()
+        for a, b in zip(toks, toks[1:]):
+            bg = f"{a} {b}"
+            if bg not in seen:
+                seen.add(bg)
+                exp[d // 4] = exp.get(d // 4, 0) + 1
+    buckets = sorted(exp)
+    assert out["bucket"].tolist() == buckets
+    assert out["new_bigrams"].tolist() == [exp[b] for b in buckets]
+    assert out["vocab_size"].tolist() == list(np.cumsum(
+        [exp[b] for b in buckets]))
