@@ -1218,6 +1218,7 @@ def pagerank(
     round_decimals: int = 9,
     broadcast_threshold: int = 65536,
     driver_edge_limit: int = 500_000,
+    seeds: list | None = None,
 ) -> Dataset:
     """Weighted PageRank over a directed edge list. Two regimes, same
     result after per-iteration rounding in every observed/property-tested
@@ -1246,10 +1247,32 @@ def pagerank(
     are bit-stable across cluster sizes and a pure driver-side recompute
     serves as the oracle for the regime it mirrors. Returns
     ``(node, rank)``.
+
+    ``seeds`` switches to PERSONALIZED PageRank: the teleport vector (and
+    the dangling-mass sink) becomes uniform over the seed nodes present in
+    the graph instead of uniform over all nodes —
+    ``rank = ((1-d) + d·dangling)·p + d·Σ_in w·rank[src]/wdeg[src]`` with
+    ``p[v] = 1/|seeds∩V|`` on seeds, 0 elsewhere; raises ``ValueError``
+    when no seed appears in the graph. The seed set is a bounded small
+    side (captured in the batch fns / ``pc.is_in`` probes — never a
+    shuffle). The ``seeds=None`` code paths are byte-identical to the
+    uniform formulas above (the algebraically-equal factored form would
+    reorder float ops and could flip a rounded rank).
     """
     import numpy as np
 
     from ray.data.aggregate import Sum
+
+    seed_set = set(seeds) if seeds is not None else None
+
+    def _pvec(node_list) -> "np.ndarray":
+        mask = np.fromiter((v in seed_set for v in node_list), dtype=bool,
+                           count=len(node_list))
+        ns = int(mask.sum())
+        if ns == 0:
+            raise ValueError(
+                "personalized pagerank: no seed node appears in the graph")
+        return np.where(mask, 1.0 / ns, 0.0)
 
     w_expr = (lambda t: pc.cast(t[weight], pa.float64())) if weight else (
         lambda t: pa.array(np.ones(len(t)), type=pa.float64()))
@@ -1277,7 +1300,9 @@ def pagerank(
         wv = np.asarray([x for _, _, x in rows], dtype=np.float64)
         wdeg_v = np.zeros(nn)
         np.add.at(wdeg_v, si, wv)
-        r = np.full(nn, round(1.0 / nn, round_decimals))
+        pv = _pvec(nodes_l) if seed_set is not None else None
+        r = (np.round(pv, round_decimals) if pv is not None
+             else np.full(nn, round(1.0 / nn, round_decimals)))
         for _ in range(iters):
             share = np.where(wdeg_v > 0, r / np.where(wdeg_v > 0, wdeg_v, 1.0),
                              0.0)
@@ -1287,8 +1312,12 @@ def pagerank(
             dangling = max(float(r.sum() - r[wdeg_v > 0].sum()), 0.0)
             c = np.zeros(nn)
             np.add.at(c, di, wv * share[si])
-            r = np.round((1.0 - damping) / nn + damping * dangling / nn
-                         + damping * c, round_decimals)
+            if pv is not None:
+                r = np.round(((1.0 - damping) + damping * dangling) * pv
+                             + damping * c, round_decimals)
+            else:
+                r = np.round((1.0 - damping) / nn + damping * dangling / nn
+                             + damping * c, round_decimals)
         node_type = e.schema().base_schema.field("src").type
         return ray.data.from_arrow(pa.table({
             "node": pa.array(nodes_l, type=node_type),
@@ -1351,7 +1380,8 @@ def pagerank(
 
         wdeg_v = reduce_vec(e.map_batches(dense_partial(None),
                                           batch_format="pyarrow"))
-        r = np.full(n, r0)
+        pv = _pvec(node_vals) if seed_set is not None else None
+        r = np.round(pv, round_decimals) if pv is not None else np.full(n, r0)
         for _ in range(iters):
             share = np.where(wdeg_v > 0, r / np.where(wdeg_v > 0, wdeg_v, 1.0), 0.0)
             dangling = float(r.sum() - r[wdeg_v > 0].sum())
@@ -1359,18 +1389,44 @@ def pagerank(
             sref = ray.put(share)
             c = reduce_vec(e.map_batches(dense_partial(sref),
                                          batch_format="pyarrow"))
-            r = np.round((1.0 - damping) / n + damping * dangling / n
-                         + damping * c, round_decimals)
+            if pv is not None:
+                r = np.round(((1.0 - damping) + damping * dangling) * pv
+                             + damping * c, round_decimals)
+            else:
+                r = np.round((1.0 - damping) / n + damping * dangling / n
+                             + damping * c, round_decimals)
         return ray.data.from_arrow(pa.table({
             "node": pa.array(node_vals, type=node_type),
             "rank": pa.array(r, type=pa.float64()),
         }))
 
-    rank = nodes.map_batches(
-        lambda t: t.append_column(
-            "rank", pa.array(np.full(len(t), r0), type=pa.float64())),
-        batch_format="pyarrow",
-    ).materialize()  # nodes already compacted -> typed blocks
+    if seed_set is not None:
+        seed_arr = pa.array(sorted(seed_set))
+        n_seed = int(nodes.map_batches(
+            lambda t: pa.table({"ns": pa.array(
+                [int(pc.sum(pc.is_in(t["node"], value_set=seed_arr)).as_py()
+                     or 0)], type=pa.int64())}),
+            batch_format="pyarrow").sum("ns") or 0)
+        if n_seed == 0:
+            raise ValueError(
+                "personalized pagerank: no seed node appears in the graph")
+        p_seed = 1.0 / n_seed
+
+        def init_rank(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t["node"], value_set=seed_arr) \
+                .to_numpy(zero_copy_only=False)
+            return t.append_column("rank", pa.array(
+                np.round(np.where(mask, p_seed, 0.0), round_decimals),
+                type=pa.float64()))
+
+        rank = nodes.map_batches(init_rank, batch_format="pyarrow") \
+            .materialize()
+    else:
+        rank = nodes.map_batches(
+            lambda t: t.append_column(
+                "rank", pa.array(np.full(len(t), r0), type=pa.float64())),
+            batch_format="pyarrow",
+        ).materialize()  # nodes already compacted -> typed blocks
 
     for _ in range(iters):
         share = _compact(hash_join(rank, wdeg, on=("node",)).map_batches(
@@ -1397,14 +1453,27 @@ def pagerank(
             .groupby("dst").aggregate(Sum("c", alias_name="c"))
         )
         contrib = _compact(contrib)
-        base = (1.0 - damping) / n + damping * dangling / n
+        if seed_set is not None:
+            coef = (1.0 - damping) + damping * dangling
 
-        def renew(t: pa.Table, base=base) -> pa.Table:
-            c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
-            c = np.nan_to_num(c, nan=0.0)
-            new = np.round(base + damping * c, round_decimals)
-            return pa.table({"node": t["node"],
-                             "rank": pa.array(new, type=pa.float64())})
+            def renew(t: pa.Table, coef=coef) -> pa.Table:
+                c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+                c = np.nan_to_num(c, nan=0.0)
+                mask = pc.is_in(t["node"], value_set=seed_arr) \
+                    .to_numpy(zero_copy_only=False)
+                new = np.round(coef * np.where(mask, p_seed, 0.0)
+                               + damping * c, round_decimals)
+                return pa.table({"node": t["node"],
+                                 "rank": pa.array(new, type=pa.float64())})
+        else:
+            base = (1.0 - damping) / n + damping * dangling / n
+
+            def renew(t: pa.Table, base=base) -> pa.Table:
+                c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+                c = np.nan_to_num(c, nan=0.0)
+                new = np.round(base + damping * c, round_decimals)
+                return pa.table({"node": t["node"],
+                                 "rank": pa.array(new, type=pa.float64())})
 
         rank = _compact(hash_join(nodes, contrib, on=("node",),
                                   right_on=("dst",),

@@ -4173,6 +4173,78 @@ SELECT CAST(bucket AS BIGINT) AS bucket, new_bigrams,
 FROM d"""
 
 
+_PPR_SEEDS = [WIKIDATA_IDS["Reuters"], WIKIDATA_IDS["Havas"]]  # head entities
+
+
+def q_kg_ppr(sf_dir: str):
+    """Personalized PageRank from the two head agencies (Reuters, Havas) —
+    "relevance to the wire-service core" over the co-occurrence KG. Same
+    three-regime ops.pagerank engine as kg_pagerank, with the teleport
+    vector (and dangling sink) uniform over the seed set instead of all
+    nodes (``ops.pagerank(seeds=...)``)."""
+    edges = kg.cooccurrence_edges(_mentions(sf_dir))
+    agg = edges.groupby(["src_qid", "dst_qid"]).aggregate(
+        Sum("weight", alias_name="w")
+    )
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src_qid": t["dst_qid"], "dst_qid": t["src_qid"],
+                         "w": t["w"]})
+
+    fwd = agg.map_batches(
+        lambda t: t.select(["src_qid", "dst_qid", "w"]), batch_format="pyarrow"
+    )
+    sym = fwd.union(agg.map_batches(swap, batch_format="pyarrow"))
+    pr = ops.pagerank(sym, src="src_qid", dst="dst_qid", weight="w",
+                      damping=_PR_DAMPING, iters=_PR_ITERS,
+                      round_decimals=_PR_RD, seeds=_PPR_SEEDS)
+    return pr.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "rank_nano": pc.cast(pc.round(pc.multiply(t["rank"], 1e9)),
+                                 pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def O_KG_PPR() -> str:
+    """Pure recompute mirroring the driver regime with the seed teleport:
+    DuckDB re-derives the co-occurrence edges (O_KG_COOCCURRENCE SQL), then
+    numpy runs the identical rounded personalized power iteration."""
+    import duckdb
+
+    df = duckdb.connect().execute(O_KG_COOCCURRENCE(_SF001)).fetchdf()
+    agg = df.groupby(["src_qid", "dst_qid"], as_index=False)["weight"].sum()
+    s = agg["src_qid"].tolist() + agg["dst_qid"].tolist()
+    d = agg["dst_qid"].tolist() + agg["src_qid"].tolist()
+    w = np.concatenate([agg["weight"].to_numpy(dtype=np.float64)] * 2)
+    nodes = sorted(set(s) | set(d))
+    pos = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    wdeg = np.zeros(n)
+    np.add.at(wdeg, [pos[a] for a in s], w)
+    mask = np.fromiter((v in set(_PPR_SEEDS) for v in nodes), dtype=bool,
+                       count=n)
+    pv = np.where(mask, 1.0 / max(int(mask.sum()), 1), 0.0)
+    r = np.round(pv, _PR_RD)
+    si = np.asarray([pos[a] for a in s], dtype=np.int64)
+    di = np.asarray([pos[b] for b in d], dtype=np.int64)
+    for _ in range(_PR_ITERS):
+        share = np.where(wdeg > 0, r / np.where(wdeg > 0, wdeg, 1.0), 0.0)
+        dangling = max(float(r.sum() - r[wdeg > 0].sum()), 0.0)
+        c = np.zeros(n)
+        np.add.at(c, di, w * share[si])
+        r = np.round(((1 - _PR_DAMPING) + _PR_DAMPING * dangling) * pv
+                     + _PR_DAMPING * c, _PR_RD)
+    rows = [f"({_sq(v)}, {int(round(rv * 1e9))})" for v, rv in zip(nodes, r)]
+    return _values_or_empty(
+        rows,
+        "SELECT node, CAST(rank_nano AS BIGINT) AS rank_nano",
+        "t(node, rank_nano)", "('', 0)",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4247,6 +4319,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_mad": q_lineitem_mad,
     "events_user_day_types": q_events_user_day_types,
     "docs_vocab_growth": q_docs_vocab_growth,
+    "kg_ppr": q_kg_ppr,
     "docs_semdedup": q_docs_semdedup,
     "docs_domain_mix": q_docs_domain_mix,
     "kg_host_pagerank": q_kg_host_pagerank,
@@ -4436,4 +4509,5 @@ def oracles() -> dict[str, str]:
         "lineitem_mad": O_LINEITEM_MAD,
         "events_user_day_types": O_EVENTS_USER_DAY_TYPES,
         "docs_vocab_growth": O_DOCS_VOCAB_GROWTH,
+        "kg_ppr": O_KG_PPR(),
     }

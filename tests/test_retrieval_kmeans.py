@@ -3,6 +3,8 @@ k-means — brute-force property tests."""
 
 import math
 
+import pytest
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -206,3 +208,54 @@ def test_pagerank_unweighted_and_sum_to_one():
     assert abs(out["rank"].sum() - 1.0) < 1e-6
     exp = brute_pagerank(s, d, [1.0] * 4, iters=10)
     assert dict(zip(out.node, out["rank"])) == exp
+
+
+def brute_ppr(s, d, w, seeds, damping=0.85, iters=6, rd=9):
+    """Mirror of ops.pagerank's driver regime with the seed teleport."""
+    nodes = sorted(set(s) | set(d))
+    pos = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    wdeg = np.zeros(n)
+    for a, ww in zip(s, w):
+        wdeg[pos[a]] += ww
+    mask = np.array([v in set(seeds) for v in nodes])
+    pv = np.where(mask, 1.0 / mask.sum(), 0.0)
+    r = np.round(pv, rd)
+    for _ in range(iters):
+        share = np.where(wdeg > 0, r / np.where(wdeg > 0, wdeg, 1.0), 0.0)
+        dangling = max(float(r.sum() - r[wdeg > 0].sum()), 0.0)
+        c = np.zeros(n)
+        for a, b, ww in zip(s, d, w):
+            c[pos[b]] += ww * share[pos[a]]
+        r = np.round(((1 - damping) + damping * dangling) * pv
+                     + damping * c, rd)
+    return dict(zip(nodes, r.tolist()))
+
+
+def test_personalized_pagerank_all_regimes_match_brute_force():
+    rng = np.random.default_rng(5)
+    s = rng.integers(0, 18, 60).tolist()
+    d = rng.integers(0, 20, 60).tolist()  # 18/19 dangling
+    w = rng.uniform(0.5, 2.0, 60).round(3).tolist()
+    seeds = [0, 5, 19]  # includes a dangling seed
+    exp = brute_ppr(s, d, w, seeds)
+    ds = edges_ds(s, d, w).repartition(4)
+    for kw in [dict(), dict(driver_edge_limit=0),
+               dict(driver_edge_limit=0, broadcast_threshold=0)]:
+        out = pagerank(ds, weight="weight", iters=6, seeds=seeds,
+                       **kw).to_pandas()
+        assert dict(zip(out.node, out["rank"])) == exp, kw
+    # rank mass concentrates on the seeds, and sums to ~1
+    vals = pd.Series(exp)
+    assert vals.sum() == pytest.approx(1.0, abs=1e-6)
+    assert min(vals[i] for i in seeds) > vals.drop(seeds).max()
+
+
+def test_personalized_pagerank_rejects_absent_seeds():
+    ds = edges_ds([0, 1], [1, 0], [1.0, 1.0])
+    with pytest.raises(ValueError, match="no seed node"):
+        pagerank(ds, weight="weight", iters=2, seeds=[99])
+    ds_big = edges_ds([0, 1], [1, 0], [1.0, 1.0])
+    with pytest.raises(ValueError, match="no seed node"):
+        pagerank(ds_big, weight="weight", iters=2, seeds=[99],
+                 driver_edge_limit=0, broadcast_threshold=0)
