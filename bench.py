@@ -218,6 +218,12 @@ def run_bench() -> dict:
     timed("docs_curation_e2e", lambda: Q.q_docs_curation_e2e(sf_dir).count())
     timed("events_funnel", lambda: Q.q_events_funnel(sf_dir).num_rows)
     timed("q5_supplier_volume", lambda: Q.q5_supplier_volume(sf_dir).count())
+    timed("events_gap_stats", lambda: Q.q_events_gap_stats(sf_dir).count())
+    timed("events_attribution",
+          lambda: Q.q_events_attribution(sf_dir).count())
+    timed("lineitem_mad", lambda: Q.q_lineitem_mad(sf_dir).num_rows)
+    timed("docs_vocab_growth", lambda: Q.q_docs_vocab_growth(sf_dir).count())
+    timed("kg_ppr", lambda: Q.q_kg_ppr(sf_dir).count())
 
     headline = queries["kg_flagship"]
     result = {
