@@ -4245,6 +4245,149 @@ def O_KG_PPR() -> str:
     )
 
 
+_DIVERSE_PER_CLUSTER = 10
+
+
+def q_embeddings_diverse_sample(sf_dir: str):
+    """Cluster-balanced subset selection (diversity sampling, the
+    cluster-then-sample curation recipe): distributed k-means partitions the
+    embedding space, then the deterministic hash-rank sampler keeps up to
+    ``n`` vectors per cluster — composition of sim.kmeans_assign and
+    ops.uniform_group_sample, both already scale-shaped (bounded centroid
+    partials; one key shuffle for the per-group rank)."""
+    emb = ops.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigned = sim.kmeans_assign(emb, k=_KMEANS_K, iters=_KMEANS_ITERS,
+                                 round_decimals=_KMEANS_RD)
+    picked = ops.uniform_group_sample(assigned, "cluster",
+                                      _DIVERSE_PER_CLUSTER, id_col="vec_id")
+    return picked.map_batches(
+        lambda t: _i64(t.select(["vec_id", "cluster"]),
+                       ["vec_id", "cluster"]),
+        batch_format="pyarrow")
+
+
+def O_EMBEDDINGS_DIVERSE_SAMPLE() -> str:
+    """Pure recompute: the O_EMBEDDINGS_KMEANS rounded Lloyd's assignment,
+    then the same multiplicative-hash rank rule keeps 10 ids per cluster."""
+    t = _read_parquet_cols(_SF001, "embeddings", ["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    k, rd = _KMEANS_K, _KMEANS_RD
+    c = np.round(m[np.isin(ids, np.arange(k))], rd)
+
+    def assign(mm, cc):
+        return (-2.0 * (mm @ cc.T) + (cc * cc).sum(axis=1)).argmin(axis=1)
+
+    for _ in range(_KMEANS_ITERS):
+        a = assign(m, c)
+        sums = np.zeros_like(c)
+        np.add.at(sums, a, m)
+        counts = np.bincount(a, minlength=k)
+        ne = counts > 0
+        c = c.copy()
+        c[ne] = np.round(sums[ne] / counts[ne, None], rd)
+    a = assign(m, c)
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+    rows = []
+    for cl in range(k):
+        idx = np.flatnonzero(a == cl)
+        keep = idx[np.lexsort((ids[idx], h[idx]))][:_DIVERSE_PER_CLUSTER]
+        rows.extend(f"({int(ids[j])}, {cl})" for j in keep)
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS cluster",
+        "t(vec_id, cluster)", "(0, 0)",
+    )
+
+
+def q_events_session_stats(sf_dir: str):
+    """Session-size distribution: how many 30-minute sessions contain
+    exactly N events. The per-key ordered scan emits one PARTIAL row per
+    (session_len) per user, so the final exchange is
+    |users|·|distinct lengths| tiny rows — histogram-of-groups, the shape
+    behind 'how long are user sessions at corpus scale'."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sizes(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        ts = ts[np.lexsort((eid, ts))]
+        starts = np.flatnonzero(
+            np.concatenate([[True], np.diff(ts) > 30 * 60 * 1_000_000]))
+        lens = np.diff(np.concatenate([starts, [len(ts)]]))
+        val, cnt = np.unique(lens, return_counts=True)
+        return pa.table({
+            "session_len": pa.array(val, type=pa.int64()),
+            "n": pa.array(cnt, type=pa.int64()),
+        })
+
+    partial = ev.groupby("user_id").map_groups(sizes, batch_format="pyarrow")
+    out = partial.groupby("session_len").aggregate(
+        Sum("n", alias_name="n_sessions"))
+    return out.map_batches(lambda t: _i64(t, ["n_sessions"]),
+                           batch_format="pyarrow")
+
+
+O_EVENTS_SESSION_STATS = """
+WITH b AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM b),
+sz AS (SELECT user_id, sess, CAST(count(*) AS BIGINT) AS session_len
+       FROM s GROUP BY 1, 2)
+SELECT session_len, CAST(count(*) AS BIGINT) AS n_sessions
+FROM sz GROUP BY 1"""
+
+
+def q_events_user_moving_sum(sf_dir: str):
+    """ROWS-frame moving window: per user (ordered by ts, event_id), the
+    sum of value over the current + 2 preceding rows, in int64 cents. One
+    key shuffle, in-group vectorized prefix-sum difference
+    (``mov[i] = cs[i] − cs[i−3]``) — the rows-frame aggregate the
+    lag/lead/running-sum family was missing."""
+    ev = ops.read_table(sf_dir, "events",
+                        ["user_id", "ts", "event_id", "value"])
+
+    def moving(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        cents = _cents(g["value"]).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        cs = np.concatenate([[0], np.cumsum(cents[order])])
+        lo = np.maximum(np.arange(len(order)) - 2, 0)
+        mov = cs[np.arange(1, len(order) + 1)] - cs[lo]
+        out = np.empty(len(order), dtype=np.int64)
+        out[order] = mov  # mov[j] belongs to original row order[j]
+        return pa.table({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "moving_cents": pa.array(out, type=pa.int64()),
+        })
+
+    return ev.groupby("user_id").map_groups(moving, batch_format="pyarrow")
+
+
+O_EVENTS_USER_MOVING_SUM = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS moving_cents
+FROM events"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4313,13 +4456,18 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # events_daily_new_users docs_curation_e2e kg_link_features
     # events_user_cume events_top_paths orders_basket_pairs
     # events_hourly_anomalies events_gap_stats events_attribution
-    # lineitem_mad events_user_day_types docs_vocab_growth kg_ppr)
+    # lineitem_mad events_user_day_types docs_vocab_growth kg_ppr
+    # embeddings_diverse_sample events_session_stats
+    # events_user_moving_sum)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
     "events_user_day_types": q_events_user_day_types,
     "docs_vocab_growth": q_docs_vocab_growth,
     "kg_ppr": q_kg_ppr,
+    "embeddings_diverse_sample": q_embeddings_diverse_sample,
+    "events_session_stats": q_events_session_stats,
+    "events_user_moving_sum": q_events_user_moving_sum,
     "docs_semdedup": q_docs_semdedup,
     "docs_domain_mix": q_docs_domain_mix,
     "kg_host_pagerank": q_kg_host_pagerank,
@@ -4510,4 +4658,7 @@ def oracles() -> dict[str, str]:
         "events_user_day_types": O_EVENTS_USER_DAY_TYPES,
         "docs_vocab_growth": O_DOCS_VOCAB_GROWTH,
         "kg_ppr": O_KG_PPR(),
+        "embeddings_diverse_sample": O_EMBEDDINGS_DIVERSE_SAMPLE(),
+        "events_session_stats": O_EVENTS_SESSION_STATS,
+        "events_user_moving_sum": O_EVENTS_USER_MOVING_SUM,
     }

@@ -129,3 +129,56 @@ def test_vocab_growth_matches_bruteforce(ray_session, tmp_path):
     assert out["new_bigrams"].tolist() == [exp[b] for b in buckets]
     assert out["vocab_size"].tolist() == list(np.cumsum(
         [exp[b] for b in buckets]))
+
+def test_session_stats_counts_sessions_by_length(ray_session, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda mins: t0 + dt.timedelta(minutes=mins)
+    rows = [
+        # u1: one 3-event session, then (>30 min later) one 1-event session
+        (1, s(0), "a"), (1, s(1), "a"), (1, s(2), "a"), (1, s(60), "a"),
+        # u2: single event → one 1-event session
+        (2, s(0), "a"),
+        # u3: exactly-30-min gap stays ONE session of 2 (strict >)
+        (3, s(0), "a"), (3, s(30), "a"),
+    ]
+    pq.write_table(_events_tbl(rows), tmp_path / "events.parquet")
+    out = Q.q_events_session_stats(str(tmp_path)).to_pandas() \
+        .set_index("session_len")["n_sessions"].to_dict()
+    assert out == {1: 2, 2: 1, 3: 1}
+
+
+def test_user_moving_sum_frame_semantics(ray_session, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    # u1 values 1,2,3,4 → moving sums 1,3,6,9 (cents: x100); duplicate ts
+    # rows tie-break on event_id (insertion order here)
+    rows = [(1, s(0), "a"), (1, s(10), "a"), (1, s(10), "a"), (1, s(20), "a"),
+            (2, s(0), "a")]
+    tbl = _events_tbl(rows).set_column(
+        4, "value", pa.array([1.0, 2.0, 3.0, 4.0, 7.5], pa.float64()))
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = Q.q_events_user_moving_sum(str(tmp_path)).to_pandas() \
+        .set_index("event_id")["moving_cents"].to_dict()
+    assert out == {0: 100, 1: 300, 2: 600, 3: 900, 4: 750}
+
+
+def test_diverse_sample_caps_every_cluster(ray_session):
+    from newsagency_classification_ray import ops
+
+    rng = np.random.default_rng(3)
+    tbl = pa.table({
+        "vec_id": pa.array(range(100), pa.int64()),
+        "cluster": pa.array(rng.integers(0, 4, 100), pa.int64()),
+    })
+    import ray.data
+    out = ops.uniform_group_sample(
+        ray.data.from_arrow(tbl).repartition(5), "cluster", 10,
+        id_col="vec_id").to_pandas()
+    counts = out.groupby("cluster").size()
+    assert (counts <= 10).all() and len(counts) == 4
+    # deterministic: same pick on a re-run
+    out2 = ops.uniform_group_sample(
+        ray.data.from_arrow(tbl).repartition(3), "cluster", 10,
+        id_col="vec_id").to_pandas()
+    key = lambda df: sorted(map(tuple, df[["vec_id", "cluster"]].to_numpy()))
+    assert key(out) == key(out2)
