@@ -4388,6 +4388,117 @@ SELECT event_id, user_id,
 FROM events"""
 
 
+def q_user_360(sf_dir: str):
+    """Multi-source cogroup ("customer 360"): orders and events each
+    pre-aggregate to one row per user BEFORE a full-outer key join, so the
+    exchange is user-cardinality regardless of fact-table size — the
+    canonical entity-resolution rollup across heterogeneous sources.
+    Missing sides coalesce to 0 (a user with orders but no events still
+    appears, and vice versa)."""
+    orders = ops.read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    events = ops.read_table(sf_dir, "events", ["user_id", "value"])
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        d = pa.table({"user_id": pc.cast(t["o_custkey"], pa.int64()),
+                      "cents": _cents(t["o_totalprice"]),
+                      "one": pa.array(np.ones(len(t), dtype=np.int64))})
+        g = d.group_by("user_id").aggregate([("one", "sum"), ("cents", "sum")])
+        return pa.table({"user_id": g["user_id"], "n_orders": g["one_sum"],
+                         "order_cents": g["cents_sum"]})
+
+    def e_partial(t: pa.Table) -> pa.Table:
+        d = pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                      "cents": _cents(t["value"]),
+                      "one": pa.array(np.ones(len(t), dtype=np.int64))})
+        g = d.group_by("user_id").aggregate([("one", "sum"), ("cents", "sum")])
+        return pa.table({"user_id": g["user_id"], "n_events": g["one_sum"],
+                         "event_cents": g["cents_sum"]})
+
+    o = (orders.map_batches(o_partial, batch_format="pyarrow")
+         .groupby("user_id").aggregate(Sum("n_orders", alias_name="n_orders"),
+                                       Sum("order_cents",
+                                           alias_name="order_cents")))
+    e = (events.map_batches(e_partial, batch_format="pyarrow")
+         .groupby("user_id").aggregate(Sum("n_events", alias_name="n_events"),
+                                       Sum("event_cents",
+                                           alias_name="event_cents")))
+    # hash_join_sized: the event-user side can be far sparser than the
+    # partition count at small scale (Ray 2.49 sparse-side pitfall)
+    joined = ops.hash_join_sized(ops._compact(o).materialize(),
+                                 ops._compact(e).materialize(),
+                                 on=("user_id",), how="full_outer")
+
+    def fill(t: pa.Table) -> pa.Table:
+        cols = {"user_id": pc.cast(t["user_id"], pa.int64())}
+        for c in ["n_orders", "order_cents", "n_events", "event_cents"]:
+            cols[c] = pc.fill_null(pc.cast(t[c], pa.int64()), 0)
+        return pa.table(cols)
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+O_USER_360 = """
+WITH o AS (
+  SELECT o_custkey AS user_id, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS order_cents
+  FROM orders GROUP BY 1),
+e AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS event_cents
+  FROM events GROUP BY 1)
+SELECT coalesce(o.user_id, e.user_id) AS user_id,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(order_cents, 0) AS order_cents,
+       coalesce(n_events, 0) AS n_events,
+       coalesce(event_cents, 0) AS event_cents
+FROM o FULL OUTER JOIN e ON o.user_id = e.user_id"""
+
+
+def q_events_conversion_latency(sf_dir: str):
+    """Conversion-latency quantiles: per user, micros from the FIRST view
+    to the first strictly-later purchase; the per-user latencies (one row
+    per converting user) then flow through the exact distributed quantile
+    selector (ops.exact_quantiles' single range-sort + metadata-only row
+    probes) — funnel timing composed from existing scale shapes."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def latency(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        views = ts[et == "view"]
+        if not len(views):
+            return pa.table({"latency_us": pa.array([], type=pa.int64())})
+        vts = views.min()
+        purch = ts[(et == "purchase") & (ts > vts)]
+        if not len(purch):
+            return pa.table({"latency_us": pa.array([], type=pa.int64())})
+        return pa.table({"latency_us": pa.array([int(purch.min() - vts)],
+                                                type=pa.int64())})
+
+    lat = ev.groupby("user_id").map_groups(latency, batch_format="pyarrow")
+    t = ops.exact_quantiles(lat, "latency_us", [0.25, 0.5, 0.75])
+    return pa.table({"q": t["q"],
+                     "latency_us": pc.cast(t["value"], pa.int64())})
+
+
+O_EVENTS_CONVERSION_LATENCY = """
+WITH v AS (SELECT user_id, min(ts) AS vts FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS pts
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.vts GROUP BY 1),
+l AS (SELECT p.user_id, pts - epoch_us(v.vts) AS lat
+      FROM p JOIN v ON v.user_id = p.user_id),
+s AS (SELECT lat, row_number() OVER (ORDER BY lat) - 1 AS rn,
+             count(*) OVER () AS cnt FROM l)
+SELECT CAST(qs.q AS DOUBLE) AS q, CAST(s.lat AS BIGINT) AS latency_us
+FROM (VALUES (0.25), (0.50), (0.75)) qs(q), s
+WHERE s.rn = CAST(floor(CAST(qs.q AS DOUBLE) * (s.cnt - 1)) AS BIGINT)"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4458,7 +4569,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # events_hourly_anomalies events_gap_stats events_attribution
     # lineitem_mad events_user_day_types docs_vocab_growth kg_ppr
     # embeddings_diverse_sample events_session_stats
-    # events_user_moving_sum)
+    # events_user_moving_sum user_360 events_conversion_latency)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -4468,6 +4579,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embeddings_diverse_sample": q_embeddings_diverse_sample,
     "events_session_stats": q_events_session_stats,
     "events_user_moving_sum": q_events_user_moving_sum,
+    "user_360": q_user_360,
+    "events_conversion_latency": q_events_conversion_latency,
     "docs_semdedup": q_docs_semdedup,
     "docs_domain_mix": q_docs_domain_mix,
     "kg_host_pagerank": q_kg_host_pagerank,
@@ -4661,4 +4774,6 @@ def oracles() -> dict[str, str]:
         "embeddings_diverse_sample": O_EMBEDDINGS_DIVERSE_SAMPLE(),
         "events_session_stats": O_EVENTS_SESSION_STATS,
         "events_user_moving_sum": O_EVENTS_USER_MOVING_SUM,
+        "user_360": O_USER_360,
+        "events_conversion_latency": O_EVENTS_CONVERSION_LATENCY,
     }

@@ -182,3 +182,46 @@ def test_diverse_sample_caps_every_cluster(ray_session):
         id_col="vec_id").to_pandas()
     key = lambda df: sorted(map(tuple, df[["vec_id", "cluster"]].to_numpy()))
     assert key(out) == key(out2)
+
+def test_user_360_coalesces_one_sided_users(ray_session, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    # events: users 1 and 2
+    rows = [(1, t0, "view"), (1, t0, "click"), (2, t0, "view")]
+    tbl = _events_tbl(rows).set_column(
+        4, "value", pa.array([2.0, 3.0, 5.5], pa.float64()))
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    # orders: users 2 and 3
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([2, 3, 3], pa.int64()),
+        "o_totalprice": pa.array([10.0, 20.0, 30.0], pa.float64()),
+    }), tmp_path / "orders.parquet")
+    out = Q.q_user_360(str(tmp_path)).to_pandas() \
+        .set_index("user_id").sort_index()
+    assert out.loc[1].tolist() == [0, 0, 2, 500]     # events only
+    assert out.loc[2].tolist() == [1, 1000, 1, 550]  # both sides
+    assert out.loc[3].tolist() == [2, 5000, 0, 0]    # orders only
+
+
+def test_conversion_latency_strictly_after_first_view(ray_session, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # u1: view@0, purchase@10 → latency 10 s
+        (1, s(0), "view"), (1, s(10), "purchase"),
+        # u2: purchase BEFORE any view → excluded
+        (2, s(0), "purchase"), (2, s(5), "view"),
+        # u3: purchase at exactly the first-view ts → excluded (strict >)
+        (3, s(0), "view"), (3, s(0), "purchase"),
+        # u4: two purchases; first post-view one counts → 20 s
+        (4, s(0), "view"), (4, s(20), "purchase"), (4, s(40), "purchase"),
+        # u5: never purchases
+        (5, s(0), "view"),
+        # u6: view@0, purchase@30 → latency 30 s
+        (6, s(0), "view"), (6, s(30), "purchase"),
+    ]
+    pq.write_table(_events_tbl(rows), tmp_path / "events.parquet")
+    out = Q.q_events_conversion_latency(str(tmp_path))
+    got = dict(zip(out["q"].to_pylist(), out["latency_us"].to_pylist()))
+    # three latencies (10, 20, 30 s): lower-index quantiles (floor(q·2))
+    # pick indices 0, 1, 1
+    assert got == {0.25: 10_000_000, 0.5: 20_000_000, 0.75: 20_000_000}
