@@ -4499,6 +4499,116 @@ FROM (VALUES (0.25), (0.50), (0.75)) qs(q), s
 WHERE s.rn = CAST(floor(CAST(qs.q AS DOUBLE) * (s.cnt - 1)) AS BIGINT)"""
 
 
+def q_events_type_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's event stream:
+    (prev_type → next_type) pair frequencies. One key shuffle; each group
+    emits PARTIAL pair counts (≤|types|² rows per user), the final groupby
+    exchanges only those — sequence mining's cheapest building block and
+    the lag()-pair complement of events_top_paths' 3-step windows."""
+    ev = ops.read_table(sf_dir, "events",
+                        ["user_id", "ts", "event_id", "event_type"])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        et = et[np.lexsort((eid, ts))]
+        if len(et) < 2:
+            return pa.table({"prev_type": pa.array([], type=pa.string()),
+                             "next_type": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        t = pa.table({"prev_type": pa.array(et[:-1], type=pa.string()),
+                      "next_type": pa.array(et[1:], type=pa.string())})
+        c = t.group_by(["prev_type", "next_type"]).aggregate([([], "count_all")])
+        return pa.table({"prev_type": c["prev_type"],
+                         "next_type": c["next_type"],
+                         "n": pc.cast(c["count_all"], pa.int64())})
+
+    partial = ev.groupby("user_id").map_groups(pairs, batch_format="pyarrow")
+    out = partial.groupby(["prev_type", "next_type"]).aggregate(
+        Sum("n", alias_name="n"))
+    return out.map_batches(lambda t: _i64(t, ["n"]), batch_format="pyarrow")
+
+
+O_EVENTS_TYPE_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev AS prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev IS NOT NULL GROUP BY 1, 2"""
+
+
+def q_lineitem_pareto(sf_dir: str):
+    """Pareto (80/20) revenue head: the parts that cumulatively carry the
+    first 80 % of revenue, in descending-revenue order. Per-part revenue
+    pre-aggregates (combiner + one groupby), then a SINGLE int64 sort key
+    ``-rev·2²¹ + partkey`` (descending revenue, ascending-partkey
+    tie-break, unique) drives ops.running_sum's distributed prefix sum;
+    the 80 % cut is exact integer math (``5·(cum−rev) < 4·total`` — a row
+    is in the head iff it starts before the boundary)."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pa.table({"l_partkey": t["l_partkey"],
+                      "cents": _cents(t["l_extendedprice"])})
+        g = d.group_by("l_partkey").aggregate([("cents", "sum")])
+        return pa.table({"l_partkey": g["l_partkey"],
+                         "rev_cents": g["cents_sum"]})
+
+    rev = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_partkey").aggregate(Sum("rev_cents",
+                                               alias_name="rev_cents")))
+    rev = rev.map_batches(lambda t: _i64(t, ["rev_cents"]),
+                          batch_format="pyarrow").materialize()
+    total = int(rev.sum("rev_cents") or 0)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        r = t["rev_cents"].to_numpy(zero_copy_only=False)
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        return t.append_column("sortkey", pa.array(-r * (1 << 21) + k,
+                                                   type=pa.int64()))
+
+    ordered = ops.running_sum(
+        rev.map_batches(keyed, batch_format="pyarrow")
+        .map_batches(lambda t: t.select(["sortkey", "rev_cents"]),
+                     batch_format="pyarrow"),
+        "sortkey", "rev_cents", out_col="cum_cents")
+
+    def head(t: pa.Table) -> pa.Table:
+        sk = t["sortkey"].to_numpy(zero_copy_only=False)
+        r = t["rev_cents"].to_numpy(zero_copy_only=False)
+        cum = t["cum_cents"].to_numpy(zero_copy_only=False)
+        part = sk + r * (1 << 21)  # invert the composite key
+        keep = 5 * (cum - r) < 4 * total
+        return pa.table({
+            "l_partkey": pa.array(part[keep], type=pa.int64()),
+            "rev_cents": pa.array(r[keep], type=pa.int64()),
+            "cum_cents": pa.array(cum[keep], type=pa.int64()),
+        })
+
+    return ordered.map_batches(head, batch_format="pyarrow")
+
+
+O_LINEITEM_PARETO = """
+WITH r AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem GROUP BY 1),
+w AS (
+  SELECT l_partkey, rev_cents,
+         CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey)
+              AS BIGINT) AS cum_cents,
+         CAST(sum(rev_cents) OVER () AS BIGINT) AS total
+  FROM r)
+SELECT l_partkey, rev_cents, cum_cents
+FROM w WHERE 5 * (cum_cents - rev_cents) < 4 * total"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4569,7 +4679,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # events_hourly_anomalies events_gap_stats events_attribution
     # lineitem_mad events_user_day_types docs_vocab_growth kg_ppr
     # embeddings_diverse_sample events_session_stats
-    # events_user_moving_sum user_360 events_conversion_latency)
+    # events_user_moving_sum user_360 events_conversion_latency
+    # events_type_transitions lineitem_pareto)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -4581,6 +4692,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_user_moving_sum": q_events_user_moving_sum,
     "user_360": q_user_360,
     "events_conversion_latency": q_events_conversion_latency,
+    "events_type_transitions": q_events_type_transitions,
+    "lineitem_pareto": q_lineitem_pareto,
     "docs_semdedup": q_docs_semdedup,
     "docs_domain_mix": q_docs_domain_mix,
     "kg_host_pagerank": q_kg_host_pagerank,
@@ -4776,4 +4889,6 @@ def oracles() -> dict[str, str]:
         "events_user_moving_sum": O_EVENTS_USER_MOVING_SUM,
         "user_360": O_USER_360,
         "events_conversion_latency": O_EVENTS_CONVERSION_LATENCY,
+        "events_type_transitions": O_EVENTS_TYPE_TRANSITIONS,
+        "lineitem_pareto": O_LINEITEM_PARETO,
     }

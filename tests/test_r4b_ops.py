@@ -225,3 +225,33 @@ def test_conversion_latency_strictly_after_first_view(ray_session, tmp_path):
     # three latencies (10, 20, 30 s): lower-index quantiles (floor(q·2))
     # pick indices 0, 1, 1
     assert got == {0.25: 10_000_000, 0.5: 20_000_000, 0.75: 20_000_000}
+
+def test_type_transitions_per_user_adjacency(ray_session, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # u1: view→click→view ; u2: click (single event, no pair);
+        # adjacency never crosses users
+        (1, s(0), "view"), (1, s(1), "click"), (1, s(2), "view"),
+        (2, s(0), "click"),
+        # u3: duplicate ts ties break on event_id (insertion order)
+        (3, s(0), "a"), (3, s(0), "b"),
+    ]
+    pq.write_table(_events_tbl(rows), tmp_path / "events.parquet")
+    out = Q.q_events_type_transitions(str(tmp_path)).to_pandas()
+    got = {(r.prev_type, r.next_type): r.n for r in out.itertuples()}
+    assert got == {("view", "click"): 1, ("click", "view"): 1, ("a", "b"): 1}
+
+
+def test_pareto_head_boundary_exact(ray_session, tmp_path):
+    # revenues 3.00, 1.00, 0.50, 0.50 → total 500¢, 80% boundary at 400¢.
+    # Row 3 STARTS exactly at the boundary (cum−rev == 400) → excluded.
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "l_extendedprice": pa.array([3.0, 1.0, 0.5, 0.5], pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+    out = Q.q_lineitem_pareto(str(tmp_path)).to_pandas() \
+        .sort_values("cum_cents").reset_index(drop=True)
+    assert out["l_partkey"].tolist() == [1, 2]
+    assert out["rev_cents"].tolist() == [300, 100]
+    assert out["cum_cents"].tolist() == [300, 400]
