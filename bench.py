@@ -224,6 +224,8 @@ def run_bench() -> dict:
     timed("lineitem_mad", lambda: Q.q_lineitem_mad(sf_dir).num_rows)
     timed("docs_vocab_growth", lambda: Q.q_docs_vocab_growth(sf_dir).count())
     timed("kg_ppr", lambda: Q.q_kg_ppr(sf_dir).count())
+    timed("user_360", lambda: Q.q_user_360(sf_dir).count())
+    timed("lineitem_pareto", lambda: Q.q_lineitem_pareto(sf_dir).count())
 
     headline = queries["kg_flagship"]
     result = {
