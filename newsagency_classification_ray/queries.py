@@ -27,6 +27,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from . import ops
+from . import queries_tpch as qt
 from .pipelines import kg
 from .sources import pages as pages_src
 from .stages import curation as cur
@@ -4680,7 +4681,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # lineitem_mad events_user_day_types docs_vocab_growth kg_ppr
     # embeddings_diverse_sample events_session_stats
     # events_user_moving_sum user_360 events_conversion_latency
-    # events_type_transitions lineitem_pareto)
+    # events_type_transitions lineitem_pareto q3_shipping_priority
+    # q4_order_priority q10_returned_items q14_promo_revenue
+    # q16_parts_supplier_cnt q18_large_volume)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -4708,6 +4711,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_top_paths": q_events_top_paths,
     "orders_basket_pairs": q_orders_basket_pairs,
     "events_hourly_anomalies": q_events_hourly_anomalies,
+    "q3_shipping_priority": qt.q3_shipping_priority,
+    "q4_order_priority": qt.q4_order_priority,
+    "q10_returned_items": qt.q10_returned_items,
+    "q14_promo_revenue": qt.q14_promo_revenue,
+    "q16_parts_supplier_cnt": qt.q16_parts_supplier_cnt,
+    "q18_large_volume": qt.q18_large_volume,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -4891,4 +4900,10 @@ def oracles() -> dict[str, str]:
         "events_conversion_latency": O_EVENTS_CONVERSION_LATENCY,
         "events_type_transitions": O_EVENTS_TYPE_TRANSITIONS,
         "lineitem_pareto": O_LINEITEM_PARETO,
+        "q3_shipping_priority": qt.O_Q3_SHIPPING_PRIORITY,
+        "q4_order_priority": qt.O_Q4_ORDER_PRIORITY,
+        "q10_returned_items": qt.O_Q10_RETURNED_ITEMS,
+        "q14_promo_revenue": qt.O_Q14_PROMO_REVENUE,
+        "q16_parts_supplier_cnt": qt.O_Q16_PARTS_SUPPLIER_CNT,
+        "q18_large_volume": qt.O_Q18_LARGE_VOLUME,
     }

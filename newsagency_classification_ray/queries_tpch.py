@@ -1,0 +1,518 @@
+"""TPC-H-shape analytics over the synthetic tables (Q3/Q4/Q10/Q14/Q16/Q18).
+
+The reference repo's relational surface stops at dict lookups; these six
+queries exercise the engine's join/aggregate machinery in the classic
+decision-support shapes a warehouse user expects, adapted to the columns the
+synthetic schema actually has (no shipmode/commitdate/partsupp — each
+docstring names the substitution). Shared discipline with ``queries.py``:
+
+* every computed column carries the SAME name as the DuckDB oracle;
+* money in int64 ``*_e4`` / ``*_cents`` units, dates as int64 epoch days,
+  so cross-engine double accumulation can never flip the value hash;
+* top-k results reduce per-block local top-k first, so the driver sees
+  O(blocks * k) rows, never the full aggregate (the bounded-driver-reduce
+  pattern from ``similarity.brute_force_topk``);
+* fact-scaled sides join distributed (``ops.hash_join``); filtered probe
+  sides go through ``ops.hash_join_sized`` with the SMALL side on the
+  right (Ray 2.49 sparse-side clamp — see that docstring); calendar-bounded
+  dims (nation) broadcast as in q5_supplier_volume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Sum
+
+from . import ops
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _e4(x):  # Arrow double -> int64 1e-4 currency units (ulp-stable)
+    return pc.cast(pc.round(pc.multiply(x, 10_000)), pa.int64())
+
+
+def _cents(x):
+    return pc.cast(pc.round(pc.multiply(x, 100)), pa.int64())
+
+
+def _day(ts_col):  # timestamp[us] (midnight-aligned) -> int64 epoch days
+    return pc.divide(pc.cast(ts_col, pa.int64()), _US_PER_DAY)
+
+
+def _ts(s: str) -> pa.Scalar:
+    return pa.scalar(pd.Timestamp(s), type=pa.timestamp("us"))
+
+
+def _rev(t: pa.Table):  # l_extendedprice * (1 - l_discount)
+    return pc.multiply(t["l_extendedprice"],
+                       pc.subtract(pa.scalar(1.0), t["l_discount"]))
+
+
+def _driver_topk(ds, k: int, sort_keys: list[str],
+                 descending: list[bool]) -> pa.Table:
+    """Global top-k with a per-block combiner: each block contributes its
+    local top-k (vectorized lexsort), the driver merges O(blocks * k) rows
+    and returns the final k. ``sort_keys`` must make rows totally ordered
+    (deterministic set under ties at the boundary)."""
+    def local(t: pa.Table) -> pa.Table:
+        if len(t) <= k:
+            return t
+        cols = []
+        # sort keys must be numeric (lexsort negation); all call sites rank
+        # by int64 money/count columns with an int64 id tie-break
+        for key, desc in zip(reversed(sort_keys), reversed(descending)):
+            a = t[key].to_numpy(zero_copy_only=False)
+            cols.append(-a if desc else a)
+        return t.take(np.lexsort(tuple(cols))[:k])
+
+    batches = list(
+        ds.map_batches(local, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"))
+    merged = pa.concat_tables([b for b in batches if len(b)],
+                              promote_options="default")
+    order = [(key, "descending" if d else "ascending")
+             for key, d in zip(sort_keys, descending)]
+    return merged.sort_by(order).slice(0, k)
+
+
+_Q3_SEG = "BUILDING"
+_Q3_CUT = "1998-07-01"
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — shipping-priority top 10: revenue still to ship
+    after the cutoff for orders placed before it by one market segment
+    (o_orderpriority stands in for the schema's missing o_shippriority).
+
+    Plan: segment-filtered customer keys reduce the orders side FIRST
+    (sized join, small side right), so the fact-fact lineitem join only
+    sees qualifying orders; revenue pre-aggregates per (orderkey, day,
+    priority) inside each batch before the global groupby; the top-10 is a
+    per-block local top-k + O(blocks*10) driver merge, never a full sort.
+    """
+    cut = _ts(_Q3_CUT)
+    cust = ops.read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ckeys = cust.map_batches(
+        lambda t: pa.table({"o_custkey": pc.cast(
+            t.filter(pc.equal(t["c_mktsegment"], _Q3_SEG))["c_custkey"],
+            pa.int64())}),
+        batch_format="pyarrow")
+
+    orders = ops.read_table(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"], cut))
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "o_odate_day": _day(t["o_orderdate"]),
+            "o_orderpriority": t["o_orderpriority"]})
+
+    oc = ops.hash_join_sized(
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        ops._compact(ops.distinct(ckeys, ["o_custkey"])),
+        on=("o_custkey",))
+
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_orderkey", "l_shipdate", "l_extendedprice",
+                         "l_discount"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cut))
+        return pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                         "rev": _rev(t)})
+
+    j = ops.hash_join_sized(
+        li.map_batches(l_prep, batch_format="pyarrow"), oc,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    keys = ["l_orderkey", "o_odate_day", "o_orderpriority"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([("rev", "sum")])
+        return pa.table({**{k: g[k] for k in keys}, "rev": g["rev_sum"]})
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby(keys).aggregate(Sum("rev", alias_name="rev_raw")))
+    per_order = agg.map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "revenue_e4": _e4(t["rev_raw"]),
+            "o_odate_day": t["o_odate_day"],
+            "o_orderpriority": t["o_orderpriority"]}),
+        batch_format="pyarrow")
+    return _driver_topk(per_order, 10, ["revenue_e4", "l_orderkey"],
+                        [True, False])
+
+
+O_Q3_SHIPPING_PRIORITY = f"""
+SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+            AS BIGINT) AS revenue_e4,
+       date_diff('day', TIMESTAMP '1970-01-01', o.o_orderdate)
+           AS o_odate_day,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{_Q3_SEG}'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_CUT}'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_CUT}'
+GROUP BY 1, 3, 4
+ORDER BY revenue_e4 DESC, l_orderkey
+LIMIT 10"""
+
+
+_Q4_LO, _Q4_HI = "1996-01-01", "1997-01-01"
+_Q4_LATE_DAYS = 60
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape — order-priority checking: orders in one year with
+    at least one EXISTS-qualifying lineitem (shipped > 60 days after the
+    order date stands in for commitdate < receiptdate), counted per
+    priority. The EXISTS is a distributed semi-join: lineitem joins the
+    date-windowed orders, the lateness predicate filters, and a distinct
+    combiner on (orderkey, priority) collapses to one row per qualifying
+    order before the tiny priority groupby. Day math stays in int64
+    epoch-micros end to end (Arrow floor_temporal / Ray timestamp
+    round-trips are lossy — see arrow-timestamp notes in ops.asof_join).
+    """
+    lo, hi = _ts(_Q4_LO), _ts(_Q4_HI)
+    orders = ops.read_table(sf_dir, "orders",
+                            ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_odate_us": pc.cast(t["o_orderdate"], pa.int64()),
+            "o_orderpriority": t["o_orderpriority"]})
+
+    li = ops.read_table(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    l_prep = li.map_batches(
+        lambda t: pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                            "l_ship_us": pc.cast(t["l_shipdate"], pa.int64())}),
+        batch_format="pyarrow")
+
+    j = ops.hash_join_sized(
+        l_prep, orders.map_batches(o_prep, batch_format="pyarrow"),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    late = j.map_batches(
+        lambda t: t.filter(pc.greater(
+            t["l_ship_us"],
+            pc.add(t["o_odate_us"],
+                   pa.scalar(_Q4_LATE_DAYS * _US_PER_DAY, pa.int64()))))
+        .select(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow")
+    per_order = ops.distinct(late, ["l_orderkey", "o_orderpriority"])
+    g = per_order.groupby("o_orderpriority").aggregate(
+        Count(alias_name="order_count"))
+    out = g.map_batches(
+        lambda t: pa.table({"o_orderpriority": t["o_orderpriority"],
+                            "order_count": pc.cast(t["order_count"],
+                                                   pa.int64())}),
+        batch_format="pyarrow")
+    return out.sort("o_orderpriority")
+
+
+O_Q4_ORDER_PRIORITY = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{_Q4_LO}'
+  AND o.o_orderdate < TIMESTAMP '{_Q4_HI}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+                                   + INTERVAL {_Q4_LATE_DAYS} DAY)
+GROUP BY 1 ORDER BY 1"""
+
+
+_Q10_LO, _Q10_HI = "1996-01-01", "1996-07-01"
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape — returned-item reporting: top-20 customers by
+    revenue lost to 'R'-returnflag lineitems of orders placed in one
+    half-year, with nation names. Returned lineitems join the date-windowed
+    orders (sized, windowed side right), revenue pre-aggregates per custkey
+    inside each batch, the per-customer rollup joins the customer table
+    DISTRIBUTED (fact-scaled — the q_top_customers broadcast lesson), and
+    the 25-row nation dim resolves via a vectorized index_in probe. Top-20
+    is the O(blocks*20) driver merge."""
+    lo, hi = _ts(_Q10_LO), _ts(_Q10_HI)
+    orders = ops.read_table(sf_dir, "orders",
+                            ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "c_custkey": pc.cast(t["o_custkey"], pa.int64())})
+
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_orderkey", "l_returnflag", "l_extendedprice",
+                         "l_discount"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        return pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                         "rev": _rev(t)})
+
+    j = ops.hash_join_sized(
+        li.map_batches(l_prep, batch_format="pyarrow"),
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_custkey"]).aggregate([("rev", "sum")])
+        return pa.table({"c_custkey": g["c_custkey"], "rev": g["rev_sum"]})
+
+    by_cust = (j.map_batches(partial, batch_format="pyarrow")
+               .groupby("c_custkey").aggregate(Sum("rev", alias_name="rev_raw")))
+    by_cust = ops._compact(by_cust.map_batches(
+        lambda t: pa.table({"c_custkey": t["c_custkey"],
+                            "revenue_e4": _e4(t["rev_raw"])}),
+        batch_format="pyarrow"))
+
+    cust = ops.read_table(sf_dir, "customer",
+                          ["c_custkey", "c_name", "c_nationkey"]).map_batches(
+        lambda t: pa.table({"c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                            "c_name": t["c_name"],
+                            "c_nationkey": pc.cast(t["c_nationkey"],
+                                                   pa.int64())}),
+        batch_format="pyarrow")
+    jc = ops.hash_join_sized(cust, by_cust, on=("c_custkey",))
+
+    nation = ops.read_table(sf_dir, "nation").to_pandas()
+    nkeys = pa.array(nation["n_nationkey"].astype("int64"), pa.int64())
+    nnames = pa.array(nation["n_name"], pa.string())
+
+    def with_nation(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["c_nationkey"], value_set=nkeys)
+        return pa.table({"c_custkey": t["c_custkey"], "c_name": t["c_name"],
+                         "n_name": pc.take(nnames, idx),
+                         "revenue_e4": t["revenue_e4"]})
+
+    out = jc.map_batches(with_nation, batch_format="pyarrow")
+    return _driver_topk(out, 20, ["revenue_e4", "c_custkey"], [True, False])
+
+
+O_Q10_RETURNED_ITEMS = f"""
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name, n.n_name,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+            AS BIGINT) AS revenue_e4
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '{_Q10_LO}'
+  AND o.o_orderdate < TIMESTAMP '{_Q10_HI}'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue_e4 DESC, c_custkey
+LIMIT 20"""
+
+
+_Q14_LO, _Q14_HI = "1996-01-01", "1997-01-01"
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape — promotion-effect: PROMO-type share of one ship
+    year's revenue (p_type = 'PROMO' stands in for the 'PROMO%%' prefix
+    class). Single distributed lineitem⋈part join on partkey (part is
+    fact-scaled), then a two-scalar per-batch partial; the driver folds
+    O(blocks) partial pairs. The share is exposed as its exact-integer
+    sufficient statistics (promo_rev_e4, total_rev_e4) — never a rounded
+    ratio, which can land on .5 exactly (value-hash discipline)."""
+    lo, hi = _ts(_Q14_LO), _ts(_Q14_HI)
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_partkey", "l_shipdate", "l_extendedprice",
+                         "l_discount"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        return pa.table({"l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                         "rev": _rev(t)})
+
+    part = ops.read_table(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda t: pa.table({"p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                            "is_promo": pc.cast(
+                                pc.equal(t["p_type"], "PROMO"), pa.float64())}),
+        batch_format="pyarrow")
+    j = ops.hash_join(li.map_batches(l_prep, batch_format="pyarrow"), part,
+                      on=("l_partkey",), right_on=("p_partkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = t["rev"]
+        promo = pc.multiply(rev, t["is_promo"])
+        return pa.table({
+            "promo_raw": pa.array([pc.sum(promo).as_py() or 0.0]),
+            "total_raw": pa.array([pc.sum(rev).as_py() or 0.0])})
+
+    parts_t = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "promo_rev_e4": pa.array(
+            [int(round(parts_t["promo_raw"].sum() * 10_000))], pa.int64()),
+        "total_rev_e4": pa.array(
+            [int(round(parts_t["total_raw"].sum() * 10_000))], pa.int64())})
+
+
+O_Q14_PROMO_REVENUE = f"""
+SELECT CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
+                           THEN l.l_extendedprice * (1 - l.l_discount)
+                           ELSE 0 END) * 10000) AS BIGINT) AS promo_rev_e4,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+            AS BIGINT) AS total_rev_e4
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{_Q14_LO}'
+  AND l.l_shipdate < TIMESTAMP '{_Q14_HI}'"""
+
+
+_Q16_SIZES = (1, 5, 9, 13)
+_Q16_EXCL_SUFFIX = "1"  # complaint list: supplier names ending in '1'
+
+
+def q16_parts_supplier_cnt(sf_dir: str):
+    """TPC-H Q16 shape — supplier-count per part class: for parts of four
+    sizes, how many DISTINCT suppliers shipped them, excluding a
+    complaint-list of suppliers (name suffix match stands in for the
+    '%%Customer%%Complaints%%' LIKE; lineitem's partkey→suppkey pairs stand
+    in for the missing partsupp table). Pipeline: complaint suppliers
+    reduce to a key list, lineitem anti-joins it (left_anti, small side
+    right), the survivor pairs join the size-filtered parts, a distinct
+    combiner collapses (brand, type, size, suppkey), and the class groupby
+    counts. Output ordered by (supplier_cnt DESC, brand, type, size)."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    pairs = li.map_batches(
+        lambda t: pa.table({"l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                            "l_suppkey": pc.cast(t["l_suppkey"], pa.int64())}),
+        batch_format="pyarrow")
+    pairs = ops.distinct(pairs, ["l_partkey", "l_suppkey"])
+
+    supp = ops.read_table(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    excl = supp.map_batches(
+        lambda t: pa.table({"l_suppkey": pc.cast(
+            t.filter(pc.ends_with(t["s_name"],
+                                  pattern=_Q16_EXCL_SUFFIX))["s_suppkey"],
+            pa.int64())}),
+        batch_format="pyarrow")
+    kept = ops.hash_join_sized(pairs, ops._compact(excl), on=("l_suppkey",),
+                               how="left_anti")
+
+    sizes = pa.array(list(_Q16_SIZES), pa.int64())
+    part = ops.read_table(sf_dir, "part",
+                          ["p_partkey", "p_brand", "p_type", "p_size"])
+
+    def p_prep(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.schema.get_field_index("p_size"), "p_size",
+                         pc.cast(t["p_size"], pa.int64()))
+        t = t.filter(pc.is_in(t["p_size"], value_set=sizes))
+        return pa.table({"p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                         "p_brand": t["p_brand"], "p_type": t["p_type"],
+                         "p_size": t["p_size"]})
+
+    jp = ops.hash_join_sized(kept,
+                             part.map_batches(p_prep, batch_format="pyarrow"),
+                             on=("l_partkey",), right_on=("p_partkey",))
+    quad = ops.distinct(jp, ["p_brand", "p_type", "p_size", "l_suppkey"])
+    g = quad.groupby(["p_brand", "p_type", "p_size"]).aggregate(
+        Count(alias_name="supplier_cnt"))
+    out = g.map_batches(
+        lambda t: pa.table({"p_brand": t["p_brand"], "p_type": t["p_type"],
+                            "p_size": t["p_size"],
+                            "supplier_cnt": pc.cast(t["supplier_cnt"],
+                                                    pa.int64())}),
+        batch_format="pyarrow")
+    return out.sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                    descending=[True, False, False, False])
+
+
+O_Q16_PARTS_SUPPLIER_CNT = f"""
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_size IN {_Q16_SIZES}
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_name LIKE '%{_Q16_EXCL_SUFFIX}')
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+
+_Q18_QTY = 280
+
+
+def q18_large_volume(sf_dir: str):
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    lineitem quantity exceeds a threshold (iceberg HAVING), with customer
+    names, top-100 by order value. Quantity sums per orderkey use a
+    per-batch combiner so the groupby exchanges one row per (block, order);
+    the iceberg filter shrinks the survivor set BEFORE any join; orders and
+    customer attach via sized joins with the survivor side right. Quantity
+    is exposed in exact 1e-2 units (synthetic quantities are integral, but
+    the contract shouldn't depend on that)."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                      "qty": t["l_quantity"]}).group_by(
+            ["l_orderkey"]).aggregate([("qty", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"], "qty": g["qty_sum"]})
+
+    per_order = (li.map_batches(partial, batch_format="pyarrow")
+                 .groupby("l_orderkey").aggregate(Sum("qty", alias_name="q")))
+    def iceberg(t: pa.Table) -> pa.Table:
+        out = pa.table({"o_orderkey": t["l_orderkey"],
+                        "qty_e2": _cents(t["q"])})
+        return out.filter(pc.greater(
+            out["qty_e2"], pa.scalar(_Q18_QTY * 100, pa.int64())))
+
+    big = per_order.map_batches(iceberg, batch_format="pyarrow")
+    big = ops._compact(big)
+
+    orders = ops.read_table(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]).map_batches(
+        lambda t: pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "o_odate_day": _day(t["o_orderdate"]),
+            "o_price_cents": _cents(t["o_totalprice"])}),
+        batch_format="pyarrow")
+    jo = ops.hash_join_sized(orders, big, on=("o_orderkey",))
+
+    cust = ops.read_table(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda t: pa.table({"c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                            "c_name": t["c_name"]}),
+        batch_format="pyarrow")
+    jc = ops.hash_join_sized(cust, ops._compact(jo), on=("c_custkey",))
+    return _driver_topk(jc, 100, ["o_price_cents", "o_orderkey"],
+                        [True, False])
+
+
+O_Q18_LARGE_VOLUME = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(round(sum(l_quantity) * 100) AS BIGINT) AS qty_e2
+  FROM lineitem GROUP BY 1
+  HAVING CAST(round(sum(l_quantity) * 100) AS BIGINT) > {_Q18_QTY * 100})
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+       CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       date_diff('day', TIMESTAMP '1970-01-01', o.o_orderdate)
+           AS o_odate_day,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_price_cents,
+       big.qty_e2
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_price_cents DESC, o_orderkey
+LIMIT 100"""
