@@ -4614,6 +4614,401 @@ FROM w WHERE 5 * (cum_cents - rev_cents) < 4 * total"""
 # registry
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# r4 late batch 2: rank windows, correlated-subquery shape, Gopher-style
+# quality rules, PMI collocations, degree histogram
+# --------------------------------------------------------------------------
+
+
+def _bounded_topk_tbl(ds, k: int, order: list[tuple[str, str]]) -> pa.Table:
+    """Global top-k over arbitrary (incl. string) sort keys: per-block local
+    top-k via Arrow ``Table.sort_by`` (combiner), then an O(blocks * k)
+    driver merge with the same order. ``order`` must totally order rows so
+    the k-th boundary is deterministic."""
+    def local(t: pa.Table) -> pa.Table:
+        if len(t) <= k:
+            return t
+        return t.sort_by(order).slice(0, k)
+
+    batches = [b for b in ds.map_batches(local, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow") if len(b)]
+    merged = pa.concat_tables(batches, promote_options="default")
+    return merged.sort_by(order).slice(0, k)
+
+
+_RANK_TOPN = 3
+
+
+def q_orders_rank_in_priority(sf_dir: str):
+    """rank() / dense_rank() / group size per o_orderpriority over order
+    value, reported for the top-3 DISTINCT prices of each priority — the
+    classic leaderboard window, computed WITHOUT a per-partition sort:
+
+    1. per-batch combiner keeps each priority's top-3 distinct price_cents →
+       a global distinct + driver merge yields the ≤ |priorities|*3 leader
+       prices (O(blocks*k) exchange, never the order table);
+    2. a second pass counts, per batch, orders AT each leader price and the
+       priority's total row count (a sentinel price -1 row), one tiny
+       groupby-sum;
+    3. rank arithmetic is pure integer math on those counts: rank(p) = 1 +
+       Σ counts of strictly-higher leader prices; dense_rank = position in
+       the sorted distinct leader list; percent_rank is derivable from
+       (rank, group_n) — exposed as exact ints, never a rounded ratio.
+    """
+    orders = ops.read_table(sf_dir, "orders",
+                            ["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "price_cents": _cents(t["o_totalprice"])})
+
+    prepped = orders.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def local_leaders(t: pa.Table) -> pa.Table:
+        # combiner: DISTINCT prices per priority, keep each priority's top-3
+        d = t.group_by(["o_orderpriority", "price_cents"]).aggregate([])
+        d = d.sort_by([("o_orderpriority", "ascending"),
+                       ("price_cents", "descending")])
+        prio = np.asarray(d["o_orderpriority"].to_pandas(), dtype=object)
+        if len(prio) == 0:
+            return d
+        starts = np.flatnonzero(
+            np.concatenate(([True], prio[1:] != prio[:-1])))
+        sizes = np.diff(np.append(starts, len(prio)))
+        pos_in_group = np.arange(len(prio)) - np.repeat(starts, sizes)
+        return d.take(np.flatnonzero(pos_in_group < _RANK_TOPN))
+
+    cand = ops.distinct(
+        prepped.map_batches(local_leaders, batch_format="pyarrow"),
+        ["o_orderpriority", "price_cents"])
+    # second combiner after the distinct shuffle → each block contributes
+    # ≤ |priorities| * 3 rows; the driver merge is O(blocks * 15)
+    cand_b = [b for b in cand.map_batches(local_leaders,
+                                          batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow") if len(b)]
+    cand_t = pa.concat_tables(cand_b, promote_options="default").sort_by(
+        [("o_orderpriority", "ascending"), ("price_cents", "descending")])
+    leaders: dict[str, list[int]] = {}
+    for prio, cents in zip(cand_t["o_orderpriority"].to_pylist(),
+                           cand_t["price_cents"].to_pylist()):
+        top = leaders.setdefault(prio, [])
+        if len(top) < _RANK_TOPN:
+            top.append(cents)
+
+    leader_pairs = {(p, c) for p, cs in leaders.items() for c in cs}
+    pr_arr = pa.array([p for p, _ in leader_pairs], pa.string())
+    ct_arr = pa.array([c for _, c in leader_pairs], pa.int64())
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t["o_orderpriority"], pc.cast(t["price_cents"], pa.string()), "|")
+        lead_key = pc.binary_join_element_wise(
+            pr_arr, pc.cast(ct_arr, pa.string()), "|")
+        hit = t.filter(pc.is_in(key, value_set=lead_key))
+        g = hit.group_by(["o_orderpriority", "price_cents"]).aggregate(
+            [("price_cents", "count")])
+        tot = t.group_by(["o_orderpriority"]).aggregate(
+            [("price_cents", "count")])
+        return pa.table({
+            "o_orderpriority": pa.concat_arrays(
+                [g["o_orderpriority"].combine_chunks(),
+                 tot["o_orderpriority"].combine_chunks()]),
+            "price_cents": pa.concat_arrays(
+                [g["price_cents"].combine_chunks(),
+                 pa.array([-1] * len(tot), pa.int64())]),
+            "n": pa.concat_arrays(
+                [pc.cast(g["price_cents_count"], pa.int64()).combine_chunks(),
+                 pc.cast(tot["price_cents_count"],
+                         pa.int64()).combine_chunks()])})
+
+    counts = (prepped.map_batches(count_partial, batch_format="pyarrow")
+              .groupby(["o_orderpriority", "price_cents"])
+              .aggregate(Sum("n", alias_name="n")))
+    cnt = {(p, c): n for p, c, n in zip(
+        *(counts.to_pandas()[k] for k in
+          ("o_orderpriority", "price_cents", "n")))}
+
+    rows = []
+    for prio in sorted(leaders):
+        higher = 0
+        group_n = int(cnt[(prio, -1)])
+        for i, cents in enumerate(leaders[prio]):
+            n_orders = int(cnt[(prio, cents)])
+            rows.append((prio, cents, i + 1, higher + 1, n_orders, group_n))
+            higher += n_orders
+    return pa.table({
+        "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+        "price_cents": pa.array([r[1] for r in rows], pa.int64()),
+        "drank": pa.array([r[2] for r in rows], pa.int64()),
+        "rnk": pa.array([r[3] for r in rows], pa.int64()),
+        "n_orders": pa.array([r[4] for r in rows], pa.int64()),
+        "group_n": pa.array([r[5] for r in rows], pa.int64()),
+    })
+
+
+O_ORDERS_RANK_IN_PRIORITY = f"""
+WITH c AS (SELECT o_orderpriority,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+           FROM orders),
+r AS (SELECT o_orderpriority, price_cents,
+             dense_rank() OVER (PARTITION BY o_orderpriority
+                                ORDER BY price_cents DESC) AS drank,
+             rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY price_cents DESC) AS rnk,
+             count(*) OVER (PARTITION BY o_orderpriority) AS group_n
+      FROM c)
+SELECT o_orderpriority, price_cents, CAST(drank AS BIGINT) AS drank,
+       CAST(rnk AS BIGINT) AS rnk, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(group_n AS BIGINT) AS group_n
+FROM r WHERE drank <= {_RANK_TOPN}
+GROUP BY 1, 2, 3, 4, 6
+ORDER BY o_orderpriority, drank"""
+
+
+def q_orders_above_cust_avg(sf_dir: str):
+    """Correlated-subquery shape — per customer, how many of their orders
+    exceed THEIR OWN average order value. Decorrelated distributed plan:
+    per-batch (custkey, n, sum_cents) partials → one groupby builds the
+    per-customer stats; a fact⋈fact hash join attaches them back to orders;
+    the comparison is exact integer cross-multiplication
+    (cents * n > sum_cents — never a float average)."""
+    orders = ops.read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                         "cents": _cents(t["o_totalprice"])})
+
+    prepped = orders.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_custkey"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "s": pc.cast(g["cents_sum"], pa.int64()),
+                         "n": pc.cast(g["cents_count"], pa.int64())})
+
+    stats = (prepped.map_batches(stat_partial, batch_format="pyarrow")
+             .groupby("o_custkey")
+             .aggregate(Sum("s", alias_name="sum_cents"),
+                        Sum("n", alias_name="n_orders")))
+    j = ops.hash_join(prepped, ops._compact(stats), on=("o_custkey",))
+    above = j.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t["cents"], t["n_orders"]), t["sum_cents"]))
+        .select(["o_custkey"]),
+        batch_format="pyarrow")
+    g = above.groupby("o_custkey").aggregate(Count(alias_name="n_above"))
+    out = g.map_batches(
+        lambda t: pa.table({"o_custkey": t["o_custkey"],
+                            "n_above": pc.cast(t["n_above"], pa.int64())}),
+        batch_format="pyarrow")
+    return out.sort("o_custkey")
+
+
+O_ORDERS_ABOVE_CUST_AVG = """
+WITH c AS (SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+w AS (SELECT o_custkey, cents,
+             sum(cents) OVER (PARTITION BY o_custkey) AS sum_cents,
+             count(*) OVER (PARTITION BY o_custkey) AS n_orders
+      FROM c)
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_above
+FROM w WHERE cents * n_orders > sum_cents
+GROUP BY 1 ORDER BY 1"""
+
+
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 20, 100_000
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3, 10  # mean word length bounds
+
+
+def q_docs_gopher_rules(sf_dir: str):
+    """Gopher-style quality rules (Rae et al. 2021, §A1.1) adapted to the
+    synthetic corpus: word-count bounds, mean-word-length bounds and a
+    stopword-presence check ('the'), evaluated fully Arrow-native
+    (``pc.count_substring_regex`` — no tokenizer materialization, no pandas
+    conversion) as exact integer sufficient statistics; the mean-word-length
+    band compares 3n <= Σlen <= 10n in integers so no ratio is ever
+    rounded."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_words = pc.cast(pc.count_substring_regex(text, pattern=r"\S+"),
+                          pa.int64())
+        sum_wlen = pc.cast(pc.count_substring_regex(text, pattern=r"\S"),
+                           pa.int64())
+        n_the = pc.cast(pc.count_substring_regex(text, pattern=r"\bthe\b"),
+                        pa.int64())
+        ok = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(n_words,
+                                         pa.scalar(_GOPHER_MIN_WORDS,
+                                                   pa.int64())),
+                        pc.less_equal(n_words,
+                                      pa.scalar(_GOPHER_MAX_WORDS,
+                                                pa.int64()))),
+                pc.and_(pc.less_equal(pc.multiply(
+                    pa.scalar(_GOPHER_MIN_MWL, pa.int64()), n_words),
+                    sum_wlen),
+                    pc.less_equal(sum_wlen, pc.multiply(
+                        pa.scalar(_GOPHER_MAX_MWL, pa.int64()), n_words)))),
+            pc.greater_equal(n_the, pa.scalar(1, pa.int64())))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_words": n_words, "sum_wlen": sum_wlen, "n_the": n_the,
+            "gpass": pc.cast(ok, pa.int64())})
+
+    return docs.map_batches(stats, batch_format="pyarrow").sort("doc_id")
+
+
+O_DOCS_GOPHER_RULES = rf"""
+WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                      AS n_words,
+                  CAST(len(regexp_extract_all(text, '\S')) AS BIGINT)
+                      AS sum_wlen,
+                  CAST(len(regexp_extract_all(text, '\bthe\b')) AS BIGINT)
+                      AS n_the
+           FROM documents)
+SELECT doc_id, n_words, sum_wlen, n_the,
+       CAST(CASE WHEN n_words BETWEEN {_GOPHER_MIN_WORDS}
+                                  AND {_GOPHER_MAX_WORDS}
+                  AND {_GOPHER_MIN_MWL} * n_words <= sum_wlen
+                  AND sum_wlen <= {_GOPHER_MAX_MWL} * n_words
+                  AND n_the >= 1 THEN 1 ELSE 0 END AS BIGINT) AS gpass
+FROM s ORDER BY doc_id"""
+
+
+_PMI_TOPK = 50
+
+
+def q_docs_pmi_bigrams(sf_dir: str):
+    """Collocation mining: top-50 word bigrams by frequency with the exact
+    integer sufficient statistics of their PMI (c_xy, c_x, c_y, n_total) —
+    the score itself stays derivable, never a rounded float (value-hash
+    discipline). Scale shape: per-batch bigram/unigram count partials
+    (vectorized over the flattened token array; adjacency masked at doc
+    boundaries via the list offsets), one bigram-vocab-bounded groupby and
+    one unigram-vocab-bounded groupby; the top-50 reduce is O(blocks*50)
+    to the driver, and unigram lookups touch only the ≤ 2*50 surviving
+    words (``is_in``-filtered, bounded take)."""
+    docs = ops.read_table(sf_dir, "documents", ["text"])
+
+    def token_views(t: pa.Table):
+        toks = pc.utf8_split_whitespace(t["text"]).combine_chunks()
+        vals = toks.flatten()
+        offs = toks.offsets.to_numpy()
+        return vals, offs
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        vals, offs = token_views(t)
+        n = len(vals)
+        if n < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        valid = np.ones(n - 1, dtype=bool)
+        bounds = offs[1:-1]
+        bounds = bounds[(bounds > 0) & (bounds < n)]
+        valid[bounds - 1] = False
+        mask = pa.array(valid)
+        pairs = pa.table({"w1": vals.slice(0, n - 1).filter(mask),
+                          "w2": vals.slice(1, n - 1).filter(mask)})
+        g = pairs.group_by(["w1", "w2"]).aggregate([("w1", "count")])
+        return pa.table({"w1": g["w1"], "w2": g["w2"],
+                         "c": pc.cast(g["w1_count"], pa.int64())})
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        vals, _ = token_views(t)
+        g = pa.table({"w": vals}).group_by(["w"]).aggregate([("w", "count")])
+        return pa.table({"w": g["w"],
+                         "c": pc.cast(g["w_count"], pa.int64())})
+
+    big = (docs.map_batches(bigram_partial, batch_format="pyarrow")
+           .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c_xy")))
+    uni = (docs.map_batches(unigram_partial, batch_format="pyarrow")
+           .groupby("w").aggregate(Sum("c", alias_name="c"))).materialize()
+    n_total = int(uni.sum("c"))
+
+    top = _bounded_topk_tbl(
+        big, _PMI_TOPK,
+        [("c_xy", "descending"), ("w1", "ascending"), ("w2", "ascending")])
+    words = pa.array(sorted(set(top["w1"].to_pylist())
+                            | set(top["w2"].to_pylist())), pa.string())
+    uni_f = uni.map_batches(
+        lambda t: t.filter(pc.is_in(t["w"], value_set=words)),
+        batch_format="pyarrow").to_pandas()
+    cmap = dict(zip(uni_f["w"], uni_f["c"].astype(int)))
+    return pa.table({
+        "w1": top["w1"], "w2": top["w2"],
+        "c_xy": pc.cast(top["c_xy"], pa.int64()),
+        "c_x": pa.array([cmap[w] for w in top["w1"].to_pylist()], pa.int64()),
+        "c_y": pa.array([cmap[w] for w in top["w2"].to_pylist()], pa.int64()),
+        "n_total": pa.array([n_total] * len(top), pa.int64())})
+
+
+O_DOCS_PMI_BIGRAMS = rf"""
+WITH t AS (SELECT regexp_split_to_array(text, '\s+') AS a FROM documents),
+tok AS (SELECT a[r.i] AS w, a[r.i + 1] AS nxt, r.i AS i, len(a) AS la
+        FROM t, unnest(generate_series(1, len(a))) AS r(i)
+        WHERE a[r.i] <> ''),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM tok),
+bc AS (SELECT w AS w1, nxt AS w2, CAST(count(*) AS BIGINT) AS c_xy
+       FROM tok WHERE i < la AND nxt <> '' GROUP BY 1, 2)
+SELECT bc.w1, bc.w2, bc.c_xy, u1.c AS c_x, u2.c AS c_y, n.c AS n_total
+FROM bc JOIN uni u1 ON u1.w = bc.w1 JOIN uni u2 ON u2.w = bc.w2, n
+ORDER BY c_xy DESC, w1, w2 LIMIT {_PMI_TOPK}"""
+
+
+def q_kg_degree_hist(sf_dir: str):
+    """Degree distribution of the agency co-occurrence graph: distinct
+    undirected edges symmetrize, a per-node neighbor count (combiner +
+    groupby) gives degrees, a second tiny groupby folds the histogram —
+    no driver state, both exchanges are node/degree-bounded."""
+    edges = kg.cooccurrence_edges(_mentions(sf_dir))
+    und = ops.distinct(
+        edges.map_batches(lambda t: t.select(["src_qid", "dst_qid"]),
+                          batch_format="pyarrow"),
+        ["src_qid", "dst_qid"])
+    sym = und.union(und.map_batches(
+        lambda t: pa.table({"src_qid": t["dst_qid"],
+                            "dst_qid": t["src_qid"]}),
+        batch_format="pyarrow"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["src_qid"]).aggregate([("src_qid", "count")])
+        return pa.table({"node": g["src_qid"],
+                         "d": pc.cast(g["src_qid_count"], pa.int64())})
+
+    deg = (sym.map_batches(partial, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("d", alias_name="degree")))
+    hist = deg.groupby("degree").aggregate(Count(alias_name="n_nodes"))
+    out = hist.map_batches(
+        lambda t: pa.table({"degree": pc.cast(t["degree"], pa.int64()),
+                            "n_nodes": pc.cast(t["n_nodes"], pa.int64())}),
+        batch_format="pyarrow")
+    return out.sort("degree")
+
+
+O_KG_DEGREE_HIST = lambda sf: f"""WITH {_pages_cte(sf)},
+  counts AS (
+    SELECT host, year, qid FROM sql_mentions
+    WHERE qid <> 'NIL' GROUP BY host, year, qid
+  ),
+  e AS (
+    SELECT DISTINCT a.qid AS a, b.qid AS b
+    FROM counts a JOIN counts b
+      ON a.host = b.host AND a.year = b.year AND a.qid < b.qid
+  ),
+  deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree
+          FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+          GROUP BY 1)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1 ORDER BY 1"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -4717,6 +5112,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q14_promo_revenue": qt.q14_promo_revenue,
     "q16_parts_supplier_cnt": qt.q16_parts_supplier_cnt,
     "q18_large_volume": qt.q18_large_volume,
+    "orders_rank_in_priority": q_orders_rank_in_priority,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
+    "docs_gopher_rules": q_docs_gopher_rules,
+    "docs_pmi_bigrams": q_docs_pmi_bigrams,
+    "kg_degree_hist": q_kg_degree_hist,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -4906,4 +5306,9 @@ def oracles() -> dict[str, str]:
         "q14_promo_revenue": qt.O_Q14_PROMO_REVENUE,
         "q16_parts_supplier_cnt": qt.O_Q16_PARTS_SUPPLIER_CNT,
         "q18_large_volume": qt.O_Q18_LARGE_VOLUME,
+        "orders_rank_in_priority": O_ORDERS_RANK_IN_PRIORITY,
+        "orders_above_cust_avg": O_ORDERS_ABOVE_CUST_AVG,
+        "docs_gopher_rules": O_DOCS_GOPHER_RULES,
+        "docs_pmi_bigrams": O_DOCS_PMI_BIGRAMS,
+        "kg_degree_hist": O_KG_DEGREE_HIST(_SF001),
     }
