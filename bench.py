@@ -226,6 +226,15 @@ def run_bench() -> dict:
     timed("kg_ppr", lambda: Q.q_kg_ppr(sf_dir).count())
     timed("user_360", lambda: Q.q_user_360(sf_dir).count())
     timed("lineitem_pareto", lambda: Q.q_lineitem_pareto(sf_dir).count())
+    timed("q3_shipping_priority",
+          lambda: Q.QUERIES["q3_shipping_priority"](sf_dir).num_rows)
+    timed("q10_returned_items",
+          lambda: Q.QUERIES["q10_returned_items"](sf_dir).num_rows)
+    timed("q18_large_volume",
+          lambda: Q.QUERIES["q18_large_volume"](sf_dir).num_rows)
+    timed("docs_pmi_bigrams", lambda: Q.q_docs_pmi_bigrams(sf_dir).num_rows)
+    timed("docs_gopher_rules",
+          lambda: Q.q_docs_gopher_rules(sf_dir).count())
 
     headline = queries["kg_flagship"]
     result = {

@@ -557,9 +557,52 @@ def hash_join_sized(
     leaves the CPU-adaptive default untouched at real scale (any right
     side with ≥ 4×cpus/4 rows). Use when the right side can be filtered
     near-empty (e.g. a region-restricted dimension probe); the right side
-    must still be non-empty, per the zero-block caveat above."""
+    must still be non-empty, per the zero-block caveat above — EXCEPT on
+    the tiny-side broadcast path below, which handles empty right sides
+    gracefully (anti keeps everything, inner/semi keep nothing).
+
+    Tiny-side broadcast path: clamping alone is NOT sufficient — at ~20
+    rows over 5 partitions the key hash can still leave a partition with
+    zero rows and finalize dies the same way (observed: q5's region-filtered
+    supplier side at sf0.01). When the materialized right side is small
+    enough that a shuffle buys nothing (< 32 rows per would-be partition),
+    single-key inner joins reroute through :func:`broadcast_join` (Acero /
+    index_in probe inside ``map_batches`` — no partitioning to go wrong)
+    and anti/semi joins become a vectorized ``is_in`` filter. Above the
+    threshold — i.e. at real scale — the distributed Ray join runs
+    unchanged. Falls back to the Ray join when the sides share non-key
+    column names (the broadcast probe would need a suffixing rule the
+    callers don't rely on)."""
     right = right.materialize()
-    parts = max(1, min(_join_parts(), (right.count() + 3) // 4))
+    n = right.count()
+    rk = (right_on or on)[0]
+    lk = on[0]
+    if (len(on) == 1 and n <= 32 * _join_parts()
+            and how in ("inner", "left_anti", "left_semi")):
+        bt = [b for b in right.iter_batches(batch_format="pyarrow") if len(b)]
+        small_t = pa.concat_tables(bt, promote_options="default") if bt else None
+        if how in ("left_anti", "left_semi"):
+            if small_t is None:
+                return left if how == "left_anti" else left.map_batches(
+                    lambda t: t.slice(0, 0), batch_format="pyarrow")
+            keys = pc.unique(small_t[rk].combine_chunks())
+
+            def filt(t: pa.Table) -> pa.Table:
+                hit = pc.is_in(t[lk], value_set=keys)
+                return t.filter(
+                    pc.invert(hit) if how == "left_anti" else hit)
+
+            return left.map_batches(filt, batch_format="pyarrow")
+        if small_t is None:
+            return left.map_batches(lambda t: t.slice(0, 0),
+                                    batch_format="pyarrow")
+        overlap = (set(small_t.column_names) - {rk}) & set(left.schema().names)
+        if not overlap:
+            if rk != lk:
+                small_t = small_t.rename_columns(
+                    [lk if c == rk else c for c in small_t.column_names])
+            return broadcast_join(left, small_t, on=lk)
+    parts = max(1, min(_join_parts(), (n + 3) // 4))
     return hash_join(left, right, on, how, parts, right_on)
 
 

@@ -5078,7 +5078,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # events_user_moving_sum user_360 events_conversion_latency
     # events_type_transitions lineitem_pareto q3_shipping_priority
     # q4_order_priority q10_returned_items q14_promo_revenue
-    # q16_parts_supplier_cnt q18_large_volume)
+    # q16_parts_supplier_cnt q18_large_volume orders_rank_in_priority
+    # orders_above_cust_avg docs_gopher_rules docs_pmi_bigrams
+    # kg_degree_hist)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
