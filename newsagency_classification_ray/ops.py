@@ -2578,3 +2578,67 @@ def grouped_mode(ds: Dataset, group_col: str, value_col: str) -> Dataset:
         .groupby(group_col)
         .map_groups(pick, batch_format="pyarrow")
     )
+
+
+def kcore(
+    und_edges: Dataset,
+    k: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 60,
+) -> "pa.Table | Dataset":
+    """k-core decomposition by iterative peeling over DISTINCT undirected
+    edges (each pair present once, either orientation): every round computes
+    node degrees (per-batch combiner + node-bounded groupby), drops nodes
+    with degree < k, and SEMI-joins the survivor set back onto both
+    endpoints (:func:`hash_join_sized` — broadcast probe at small scale,
+    distributed join above its threshold). Edge/node tables shrink
+    monotonically; a round that drops nothing terminates. The iteration cap
+    RAISES instead of silently truncating (no-silent-caps rule): peel depth
+    is bounded by the graph's degeneracy ordering length, pathological only
+    for adversarial chain constructions.
+
+    Returns a Dataset of (node, core_deg) — each surviving node with its
+    within-core degree — sorted by node, or an empty Arrow table when the
+    k-core is empty.
+    """
+    from ray.data.aggregate import Sum
+
+    sym = und_edges.union(und_edges.map_batches(
+        lambda t: pa.table({src: t[dst], dst: t[src]}),
+        batch_format="pyarrow")).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([src]).aggregate([(src, "count")])
+        return pa.table({src: g[src],
+                         "d": pc.cast(g[f"{src}_count"], pa.int64())})
+
+    for _ in range(max_iters):
+        deg = (sym.map_batches(deg_partial, batch_format="pyarrow")
+               .groupby(src).aggregate(Sum("d", alias_name="degree"))
+               ).materialize()
+        alive = deg.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t["degree"], pa.scalar(k, pa.int64()))).select([src]),
+            batch_format="pyarrow").materialize()
+        n_alive, n_nodes = alive.count(), deg.count()
+        if n_alive == 0:
+            return pa.table({"node": pa.array([], pa.string()),
+                             "core_deg": pa.array([], pa.int64())})
+        if n_alive == n_nodes:  # converged: nothing dropped this round
+            out = deg.map_batches(
+                lambda t: pa.table({"node": t[src],
+                                    "core_deg": pc.cast(t["degree"],
+                                                        pa.int64())}),
+                batch_format="pyarrow")
+            return out.sort("node")
+        alive_c = _compact(alive)
+        sym = hash_join_sized(sym, alive_c, on=(src,), how="left_semi")
+        sym = hash_join_sized(
+            sym, alive_c.map_batches(
+                lambda t: pa.table({dst: t[src]}), batch_format="pyarrow"),
+            on=(dst,), how="left_semi").materialize()
+    raise RuntimeError(
+        f"kcore: no convergence in {max_iters} peel rounds — raise "
+        f"max_iters (adversarial peel depth)")

@@ -4915,12 +4915,17 @@ def q_docs_pmi_bigrams(sf_dir: str):
         mask = pa.array(valid)
         pairs = pa.table({"w1": vals.slice(0, n - 1).filter(mask),
                           "w2": vals.slice(1, n - 1).filter(mask)})
+        # Arrow's split_whitespace emits '' edge tokens for leading/trailing
+        # whitespace and empty docs — not words (the oracle filters them too)
+        pairs = pairs.filter(pc.and_(pc.not_equal(pairs["w1"], ""),
+                                     pc.not_equal(pairs["w2"], "")))
         g = pairs.group_by(["w1", "w2"]).aggregate([("w1", "count")])
         return pa.table({"w1": g["w1"], "w2": g["w2"],
                          "c": pc.cast(g["w1_count"], pa.int64())})
 
     def unigram_partial(t: pa.Table) -> pa.Table:
         vals, _ = token_views(t)
+        vals = vals.filter(pc.not_equal(vals, ""))  # '' = split edge artifact
         g = pa.table({"w": vals}).group_by(["w"]).aggregate([("w", "count")])
         return pa.table({"w": g["w"],
                          "c": pc.cast(g["w_count"], pa.int64())})
@@ -5009,6 +5014,189 @@ SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
 FROM deg GROUP BY 1 ORDER BY 1"""
 
 
+def q2_cheapest_supplier(sf_dir: str):
+    """TPC-H Q2 shape — grouped ARGMIN with a deterministic tie-break: per
+    part, the supplier offering the lowest lineitem price (ties → lowest
+    suppkey; lineitem stands in for the schema's missing partsupp). The
+    argmin never sorts globally: a per-batch lexsort combiner keeps ONE
+    candidate row per (block, part), so the keyed exchange is
+    O(blocks * parts-per-block) and each map_groups group is a handful of
+    already-minimal candidates."""
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                         "best_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                         "min_price_cents": _cents(t["l_extendedprice"])})
+
+    def argmin_local(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        part = t["l_partkey"].to_numpy(zero_copy_only=False)
+        price = t["min_price_cents"].to_numpy(zero_copy_only=False)
+        supp = t["best_suppkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((supp, price, part))
+        ps = part[order]
+        first = np.concatenate(([True], ps[1:] != ps[:-1]))
+        return t.take(order[first])
+
+    cand = li.map_batches(prep, batch_format="pyarrow").map_batches(
+        argmin_local, batch_format="pyarrow")
+    best = cand.groupby("l_partkey").map_groups(argmin_local,
+                                                batch_format="pyarrow")
+    return best.sort("l_partkey")
+
+
+O_Q2_CHEAPEST_SUPPLIER = """
+WITH c AS (SELECT CAST(l_partkey AS BIGINT) AS p,
+                  CAST(l_suppkey AS BIGINT) AS s,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS pr
+           FROM lineitem),
+r AS (SELECT p, s, pr,
+             row_number() OVER (PARTITION BY p ORDER BY pr, s) AS rn
+      FROM c)
+SELECT p AS l_partkey, s AS best_suppkey, pr AS min_price_cents
+FROM r WHERE rn = 1 ORDER BY 1"""
+
+
+_KCORE_K = 3
+_KCORE_MAX_ITERS = 60
+
+
+def _kg_und_edges(sf_dir: str):
+    """Distinct undirected co-occurrence edges (src < dst, string qids)."""
+    edges = kg.cooccurrence_edges(_mentions(sf_dir))
+    return ops.distinct(
+        edges.map_batches(lambda t: t.select(["src_qid", "dst_qid"]),
+                          batch_format="pyarrow"),
+        ["src_qid", "dst_qid"])
+
+
+def q_kg_kcore(sf_dir: str):
+    """k-core decomposition (k=3) of the co-occurrence graph by iterative
+    peeling: each round computes degrees (per-batch combiner + node-bounded
+    groupby), drops nodes with degree < k, and SEMI-joins the surviving
+    node set back onto both edge endpoints (``hash_join_sized`` — broadcast
+    probe at test scale, distributed join above its threshold). The loop
+    materializes only node/edge tables that SHRINK monotonically; a
+    converged round (no node dropped) terminates, and an iteration cap
+    raises rather than silently truncating (no-silent-caps rule). Returns
+    each surviving node with its within-core degree."""
+    return ops.kcore(_kg_und_edges(sf_dir), k=_KCORE_K,
+                     src="src_qid", dst="dst_qid",
+                     max_iters=_KCORE_MAX_ITERS)
+
+
+def O_KG_KCORE() -> str:
+    """Pure recompute: DuckDB re-derives the distinct undirected edges
+    (same CTE as O_KG_DEGREE_HIST), then an INDEPENDENT dense numpy peel
+    (whole-graph boolean masks — no joins, no per-round combiners) runs
+    the same k threshold to convergence."""
+    import duckdb
+
+    sf = _SF001
+    edges_sql = f"""WITH {_pages_cte(sf)},
+      counts AS (SELECT host, year, qid FROM sql_mentions
+                 WHERE qid <> 'NIL' GROUP BY host, year, qid)
+    SELECT DISTINCT a.qid AS a, b.qid AS b
+    FROM counts a JOIN counts b
+      ON a.host = b.host AND a.year = b.year AND a.qid < b.qid"""
+    df = duckdb.connect().execute(edges_sql).fetchdf()
+    nodes = sorted(set(df["a"]) | set(df["b"]))
+    pos = {v: i for i, v in enumerate(nodes)}
+    import numpy as _np
+
+    ai = _np.asarray([pos[v] for v in df["a"]], dtype=_np.int64)
+    bi = _np.asarray([pos[v] for v in df["b"]], dtype=_np.int64)
+    alive = _np.ones(len(nodes), dtype=bool)
+    while True:
+        keep = alive[ai] & alive[bi]
+        deg = _np.zeros(len(nodes), dtype=_np.int64)
+        _np.add.at(deg, ai[keep], 1)
+        _np.add.at(deg, bi[keep], 1)
+        nxt = alive & (deg >= _KCORE_K)
+        if nxt.sum() == alive.sum():
+            break
+        alive = nxt
+    rows = [f"({_sq(nodes[i])}, {int(deg[i])})"
+            for i in range(len(nodes)) if alive[i]]
+    return _values_or_empty(
+        rows, "SELECT node, CAST(core_deg AS BIGINT) AS core_deg",
+        "t(node, core_deg)", "('', 0)")
+
+
+_OOV_VOCAB = 16
+
+
+def q_docs_oov_rate(sf_dir: str):
+    """Vocabulary-coverage scoring: per-document token count and
+    out-of-vocabulary count against the corpus' top-16 tokens (the
+    tokenizer-coverage check a training pipeline runs before committing to
+    a vocab). Two passes: a unigram-vocab-bounded count groupby feeds a
+    deterministic (count DESC, word) top-16 broadcast; the scoring pass is
+    one vectorized ``is_in`` over the flattened token array with
+    ``np.add.reduceat`` per-doc folds — tokens never leave their block.
+    Empty documents are excluded (mirrors the SQL GROUP BY)."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(t["text"]).combine_chunks()
+        vals = toks.flatten()
+        vals = vals.filter(pc.not_equal(vals, ""))  # '' = split edge artifact
+        g = pa.table({"w": vals}).group_by(["w"]).aggregate([("w", "count")])
+        return pa.table({"w": g["w"], "c": pc.cast(g["w_count"], pa.int64())})
+
+    uni = (docs.map_batches(unigram_partial, batch_format="pyarrow")
+           .groupby("w").aggregate(Sum("c", alias_name="c")))
+    vocab_t = _bounded_topk_tbl(
+        uni, _OOV_VOCAB, [("c", "descending"), ("w", "ascending")])
+    vocab = vocab_t["w"].combine_chunks()
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(t["text"]).combine_chunks()
+        vals = toks.flatten()
+        offs = toks.offsets.to_numpy()
+        # '' tokens are split-edge artifacts (leading/trailing whitespace,
+        # empty docs) — count and score only real words, per-doc via reduceat
+        word = pc.not_equal(vals, "").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        oov = pc.invert(pc.is_in(vals, value_set=vocab)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64) * word
+        # reduceat: duplicate/out-of-range starts (empty list slots) are
+        # cleaned by the n_tok mask below; clip keeps indices legal
+        starts = np.minimum(offs[:-1], max(len(vals) - 1, 0))
+        raw = np.diff(offs)
+        if len(vals):
+            n_tok = np.where(raw > 0, np.add.reduceat(word, starts), 0)
+            n_oov = np.where(raw > 0, np.add.reduceat(oov, starts), 0)
+        else:
+            n_tok = np.zeros(len(t), dtype=np.int64)
+            n_oov = np.zeros(len(t), dtype=np.int64)
+        keep = n_tok > 0
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(pa.array(keep)),
+            "n_tokens": pa.array(n_tok[keep], pa.int64()),
+            "n_oov": pa.array(n_oov[keep], pa.int64())})
+
+    return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+O_DOCS_OOV_RATE = rf"""
+WITH tok AS (SELECT doc_id, a[r.i] AS w
+             FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS a
+                   FROM documents) t,
+                  unnest(generate_series(1, len(a))) AS r(i)
+             WHERE a[r.i] <> ''),
+v AS (SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY 1)
+      ORDER BY c DESC, w LIMIT {_OOV_VOCAB})
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN w NOT IN (SELECT w FROM v) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_oov
+FROM tok GROUP BY 1 ORDER BY 1"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -5080,7 +5268,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # q4_order_priority q10_returned_items q14_promo_revenue
     # q16_parts_supplier_cnt q18_large_volume orders_rank_in_priority
     # orders_above_cust_avg docs_gopher_rules docs_pmi_bigrams
-    # kg_degree_hist)
+    # kg_degree_hist q2_cheapest_supplier kg_kcore docs_oov_rate)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -5119,6 +5307,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_gopher_rules": q_docs_gopher_rules,
     "docs_pmi_bigrams": q_docs_pmi_bigrams,
     "kg_degree_hist": q_kg_degree_hist,
+    "q2_cheapest_supplier": q2_cheapest_supplier,
+    "kg_kcore": q_kg_kcore,
+    "docs_oov_rate": q_docs_oov_rate,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -5313,4 +5504,7 @@ def oracles() -> dict[str, str]:
         "docs_gopher_rules": O_DOCS_GOPHER_RULES,
         "docs_pmi_bigrams": O_DOCS_PMI_BIGRAMS,
         "kg_degree_hist": O_KG_DEGREE_HIST(_SF001),
+        "q2_cheapest_supplier": O_Q2_CHEAPEST_SUPPLIER,
+        "kg_kcore": O_KG_KCORE(),
+        "docs_oov_rate": O_DOCS_OOV_RATE,
     }

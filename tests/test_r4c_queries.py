@@ -98,3 +98,56 @@ def test_pmi_bigrams_doc_boundary_and_counts(ray_session, tmp_path):
     assert (row.c_x, row.c_y, row.n_total) == (2, 2, 7)
     # deterministic order: c_xy desc, then (w1, w2)
     assert list(out.c_xy) == sorted(out.c_xy, reverse=True)
+
+
+def test_q2_argmin_tiebreak_lowest_suppkey(ray_session, tmp_path):
+    _write(tmp_path, "lineitem", {
+        # part 1: price tie 5.00 between supp 9 and supp 2 -> supp 2 wins;
+        # part 2: single cheapest 1.00 at supp 7
+        "l_orderkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "l_partkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "l_suppkey": pa.array([9, 2, 3, 7, 1], pa.int64()),
+        "l_quantity": [1.0] * 5,
+        "l_extendedprice": [5.0, 5.0, 6.0, 1.0, 2.0],
+        "l_discount": [0.0] * 5,
+        "l_shipdate": pa.array([dt.datetime(1996, 1, 1)] * 5,
+                               pa.timestamp("us")),
+    })
+    out = Q.q2_cheapest_supplier(str(tmp_path)).to_pandas()
+    assert list(out.l_partkey) == [1, 2]
+    assert list(out.best_suppkey) == [2, 7]
+    assert list(out.min_price_cents) == [500, 100]
+
+
+def test_kcore_iterative_peel_and_empty_core(ray_session):
+    import ray.data
+    from newsagency_classification_ray import ops
+
+    # triangle a-b-c plus a chain c-d-e-f: k=2 must peel f, then e, then d
+    # (three rounds — exercises the LOOP, not just one filter pass)
+    edges = ray.data.from_arrow(pa.table({
+        "src": ["a", "a", "b", "c", "d", "e"],
+        "dst": ["b", "c", "c", "d", "e", "f"],
+    }))
+    out = ops.kcore(edges, k=2, src="src", dst="dst")
+    res = out.to_pandas() if hasattr(out, "to_pandas") else out
+    got = dict(zip(res["node"], res["core_deg"]))
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+    # a pure tree has NO 2-core -> empty result, loop still terminates
+    tree = ray.data.from_arrow(pa.table({
+        "src": ["a", "a", "b"], "dst": ["b", "c", "d"]}))
+    empty = ops.kcore(tree, k=2, src="src", dst="dst")
+    n = empty.num_rows if isinstance(empty, pa.Table) else empty.count()
+    assert n == 0
+
+
+def test_oov_rate_vocab_boundary(ray_session, tmp_path):
+    # 18 distinct words: 'w00'..'w15' each appear 3x (vocab = those 16,
+    # count ties broken by word asc), 'x' and 'y' appear once each -> OOV
+    common = " ".join(f"w{i:02d}" for i in range(16))
+    _docs(tmp_path, [common, common, common + " x y", ""])
+    out = Q.q_docs_oov_rate(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert list(out.index) == [0, 1, 2]      # empty doc 3 excluded
+    assert out.loc[0].n_tokens == 16 and out.loc[0].n_oov == 0
+    assert out.loc[2].n_tokens == 18 and out.loc[2].n_oov == 2
