@@ -5197,6 +5197,46 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM tok GROUP BY 1 ORDER BY 1"""
 
 
+def q_events_daily_delta(sf_dir: str):
+    """Day-over-day event-count delta — the LAG window over an aggregated
+    calendar series: per-batch (epoch-day, n) partials, one calendar-bounded
+    groupby, then the lag/diff runs on the driver over the tiny series
+    (days-in-corpus rows; the 100-TB input never re-enters an exchange).
+    First day's delta is NULL, mirroring SQL ``n - lag(n) OVER (ORDER BY
+    day)``. Day math in int64 epoch-days (timestamp exchange precision —
+    see ops.asof_join notes)."""
+    ev = ops.read_table(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        g = pa.table({"day": day}).group_by(["day"]).aggregate(
+            [("day", "count")])
+        return pa.table({"day": g["day"],
+                         "n": pc.cast(g["day_count"], pa.int64())})
+
+    daily = (ev.map_batches(partial, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="n"))).to_pandas()
+    daily = daily.sort_values("day").reset_index(drop=True)
+    n = daily["n"].astype("int64")
+    delta = n.diff()
+    return pa.table({
+        "day": pa.array(daily["day"].astype("int64"), pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "delta": pa.array(
+            [None if pd.isna(d) else int(d) for d in delta], pa.int64())})
+
+
+O_EVENTS_DAILY_DELTA = """
+WITH d AS (SELECT date_diff('day', TIMESTAMP '1970-01-01',
+                            CAST(ts AS TIMESTAMP)) AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1)
+SELECT CAST(day AS BIGINT) AS day, n,
+       CAST(n - lag(n) OVER (ORDER BY day) AS BIGINT) AS delta
+FROM d ORDER BY day"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -5268,7 +5308,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # q4_order_priority q10_returned_items q14_promo_revenue
     # q16_parts_supplier_cnt q18_large_volume orders_rank_in_priority
     # orders_above_cust_avg docs_gopher_rules docs_pmi_bigrams
-    # kg_degree_hist q2_cheapest_supplier kg_kcore docs_oov_rate)
+    # kg_degree_hist q2_cheapest_supplier kg_kcore docs_oov_rate
+    # q7_nation_volume q22_idle_balance events_daily_delta)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -5310,6 +5351,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q2_cheapest_supplier": q2_cheapest_supplier,
     "kg_kcore": q_kg_kcore,
     "docs_oov_rate": q_docs_oov_rate,
+    "q7_nation_volume": qt.q7_nation_volume,
+    "q22_idle_balance": qt.q22_idle_balance,
+    "events_daily_delta": q_events_daily_delta,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -5507,4 +5551,7 @@ def oracles() -> dict[str, str]:
         "q2_cheapest_supplier": O_Q2_CHEAPEST_SUPPLIER,
         "kg_kcore": O_KG_KCORE(),
         "docs_oov_rate": O_DOCS_OOV_RATE,
+        "q7_nation_volume": qt.O_Q7_NATION_VOLUME,
+        "q22_idle_balance": qt.O_Q22_IDLE_BALANCE,
+        "events_daily_delta": O_EVENTS_DAILY_DELTA,
     }

@@ -516,3 +516,174 @@ JOIN orders o ON o.o_orderkey = big.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 ORDER BY o_price_cents DESC, o_orderkey
 LIMIT 100"""
+
+
+_Q7_N1, _Q7_N2 = "NATION_3", "NATION_19"
+
+
+def q7_nation_volume(sf_dir: str):
+    """TPC-H Q7 shape — volume shipping between one nation pair, both
+    directions, per ship year. The 25-row nation dim resolves driver-side
+    into the two key sets; supplier and customer filter to the pair BEFORE
+    their joins (sized, filtered side right); lineitem extracts the ship
+    year IN THE READ BATCH (timestamps never enter an exchange — year is
+    int64 from the start); the direction predicate is a vectorized
+    post-join filter and revenue pre-aggregates per (supp_nation,
+    cust_nation, year) inside each batch before the 2x2xYears-bounded
+    groupby."""
+    nation = ops.read_table(sf_dir, "nation").to_pandas()
+    pair = nation[nation["n_name"].isin([_Q7_N1, _Q7_N2])]
+    nk_to_name = dict(zip(pair["n_nationkey"].astype(int), pair["n_name"]))
+    keys64 = pa.array(list(nk_to_name), pa.int64())
+    names = pa.array([nk_to_name[k] for k in nk_to_name], pa.string())
+
+    def in_pair(table: str, key: str, nat: str, probe_key: str,
+                out_name: str):
+        ds = ops.read_table(sf_dir, table, [key, nat])
+
+        def prep(t: pa.Table) -> pa.Table:
+            nk = pc.cast(t[nat], pa.int64())
+            keep = pc.is_in(nk, value_set=keys64)
+            t = pa.table({probe_key: pc.cast(t[key], pa.int64()),
+                          "_nk": nk}).filter(keep)
+            idx = pc.index_in(t["_nk"], value_set=keys64)
+            return pa.table({probe_key: t[probe_key],
+                             out_name: pc.take(names, idx)})
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_orderkey", "l_suppkey", "l_shipdate",
+                         "l_extendedprice", "l_discount"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                         "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                         "l_year": pc.cast(pc.year(t["l_shipdate"]),
+                                           pa.int64()),
+                         "rev": _rev(t)})
+
+    orders = ops.read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "c_custkey": pc.cast(t["o_custkey"], pa.int64())}),
+            batch_format="pyarrow")
+
+    js = ops.hash_join_sized(
+        li.map_batches(l_prep, batch_format="pyarrow"),
+        in_pair("supplier", "s_suppkey", "s_nationkey",
+                "l_suppkey", "supp_nation"),
+        on=("l_suppkey",))
+    jo = ops.hash_join(js, orders, on=("l_orderkey",),
+                       right_on=("o_orderkey",))
+    jc = ops.hash_join_sized(
+        jo, in_pair("customer", "c_custkey", "c_nationkey",
+                    "c_custkey", "cust_nation"),
+        on=("c_custkey",))
+
+    keys = ["supp_nation", "cust_nation", "l_year"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["supp_nation"], t["cust_nation"]))
+        g = t.group_by(keys).aggregate([("rev", "sum")])
+        return pa.table({**{k: g[k] for k in keys}, "rev": g["rev_sum"]})
+
+    agg = (jc.map_batches(partial, batch_format="pyarrow")
+           .groupby(keys).aggregate(Sum("rev", alias_name="rev_raw")))
+    out = agg.map_batches(
+        lambda t: pa.table({**{k: t[k] for k in keys},
+                            "revenue_e4": _e4(t["rev_raw"])}),
+        batch_format="pyarrow")
+    return out.sort(keys)
+
+
+O_Q7_NATION_VOLUME = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+            AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+    OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""
+
+
+_Q22_RECENT = "2000-01-01"
+
+
+def q22_idle_balance(sf_dir: str):
+    """TPC-H Q22 shape — global-relationship anti-join: customers whose
+    balance exceeds the GLOBAL average (scalar subquery, compared as exact
+    integers: cents * n_customers > total_cents) and who have placed no
+    RECENT orders (the synthetic corpus gives every customer at least one
+    lifetime order, so the idle test is date-windowed; market segment
+    stands in for the schema's missing phone-prefix). The global average
+    is an O(blocks) two-scalar partial fold; the no-recent-orders test is
+    a distributed left_anti against the DISTINCT recent custkeys (one row
+    per active customer enters the exchange, not one per order)."""
+    cust = ops.read_table(
+        sf_dir, "customer",
+        ["c_custkey", "c_mktsegment", "c_acctbal"]).map_batches(
+        lambda t: pa.table({"c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                            "c_mktsegment": t["c_mktsegment"],
+                            "bal_cents": _cents(t["c_acctbal"])}),
+        batch_format="pyarrow").materialize()
+
+    parts = [b for b in cust.map_batches(
+        lambda t: pa.table({
+            "s": pa.array([pc.sum(t["bal_cents"]).as_py() or 0], pa.int64()),
+            "n": pa.array([len(t)], pa.int64())}),
+        batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+    # iter_batches may coalesce the per-block partial rows — fold them ALL
+    total = sum(v for p in parts for v in p["s"].to_pylist())
+    n_cust = sum(v for p in parts for v in p["n"].to_pylist())
+
+    rich = cust.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t["bal_cents"], pa.scalar(n_cust, pa.int64())),
+            pa.scalar(total, pa.int64()))),
+        batch_format="pyarrow")
+
+    cutoff = _ts(_Q22_RECENT)
+    active = ops.read_table(sf_dir, "orders",
+                            ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table({"c_custkey": pc.cast(
+            t.filter(pc.greater_equal(t["o_orderdate"],
+                                      cutoff))["o_custkey"],
+            pa.int64())}),
+        batch_format="pyarrow")
+    active = ops._compact(ops.distinct(active, ["c_custkey"]))
+    # sized: the filtered `rich` side can be sparser than the partition
+    # count at small scale (Ray 2.49 sparse-side hazard — see
+    # hash_join_sized); its tiny-side path anti-filters via `is_in`
+    idle = ops.hash_join_sized(rich, active, on=("c_custkey",),
+                               how="left_anti")
+    g = idle.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_cust"), Sum("bal_cents", alias_name="bal"))
+    out = g.map_batches(
+        lambda t: pa.table({"c_mktsegment": t["c_mktsegment"],
+                            "n_cust": pc.cast(t["n_cust"], pa.int64()),
+                            "bal_cents": pc.cast(t["bal"], pa.int64())}),
+        batch_format="pyarrow")
+    return out.sort("c_mktsegment")
+
+
+O_Q22_IDLE_BALANCE = f"""
+WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+g AS (SELECT sum(cents) AS total, count(*) AS n FROM c)
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(c.cents) AS BIGINT) AS bal_cents
+FROM c, g
+WHERE c.cents * g.n > g.total
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.k
+                  AND o.o_orderdate >= TIMESTAMP '{_Q22_RECENT}')
+GROUP BY 1 ORDER BY 1"""

@@ -215,3 +215,97 @@ def test_q18_threshold_is_strict(ray_session, tmp_path):
     assert list(out["o_orderkey"].to_pylist()) == [2]
     assert list(out["qty_e2"].to_pylist()) == [int((thr + 0.5) * 100)]
     assert list(out["c_name"].to_pylist()) == ["Customer#2"]
+
+
+def test_q7_direction_and_year(ray_session, tmp_path):
+    _write(tmp_path, "nation", {
+        "n_nationkey": pa.array([3, 19, 7], pa.int32()),
+        "n_name": ["NATION_3", "NATION_19", "NATION_7"],
+        "n_regionkey": pa.array([0, 0, 0], pa.int32()),
+    })
+    _write(tmp_path, "supplier", {
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": ["s1", "s2", "s3"],
+        "s_nationkey": pa.array([3, 19, 7], pa.int32()),
+    })
+    _write(tmp_path, "customer", {
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": ["c1", "c2", "c3"],
+        "c_nationkey": pa.array([19, 3, 7], pa.int32()),
+        "c_mktsegment": ["BUILDING"] * 3,
+    })
+    _write(tmp_path, "orders", {
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1, 2, 1, 3], pa.int64()),
+        "o_orderdate": pa.array([D("1996-01-05")] * 4, pa.timestamp("us")),
+        "o_orderpriority": ["1-URGENT"] * 4,
+        "o_totalprice": [1.0] * 4,
+    })
+    _write(tmp_path, "lineitem", {
+        # line 1: supp N3 -> cust N19 in 1996 (10.0)
+        # line 2: supp N19 -> cust N3 in 1997 (20.0) — reverse direction
+        # line 3: supp N19 -> cust N19 — SAME nation pair side, excluded
+        # line 4: supp N3 -> cust N7 — N7 not in the pair, excluded
+        "l_orderkey": pa.array([1, 2, 1, 4], pa.int64()),
+        "l_partkey": pa.array([100] * 4, pa.int64()),
+        "l_suppkey": pa.array([1, 2, 2, 1], pa.int64()),
+        "l_quantity": [1.0] * 4,
+        "l_extendedprice": [10.0, 20.0, 7.0, 9.0],
+        "l_discount": [0.0] * 4,
+        "l_shipdate": pa.array(
+            [D("1996-03-01"), D("1997-03-01"), D("1996-03-01"),
+             D("1996-03-01")], pa.timestamp("us")),
+    })
+    out = qt.q7_nation_volume(str(tmp_path)).to_pandas()
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        ("NATION_19", "NATION_3", 1997, 200_000),
+        ("NATION_3", "NATION_19", 1996, 100_000),
+    ]
+
+
+def test_q22_avg_boundary_and_recent_cutoff(ray_session, tmp_path):
+    _base_tables(tmp_path)
+    _write(tmp_path, "customer", {
+        # balances 10, 20, 30, 20 -> avg 20; only cust 3 is strictly above
+        # (cust 2 and 4 sit exactly ON the average -> excluded)
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_name": [f"c{i}" for i in range(1, 5)],
+        "c_nationkey": pa.array([0] * 4, pa.int32()),
+        "c_mktsegment": ["BUILDING"] * 4,
+        "c_acctbal": [10.0, 20.0, 30.0, 20.0],
+    })
+    cut = D(qt._Q22_RECENT)
+    _write(tmp_path, "orders", {
+        # cust 3's only order is BEFORE the cutoff -> idle;
+        # an order exactly AT the cutoff would make a customer active
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([3, 1], pa.int64()),
+        "o_orderdate": pa.array(
+            [cut - dt.timedelta(days=1), cut], pa.timestamp("us")),
+        "o_orderpriority": ["1-URGENT"] * 2,
+        "o_totalprice": [1.0] * 2,
+    })
+    out = qt.q22_idle_balance(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.c_mktsegment, row.n_cust, row.bal_cents) == \
+        ("BUILDING", 1, 3000)
+
+
+def test_events_daily_delta_gap_and_first_null(ray_session, tmp_path):
+    from newsagency_classification_ray import queries as Q
+    ts = [D("2024-01-01"), D("2024-01-01"), D("2024-01-02"),
+          D("2024-01-05")]  # days 1,1,2,5 — gap between 2 and 5
+    _write(tmp_path, "events", {
+        "event_id": pa.array(range(4), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * 4, pa.int64()),
+        "event_type": ["a"] * 4,
+        "value": [1.0] * 4,
+        "props": ["{}"] * 4,
+    })
+    out = Q.q_events_daily_delta(str(tmp_path)).to_pandas()
+    assert list(out.n) == [2, 1, 1]
+    assert out.delta.iloc[0] != out.delta.iloc[0] or out.delta.isna().iloc[0]
+    # LAG runs over EXISTING days, not a filled calendar: day5 - day2 = 0
+    assert list(out.delta.iloc[1:]) == [-1, 0]
