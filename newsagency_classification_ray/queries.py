@@ -5309,7 +5309,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # q16_parts_supplier_cnt q18_large_volume orders_rank_in_priority
     # orders_above_cust_avg docs_gopher_rules docs_pmi_bigrams
     # kg_degree_hist q2_cheapest_supplier kg_kcore docs_oov_rate
-    # q7_nation_volume q22_idle_balance events_daily_delta)
+    # q7_nation_volume q22_idle_balance events_daily_delta
+    # q11_important_parts q13_order_distribution q15_top_supplier
+    # q17_small_qty_revenue)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -5354,6 +5356,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q7_nation_volume": qt.q7_nation_volume,
     "q22_idle_balance": qt.q22_idle_balance,
     "events_daily_delta": q_events_daily_delta,
+    "q11_important_parts": qt.q11_important_parts,
+    "q13_order_distribution": qt.q13_order_distribution,
+    "q15_top_supplier": qt.q15_top_supplier,
+    "q17_small_qty_revenue": qt.q17_small_qty_revenue,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -5554,4 +5560,8 @@ def oracles() -> dict[str, str]:
         "q7_nation_volume": qt.O_Q7_NATION_VOLUME,
         "q22_idle_balance": qt.O_Q22_IDLE_BALANCE,
         "events_daily_delta": O_EVENTS_DAILY_DELTA,
+        "q11_important_parts": qt.O_Q11_IMPORTANT_PARTS,
+        "q13_order_distribution": qt.O_Q13_ORDER_DISTRIBUTION,
+        "q15_top_supplier": qt.O_Q15_TOP_SUPPLIER,
+        "q17_small_qty_revenue": qt.O_Q17_SMALL_QTY_REVENUE,
     }

@@ -687,3 +687,232 @@ WHERE c.cents * g.n > g.total
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.k
                   AND o.o_orderdate >= TIMESTAMP '{_Q22_RECENT}')
 GROUP BY 1 ORDER BY 1"""
+
+
+_Q11_NUM, _Q11_DEN = 12, 10  # keep parts worth > 1.2x the mean part value
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape — important-stock identification: parts whose total
+    lineitem value exceeds 1.2x the MEAN part value (lineitem revenue
+    stands in for the missing partsupp supplycost*availqty; a mean-relative
+    threshold keeps the selectivity scale-invariant where TPC-H's fixed
+    fraction assumes a known SF). The global-scalar HAVING never recomputes
+    the input: per-part values come from one combiner+groupby, the global
+    (total, n_parts) is an exact int64 fold of the per-part cents
+    (O(parts-per-block) driver rows), and the threshold compares
+    ``value_cents * n_parts * DEN > total_cents * NUM`` — integer math, no
+    fraction or average is ever floated. Both sides define the total
+    identically as the sum of PER-PART ROUNDED cents (summing raw doubles
+    then rounding once would diverge between engines)."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                      "v": t["l_extendedprice"]}).group_by(
+            ["l_partkey"]).aggregate([("v", "sum")])
+        return pa.table({"l_partkey": g["l_partkey"], "v": g["v_sum"]})
+
+    per_part = (li.map_batches(partial, batch_format="pyarrow")
+                .groupby("l_partkey").aggregate(Sum("v", alias_name="v_raw")))
+    per_part = per_part.map_batches(
+        lambda t: pa.table({"l_partkey": t["l_partkey"],
+                            "value_cents": _cents(t["v_raw"])}),
+        batch_format="pyarrow").materialize()
+    total, n_parts = 0, 0
+    for b in per_part.map_batches(
+            lambda t: pa.table({
+                "s": pa.array([pc.sum(t["value_cents"]).as_py() or 0],
+                              pa.int64()),
+                "n": pa.array([len(t)], pa.int64())}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        total += sum(b["s"].to_pylist())
+        n_parts += sum(b["n"].to_pylist())
+    thresh = pa.scalar(total * _Q11_NUM, pa.int64())
+    mult = pa.scalar(n_parts * _Q11_DEN, pa.int64())
+    keep = per_part.map_batches(
+        lambda t: t.filter(pc.greater(pc.multiply(t["value_cents"], mult),
+                                      thresh)),
+        batch_format="pyarrow")
+    return keep.sort(["value_cents", "l_partkey"], descending=[True, False])
+
+
+O_Q11_IMPORTANT_PARTS = f"""
+WITH p AS (SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+                  CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
+                      AS value_cents
+           FROM lineitem GROUP BY 1),
+g AS (SELECT sum(value_cents) AS total, count(*) AS n FROM p)
+SELECT p.l_partkey, p.value_cents
+FROM p, g
+WHERE p.value_cents * g.n * {_Q11_DEN} > g.total * {_Q11_NUM}
+ORDER BY value_cents DESC, l_partkey"""
+
+
+def q13_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape — customer order-count distribution: how many
+    customers placed exactly N orders, INCLUDING the zero-order customers
+    (left join, null count → 0). Per-custkey counts come from a combiner +
+    groupby; the customer side joins distributed (fact-scaled) and the
+    final histogram groupby is order-count-bounded."""
+    orders = ops.read_table(sf_dir, "orders", ["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"c_custkey": pc.cast(t["o_custkey"], pa.int64())}) \
+            .group_by(["c_custkey"]).aggregate([("c_custkey", "count")])
+        return pa.table({"c_custkey": g["c_custkey"],
+                         "n": pc.cast(g["c_custkey_count"], pa.int64())})
+
+    counts = (orders.map_batches(partial, batch_format="pyarrow")
+              .groupby("c_custkey").aggregate(Sum("n", alias_name="c_count")))
+    cust = ops.read_table(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: pa.table({"c_custkey": pc.cast(t["c_custkey"], pa.int64())}),
+        batch_format="pyarrow")
+    j = ops.hash_join(cust, ops._compact(counts), on=("c_custkey",),
+                      how="left_outer")
+    filled = j.map_batches(
+        lambda t: pa.table({"c_count": pc.coalesce(
+            pc.cast(t["c_count"], pa.int64()), pa.scalar(0, pa.int64()))}),
+        batch_format="pyarrow")
+    g = filled.groupby("c_count").aggregate(Count(alias_name="custdist"))
+    out = g.map_batches(
+        lambda t: pa.table({"c_count": t["c_count"],
+                            "custdist": pc.cast(t["custdist"], pa.int64())}),
+        batch_format="pyarrow")
+    return out.sort(["custdist", "c_count"], descending=[True, True])
+
+
+O_Q13_ORDER_DISTRIBUTION = """
+WITH c AS (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+           FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+           GROUP BY 1)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""
+
+
+_Q15_LO, _Q15_HI = "1996-01-01", "1996-04-01"
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — top supplier(s): suppliers whose quarter revenue
+    EQUALS the global maximum (the view + scalar-subquery max pattern; ties
+    all surface, exactly as the spec demands). Per-supplier revenue is a
+    combiner + supplier-bounded groupby rounded to int64 e4 units; the max
+    is a per-block local-max fold (O(blocks) driver rows); the equality
+    filter runs distributed. Supplier names attach via a sized join (the
+    winner set is tiny; supplier stays distributed above threshold)."""
+    lo, hi = _ts(_Q15_LO), _ts(_Q15_HI)
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_suppkey", "l_shipdate", "l_extendedprice",
+                         "l_discount"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        g = pa.table({"s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                      "rev": _rev(t)}).group_by(["s_suppkey"]).aggregate(
+            [("rev", "sum")])
+        return pa.table({"s_suppkey": g["s_suppkey"], "rev": g["rev_sum"]})
+
+    per_supp = (li.map_batches(l_prep, batch_format="pyarrow")
+                .groupby("s_suppkey").aggregate(Sum("rev", alias_name="r")))
+    per_supp = per_supp.map_batches(
+        lambda t: pa.table({"s_suppkey": t["s_suppkey"],
+                            "total_rev_e4": _e4(t["r"])}),
+        batch_format="pyarrow").materialize()
+    best = 0
+    for b in per_supp.map_batches(
+            lambda t: pa.table({"m": pa.array(
+                [pc.max(t["total_rev_e4"]).as_py() or 0], pa.int64())}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        best = max(best, max(b["m"].to_pylist()))
+    winners = per_supp.map_batches(
+        lambda t: t.filter(pc.equal(t["total_rev_e4"],
+                                    pa.scalar(best, pa.int64()))),
+        batch_format="pyarrow")
+    supp = ops.read_table(sf_dir, "supplier", ["s_suppkey", "s_name"]) \
+        .map_batches(
+            lambda t: pa.table({"s_suppkey": pc.cast(t["s_suppkey"],
+                                                     pa.int64()),
+                                "s_name": t["s_name"]}),
+            batch_format="pyarrow")
+    out = ops.hash_join_sized(supp, ops._compact(winners), on=("s_suppkey",))
+    return out.sort("s_suppkey")
+
+
+O_Q15_TOP_SUPPLIER = f"""
+WITH r AS (SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey,
+                  CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000)
+                       AS BIGINT) AS total_rev_e4
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}'
+             AND l_shipdate < TIMESTAMP '{_Q15_HI}'
+           GROUP BY 1)
+SELECT r.s_suppkey, s.s_name, r.total_rev_e4
+FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+WHERE r.total_rev_e4 = (SELECT max(total_rev_e4) FROM r)
+ORDER BY r.s_suppkey"""
+
+
+def q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — small-quantity-order revenue: total revenue of
+    lineitems whose quantity is below 20 %% of their part's average
+    quantity. Decorrelated: per-part (n, Σqty) stats from a combiner +
+    groupby; one distributed fact⋈stats join; the 0.2·avg predicate is the
+    exact integer cross-multiplication ``qty_e2 * 5 * n < sum_qty_e2``
+    (never a floated average or fraction). Returns the exact sufficient
+    statistics (revenue_e4, n_lines) in one row — TPC-H's /7.0 is left to
+    the reader, a rounded ratio would be hash-fragile."""
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_partkey", "l_quantity", "l_extendedprice",
+                         "l_discount"]).map_batches(
+        lambda t: pa.table({
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "qty_e2": _cents(t["l_quantity"]),
+            "rev": _rev(t)}),
+        batch_format="pyarrow").materialize()
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_partkey"]).aggregate(
+            [("qty_e2", "sum"), ("qty_e2", "count")])
+        return pa.table({"l_partkey": g["l_partkey"],
+                         "sq": pc.cast(g["qty_e2_sum"], pa.int64()),
+                         "n": pc.cast(g["qty_e2_count"], pa.int64())})
+
+    stats = (li.map_batches(stat_partial, batch_format="pyarrow")
+             .groupby("l_partkey")
+             .aggregate(Sum("sq", alias_name="sum_qty_e2"),
+                        Sum("n", alias_name="n_lines_part")))
+    j = ops.hash_join(li, ops._compact(stats), on=("l_partkey",))
+    small = j.map_batches(
+        lambda t: t.filter(pc.less(
+            pc.multiply(pc.multiply(t["qty_e2"], pa.scalar(5, pa.int64())),
+                        t["n_lines_part"]),
+            t["sum_qty_e2"])),
+        batch_format="pyarrow")
+    rev = 0.0
+    n_lines = 0
+    for b in small.map_batches(
+            lambda t: pa.table({
+                "r": pa.array([pc.sum(t["rev"]).as_py() or 0.0],
+                              pa.float64()),
+                "n": pa.array([len(t)], pa.int64())}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        rev += sum(b["r"].to_pylist())
+        n_lines += sum(b["n"].to_pylist())
+    return pa.table({
+        "revenue_e4": pa.array([int(round(rev * 10_000))], pa.int64()),
+        "n_lines": pa.array([n_lines], pa.int64())})
+
+
+O_Q17_SMALL_QTY_REVENUE = """
+WITH s AS (SELECT CAST(l_partkey AS BIGINT) AS p,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                       AS BIGINT) AS sq
+           FROM lineitem GROUP BY 1)
+SELECT CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+            AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN s ON CAST(l.l_partkey AS BIGINT) = s.p
+WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * s.n < s.sq"""
