@@ -5311,7 +5311,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # kg_degree_hist q2_cheapest_supplier kg_kcore docs_oov_rate
     # q7_nation_volume q22_idle_balance events_daily_delta
     # q11_important_parts q13_order_distribution q15_top_supplier
-    # q17_small_qty_revenue)
+    # q17_small_qty_revenue q6_forecast_revenue
+    # q12_line_priority q19_discounted_revenue)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -5360,6 +5361,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q13_order_distribution": qt.q13_order_distribution,
     "q15_top_supplier": qt.q15_top_supplier,
     "q17_small_qty_revenue": qt.q17_small_qty_revenue,
+    "q6_forecast_revenue": qt.q6_forecast_revenue,
+    "q12_line_priority": qt.q12_line_priority,
+    "q19_discounted_revenue": qt.q19_discounted_revenue,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -5564,4 +5568,7 @@ def oracles() -> dict[str, str]:
         "q13_order_distribution": qt.O_Q13_ORDER_DISTRIBUTION,
         "q15_top_supplier": qt.O_Q15_TOP_SUPPLIER,
         "q17_small_qty_revenue": qt.O_Q17_SMALL_QTY_REVENUE,
+        "q6_forecast_revenue": qt.O_Q6_FORECAST_REVENUE,
+        "q12_line_priority": qt.O_Q12_LINE_PRIORITY,
+        "q19_discounted_revenue": qt.O_Q19_DISCOUNTED_REVENUE,
     }

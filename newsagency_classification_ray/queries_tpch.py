@@ -916,3 +916,206 @@ SELECT CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem l JOIN s ON CAST(l.l_partkey AS BIGINT) = s.p
 WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * s.n < s.sq"""
+
+
+_Q6_LO, _Q6_HI = "1996-01-01", "1997-01-01"
+_Q6_QTY = 24.0
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape — forecast revenue change: one filtered pass over
+    lineitem, no join, no shuffle at all (the cheapest query in the suite;
+    it exists to prove the engine's scan+filter floor). The discount band
+    compares in integer percent (``round(disc*100) in 5..7``) so
+    float-equality on the band edges can never disagree between engines,
+    and revenue rounds PER ROW to int64 e4 units: ep and disc are
+    2-decimal, so ``ep*disc`` is exactly 4-decimal and the rounded int64
+    sum is associative — block order can never flip the value hash the way
+    a float-sum-then-round could. Each block contributes one (sum, count)
+    row; the driver folds O(blocks) rows."""
+    lo, hi = _ts(_Q6_LO), _ts(_Q6_HI)
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_shipdate", "l_discount", "l_quantity",
+                         "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_pct = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
+                           pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi)),
+            pc.and_(pc.and_(pc.greater_equal(disc_pct, 5),
+                            pc.less_equal(disc_pct, 7)),
+                    pc.less(t["l_quantity"], _Q6_QTY)))
+        t2 = t.filter(keep)
+        rev = pc.cast(pc.round(pc.multiply(
+            pc.multiply(t2["l_extendedprice"], t2["l_discount"]), 10_000)),
+            pa.int64())
+        return pa.table({
+            "revenue_e4": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+            "n_lines": pa.array([len(t2)], pa.int64())})
+
+    rev = n = 0
+    for b in li.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        rev += sum(b["revenue_e4"].to_pylist())
+        n += sum(b["n_lines"].to_pylist())
+    return pa.table({"revenue_e4": pa.array([rev], pa.int64()),
+                     "n_lines": pa.array([n], pa.int64())})
+
+
+O_Q6_FORECAST_REVENUE = f"""
+SELECT CAST(coalesce(sum(CAST(round((l_extendedprice * l_discount) * 10000)
+                               AS BIGINT)), 0) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_Q6_LO}'
+  AND l_shipdate < TIMESTAMP '{_Q6_HI}'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < {_Q6_QTY}"""
+
+
+_Q12_LO, _Q12_HI = "1996-01-01", "1997-01-01"
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_line_priority(sf_dir: str):
+    """TPC-H Q12 shape — shipping-class service quality: lines shipped in
+    one year, bucketed by ``l_linestatus`` (stands in for the schema's
+    missing l_shipmode), counting lines from high-priority orders vs the
+    rest. The fact-fact lineitem⋈orders join runs distributed with each
+    side projected to (key, one tiny column) first; the result reduces via
+    a per-batch (status, is_high) count combiner so the final groupby
+    exchanges at most 2 rows per block per status value."""
+    lo, hi = _ts(_Q12_LO), _ts(_Q12_HI)
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_orderkey", "l_shipdate", "l_linestatus"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        return pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                         "l_linestatus": t["l_linestatus"]})
+
+    orders = ops.read_table(sf_dir, "orders",
+                            ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table({"o_orderkey": pc.cast(t["o_orderkey"],
+                                                  pa.int64()),
+                            "o_orderpriority": t["o_orderpriority"]}),
+        batch_format="pyarrow")
+    j = ops.hash_join(li.map_batches(l_prep, batch_format="pyarrow"), orders,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        hi_i = pc.cast(pc.is_in(t["o_orderpriority"],
+                                value_set=pa.array(list(_Q12_HIGH))),
+                       pa.int64())
+        g = pa.table({"l_linestatus": t["l_linestatus"], "h": hi_i,
+                      "l": pc.subtract(pa.scalar(1, pa.int64()), hi_i)}) \
+            .group_by(["l_linestatus"]).aggregate([("h", "sum"),
+                                                   ("l", "sum")])
+        return pa.table({"l_linestatus": g["l_linestatus"],
+                         "h": g["h_sum"], "l": g["l_sum"]})
+
+    g = (j.map_batches(partial, batch_format="pyarrow")
+         .groupby("l_linestatus")
+         .aggregate(Sum("h", alias_name="high_line_count"),
+                    Sum("l", alias_name="low_line_count")))
+    out = g.map_batches(
+        lambda t: pa.table({
+            "l_linestatus": t["l_linestatus"],
+            "high_line_count": pc.cast(t["high_line_count"], pa.int64()),
+            "low_line_count": pc.cast(t["low_line_count"], pa.int64())}),
+        batch_format="pyarrow")
+    return out.sort("l_linestatus")
+
+
+O_Q12_LINE_PRIORITY = f"""
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{_Q12_LO}'
+  AND l.l_shipdate < TIMESTAMP '{_Q12_HI}'
+GROUP BY 1 ORDER BY 1"""
+
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi) — three disjunctive bands
+_Q19_BANDS = (("Brand#1", 1, 10, 1.0, 11.0),
+              ("Brand#2", 11, 20, 10.0, 20.0),
+              ("Brand#3", 21, 30, 20.0, 30.0))
+
+
+def q19_discounted_revenue(sf_dir: str):
+    """TPC-H Q19 shape — disjunctive brand/size/quantity predicates: total
+    discounted revenue of lineitems matching any of three (brand, size
+    band, quantity band) conjunctions. The part side filters to the UNION
+    of the brand/size bands BEFORE the join (only candidate parts enter
+    the exchange — a tiny fraction of part); the per-band quantity
+    predicate applies vectorized after a size-adaptive join; revenue
+    rounds per row to int64 e4 (2-dec × 2-dec = exact 4-dec, so the int
+    sum is block-order-independent) and the driver folds one (sum, count)
+    row per block."""
+    part = ops.read_table(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+
+    def p_prep(t: pa.Table) -> pa.Table:
+        keep = None
+        for brand, s_lo, s_hi, _, _ in _Q19_BANDS:
+            c = pc.and_(pc.equal(t["p_brand"], brand),
+                        pc.and_(pc.greater_equal(t["p_size"], s_lo),
+                                pc.less_equal(t["p_size"], s_hi)))
+            keep = c if keep is None else pc.or_(keep, c)
+        t = t.filter(keep)
+        return pa.table({"p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                         "p_brand": t["p_brand"]})
+
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_partkey", "l_quantity", "l_extendedprice",
+                         "l_discount"]).map_batches(
+        lambda t: pa.table({
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "l_quantity": t["l_quantity"],
+            "rev_e4": pc.cast(pc.round(pc.multiply(_rev(t), 10_000)),
+                              pa.int64())}),
+        batch_format="pyarrow")
+    j = ops.hash_join_sized(
+        li, ops._compact(part.map_batches(p_prep, batch_format="pyarrow")),
+        on=("l_partkey",), right_on=("p_partkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = None
+        for brand, _, _, q_lo, q_hi in _Q19_BANDS:
+            c = pc.and_(pc.equal(t["p_brand"], brand),
+                        pc.and_(pc.greater_equal(t["l_quantity"], q_lo),
+                                pc.less_equal(t["l_quantity"], q_hi)))
+            keep = c if keep is None else pc.or_(keep, c)
+        t2 = t.filter(keep)
+        return pa.table({
+            "revenue_e4": pa.array([pc.sum(t2["rev_e4"]).as_py() or 0],
+                                   pa.int64()),
+            "n_lines": pa.array([len(t2)], pa.int64())})
+
+    rev = n = 0
+    for b in j.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        rev += sum(b["revenue_e4"].to_pylist())
+        n += sum(b["n_lines"].to_pylist())
+    return pa.table({"revenue_e4": pa.array([rev], pa.int64()),
+                     "n_lines": pa.array([n], pa.int64())})
+
+
+def _q19_band_sql(brand: str, s_lo: int, s_hi: int,
+                  q_lo: float, q_hi: float) -> str:
+    return (f"(p.p_brand = '{brand}' AND p.p_size BETWEEN {s_lo} AND {s_hi}"
+            f" AND l.l_quantity BETWEEN {q_lo} AND {q_hi})")
+
+
+O_Q19_DISCOUNTED_REVENUE = f"""
+SELECT CAST(coalesce(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount))
+                                    * 10000) AS BIGINT)), 0) AS BIGINT)
+           AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE {' OR '.join(_q19_band_sql(*b) for b in _Q19_BANDS)}"""
