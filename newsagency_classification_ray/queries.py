@@ -5312,7 +5312,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # q7_nation_volume q22_idle_balance events_daily_delta
     # q11_important_parts q13_order_distribution q15_top_supplier
     # q17_small_qty_revenue q6_forecast_revenue
-    # q12_line_priority q19_discounted_revenue)
+    # q12_line_priority q19_discounted_revenue
+    # q20_promotion_suppliers q21_waiting_suppliers)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -5364,6 +5365,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q6_forecast_revenue": qt.q6_forecast_revenue,
     "q12_line_priority": qt.q12_line_priority,
     "q19_discounted_revenue": qt.q19_discounted_revenue,
+    "q20_promotion_suppliers": qt.q20_promotion_suppliers,
+    "q21_waiting_suppliers": qt.q21_waiting_suppliers,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -5571,4 +5574,6 @@ def oracles() -> dict[str, str]:
         "q6_forecast_revenue": qt.O_Q6_FORECAST_REVENUE,
         "q12_line_priority": qt.O_Q12_LINE_PRIORITY,
         "q19_discounted_revenue": qt.O_Q19_DISCOUNTED_REVENUE,
+        "q20_promotion_suppliers": qt.O_Q20_PROMOTION_SUPPLIERS,
+        "q21_waiting_suppliers": qt.O_Q21_WAITING_SUPPLIERS,
     }

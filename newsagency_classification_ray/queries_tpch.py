@@ -1119,3 +1119,219 @@ SELECT CAST(coalesce(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount))
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE {' OR '.join(_q19_band_sql(*b) for b in _Q19_BANDS)}"""
+
+
+_Q20_LO, _Q20_HI = "1996-01-01", "1997-01-01"
+_Q20_SUFFIX = "widget"
+_Q20_REGION = "EUROPE"
+_Q20_NUM, _Q20_DEN = 3, 2  # keep pairs shipping > 1.5x the mean pair qty
+
+
+def q20_promotion_suppliers(sf_dir: str):
+    """TPC-H Q20 shape — potential part-promotion suppliers: suppliers in
+    one region who shipped an outsized quantity of a name-matched part
+    family in one year (lineitem shipped-quantity stands in for the
+    missing partsupp availqty; the 0.5*availqty bar becomes a
+    mean-relative one — pairs shipping > 1.5x the mean (supplier, part)
+    quantity — so selectivity is scale-invariant). The nested-semi-join
+    plan: name-filtered part keys reduce the lineitem side FIRST (sized
+    join, small side right); per-(supplier, part) quantities come from a
+    per-batch combiner + one groupby in exact e2 units; the global
+    (total, n_pairs) folds O(blocks) driver rows and the threshold is the
+    integer cross-multiplication ``q * n * DEN > total * NUM``; winning
+    suppliers dedup via distinct, then the region-filtered supplier dim
+    (nation⋈region broadcast as in q5) joins size-adaptively."""
+    lo, hi = _ts(_Q20_LO), _ts(_Q20_HI)
+    part = ops.read_table(sf_dir, "part", ["p_partkey", "p_name"])
+    pkeys = part.map_batches(
+        lambda t: pa.table({"p_partkey": pc.cast(
+            t.filter(pc.ends_with(t["p_name"], _Q20_SUFFIX))["p_partkey"],
+            pa.int64())}),
+        batch_format="pyarrow")
+
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_partkey", "l_suppkey", "l_shipdate",
+                         "l_quantity"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        g = pa.table({"s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                      "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                      "q": _cents(t["l_quantity"])}).group_by(
+            ["s_suppkey", "l_partkey"]).aggregate([("q", "sum")])
+        return pa.table({"s_suppkey": g["s_suppkey"],
+                         "l_partkey": g["l_partkey"], "q": g["q_sum"]})
+
+    lp = ops.hash_join_sized(
+        li.map_batches(l_prep, batch_format="pyarrow"),
+        ops._compact(ops.distinct(pkeys, ["p_partkey"])),
+        on=("l_partkey",), right_on=("p_partkey",))
+    pairs = (lp.groupby(["s_suppkey", "l_partkey"])
+             .aggregate(Sum("q", alias_name="qty_e2"))).materialize()
+
+    total = n_pairs = 0
+    for b in pairs.map_batches(
+            lambda t: pa.table({
+                "s": pa.array([pc.sum(t["qty_e2"]).as_py() or 0], pa.int64()),
+                "n": pa.array([len(t)], pa.int64())}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        total += sum(b["s"].to_pylist())
+        n_pairs += sum(b["n"].to_pylist())
+    thresh = pa.scalar(total * _Q20_NUM, pa.int64())
+    mult = pa.scalar(n_pairs * _Q20_DEN, pa.int64())
+    winners = ops.distinct(
+        pairs.map_batches(
+            lambda t: pa.table({"s_suppkey": t.filter(
+                pc.greater(pc.multiply(t["qty_e2"], mult),
+                           thresh))["s_suppkey"]}),
+            batch_format="pyarrow"),
+        ["s_suppkey"])
+
+    nation = ops.read_table(sf_dir, "nation").to_pandas()
+    region = ops.read_table(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    nkeys = set(dim[dim["r_name"] == _Q20_REGION]["n_nationkey"].astype(int))
+    supp = ops.read_table(sf_dir, "supplier",
+                          ["s_suppkey", "s_name", "s_nationkey"]).map_batches(
+        lambda t: pa.table({
+            "s_suppkey": pc.cast(
+                t.filter(pc.is_in(pc.cast(t["s_nationkey"], pa.int64()),
+                                  value_set=pa.array(sorted(nkeys),
+                                                     pa.int64())))
+                ["s_suppkey"], pa.int64()),
+            "s_name": t.filter(pc.is_in(pc.cast(t["s_nationkey"],
+                                                pa.int64()),
+                               value_set=pa.array(sorted(nkeys),
+                                                  pa.int64())))["s_name"]}),
+        batch_format="pyarrow")
+    out = ops.hash_join_sized(supp, ops._compact(winners), on=("s_suppkey",))
+    return out.sort("s_suppkey")
+
+
+O_Q20_PROMOTION_SUPPLIERS = f"""
+WITH pairs AS (SELECT CAST(l.l_suppkey AS BIGINT) AS s,
+                      CAST(l.l_partkey AS BIGINT) AS pk,
+                      CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT))
+                           AS BIGINT) AS q
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+               WHERE p.p_name LIKE '%{_Q20_SUFFIX}'
+                 AND l.l_shipdate >= TIMESTAMP '{_Q20_LO}'
+                 AND l.l_shipdate < TIMESTAMP '{_Q20_HI}'
+               GROUP BY 1, 2),
+g AS (SELECT CAST(sum(q) AS BIGINT) AS total, count(*) AS n FROM pairs),
+w AS (SELECT DISTINCT s FROM pairs, g
+      WHERE q * g.n * {_Q20_DEN} > g.total * {_Q20_NUM})
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN w ON s.s_suppkey = w.s
+JOIN nation nt ON s.s_nationkey = nt.n_nationkey
+JOIN region r ON nt.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{_Q20_REGION}'
+ORDER BY s.s_suppkey"""
+
+
+_Q21_TOPK = 20
+
+
+def q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape — suppliers who kept multi-supplier orders waiting:
+    for finished ('F') orders touched by >= 2 suppliers, the UNIQUE
+    supplier whose lines carry the strictly latest ship day (l_shipdate
+    stands in for the missing receipt/commit dates; "only this supplier is
+    late" maps to "only this supplier attains the order's max ship day").
+    Plan: orders filters to 'F' keys and joins the lineitem projection
+    distributed (fact-fact); a per-batch (order, supplier) max-day
+    combiner bounds every order group to <= suppliers-per-order rows; the
+    blocker test runs inside groupby(order).map_groups on pyarrow groups;
+    per-supplier wait counts reduce with a count combiner and the top-20
+    is a per-block local top-k + O(blocks*k) driver merge
+    (numwait DESC, s_suppkey tie-break = total order). Winner names attach
+    driver-side: the winner set is <= k rows by construction."""
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        g = pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                      "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                      "d": _day(t["l_shipdate"])}).group_by(
+            ["l_orderkey", "s_suppkey"]).aggregate([("d", "max")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "s_suppkey": g["s_suppkey"], "d": g["d_max"]})
+
+    okeys = ops.read_table(sf_dir, "orders",
+                           ["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda t: pa.table({"l_orderkey": pc.cast(
+            t.filter(pc.equal(t["o_orderstatus"], "F"))["o_orderkey"],
+            pa.int64())}),
+        batch_format="pyarrow")
+    j = ops.hash_join(li.map_batches(l_prep, batch_format="pyarrow"), okeys,
+                      on=("l_orderkey",))
+
+    def blocker(t: pa.Table) -> pa.Table:
+        # group = one order; rows may repeat (supplier, day) across input
+        # blocks — reduce to per-supplier max first, then the unique-argmax
+        # test. Groups are bounded by suppliers-per-order.
+        g = t.group_by(["s_suppkey"]).aggregate([("d", "max")])
+        if len(g) < 2:
+            return pa.table({"s_suppkey": pa.array([], pa.int64())})
+        d = g["d_max"].to_numpy(zero_copy_only=False)
+        at_max = np.flatnonzero(d == d.max())
+        if len(at_max) != 1:
+            return pa.table({"s_suppkey": pa.array([], pa.int64())})
+        return pa.table({"s_suppkey": g["s_suppkey"].take(
+            pa.array(at_max, pa.int32()))})
+
+    blocked = j.groupby("l_orderkey").map_groups(blocker,
+                                                 batch_format="pyarrow")
+
+    def cnt(t: pa.Table) -> pa.Table:
+        g = t.group_by(["s_suppkey"]).aggregate([("s_suppkey", "count")])
+        return pa.table({"s_suppkey": g["s_suppkey"],
+                         "n": pc.cast(g["s_suppkey_count"], pa.int64())})
+
+    numwait = (blocked.map_batches(cnt, batch_format="pyarrow")
+               .groupby("s_suppkey").aggregate(Sum("n", alias_name="numwait")))
+    numwait = numwait.map_batches(
+        lambda t: pa.table({"s_suppkey": t["s_suppkey"],
+                            "numwait": pc.cast(t["numwait"], pa.int64())}),
+        batch_format="pyarrow")
+    top = _driver_topk(numwait, _Q21_TOPK, ["numwait", "s_suppkey"],
+                       [True, False])
+
+    supp = ops.read_table(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    keys = pa.array(top["s_suppkey"].to_pylist(), pa.int64())
+    name_batches = [b for b in supp.map_batches(
+        lambda t: t.filter(pc.is_in(pc.cast(t["s_suppkey"], pa.int64()),
+                                    value_set=keys)),
+        batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        if len(b)]
+    names = pa.concat_tables(name_batches) if name_batches else \
+        pa.table({"s_suppkey": pa.array([], pa.int64()),
+                  "s_name": pa.array([], pa.string())})
+    names = pa.table({"s_suppkey": pc.cast(names["s_suppkey"], pa.int64()),
+                      "s_name": names["s_name"]})
+    out = top.join(names, keys=["s_suppkey"], join_type="inner")
+    return out.sort_by([("numwait", "descending"),
+                        ("s_suppkey", "ascending")])
+
+
+O_Q21_WAITING_SUPPLIERS = f"""
+WITH pm AS (SELECT CAST(l.l_orderkey AS BIGINT) AS ok,
+                   CAST(l.l_suppkey AS BIGINT) AS sk,
+                   max(date_diff('day', TIMESTAMP '1970-01-01',
+                                 l.l_shipdate)) AS d
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+            GROUP BY 1, 2),
+st AS (SELECT ok, max(d) AS md, count(*) AS ns FROM pm GROUP BY 1),
+blk AS (SELECT pm.sk FROM pm JOIN st ON pm.ok = st.ok
+        WHERE st.ns >= 2 AND pm.d = st.md
+          AND 1 = (SELECT count(*) FROM pm p2
+                   WHERE p2.ok = pm.ok AND p2.d = st.md)),
+c AS (SELECT sk AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+      FROM blk GROUP BY 1)
+SELECT c.s_suppkey, s.s_name, c.numwait
+FROM c JOIN supplier s ON s.s_suppkey = c.s_suppkey
+ORDER BY numwait DESC, c.s_suppkey LIMIT {_Q21_TOPK}"""
