@@ -5313,7 +5313,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # q11_important_parts q13_order_distribution q15_top_supplier
     # q17_small_qty_revenue q6_forecast_revenue
     # q12_line_priority q19_discounted_revenue
-    # q20_promotion_suppliers q21_waiting_suppliers)
+    # q20_promotion_suppliers q21_waiting_suppliers
+    # q8_market_share q9_product_type_profit)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -5367,6 +5368,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q19_discounted_revenue": qt.q19_discounted_revenue,
     "q20_promotion_suppliers": qt.q20_promotion_suppliers,
     "q21_waiting_suppliers": qt.q21_waiting_suppliers,
+    "q8_market_share": qt.q8_market_share,
+    "q9_product_type_profit": qt.q9_product_type_profit,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -5576,4 +5579,6 @@ def oracles() -> dict[str, str]:
         "q19_discounted_revenue": qt.O_Q19_DISCOUNTED_REVENUE,
         "q20_promotion_suppliers": qt.O_Q20_PROMOTION_SUPPLIERS,
         "q21_waiting_suppliers": qt.O_Q21_WAITING_SUPPLIERS,
+        "q8_market_share": qt.O_Q8_MARKET_SHARE,
+        "q9_product_type_profit": qt.O_Q9_PRODUCT_TYPE_PROFIT,
     }

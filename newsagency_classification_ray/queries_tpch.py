@@ -1,6 +1,9 @@
-"""TPC-H-shape analytics over the synthetic tables (Q3/Q4/Q10/Q14/Q16/Q18).
+"""TPC-H-shape analytics over the synthetic tables — the full 22-query
+suite. Q1 (pricing_summary), Q2, Q5, Q7 and Q22 live in ``queries.py``
+(they predate this module); Q3, Q4, Q6, Q8, Q9, Q10, Q11, Q12, Q13, Q14,
+Q15, Q16, Q17, Q18, Q19, Q20 and Q21 are here.
 
-The reference repo's relational surface stops at dict lookups; these six
+The reference repo's relational surface stops at dict lookups; these
 queries exercise the engine's join/aggregate machinery in the classic
 decision-support shapes a warehouse user expects, adapted to the columns the
 synthetic schema actually has (no shipmode/commitdate/partsupp — each
@@ -1335,3 +1338,221 @@ c AS (SELECT sk AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
 SELECT c.s_suppkey, s.s_name, c.numwait
 FROM c JOIN supplier s ON s.s_suppkey = c.s_suppkey
 ORDER BY numwait DESC, c.s_suppkey LIMIT {_Q21_TOPK}"""
+
+
+_Q8_LO, _Q8_HI = "1996-01-01", "1998-01-01"
+_Q8_REGION = "AMERICA"
+_Q8_NATIONKEY = 6  # NATION_6 sits in AMERICA (regionkey 1)
+_Q8_TYPE = "PROMO"
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape — national market share: of the revenue from one
+    part type sold to customers in one region over two years, the share
+    supplied by one nation, per order year. The ratio ships as its exact
+    integer sufficient statistics (num_e4 / den_e4) — a rounded float
+    share would be hash-fragile. Plan: type-filtered part keys and the
+    supplier (suppkey → nationkey) projection join size-adaptively; the
+    region-filtered customer keys reduce the date-filtered orders side
+    BEFORE the fact-fact lineitem⋈orders join (same push-the-dim-down
+    ordering as q5); revenue rounds per row to int64 e4 (2-dec × 2-dec,
+    order-independent sum) and a per-batch (year, is_target) combiner
+    leaves the final groupby exchanging 2 rows per block per year."""
+    lo, hi = _ts(_Q8_LO), _ts(_Q8_HI)
+    nation = ops.read_table(sf_dir, "nation").to_pandas()
+    region = ops.read_table(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    ckeys_set = sorted(dim[dim["r_name"] == _Q8_REGION]["n_nationkey"]
+                       .astype(int))
+    cnat = pa.array(ckeys_set, pa.int64())
+
+    cust = ops.read_table(sf_dir, "customer",
+                          ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table({"o_custkey": pc.cast(
+            t.filter(pc.is_in(pc.cast(t["c_nationkey"], pa.int64()),
+                              value_set=cnat))["c_custkey"], pa.int64())}),
+        batch_format="pyarrow")
+
+    orders = ops.read_table(sf_dir, "orders",
+                            ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                         "o_year": pc.cast(pc.year(t["o_orderdate"]),
+                                           pa.int64())})
+
+    ord_f = ops.hash_join_sized(
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        ops._compact(ops.distinct(cust, ["o_custkey"])), on=("o_custkey",))
+
+    pkeys = ops.read_table(sf_dir, "part",
+                           ["p_partkey", "p_type"]).map_batches(
+        lambda t: pa.table({"l_partkey": pc.cast(
+            t.filter(pc.equal(t["p_type"], _Q8_TYPE))["p_partkey"],
+            pa.int64())}),
+        batch_format="pyarrow")
+
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_orderkey", "l_partkey", "l_suppkey",
+                         "l_extendedprice", "l_discount"]).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "rev_e4": pc.cast(pc.round(pc.multiply(_rev(t), 10_000)),
+                              pa.int64())}),
+        batch_format="pyarrow")
+    lp = ops.hash_join_sized(li, ops._compact(pkeys), on=("l_partkey",))
+    supp = ops.read_table(sf_dir, "supplier",
+                          ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table({"l_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                            "s_nationkey": pc.cast(t["s_nationkey"],
+                                                   pa.int64())}),
+        batch_format="pyarrow")
+    lps = ops.hash_join_sized(lp, ops._compact(supp), on=("l_suppkey",))
+    full = ops.hash_join(lps, ord_f, on=("l_orderkey",),
+                         right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        is_t = pc.cast(pc.equal(t["s_nationkey"],
+                                pa.scalar(_Q8_NATIONKEY, pa.int64())),
+                       pa.int64())
+        g = pa.table({"o_year": t["o_year"],
+                      "num": pc.multiply(is_t, t["rev_e4"]),
+                      "den": t["rev_e4"]}).group_by(["o_year"]).aggregate(
+            [("num", "sum"), ("den", "sum")])
+        return pa.table({"o_year": g["o_year"], "num": g["num_sum"],
+                         "den": g["den_sum"]})
+
+    g = (full.map_batches(partial, batch_format="pyarrow")
+         .groupby("o_year").aggregate(Sum("num", alias_name="num_e4"),
+                                      Sum("den", alias_name="den_e4")))
+    out = g.map_batches(
+        lambda t: pa.table({"o_year": t["o_year"],
+                            "num_e4": pc.cast(t["num_e4"], pa.int64()),
+                            "den_e4": pc.cast(t["den_e4"], pa.int64())}),
+        batch_format="pyarrow")
+    return out.sort("o_year")
+
+
+O_Q8_MARKET_SHARE = f"""
+WITH ord AS (SELECT o.o_orderkey,
+                    CAST(year(o.o_orderdate) AS BIGINT) AS o_year
+             FROM orders o
+             JOIN customer c ON c.c_custkey = o.o_custkey
+             JOIN nation n ON c.c_nationkey = n.n_nationkey
+             JOIN region r ON n.n_regionkey = r.r_regionkey
+             WHERE r.r_name = '{_Q8_REGION}'
+               AND o.o_orderdate >= TIMESTAMP '{_Q8_LO}'
+               AND o.o_orderdate < TIMESTAMP '{_Q8_HI}')
+SELECT ord.o_year,
+       CAST(coalesce(sum(CASE WHEN s.s_nationkey = {_Q8_NATIONKEY}
+                              THEN CAST(round((l.l_extendedprice *
+                                   (1 - l.l_discount)) * 10000) AS BIGINT)
+                              ELSE 0 END), 0) AS BIGINT) AS num_e4,
+       CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                     AS BIGINT)) AS BIGINT) AS den_e4
+FROM lineitem l
+JOIN ord ON l.l_orderkey = ord.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '{_Q8_TYPE}'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1 ORDER BY 1"""
+
+
+_Q9_NEEDLE = "bolt"
+_Q9_COST = 0.1  # cost proxy: p_retailprice * l_quantity * 0.1
+
+
+def q9_product_type_profit(sf_dir: str):
+    """TPC-H Q9 shape — product-type profit by supplier nation and year:
+    profit of name-matched parts, where cost substitutes
+    ``p_retailprice * l_quantity * {_Q9_COST}`` for the schema's missing
+    partsupp supplycost. Profit rounds PER ROW with the oracle's exact
+    double expression order (rev minus (retail*qty)*cost-rate, then *1e4)
+    so both engines fold identical int64 values in any block order. Plan:
+    name-filtered part (carrying retailprice) and the supplier nationkey
+    projection join size-adaptively; orders project to (key, year) and
+    join distributed (no date filter — the year IS the group key); nation
+    names attach via an index_in broadcast probe inside the final
+    combiner."""
+    part = ops.read_table(sf_dir, "part",
+                          ["p_partkey", "p_name", "p_retailprice"])
+    pf = part.map_batches(
+        lambda t: (lambda f: pa.table({
+            "l_partkey": pc.cast(f["p_partkey"], pa.int64()),
+            "p_retailprice": f["p_retailprice"]}))(
+                t.filter(pc.match_substring(t["p_name"], _Q9_NEEDLE))),
+        batch_format="pyarrow")
+
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_orderkey", "l_partkey", "l_suppkey",
+                         "l_quantity", "l_extendedprice", "l_discount"]) \
+        .map_batches(
+        lambda t: pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "l_quantity": t["l_quantity"],
+            "rev": _rev(t)}),
+        batch_format="pyarrow")
+    lp = ops.hash_join_sized(li, ops._compact(pf), on=("l_partkey",))
+    supp = ops.read_table(sf_dir, "supplier",
+                          ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table({"l_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                            "s_nationkey": pc.cast(t["s_nationkey"],
+                                                   pa.int64())}),
+        batch_format="pyarrow")
+    lps = ops.hash_join_sized(lp, ops._compact(supp), on=("l_suppkey",))
+    orders = ops.read_table(sf_dir, "orders",
+                            ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table({"o_orderkey": pc.cast(t["o_orderkey"],
+                                                  pa.int64()),
+                            "o_year": pc.cast(pc.year(t["o_orderdate"]),
+                                              pa.int64())}),
+        batch_format="pyarrow")
+    full = ops.hash_join(lps, orders, on=("l_orderkey",),
+                         right_on=("o_orderkey",))
+
+    nation = ops.read_table(sf_dir, "nation").to_pandas()
+    nkey = pa.array(nation["n_nationkey"].astype(int), pa.int64())
+    nname = pa.array(nation["n_name"].astype(str), pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        cost = pc.multiply(pc.multiply(t["p_retailprice"], t["l_quantity"]),
+                           _Q9_COST)
+        profit = pc.cast(pc.round(pc.multiply(pc.subtract(t["rev"], cost),
+                                              10_000)), pa.int64())
+        names = pc.take(nname, pc.index_in(t["s_nationkey"],
+                                           value_set=nkey))
+        g = pa.table({"n_name": names, "o_year": t["o_year"],
+                      "p": profit}).group_by(
+            ["n_name", "o_year"]).aggregate([("p", "sum")])
+        return pa.table({"n_name": g["n_name"], "o_year": g["o_year"],
+                         "p": g["p_sum"]})
+
+    g = (full.map_batches(partial, batch_format="pyarrow")
+         .groupby(["n_name", "o_year"])
+         .aggregate(Sum("p", alias_name="profit_e4")))
+    out = g.map_batches(
+        lambda t: pa.table({"n_name": t["n_name"], "o_year": t["o_year"],
+                            "profit_e4": pc.cast(t["profit_e4"],
+                                                 pa.int64())}),
+        batch_format="pyarrow")
+    return out.sort(["n_name", "o_year"], descending=[False, True])
+
+
+O_Q9_PRODUCT_TYPE_PROFIT = f"""
+SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                            - p.p_retailprice * l.l_quantity * {_Q9_COST})
+                           * 10000) AS BIGINT)) AS BIGINT) AS profit_e4
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%{_Q9_NEEDLE}%'
+GROUP BY 1, 2 ORDER BY n_name, o_year DESC"""
