@@ -235,6 +235,10 @@ def run_bench() -> dict:
     timed("docs_pmi_bigrams", lambda: Q.q_docs_pmi_bigrams(sf_dir).num_rows)
     timed("docs_gopher_rules",
           lambda: Q.q_docs_gopher_rules(sf_dir).count())
+    timed("q9_product_type_profit",
+          lambda: Q.QUERIES["q9_product_type_profit"](sf_dir).count())
+    timed("q21_waiting_suppliers",
+          lambda: Q.QUERIES["q21_waiting_suppliers"](sf_dir).num_rows)
 
     headline = queries["kg_flagship"]
     result = {
