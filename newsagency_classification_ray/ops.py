@@ -2642,3 +2642,169 @@ def kcore(
     raise RuntimeError(
         f"kcore: no convergence in {max_iters} peel rounds — raise "
         f"max_iters (adversarial peel depth)")
+
+
+def hits(
+    edges: Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 8,
+    round_decimals: int = 9,
+    driver_edge_limit: int = 500_000,
+) -> Dataset:
+    """HITS hubs-and-authorities over a directed weighted edge list —
+    the dual-score companion to :func:`pagerank` (reference: the repo's
+    graph analysis stops at notebook networkx calls; this is the
+    Ray-native iterative formulation). Two regimes with identical math:
+
+    * ``edges <= driver_edge_limit`` (a constructed KG is ~10^6x smaller
+      than its corpus): canonical-sorted edges iterate on the driver —
+      each of the ``iters`` rounds is two dense ``np.add.at`` passes.
+    * larger graphs: each half-step is ``edges ⋈ score → per-batch
+      partial → groupby(node).sum`` with only node-scale tables ever
+      materialized; edge blocks stream through every join.
+
+    Per half-step discipline (what makes re-runs bit-stable and the
+    driver regime a faithful oracle mirror): raw sums round to
+    ``round_decimals``; the L1 norm is then the EXACT integer sum of the
+    rounded values scaled by ``10^round_decimals`` — an order-independent
+    fold, unlike a float total — and the normalized scores round again.
+    As with :func:`pagerank`, the two regimes differ in float partial-sum
+    decomposition, so a value exactly on a rounding boundary could in
+    principle flip an ulp across regimes; rounding guarantees bit-stable
+    re-runs WITHIN a regime.
+
+    update: ``auth[v] = Σ_{u→v} w·hub[u]`` then L1-normalize;
+    ``hub[u] = Σ_{u→v} w·auth[v]`` then L1-normalize. Nodes appearing
+    only as sources carry auth 0 (and vice versa). Returns
+    ``(node, hub, auth)`` float64 rounded to ``round_decimals``.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    scale = 10 ** round_decimals
+    w_expr = (lambda t: pc.cast(t[weight], pa.float64())) if weight else (
+        lambda t: pa.array(np.ones(len(t)), type=pa.float64()))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t[src], "dst": t[dst], "w": w_expr(t)})
+
+    e = _compact(edges.map_batches(project, batch_format="pyarrow")).materialize()
+    n_edges = e.count()
+
+    if n_edges == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "hub": pa.array([], pa.float64()),
+            "auth": pa.array([], pa.float64())}))
+
+    if n_edges <= driver_edge_limit:
+        rows = sorted(((r["src"], r["dst"], float(r["w"]))
+                       for r in e.take_all()))
+        nodes_l = sorted({a for a, _, _ in rows} | {b for _, b, _ in rows})
+        pos = {v: i for i, v in enumerate(nodes_l)}
+        nn = len(nodes_l)
+        si = np.asarray([pos[a] for a, _, _ in rows], dtype=np.int64)
+        di = np.asarray([pos[b] for _, b, _ in rows], dtype=np.int64)
+        wv = np.asarray([x for _, _, x in rows], dtype=np.float64)
+
+        def l1_norm(raw: "np.ndarray") -> "np.ndarray":
+            v = np.round(raw, round_decimals)
+            s_int = int(np.round(v * scale).astype(np.int64).sum())
+            if s_int <= 0:
+                return v
+            return np.round(v * scale / s_int, round_decimals)
+
+        h = np.full(nn, round(1.0 / nn, round_decimals))
+        a = np.zeros(nn)
+        for _ in range(iters):
+            a_raw = np.zeros(nn)
+            np.add.at(a_raw, di, wv * h[si])
+            a = l1_norm(a_raw)
+            h_raw = np.zeros(nn)
+            np.add.at(h_raw, si, wv * a[di])
+            h = l1_norm(h_raw)
+        node_type = e.schema().base_schema.field("src").type
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes_l, type=node_type),
+            "hub": pa.array(h, pa.float64()),
+            "auth": pa.array(a, pa.float64())}))
+
+    # distributed regime: node-keyed score tables, edge blocks stream
+    nodes = _compact(distinct(
+        e.map_batches(lambda t: pa.table({"node": t["src"]}),
+                      batch_format="pyarrow")
+        .union(e.map_batches(lambda t: pa.table({"node": t["dst"]}),
+                             batch_format="pyarrow")),
+        ["node"])).materialize()
+    n = nodes.count()
+    r0 = round(1.0 / n, round_decimals)
+    hub = nodes.map_batches(
+        lambda t: t.append_column("s", pa.array(
+            np.full(len(t), r0), pa.float64())),
+        batch_format="pyarrow").materialize()
+
+    def _half_step(score: Dataset, key_in: str, key_out: str) -> Dataset:
+        """edges ⋈ score(key_in) → Σ w·s per key_out, rounded + exact-int
+        L1-normalized node scores (nodes absent from the sum get 0)."""
+        j = hash_join(
+            e, _compact(score.map_batches(
+                lambda t: t.rename_columns([key_in, "s"]),
+                batch_format="pyarrow")),
+            on=(key_in,))
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = pa.table({
+                "node": t[key_out],
+                "c": pc.multiply(t["w"], t["s"])}).group_by(
+                ["node"]).aggregate([("c", "sum")])
+            return pa.table({"node": g["node"], "c": g["c_sum"]})
+
+        raw = _compact(j.map_batches(partial, batch_format="pyarrow")
+                       .groupby("node").aggregate(Sum("c", alias_name="c")))
+        rounded = raw.map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "v": pc.round(t["c"], ndigits=round_decimals)}),
+            batch_format="pyarrow").materialize()
+        s_int = 0
+        for b in rounded.map_batches(
+                lambda t: pa.table({"si": pa.array(
+                    [int(pc.sum(pc.cast(pc.round(pc.multiply(t["v"], scale)),
+                                        pa.int64())).as_py() or 0)],
+                    pa.int64())}),
+                batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+            s_int += sum(b["si"].to_pylist())
+        joined = hash_join_sized(nodes, _compact(rounded), on=("node",),
+                                 how="left_outer")
+        if s_int <= 0:
+            return joined.map_batches(
+                lambda t: pa.table({
+                    "node": t["node"],
+                    "s": pc.coalesce(t["v"], pa.scalar(0.0, pa.float64()))}),
+                batch_format="pyarrow").materialize()
+        return joined.map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "s": pc.round(pc.divide(pc.multiply(
+                    pc.coalesce(t["v"], pa.scalar(0.0, pa.float64())),
+                    pa.scalar(float(scale), pa.float64())),
+                    pa.scalar(float(s_int), pa.float64())),
+                    ndigits=round_decimals)}),
+            batch_format="pyarrow").materialize()
+
+    auth = None
+    for _ in range(iters):
+        auth = _half_step(hub, "src", "dst")
+        hub = _half_step(auth, "dst", "src")
+    out = hash_join(hub.map_batches(
+        lambda t: t.rename_columns(["node", "hub"]),
+        batch_format="pyarrow"),
+        auth.map_batches(lambda t: t.rename_columns(["node", "auth"]),
+                         batch_format="pyarrow"),
+        on=("node",))
+    return out.map_batches(
+        lambda t: t.select(["node", "hub", "auth"]), batch_format="pyarrow")

@@ -2022,6 +2022,77 @@ def O_KG_PAGERANK() -> str:
     )
 
 
+_HITS_ITERS, _HITS_RD = 6, 9
+
+
+def q_kg_hits(sf_dir: str):
+    """HITS hubs & authorities over the directed cites graph (url →
+    agency qid, weighted by mention count): hubs are articles citing many
+    authoritative agencies, authorities are agencies cited by strong hubs
+    — the dual-score iterative companion to q_kg_pagerank."""
+    trip = kg.triples(_mentions(sf_dir))
+    edges = trip.map_batches(
+        lambda t: pa.table({"src": t["url"], "dst": t["qid"],
+                            "w": pc.cast(t["n_mentions"], pa.float64())}),
+        batch_format="pyarrow")
+    h = ops.hits(edges, weight="w", iters=_HITS_ITERS,
+                 round_decimals=_HITS_RD)
+    return h.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "hub_nano": pc.cast(pc.round(pc.multiply(t["hub"], 1e9)),
+                                pa.int64()),
+            "auth_nano": pc.cast(pc.round(pc.multiply(t["auth"], 1e9)),
+                                 pa.int64())}),
+        batch_format="pyarrow")
+
+
+def O_KG_HITS() -> str:
+    """Pure recompute: DuckDB re-derives the cites triples from the pages
+    parquet (the already-oracled O_KG_TRIPLES SQL), then numpy runs the
+    identical round → exact-integer-L1-normalize → round iteration that
+    ops.hits' bounded regime runs (same canonical edge sort, same
+    np.add.at decomposition)."""
+    import duckdb
+
+    df = duckdb.connect().execute(O_KG_TRIPLES(_SF001)).fetchdf()
+    rows = sorted((u, q, float(n)) for u, q, n in
+                  zip(df["url"], df["qid"], df["n_mentions"]))
+    nodes = sorted({a for a, _, _ in rows} | {b for _, b, _ in rows})
+    pos = {v: i for i, v in enumerate(nodes)}
+    nn = len(nodes)
+    rd, scale = _HITS_RD, 10 ** _HITS_RD
+    si = np.asarray([pos[a] for a, _, _ in rows], dtype=np.int64)
+    di = np.asarray([pos[b] for _, b, _ in rows], dtype=np.int64)
+    wv = np.asarray([x for _, _, x in rows], dtype=np.float64)
+
+    def l1_norm(raw):
+        v = np.round(raw, rd)
+        s_int = int(np.round(v * scale).astype(np.int64).sum())
+        if s_int <= 0:
+            return v
+        return np.round(v * scale / s_int, rd)
+
+    h = np.full(nn, round(1.0 / max(nn, 1), rd))
+    a = np.zeros(nn)
+    for _ in range(_HITS_ITERS):
+        a_raw = np.zeros(nn)
+        np.add.at(a_raw, di, wv * h[si])
+        a = l1_norm(a_raw)
+        h_raw = np.zeros(nn)
+        np.add.at(h_raw, si, wv * a[di])
+        h = l1_norm(h_raw)
+    out_rows = [
+        f"({_sq(v)}, {int(round(hv * 1e9))}, {int(round(av * 1e9))})"
+        for v, hv, av in zip(nodes, h, a)]
+    return _values_or_empty(
+        out_rows,
+        "SELECT node, CAST(hub_nano AS BIGINT) AS hub_nano, "
+        "CAST(auth_nano AS BIGINT) AS auth_nano",
+        "t(node, hub_nano, auth_nano)", "('', 0, 0)",
+    )
+
+
 def O_EMBEDDINGS_KMEANS() -> str:
     """Pure driver-side recompute of the identical deterministic Lloyd's
     iteration (same init, same per-round centroid rounding — which is what
@@ -5314,7 +5385,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # q17_small_qty_revenue q6_forecast_revenue
     # q12_line_priority q19_discounted_revenue
     # q20_promotion_suppliers q21_waiting_suppliers
-    # q8_market_share q9_product_type_profit)
+    # q8_market_share q9_product_type_profit kg_hits)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -5370,6 +5441,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q21_waiting_suppliers": qt.q21_waiting_suppliers,
     "q8_market_share": qt.q8_market_share,
     "q9_product_type_profit": qt.q9_product_type_profit,
+    "kg_hits": q_kg_hits,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -5581,4 +5653,5 @@ def oracles() -> dict[str, str]:
         "q21_waiting_suppliers": qt.O_Q21_WAITING_SUPPLIERS,
         "q8_market_share": qt.O_Q8_MARKET_SHARE,
         "q9_product_type_profit": qt.O_Q9_PRODUCT_TYPE_PROFIT,
+        "kg_hits": O_KG_HITS(),
     }

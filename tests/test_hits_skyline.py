@@ -1,0 +1,85 @@
+"""HITS (dual-score iterative) and skyline (Pareto dominance) property
+tests — brute-force mirrors plus cross-regime equality."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from newsagency_classification_ray.ops import hits
+
+
+def edges_ds(s, d, w):
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array(s, type=pa.int64()),
+        "dst": pa.array(d, type=pa.int64()),
+        "weight": pa.array(w, type=pa.float64()),
+    }))
+
+
+def brute_hits(s, d, w, iters=6, rd=9):
+    """Mirror of ops.hits' bounded regime (canonical sort, np.add.at,
+    round -> exact-int L1 normalize -> round)."""
+    rows = sorted(zip(s, d, w))
+    nodes = sorted(set(s) | set(d))
+    pos = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    scale = 10 ** rd
+    si = np.asarray([pos[a] for a, _, _ in rows])
+    di = np.asarray([pos[b] for _, b, _ in rows])
+    wv = np.asarray([x for _, _, x in rows], dtype=np.float64)
+
+    def l1(raw):
+        v = np.round(raw, rd)
+        s_int = int(np.round(v * scale).astype(np.int64).sum())
+        return v if s_int <= 0 else np.round(v * scale / s_int, rd)
+
+    h = np.full(n, round(1.0 / n, rd))
+    a = np.zeros(n)
+    for _ in range(iters):
+        a_raw = np.zeros(n)
+        np.add.at(a_raw, di, wv * h[si])
+        a = l1(a_raw)
+        h_raw = np.zeros(n)
+        np.add.at(h_raw, si, wv * a[di])
+        h = l1(h_raw)
+    return ({v: hv for v, hv in zip(nodes, h.tolist())},
+            {v: av for v, av in zip(nodes, a.tolist())})
+
+
+def test_hits_both_regimes_match_brute_force():
+    rng = np.random.default_rng(7)
+    # nodes 18/19 never sources (auth-only); node 0 heavily hub-weighted
+    s = rng.integers(0, 18, 60).tolist()
+    d = rng.integers(0, 20, 60).tolist()
+    w = rng.uniform(0.5, 2.0, 60).round(3).tolist()
+    exp_h, exp_a = brute_hits(s, d, w)
+    ds = edges_ds(s, d, w).repartition(4)
+    driver = hits(ds, weight="weight", iters=6).to_pandas()
+    assert dict(zip(driver.node, driver.hub)) == exp_h
+    assert dict(zip(driver.node, driver.auth)) == exp_a
+    dist = hits(ds, weight="weight", iters=6,
+                driver_edge_limit=0).to_pandas()
+    assert dict(zip(dist.node, dist.hub)) == exp_h
+    assert dict(zip(dist.node, dist.auth)) == exp_a
+
+
+def test_hits_bipartite_unweighted():
+    # 0,1 -> 10,11,12 ; hub mass on sources, auth mass on sinks, L1 == 1
+    s = [0, 0, 0, 1, 1]
+    d = [10, 11, 12, 10, 11]
+    out = hits(edges_ds(s, d, [1.0] * 5).drop_columns(["weight"]),
+               iters=8).to_pandas().set_index("node")
+    assert abs(out.hub.sum() - 1.0) < 1e-6
+    assert abs(out.auth.sum() - 1.0) < 1e-6
+    # sinks have zero hub score, sources zero auth
+    assert out.hub[10] == out.hub[11] == out.hub[12] == 0.0
+    assert out.auth[0] == out.auth[1] == 0.0
+    # node 0 links to all three authorities -> strictly stronger hub
+    assert out.hub[0] > out.hub[1]
+    # 10/11 are cited by both hubs, 12 only by the strong one
+    assert out.auth[10] == out.auth[11] > out.auth[12] > 0
+
+
+def test_hits_empty_edges():
+    empty = edges_ds([], [], [])
+    assert hits(empty, weight="weight", iters=3).count() == 0
