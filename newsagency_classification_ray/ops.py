@@ -2808,3 +2808,58 @@ def hits(
         on=("node",))
     return out.map_batches(
         lambda t: t.select(["node", "hub", "auth"]), batch_format="pyarrow")
+
+
+def skyline2d(
+    ds: Dataset,
+    x: str,
+    y: str,
+    *,
+    candidate_limit: int = 4_000_000,
+) -> Dataset:
+    """2-D skyline (Pareto frontier, both dimensions MINIMIZED): rows not
+    dominated by any other row, where ``b`` dominates ``a`` iff
+    ``b.x <= a.x AND b.y <= a.y`` with strict inequality in at least one
+    dimension. Duplicate frontier points all survive (neither dominates).
+
+    Distributed shape: every block reduces to its LOCAL skyline first (a
+    vectorized lexsort + running-strict-min scan — dominance is
+    transitive, so the union of local skylines is a superset of the
+    global one), then ONE single-partition pass over the O(blocks ·
+    local-frontier) candidates finishes the job — no shuffle, no driver
+    loop. Partitioning assumption (documented like grouped_ntile's group
+    bound): the candidate union must fit one worker; real-data frontiers
+    are tiny, but fully anti-correlated dimensions degenerate to O(n) —
+    the ``candidate_limit`` guard raises rather than silently truncating
+    (no-silent-caps rule). Numeric (int/float) dimensions only.
+    """
+    import numpy as np
+
+    def local(t: pa.Table) -> pa.Table:
+        if len(t) <= 1:
+            return t
+        xs0 = t[x].to_numpy(zero_copy_only=False)
+        ys0 = t[y].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ys0, xs0))
+        xs, ys = xs0[order], ys0[order]
+        first = np.concatenate(([True], xs[1:] != xs[:-1]))
+        grp_min = ys[first]  # per-x-group minimal y (sorted scan)
+        run_prev = np.concatenate(
+            ([np.inf], np.minimum.accumulate(grp_min)[:-1]))
+        keep_group = grp_min < run_prev
+        gid = np.cumsum(first) - 1
+        keep = keep_group[gid] & (ys == grp_min[gid])
+        return t.take(pa.array(order[keep], pa.int64()))
+
+    cand = ds.map_batches(local, batch_format="pyarrow").materialize()
+    n_cand = cand.count()
+    if n_cand > candidate_limit:
+        raise ValueError(
+            f"skyline2d: {n_cand} local-frontier candidates exceed "
+            f"candidate_limit={candidate_limit} — the dimensions are "
+            "near-anti-correlated; pre-bucket one dimension or raise the "
+            "limit if one worker can hold the union")
+    # batch_size=None → one batch per block; after repartition(1) the
+    # single block IS the candidate union, so `local` is global here
+    return cand.repartition(1).map_batches(local, batch_size=None,
+                                           batch_format="pyarrow")

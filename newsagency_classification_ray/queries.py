@@ -2093,6 +2093,40 @@ def O_KG_HITS() -> str:
     )
 
 
+def q_part_skyline(sf_dir: str):
+    """Pareto frontier over parts — cheapest-for-their-size: parts no
+    other part beats on BOTH retail price and size (both minimized).
+    The skyline shape (dominance, not an aggregate) is irreducible to
+    groupby/topk; see ops.skyline2d for the local-frontier combiner +
+    single-partition finish."""
+    part = ops.read_table(sf_dir, "part",
+                          ["p_partkey", "p_size", "p_retailprice"])
+    proj = part.map_batches(
+        lambda t: pa.table({
+            "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+            "p_size": pc.cast(t["p_size"], pa.int64()),
+            "price_cents": pc.cast(pc.round(pc.multiply(
+                t["p_retailprice"], 100)), pa.int64())}),
+        batch_format="pyarrow")
+    sky = ops.skyline2d(proj, "p_size", "price_cents")
+    return sky.sort(["p_size", "price_cents", "p_partkey"])
+
+
+O_PART_SKYLINE = """
+WITH t AS (SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+                  CAST(p_size AS BIGINT) AS p_size,
+                  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+           FROM part)
+SELECT a.p_partkey, a.p_size, a.price_cents
+FROM t a
+WHERE NOT EXISTS (SELECT 1 FROM t b
+                  WHERE b.p_size <= a.p_size
+                    AND b.price_cents <= a.price_cents
+                    AND (b.p_size < a.p_size
+                         OR b.price_cents < a.price_cents))
+ORDER BY p_size, price_cents, p_partkey"""
+
+
 def O_EMBEDDINGS_KMEANS() -> str:
     """Pure driver-side recompute of the identical deterministic Lloyd's
     iteration (same init, same per-round centroid rounding — which is what
@@ -5385,7 +5419,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # q17_small_qty_revenue q6_forecast_revenue
     # q12_line_priority q19_discounted_revenue
     # q20_promotion_suppliers q21_waiting_suppliers
-    # q8_market_share q9_product_type_profit kg_hits)
+    # q8_market_share q9_product_type_profit kg_hits
+    # part_skyline)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -5442,6 +5477,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q8_market_share": qt.q8_market_share,
     "q9_product_type_profit": qt.q9_product_type_profit,
     "kg_hits": q_kg_hits,
+    "part_skyline": q_part_skyline,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -5654,4 +5690,5 @@ def oracles() -> dict[str, str]:
         "q8_market_share": qt.O_Q8_MARKET_SHARE,
         "q9_product_type_profit": qt.O_Q9_PRODUCT_TYPE_PROFIT,
         "kg_hits": O_KG_HITS(),
+        "part_skyline": O_PART_SKYLINE,
     }

@@ -83,3 +83,49 @@ def test_hits_bipartite_unweighted():
 def test_hits_empty_edges():
     empty = edges_ds([], [], [])
     assert hits(empty, weight="weight", iters=3).count() == 0
+
+
+from newsagency_classification_ray.ops import skyline2d
+
+
+def brute_skyline(pts):
+    out = []
+    for i, (x, y) in enumerate(pts):
+        dominated = any(
+            bx <= x and by <= y and (bx < x or by < y)
+            for j, (bx, by) in enumerate(pts) if j != i)
+        if not dominated:
+            out.append(i)
+    return sorted(out)
+
+
+def pts_ds(pts):
+    return ray.data.from_arrow(pa.table({
+        "rid": pa.array(range(len(pts)), type=pa.int64()),
+        "x": pa.array([p[0] for p in pts], type=pa.int64()),
+        "y": pa.array([p[1] for p in pts], type=pa.int64()),
+    }))
+
+
+def test_skyline_matches_brute_force_random():
+    rng = np.random.default_rng(11)
+    pts = list(zip(rng.integers(0, 40, 300).tolist(),
+                   rng.integers(0, 40, 300).tolist()))
+    out = skyline2d(pts_ds(pts).repartition(7), "x", "y").to_pandas()
+    assert sorted(out.rid.tolist()) == brute_skyline(pts)
+
+
+def test_skyline_duplicate_frontier_points_all_survive():
+    pts = [(1, 5), (1, 5), (3, 3), (5, 1), (5, 1), (4, 4), (6, 6)]
+    out = skyline2d(pts_ds(pts).repartition(3), "x", "y").to_pandas()
+    assert sorted(out.rid.tolist()) == [0, 1, 2, 3, 4]
+
+
+def test_skyline_anticorrelated_guard_raises():
+    # perfectly anti-correlated: every point is on the frontier
+    pts = [(i, 100 - i) for i in range(100)]
+    try:
+        skyline2d(pts_ds(pts).repartition(4), "x", "y", candidate_limit=10)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "candidate_limit" in str(e)
