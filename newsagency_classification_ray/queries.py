@@ -5342,6 +5342,72 @@ SELECT CAST(day AS BIGINT) AS day, n,
 FROM d ORDER BY day"""
 
 
+_CUSUM_NUM, _CUSUM_DEN = 1, 20  # flag when cusum > 5% of total volume
+
+
+def q_events_cusum_drift(sf_dir: str):
+    """CUSUM drift detection over the daily event-count series — the
+    sequential change-point scan a monitoring pipeline runs on aggregated
+    telemetry. Daily counts reduce distributed (per-batch partials, one
+    calendar-bounded groupby); the clamped prefix recursion
+    ``s_t = max(0, s_{t-1} + (x_t*n_days - total))`` then runs over the
+    tiny day series (inherently sequential — a prefix scan with a max
+    clamp has no associative decomposition, so the bounded-series driver
+    pass IS the right regime; the 100-TB input never re-enters an
+    exchange). All math is integer-exact: deviations are
+    ``x_t*n - total`` (cross-multiplied mean), and the drift flag compares
+    ``s_t * {_CUSUM_DEN} > total * n * {_CUSUM_NUM}`` — no floated mean
+    or threshold anywhere."""
+    ev = ops.read_table(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        g = pa.table({"day": day}).group_by(["day"]).aggregate(
+            [("day", "count")])
+        return pa.table({"day": g["day"],
+                         "n": pc.cast(g["day_count"], pa.int64())})
+
+    daily = (ev.map_batches(partial, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="n"))).to_pandas()
+    daily = daily.sort_values("day").reset_index(drop=True)
+    x = daily["n"].astype("int64").to_numpy()
+    nd = len(x)
+    total = int(x.sum())
+    s = 0
+    cusum, flags = [], []
+    for xt in x.tolist():
+        s = max(0, s + (xt * nd - total))
+        cusum.append(s)
+        flags.append(int(s * _CUSUM_DEN > total * nd * _CUSUM_NUM))
+    return pa.table({
+        "day": pa.array(daily["day"].astype("int64"), pa.int64()),
+        "n": pa.array(x, pa.int64()),
+        "cusum_scaled": pa.array(cusum, pa.int64()),
+        "drift_flag": pa.array(flags, pa.int64())})
+
+
+O_EVENTS_CUSUM_DRIFT = f"""
+WITH RECURSIVE d AS (SELECT date_diff('day', TIMESTAMP '1970-01-01',
+                                      CAST(ts AS TIMESTAMP)) AS day,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM events GROUP BY 1),
+g AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS nd FROM d),
+seq AS (SELECT row_number() OVER (ORDER BY day) AS rn, day, n FROM d),
+c AS (SELECT s.rn, s.day, s.n,
+             greatest(CAST(0 AS BIGINT), s.n * g.nd - g.total) AS s
+      FROM seq s, g WHERE s.rn = 1
+      UNION ALL
+      SELECT s.rn, s.day, s.n,
+             greatest(CAST(0 AS BIGINT), c.s + (s.n * g.nd - g.total))
+      FROM seq s JOIN c ON s.rn = c.rn + 1 CROSS JOIN g)
+SELECT c.day, c.n, CAST(c.s AS BIGINT) AS cusum_scaled,
+       CAST(CASE WHEN c.s * {_CUSUM_DEN} > g.total * g.nd * {_CUSUM_NUM}
+                 THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
+FROM c, g ORDER BY c.day"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -5420,7 +5486,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # q12_line_priority q19_discounted_revenue
     # q20_promotion_suppliers q21_waiting_suppliers
     # q8_market_share q9_product_type_profit kg_hits
-    # part_skyline)
+    # part_skyline events_cusum_drift)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -5478,6 +5544,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q9_product_type_profit": qt.q9_product_type_profit,
     "kg_hits": q_kg_hits,
     "part_skyline": q_part_skyline,
+    "events_cusum_drift": q_events_cusum_drift,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -5691,4 +5758,5 @@ def oracles() -> dict[str, str]:
         "q9_product_type_profit": qt.O_Q9_PRODUCT_TYPE_PROFIT,
         "kg_hits": O_KG_HITS(),
         "part_skyline": O_PART_SKYLINE,
+        "events_cusum_drift": O_EVENTS_CUSUM_DRIFT,
     }

@@ -129,3 +129,42 @@ def test_skyline_anticorrelated_guard_raises():
         assert False, "expected ValueError"
     except ValueError as e:
         assert "candidate_limit" in str(e)
+
+
+import datetime as dt
+
+import pyarrow.parquet as pq
+
+import newsagency_classification_ray.queries as Q
+
+
+def test_cusum_drift_step_change(ray_session, tmp_path):
+    # 10 quiet days of 2 events, then 5 loud days of 12: the clamped
+    # integer CUSUM stays 0 through the quiet run (deviation < 0) and
+    # accumulates once the step change starts
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for day in range(10):
+        rows += [(day, t0 + dt.timedelta(days=day, seconds=i), "a")
+                 for i in range(2)]
+    for day in range(10, 15):
+        rows += [(day, t0 + dt.timedelta(days=day, seconds=i), "a")
+                 for i in range(12)]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = Q.q_events_cusum_drift(str(tmp_path)).to_pandas()
+    assert len(out) == 15
+    total, nd = 2 * 10 + 12 * 5, 15  # 80, 15
+    # quiet days: x*nd - total = 2*15-80 = -50 -> clamped to 0
+    assert (out.cusum_scaled[:10] == 0).all()
+    # loud days accumulate +100 each (12*15-80)
+    assert out.cusum_scaled[10:].tolist() == [100, 200, 300, 400, 500]
+    exp_flags = [int(s * 20 > total * nd) for s in out.cusum_scaled]
+    assert out.drift_flag.tolist() == exp_flags
+    assert out.drift_flag.iloc[-1] == 1 and out.drift_flag.iloc[0] == 0
