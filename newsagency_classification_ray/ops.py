@@ -2863,3 +2863,129 @@ def skyline2d(
     # single block IS the candidate union, so `local` is global here
     return cand.repartition(1).map_batches(local, batch_size=None,
                                            batch_format="pyarrow")
+
+
+def sssp(
+    edges: Dataset,
+    seeds: list,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    cost: str = "cost",
+    max_iters: int = 30,
+    driver_edge_limit: int = 500_000,
+) -> Dataset:
+    """Single-source(s) shortest paths over a directed edge list with
+    INTEGER edge costs — weighted Bellman-Ford, the cost-aware sibling of
+    :func:`k_hop` (which is the cost==1 special case). Integer costs make
+    every distance exact: there is no float accumulation anywhere, so both
+    regimes and any reduction order agree bit-for-bit.
+
+    * ``edges <= driver_edge_limit``: canonical-sorted edges relax in a
+      numpy loop on the driver (a constructed KG's edge table is tiny).
+    * larger graphs: the distance table stays a node-scale Dataset; each
+      round is one edges⋈dist hash join → per-batch (dst, min) combiner →
+      groupby(dst).min, then a full-outer min-merge with the current
+      distances. Early-exits when a round improves nothing (bounded
+      O(blocks) driver fold of per-block improvement counts); edge blocks
+      stream through every join.
+
+    Negative costs are rejected (raise) — with non-negative costs
+    ``max_iters`` rounds bound the reachable diameter and the early-exit
+    fires first on real graphs. Returns ``(node, dist)`` for REACHED nodes
+    only (seeds at dist 0); unreachable nodes are absent.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Min, Sum
+
+    def project(t: pa.Table) -> pa.Table:
+        c = pc.cast(t[cost], pa.int64())
+        if len(t) and (pc.min(c).as_py() or 0) < 0:
+            raise ValueError("sssp: negative edge cost")
+        return pa.table({"src": t[src], "dst": t[dst], "cost": c})
+
+    e = _compact(edges.map_batches(project, batch_format="pyarrow")).materialize()
+    node_type = e.schema().base_schema.field("src").type
+    seed_l = sorted(set(seeds))
+    n_edges = e.count()
+
+    if n_edges <= driver_edge_limit:
+        rows = sorted((r["src"], r["dst"], int(r["cost"]))
+                      for r in e.take_all())
+        nodes_l = sorted({a for a, _, _ in rows} | {b for _, b, _ in rows}
+                         | set(seed_l))
+        pos = {v: i for i, v in enumerate(nodes_l)}
+        INF = np.iinfo(np.int64).max
+        d = np.full(len(nodes_l), INF, dtype=np.int64)
+        for s_ in seed_l:
+            d[pos[s_]] = 0
+        si = np.asarray([pos[a] for a, _, _ in rows], dtype=np.int64)
+        di = np.asarray([pos[b] for _, b, _ in rows], dtype=np.int64)
+        cv = np.asarray([c for _, _, c in rows], dtype=np.int64)
+        for _ in range(max_iters):
+            reach = d[si] != INF
+            cand = np.where(reach, d[si] + np.where(reach, cv, 0), INF)
+            new = d.copy()
+            np.minimum.at(new, di, cand)
+            if np.array_equal(new, d):
+                break
+            d = new
+        keep = d != INF
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([v for v, k in zip(nodes_l, keep) if k],
+                             type=node_type),
+            "dist": pa.array(d[keep], pa.int64())}))
+
+    dist = ray.data.from_arrow(pa.table({
+        "node": pa.array(seed_l, type=node_type),
+        "dist": pa.array([0] * len(seed_l), pa.int64()),
+    })).materialize()
+
+    for _ in range(max_iters):
+        # dist starts seed-sized (possibly 1 row): size-adaptive join is
+        # mandatory (Ray 2.49 sparse-side partition crash — see
+        # hash_join_sized)
+        j = hash_join_sized(e, _compact(dist), on=("src",),
+                            right_on=("node",))
+
+        def relax(t: pa.Table) -> pa.Table:
+            g = pa.table({"node": t["dst"],
+                          "d": pc.add(t["dist"], t["cost"])}).group_by(
+                ["node"]).aggregate([("d", "min")])
+            return pa.table({"node": g["node"], "d": g["d_min"]})
+
+        cand = _compact(j.map_batches(relax, batch_format="pyarrow")
+                        .groupby("node").aggregate(Min("d", alias_name="d")))
+        cand = cand.materialize()
+        if cand.count() == 0:
+            break
+        merged = hash_join_sized(cand, _compact(dist), on=("node",),
+                                 how="full_outer").map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "dist": pc.min_element_wise(
+                    pc.coalesce(t["d"], pa.scalar(2**62, pa.int64())),
+                    pc.coalesce(t["dist"], pa.scalar(2**62, pa.int64()))),
+                "improved": pc.cast(pc.and_(
+                    pc.is_valid(t["d"]),
+                    pc.or_(pc.is_null(t["dist"]),
+                           pc.less(pc.coalesce(t["d"],
+                                               pa.scalar(2**62, pa.int64())),
+                                   pc.coalesce(t["dist"],
+                                               pa.scalar(2**62,
+                                                         pa.int64()))))),
+                    pa.int64())}),
+            batch_format="pyarrow").materialize()
+        improved = 0
+        for b in merged.map_batches(
+                lambda t: pa.table({"i": pa.array(
+                    [int(pc.sum(t["improved"]).as_py() or 0)], pa.int64())}),
+                batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+            improved += sum(b["i"].to_pylist())
+        dist = merged.map_batches(
+            lambda t: t.select(["node", "dist"]),
+            batch_format="pyarrow").materialize()
+        if improved == 0:
+            break
+    return dist

@@ -2127,6 +2127,67 @@ WHERE NOT EXISTS (SELECT 1 FROM t b
 ORDER BY p_size, price_cents, p_partkey"""
 
 
+_SSSP_SEED = "Q2826560"  # Havas — the suite's canonical linked agency
+_SSSP_SCALE = 1_000_000
+
+
+def q_kg_sssp(sf_dir: str):
+    """Weighted shortest paths from the Havas agency node over the
+    co-occurrence graph, edge length = ceil(1e6 / weight) (strongly
+    co-occurring agencies are 'close' — inverse-frequency metric closure).
+    Integer costs end to end, so distances are exact in every regime; see
+    ops.sssp for the Bellman-Ford join formulation."""
+    edges = kg.cooccurrence_edges(_mentions(sf_dir))
+    agg = edges.groupby(["src_qid", "dst_qid"]).aggregate(
+        Sum("weight", alias_name="w"))
+
+    def with_cost(t: pa.Table) -> pa.Table:
+        w = pc.cast(t["w"], pa.int64())
+        c = pc.divide(pc.add(w, pa.scalar(_SSSP_SCALE - 1, pa.int64())), w)
+        return pa.table({"src": t["src_qid"], "dst": t["dst_qid"],
+                         "cost": c})
+
+    fwd = agg.map_batches(with_cost, batch_format="pyarrow")
+    rev = fwd.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"],
+                            "cost": t["cost"]}),
+        batch_format="pyarrow")
+    d = ops.sssp(fwd.union(rev), [_SSSP_SEED], cost="cost")
+    return d.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "dist": pc.cast(t["dist"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def O_KG_SSSP() -> str:
+    """Pure recompute: DuckDB re-derives the co-occurrence edges (the
+    already-oracled O_KG_COOCCURRENCE SQL), then Python runs Bellman-Ford
+    in exact integer arithmetic — there is no float anywhere, so no
+    decomposition mirroring is even needed."""
+    import duckdb
+
+    df = duckdb.connect().execute(O_KG_COOCCURRENCE(_SF001)).fetchdf()
+    agg = df.groupby(["src_qid", "dst_qid"], as_index=False)["weight"].sum()
+    edges = []
+    for s, t, w in zip(agg["src_qid"], agg["dst_qid"], agg["weight"]):
+        c = (_SSSP_SCALE + int(w) - 1) // int(w)
+        edges.append((s, t, c))
+        edges.append((t, s, c))
+    dist = {_SSSP_SEED: 0}
+    for _ in range(30):
+        changed = False
+        for a, b, c in edges:
+            if a in dist and dist[a] + c < dist.get(b, float("inf")):
+                dist[b] = dist[a] + c
+                changed = True
+        if not changed:
+            break
+    rows = [f"({_sq(v)}, {d})" for v, d in sorted(dist.items())]
+    return _values_or_empty(
+        rows, "SELECT node, CAST(dist AS BIGINT) AS dist",
+        "t(node, dist)", "('', 0)")
+
+
 def O_EMBEDDINGS_KMEANS() -> str:
     """Pure driver-side recompute of the identical deterministic Lloyd's
     iteration (same init, same per-round centroid rounding — which is what
@@ -5486,7 +5547,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # q12_line_priority q19_discounted_revenue
     # q20_promotion_suppliers q21_waiting_suppliers
     # q8_market_share q9_product_type_profit kg_hits
-    # part_skyline events_cusum_drift)
+    # part_skyline events_cusum_drift kg_sssp)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -5545,6 +5606,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_hits": q_kg_hits,
     "part_skyline": q_part_skyline,
     "events_cusum_drift": q_events_cusum_drift,
+    "kg_sssp": q_kg_sssp,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -5759,4 +5821,5 @@ def oracles() -> dict[str, str]:
         "kg_hits": O_KG_HITS(),
         "part_skyline": O_PART_SKYLINE,
         "events_cusum_drift": O_EVENTS_CUSUM_DRIFT,
+        "kg_sssp": O_KG_SSSP(),
     }

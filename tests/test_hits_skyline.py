@@ -168,3 +168,66 @@ def test_cusum_drift_step_change(ray_session, tmp_path):
     exp_flags = [int(s * 20 > total * nd) for s in out.cusum_scaled]
     assert out.drift_flag.tolist() == exp_flags
     assert out.drift_flag.iloc[-1] == 1 and out.drift_flag.iloc[0] == 0
+
+
+from newsagency_classification_ray.ops import sssp
+
+
+def cost_edges_ds(s, d, c):
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array(s, type=pa.int64()),
+        "dst": pa.array(d, type=pa.int64()),
+        "cost": pa.array(c, type=pa.int64()),
+    }))
+
+
+def brute_sssp(s, d, c, seeds):
+    dist = {x: 0 for x in seeds}
+    for _ in range(len(set(s) | set(d)) + 1):
+        changed = False
+        for a, b, w in zip(s, d, c):
+            if a in dist and dist[a] + w < dist.get(b, float("inf")):
+                dist[b] = dist[a] + w
+                changed = True
+        if not changed:
+            break
+    return dist
+
+
+def test_sssp_both_regimes_match_brute_force():
+    rng = np.random.default_rng(13)
+    s = rng.integers(0, 25, 80).tolist()
+    d = rng.integers(0, 25, 80).tolist()
+    c = rng.integers(1, 10, 80).tolist()
+    exp = brute_sssp(s, d, c, [0])
+    ds = cost_edges_ds(s, d, c).repartition(4)
+    driver = sssp(ds, [0]).to_pandas()
+    assert dict(zip(driver.node, driver.dist)) == exp
+    dist = sssp(ds, [0], driver_edge_limit=0).to_pandas()
+    assert dict(zip(dist.node, dist.dist)) == exp
+
+
+def test_sssp_prefers_cheap_two_hop_over_expensive_direct():
+    # 0->2 costs 10 direct, but 0->1->2 costs 3
+    out = sssp(cost_edges_ds([0, 0, 1], [2, 1, 2], [10, 1, 2]),
+               [0]).to_pandas().set_index("node")
+    assert out.dist[2] == 3 and out.dist[1] == 1 and out.dist[0] == 0
+
+
+def test_sssp_unreachable_absent_and_seed_only():
+    # 5 is disconnected from seed 0; seed with no out-edges returns itself
+    out = sssp(cost_edges_ds([0, 5], [1, 6], [2, 2]), [0]).to_pandas()
+    assert set(out.node) == {0, 1}
+    solo = sssp(cost_edges_ds([1], [2], [3]), [9]).to_pandas()
+    assert set(solo.node) == {9} and solo.dist.tolist() == [0]
+    solo_d = sssp(cost_edges_ds([1], [2], [3]), [9],
+                  driver_edge_limit=0).to_pandas()
+    assert set(solo_d.node) == {9} and solo_d.dist.tolist() == [0]
+
+
+def test_sssp_rejects_negative_cost():
+    try:
+        sssp(cost_edges_ds([0], [1], [-1]), [0]).to_pandas()
+        assert False, "expected ValueError"
+    except Exception as e:
+        assert "negative" in str(e)
