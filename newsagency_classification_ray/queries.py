@@ -3467,6 +3467,62 @@ ORDER BY n DESC, item
 LIMIT 32"""
 
 
+_BPE_LEARN_N = 4
+
+
+def q_docs_bpe_learn(sf_dir: str):
+    """Iterative BPE merge learning (4 rounds) — see stages.textstats.
+    bpe_learn: each round streams the corpus once, applying prior merges
+    on the fly, and commits the certified-exact most-frequent adjacent
+    pair."""
+    docs = ops.read_table(sf_dir, "documents", columns=["text"])
+    return ts.bpe_learn(docs, n_merges=_BPE_LEARN_N)
+
+
+def O_DOCS_BPE_LEARN() -> str:
+    """Pure recompute of the identical deterministic procedure: overlap-
+    counted adjacent pairs, (count desc, SEP-joined item asc) tie-break,
+    greedy left-to-right non-overlapping merge application per round."""
+    import re as _re
+    from collections import Counter
+
+    t = _read_parquet_cols(_SF001, "documents", ["text"])
+    seqs = [[w for w in _re.split(r"\s+", x or "") if w]
+            for x in t["text"].to_pylist()]
+    sep = "\x1f"
+    rows = []
+    for rank in range(_BPE_LEARN_N):
+        c = Counter()
+        for s in seqs:
+            for a, b in zip(s, s[1:]):
+                c[a + sep + b] += 1
+        if not c:
+            break
+        item, n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        lft, rgt = item.split(sep, 1)
+        merged = lft + " " + rgt
+        new_seqs = []
+        for s in seqs:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lft and s[i + 1] == rgt:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new_seqs.append(out)
+        seqs = new_seqs
+        rows.append(f"({rank}, {_sq(lft)}, {_sq(rgt)}, {n})")
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(rank AS BIGINT) AS rank, left_tok AS \"left\", "
+        "right_tok AS \"right\", CAST(n AS BIGINT) AS n",
+        "t(rank, left_tok, right_tok, n)", "(0, '', '', 0)")
+
+
 _FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -5547,7 +5603,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # q12_line_priority q19_discounted_revenue
     # q20_promotion_suppliers q21_waiting_suppliers
     # q8_market_share q9_product_type_profit kg_hits
-    # part_skyline events_cusum_drift kg_sssp)
+    # part_skyline events_cusum_drift kg_sssp docs_bpe_learn)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -5607,6 +5663,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "part_skyline": q_part_skyline,
     "events_cusum_drift": q_events_cusum_drift,
     "kg_sssp": q_kg_sssp,
+    "docs_bpe_learn": q_docs_bpe_learn,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -5822,4 +5879,5 @@ def oracles() -> dict[str, str]:
         "part_skyline": O_PART_SKYLINE,
         "events_cusum_drift": O_EVENTS_CUSUM_DRIFT,
         "kg_sssp": O_KG_SSSP(),
+        "docs_bpe_learn": O_DOCS_BPE_LEARN(),
     }

@@ -354,3 +354,91 @@ def ngram_lm_scores(
         })
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- BPE learn
+
+_BPE_PAIR_SEP = "\x1f"  # never appears in whitespace-split tokens
+
+
+def _bpe_tokenize_batch(t: pa.Table):
+    """Whitespace tokens as numpy object arrays (flat, parent-doc idx)."""
+    lst = pc.split_pattern_regex(pc.coalesce(t["text"], pa.scalar("")),
+                                 pattern=r"\s+")
+    flat = pc.list_flatten(lst)
+    par = pc.list_parent_indices(lst)
+    keep = pc.not_equal(flat, "")
+    flat, par = flat.filter(keep), par.filter(keep)
+    return (np.asarray(flat.to_pylist(), dtype=object),
+            np.asarray(par.to_pylist(), dtype=np.int64))
+
+
+def _bpe_apply_merge(flat, par, left: str, right: str):
+    """Greedy left-to-right non-overlapping merge of adjacent (left,
+    right) token pairs within each document — vectorized via the
+    run-parity trick: inside a maximal run of consecutive candidate
+    positions, greedy keeps exactly the even offsets."""
+    if len(flat) < 2:
+        return flat, par
+    m = (flat[:-1] == left) & (flat[1:] == right) & (par[:-1] == par[1:])
+    idx = np.flatnonzero(m)
+    if len(idx) == 0:
+        return flat, par
+    run_head = np.concatenate(([True], np.diff(idx) != 1))
+    run_start = idx[run_head][np.cumsum(run_head) - 1]
+    kept = idx[(idx - run_start) % 2 == 0]
+    merged = left + " " + right
+    out = flat.copy()
+    out[kept] = merged
+    keep_mask = np.ones(len(flat), dtype=bool)
+    keep_mask[kept + 1] = False
+    return out[keep_mask], par[keep_mask]
+
+
+def bpe_learn(docs: Dataset, n_merges: int = 4, *, cap: int = 4096) -> pa.Table:
+    """Iteratively LEARN the top-``n_merges`` BPE merges over a corpus —
+    the outer loop of tokenizer training (the single pair-count pass is
+    ``q_docs_bpe_pairs``; this repeats it, greedily committing the most
+    frequent adjacent pair each round, exactly the published BPE
+    procedure at word level). Each round is one streaming pass: batches
+    re-tokenize and re-apply the merges learned so far on the fly (the
+    merge list is a tiny closure-captured broadcast — the corpus is never
+    materialized in mutated form), then feed the certified-exact
+    Misra–Gries top-1 (ops.heavy_hitters_topk — ties break
+    lexicographically, making the whole procedure deterministic). Rounds
+    are bounded by ``n_merges``, so the total cost is n_merges streaming
+    passes — the documented iteration bound, same discipline as
+    kmeans/pagerank. Returns (rank, left, right, n); stops early if no
+    pair repeats."""
+    from .. import ops
+
+    merges: list[tuple[str, str]] = []
+    rows = []
+    for rank in range(n_merges):
+        applied = list(merges)
+
+        def pair_items(t: pa.Table, applied=applied) -> pa.Array:
+            flat, par = _bpe_tokenize_batch(t)
+            for lft, rgt in applied:
+                flat, par = _bpe_apply_merge(flat, par, lft, rgt)
+            if len(flat) < 2:
+                return pa.array([], pa.string())
+            same = par[:-1] == par[1:]
+            lefts = flat[:-1][same]
+            rights = flat[1:][same]
+            return pa.array([a + _BPE_PAIR_SEP + b
+                             for a, b in zip(lefts, rights)], pa.string())
+
+        top = ops.heavy_hitters_topk(docs, pair_items, k=1, cap=cap)
+        if len(top) == 0 or top["n"][0].as_py() < 2:
+            break
+        item = top["item"][0].as_py()
+        n = int(top["n"][0].as_py())
+        lft, rgt = item.split(_BPE_PAIR_SEP, 1)
+        merges.append((lft, rgt))
+        rows.append((rank, lft, rgt, n))
+    return pa.table({
+        "rank": pa.array([r[0] for r in rows], pa.int64()),
+        "left": pa.array([r[1] for r in rows], pa.string()),
+        "right": pa.array([r[2] for r in rows], pa.string()),
+        "n": pa.array([r[3] for r in rows], pa.int64())})

@@ -231,3 +231,41 @@ def test_sssp_rejects_negative_cost():
         assert False, "expected ValueError"
     except Exception as e:
         assert "negative" in str(e)
+
+
+from newsagency_classification_ray.stages.textstats import (
+    _bpe_apply_merge,
+    bpe_learn,
+)
+
+
+def test_bpe_apply_merge_greedy_overlap():
+    flat = np.asarray(["a", "a", "a", "a", "a"], dtype=object)
+    par = np.zeros(5, dtype=np.int64)
+    out, par2 = _bpe_apply_merge(flat, par, "a", "a")
+    # greedy left-to-right: (a a)(a a) a
+    assert out.tolist() == ["a a", "a a", "a"]
+    # doc boundary blocks the merge
+    flat = np.asarray(["a", "a"], dtype=object)
+    out2, _ = _bpe_apply_merge(flat, np.asarray([0, 1]), "a", "a")
+    assert out2.tolist() == ["a", "a"]
+
+
+def test_bpe_learn_matches_hand_trace(ray_session):
+    # corpus: "x y x y z" ×3 and "x y q" ×2 → merge0 = (x,y) n=8,
+    # then ("x y","z") n=3 beats ("x y","x y") n=3? tie → lexicographic
+    docs = ray.data.from_arrow(pa.table({
+        "text": pa.array(["x y x y z"] * 3 + ["x y q"] * 2)}))
+    out = bpe_learn(docs, n_merges=2).to_pylist()
+    assert out[0] == {"rank": 0, "left": "x", "right": "y", "n": 8}
+    # after merge0 sequences: ["x y","x y","z"]×3, ["x y","q"]×2
+    # pairs: ("x y","x y") n=3, ("x y","z") n=3, ("x y","q") n=2
+    # tie at 3 → lexicographic on joined item: "x y\x1fx y" < "x y\x1fz"
+    assert out[1] == {"rank": 1, "left": "x y", "right": "x y", "n": 3}
+
+
+def test_bpe_learn_stops_when_no_pair_repeats(ray_session):
+    docs = ray.data.from_arrow(pa.table({
+        "text": pa.array(["a b", "c d", "e f"])}))
+    out = bpe_learn(docs, n_merges=5)
+    assert len(out) == 0
