@@ -765,6 +765,43 @@ def _pure_minhash_pairs(sf_dir: str, threshold: float):
     return out
 
 
+_PPJOIN_NUM, _PPJOIN_DEN = 1, 2
+
+
+def q_docs_ppjoin_pairs(sf_dir: str):
+    """EXACT set-similarity self-join (Jaccard >= 1/2 on 3-shingle sets)
+    via PPJoin prefix filtering — the deterministic complement to
+    minhash_pairs (same threshold; minhash is the probabilistic screen,
+    this is the exact answer). See stages.dedup.ppjoin_pairs."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = dd.ppjoin_pairs(docs, threshold_num=_PPJOIN_NUM,
+                          threshold_den=_PPJOIN_DEN)
+    return out.sort(["doc_a", "doc_b"])
+
+
+def O_DOCS_PPJOIN_PAIRS() -> str:
+    """Pure recompute: exact Jaccard over the identical shingle-hash sets
+    (integer threshold cross-multiply) — no approximation on either side,
+    so this is a true exactness oracle, not a mirrored heuristic."""
+    t = _read_parquet_cols(_SF001, "documents", ["doc_id", "text"])
+    sets = {int(i): set(dd._shingle_hashes(x or "", 3).tolist())
+            for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    ids = sorted(sets)
+    rows = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if uni and inter * _PPJOIN_DEN >= uni * _PPJOIN_NUM:
+                rows.append(f"({a}, {b}, {inter}, {uni})")
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(doc_a AS BIGINT) AS doc_a, "
+        "CAST(doc_b AS BIGINT) AS doc_b, "
+        "CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni",
+        "t(doc_a, doc_b, inter, uni)", "(0, 0, 0, 0)")
+
+
 def q_minhash_pairs(sf_dir: str):
     docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
     return dd.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
@@ -5603,7 +5640,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # q12_line_priority q19_discounted_revenue
     # q20_promotion_suppliers q21_waiting_suppliers
     # q8_market_share q9_product_type_profit kg_hits
-    # part_skyline events_cusum_drift kg_sssp docs_bpe_learn)
+    # part_skyline events_cusum_drift kg_sssp docs_bpe_learn
+    # docs_ppjoin_pairs)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -5664,6 +5702,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_cusum_drift": q_events_cusum_drift,
     "kg_sssp": q_kg_sssp,
     "docs_bpe_learn": q_docs_bpe_learn,
+    "docs_ppjoin_pairs": q_docs_ppjoin_pairs,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -5880,4 +5919,5 @@ def oracles() -> dict[str, str]:
         "events_cusum_drift": O_EVENTS_CUSUM_DRIFT,
         "kg_sssp": O_KG_SSSP(),
         "docs_bpe_learn": O_DOCS_BPE_LEARN(),
+        "docs_ppjoin_pairs": O_DOCS_PPJOIN_PAIRS(),
     }

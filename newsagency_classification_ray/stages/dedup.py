@@ -878,3 +878,132 @@ def substring_dup_counts(
     return partial.groupby(id_col).aggregate(
         Sum("dup_windows", alias_name="dup_windows")
     )
+
+
+def ppjoin_pairs(
+    docs: Dataset,
+    *,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_n: int = 3,
+) -> Dataset:
+    """EXACT set-similarity self-join: all document pairs whose shingle-set
+    Jaccard ≥ threshold_num/threshold_den — the deterministic complement
+    to minhash_lsh_pairs (which is probabilistic) built on the PPJoin
+    prefix-filter principle (Xiao et al., WWW'08, public).
+
+    Blocking: each doc's shingle hashes sort in a FIXED universal order
+    (the hash value itself); two sets can only reach Jaccard ≥ τ if their
+    first ``n - ceil(τ·n) + 1`` elements share at least one value, so only
+    that prefix emits (shingle, doc, size) blocking rows. The classic
+    df-ascending order is a pruning OPTIMIZATION requiring a global
+    vocabulary pass + broadcast; the hash order is correctness-equivalent
+    (any consistent total order works), costs zero global state, and keeps
+    prefix buckets df-bounded. Candidate pairs form inside per-shingle
+    groups (size-filtered: τ·|a| ≤ |b|), dedupe via distinct, and verify
+    EXACTLY with two distributed joins against the full (doc, shingle)
+    table — intersection sizes come from a combiner + groupby, never from
+    carrying sets around. Integer threshold compare throughout
+    (``inter·den ≥ union·num``). Returns (doc_a, doc_b, inter, uni).
+    Assumes prefix buckets stay small (shingle dfs; boilerplate-heavy
+    corpora should pre-dedupe exactly first — same caveat as simhash)."""
+    import ray.data
+
+    from .. import ops
+
+    num, den = threshold_num, threshold_den
+
+    def shingle_rows(prefix_only: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids, shs, sizes = [], [], []
+            for did, txt in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+                sh = np.sort(_shingle_hashes(txt or "", shingle_n))
+                n = len(sh)
+                if n == 0:
+                    continue
+                take = n - (-(-(num * n) // den)) + 1 if prefix_only else n
+                take = max(0, min(take, n))
+                ids.extend([did] * take)
+                shs.extend(sh[:take].tolist())
+                if prefix_only:
+                    sizes.extend([n] * take)
+            out = {"doc_id": pa.array(ids, pa.int64()),
+                   "sh": pa.array(shs, pa.int64())}
+            if prefix_only:
+                out["n"] = pa.array(sizes, pa.int64())
+            return pa.table(out)
+        return fn
+
+    full = docs.map_batches(shingle_rows(False), batch_format="pyarrow")
+    prefix = docs.map_batches(shingle_rows(True), batch_format="pyarrow")
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ns = t["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids, ns = ids[order], ns[order]
+        ai, bi = np.triu_indices(len(ids), k=1)
+        # size filter: with na ≤ nb (a sorted first), Jaccard ≤ na/nb, so
+        # require na·den ≥ nb·num (integer τ cross-multiply)
+        keep = (ids[ai] != ids[bi]) & (ns[ai] * den >= ns[bi] * num) & \
+               (ns[bi] * den >= ns[ai] * num)
+        return pa.table({"a": pa.array(ids[ai][keep], pa.int64()),
+                         "b": pa.array(ids[bi][keep], pa.int64())})
+
+    cand = ops.distinct(
+        prefix.groupby("sh").map_groups(bucket_pairs,
+                                        batch_format="pyarrow"),
+        ["a", "b"]).materialize()
+    if cand.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "inter": pa.array([], pa.int64()),
+            "uni": pa.array([], pa.int64())}))
+
+    sizes = full.map_batches(
+        lambda t: (lambda g: pa.table({
+            "doc_id": g["doc_id"],
+            "sz": pc.cast(g["doc_id_count"], pa.int64())}))(
+                t.group_by(["doc_id"]).aggregate([("doc_id", "count")])),
+        batch_format="pyarrow").groupby("doc_id").aggregate(
+        Sum("sz", alias_name="sz"))
+
+    j1 = ops.hash_join_sized(full, ops._compact(cand), on=("doc_id",),
+                             right_on=("a",))
+    # j1 rows: (doc_id==a, sh, b); match b's shingles exactly
+    j2 = ops.hash_join(
+        j1.map_batches(lambda t: pa.table({
+            "a": t["doc_id"], "b": t["b"], "sh": t["sh"]}),
+            batch_format="pyarrow"),
+        full.map_batches(lambda t: pa.table({
+            "b2": t["doc_id"], "sh": t["sh"]}), batch_format="pyarrow"),
+        on=("b", "sh"), right_on=("b2", "sh"))
+
+    inter = (j2.map_batches(
+        lambda t: (lambda g: pa.table({
+            "a": g["a"], "b": g["b"],
+            "i": pc.cast(g["a_count"], pa.int64())}))(
+            t.group_by(["a", "b"]).aggregate([("a", "count")])),
+        batch_format="pyarrow")
+        .groupby(["a", "b"]).aggregate(Sum("i", alias_name="inter")))
+
+    wa = ops.hash_join_sized(ops._compact(inter), ops._compact(sizes),
+                             on=("a",), right_on=("doc_id",))
+    wa = wa.map_batches(lambda t: pa.table({
+        "a": t["a"], "b": t["b"], "inter": t["inter"], "na": t["sz"]}),
+        batch_format="pyarrow")
+    wb = ops.hash_join_sized(wa, ops._compact(sizes), on=("b",),
+                             right_on=("doc_id",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        uni = pc.subtract(pc.add(t["na"], t["sz"]), t["inter"])
+        keep = pc.greater_equal(pc.multiply(t["inter"],
+                                            pa.scalar(den, pa.int64())),
+                                pc.multiply(uni, pa.scalar(num, pa.int64())))
+        t = pa.table({"doc_a": t["a"], "doc_b": t["b"],
+                      "inter": t["inter"], "uni": uni}).filter(keep)
+        return t
+
+    return wb.map_batches(finish, batch_format="pyarrow")

@@ -269,3 +269,48 @@ def test_bpe_learn_stops_when_no_pair_repeats(ray_session):
         "text": pa.array(["a b", "c d", "e f"])}))
     out = bpe_learn(docs, n_merges=5)
     assert len(out) == 0
+
+
+from newsagency_classification_ray.stages.dedup import ppjoin_pairs
+
+
+def test_ppjoin_matches_brute_force(ray_session):
+    # docs built from a tiny vocab so shingle overlap actually occurs
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [
+        base,                                   # 0
+        base,                                   # 1: exact dup of 0
+        base + " iota kappa",                   # 2: high overlap with 0/1
+        "one two three four five six seven",    # 3: disjoint
+        "alpha beta gamma delta other words x", # 4: partial overlap
+    ]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)})).repartition(3)
+    out = ppjoin_pairs(docs, threshold_num=1, threshold_den=2) \
+        .to_pandas().sort_values(["doc_a", "doc_b"])
+
+    from newsagency_classification_ray.stages.dedup import _shingle_hashes
+    sets = {i: set(_shingle_hashes(t, 3).tolist())
+            for i, t in enumerate(texts)}
+    exp = []
+    for i in range(len(texts)):
+        for j_ in range(i + 1, len(texts)):
+            inter = len(sets[i] & sets[j_])
+            uni = len(sets[i] | sets[j_])
+            if uni and inter * 2 >= uni:
+                exp.append((i, j_, inter, uni))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == exp
+    # exact dup pair (0,1) must be present with inter == uni
+    assert any(a == 0 and b == 1 and i == u for a, b, i, u in got)
+    # the disjoint doc never pairs
+    assert all(3 not in (a, b) for a, b, _, _ in got)
+
+
+def test_ppjoin_empty_and_no_pairs(ray_session):
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["completely different words here",
+                          "another unrelated sentence entirely"])}))
+    assert ppjoin_pairs(docs).count() == 0
