@@ -4648,6 +4648,148 @@ SELECT event_id, user_id,
 FROM events"""
 
 
+def q_events_twap(sf_dir: str):
+    """Per-user TIME-weighted average of ``value`` — the interval-weighted
+    aggregate (TWAP) a telemetry/pricing pipeline needs where plain AVG
+    over-weights burst periods. Each value holds from its event until the
+    user's next event; the result ships as exact integer sufficient
+    statistics (``wsum_e2us = Σ value_cents·gap_us``, ``span_us``) — the
+    division is left to the reader, a rounded ratio would be hash-fragile.
+    One key shuffle; in-group vectorized (sort, diff, dot). Users with a
+    single event (span 0) are excluded, mirroring the SQL join semantics."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "ts", "event_id",
+                                           "value"])
+
+    def twap(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        cents = _cents(g["value"]).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts_o, c_o = ts[order], cents[order]
+        if len(ts_o) < 2 or ts_o[-1] == ts_o[0]:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "wsum_e2us": pa.array([], pa.int64()),
+                             "span_us": pa.array([], pa.int64())})
+        gaps = np.diff(ts_o)
+        wsum = int(np.dot(c_o[:-1], gaps))
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"][0].as_py())], pa.int64()),
+            "wsum_e2us": pa.array([wsum], pa.int64()),
+            "span_us": pa.array([int(ts_o[-1] - ts_o[0])], pa.int64())})
+
+    return ev.groupby("user_id").map_groups(twap, batch_format="pyarrow") \
+        .sort("user_id")
+
+
+O_EVENTS_TWAP = """
+WITH o AS (SELECT user_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                  lead(epoch_us(CAST(ts AS TIMESTAMP)))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      AS nxt_us
+           FROM events)
+SELECT user_id,
+       CAST(sum(cents * (nxt_us - ts_us)) AS BIGINT) AS wsum_e2us,
+       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us
+FROM o
+GROUP BY user_id
+HAVING max(ts_us) - min(ts_us) > 0
+ORDER BY user_id"""
+
+
+def q_events_daily_fill(sf_dir: str):
+    """Calendar densification: the daily event-count series with MISSING
+    days generated as explicit zero rows (gap filling — the row-GENERATING
+    shape downstream time-series models need; every other operator here
+    only ever removes or aggregates rows). Counts reduce distributed; the
+    fill runs over the bounded [min_day, max_day] calendar (days-in-corpus
+    rows, same bounded-series regime as the LAG/CUSUM queries)."""
+    ev = ops.read_table(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        g = pa.table({"day": day}).group_by(["day"]).aggregate(
+            [("day", "count")])
+        return pa.table({"day": g["day"],
+                         "n": pc.cast(g["day_count"], pa.int64())})
+
+    daily = (ev.map_batches(partial, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="n"))).to_pandas()
+    if len(daily) == 0:
+        return pa.table({"day": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "filled": pa.array([], pa.int64())})
+    daily = daily.sort_values("day")
+    full_days = np.arange(int(daily["day"].min()),
+                          int(daily["day"].max()) + 1, dtype=np.int64)
+    have = dict(zip(daily["day"].astype(int), daily["n"].astype(int)))
+    n_out = np.asarray([have.get(int(d), 0) for d in full_days],
+                       dtype=np.int64)
+    return pa.table({
+        "day": pa.array(full_days, pa.int64()),
+        "n": pa.array(n_out, pa.int64()),
+        "filled": pa.array((n_out == 0).astype(np.int64), pa.int64())})
+
+
+O_EVENTS_DAILY_FILL = """
+WITH d AS (SELECT date_diff('day', TIMESTAMP '1970-01-01',
+                            CAST(ts AS TIMESTAMP)) AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+cal AS (SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                      (SELECT max(day) FROM d))) AS day)
+SELECT CAST(cal.day AS BIGINT) AS day,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+       CAST(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+FROM cal LEFT JOIN d ON cal.day = d.day
+ORDER BY day"""
+
+
+_CKSUM_MOD = 2_305_843_009_213_693_951  # 2^61 - 1 (fits BIGINT)
+
+
+def q_docs_checksum(sf_dir: str):
+    """Order-independent corpus fingerprint — the cheap end-to-end
+    validation primitive a 100-TB copy/migration run needs (sum of per-row
+    hashes is invariant to block order and parallelism, unlike any
+    concatenation digest). Per row: DuckDB-compatible md5_number_lower of
+    ``doc_id:text`` mod 2^32; per block one partial (count, sum) row; the
+    driver folds O(blocks) exact integers and reduces mod 2^61-1."""
+    import hashlib as _hl
+    import struct as _st
+
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = 0
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            key = f"{did}:{txt or ''}".encode()
+            h = _st.unpack("<Q", _hl.md5(key).digest()[8:])[0] % 2**32
+            s += h
+        return pa.table({"n": pa.array([len(t)], pa.int64()),
+                         "s": pa.array([s], pa.int64())})
+
+    n_rows = cksum = 0
+    for b in docs.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        n_rows += sum(b["n"].to_pylist())
+        cksum += sum(b["s"].to_pylist())
+    return pa.table({
+        "n_rows": pa.array([n_rows], pa.int64()),
+        "checksum": pa.array([cksum % _CKSUM_MOD], pa.int64())})
+
+
+O_DOCS_CHECKSUM = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(md5_number_lower(CAST(doc_id AS VARCHAR) || ':'
+                                 || coalesce(text, '')) % 4294967296)
+            % {_CKSUM_MOD} AS BIGINT) AS checksum
+FROM documents"""
+
+
 def q_user_360(sf_dir: str):
     """Multi-source cogroup ("customer 360"): orders and events each
     pre-aggregate to one row per user BEFORE a full-outer key join, so the
@@ -5641,7 +5783,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # q20_promotion_suppliers q21_waiting_suppliers
     # q8_market_share q9_product_type_profit kg_hits
     # part_skyline events_cusum_drift kg_sssp docs_bpe_learn
-    # docs_ppjoin_pairs)
+    # docs_ppjoin_pairs events_twap events_daily_fill docs_checksum)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -5703,6 +5845,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_sssp": q_kg_sssp,
     "docs_bpe_learn": q_docs_bpe_learn,
     "docs_ppjoin_pairs": q_docs_ppjoin_pairs,
+    "events_twap": q_events_twap,
+    "events_daily_fill": q_events_daily_fill,
+    "docs_checksum": q_docs_checksum,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -5920,4 +6065,7 @@ def oracles() -> dict[str, str]:
         "kg_sssp": O_KG_SSSP(),
         "docs_bpe_learn": O_DOCS_BPE_LEARN(),
         "docs_ppjoin_pairs": O_DOCS_PPJOIN_PAIRS(),
+        "events_twap": O_EVENTS_TWAP,
+        "events_daily_fill": O_EVENTS_DAILY_FILL,
+        "docs_checksum": O_DOCS_CHECKSUM,
     }

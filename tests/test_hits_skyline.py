@@ -314,3 +314,45 @@ def test_ppjoin_empty_and_no_pairs(ray_session):
         "text": pa.array(["completely different words here",
                           "another unrelated sentence entirely"])}))
     assert ppjoin_pairs(docs).count() == 0
+
+
+def test_twap_hand_trace_and_exclusions(ray_session, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # u1: v=2.0 holds 10s, v=4.0 holds 30s -> wsum = 200*10e6 + 400*30e6
+        (1, s(0), 2.0), (1, s(10), 4.0), (1, s(40), 9.9),
+        # u2: single event -> excluded
+        (2, s(0), 5.0),
+        # u3: two events at the SAME ts -> span 0 -> excluded
+        (3, s(7), 1.0), (3, s(7), 2.0),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array(["a"] * len(rows), pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = Q.q_events_twap(str(tmp_path)).to_pandas()
+    assert out.user_id.tolist() == [1]
+    assert out.wsum_e2us.tolist() == [200 * 10_000_000 + 400 * 30_000_000]
+    assert out.span_us.tolist() == [40_000_000]
+
+
+def test_daily_fill_generates_zero_rows(ray_session, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [t0, t0 + dt.timedelta(days=3), t0 + dt.timedelta(days=3)]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "ts": pa.array(rows, pa.timestamp("us")),
+        "event_type": pa.array(["a"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = Q.q_events_daily_fill(str(tmp_path)).to_pandas()
+    assert out.n.tolist() == [1, 0, 0, 2]
+    assert out.filled.tolist() == [0, 1, 1, 0]
+    assert out.day.tolist() == list(range(out.day[0], out.day[0] + 4))
