@@ -2225,6 +2225,60 @@ def O_KG_SSSP() -> str:
         "t(node, dist)", "('', 0)")
 
 
+_PCA_K, _PCA_RD = 2, 6
+
+
+def q_embeddings_pca(sf_dir: str):
+    """Distributed PCA projection to 2 components — the dimensionality-
+    reduction step an embedding-curation pipeline runs before plotting /
+    coarse clustering. One bounded d(d+1)-per-block partial pass fits the
+    covariance (kmeans-partials layout), eigh runs on the driver's 64x64
+    matrix, one broadcast streaming pass projects. See similarity.pca_fit
+    for the rounding discipline."""
+    emb = ops.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = sim.pca_project(emb, n_components=_PCA_K,
+                          round_decimals=_PCA_RD)
+    return out.map_batches(
+        lambda t: pa.table({
+            "vec_id": t["vec_id"],
+            "pc0_e6": pc.cast(pc.round(pc.multiply(t["pc0"], 1e6)),
+                              pa.int64()),
+            "pc1_e6": pc.cast(pc.round(pc.multiply(t["pc1"], 1e6)),
+                              pa.int64())}),
+        batch_format="pyarrow")
+
+
+def O_EMBEDDINGS_PCA() -> str:
+    """Pure recompute with the identical rounded decomposition (rounded
+    sufficient statistics -> rounded mean/cov -> eigh -> deterministic
+    sign fix -> rounded projection); the per-block partial fold differs
+    from this single pass only below the rounding grid (see pca_fit)."""
+    t = _read_parquet_cols(_SF001, "embeddings", ["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    rd = _PCA_RD
+    n = len(m)
+    s = np.round(m.sum(axis=0), rd)
+    xtx = np.round(m.T @ m, rd)
+    mean = np.round(s / n, rd)
+    cov = np.round((xtx - n * np.outer(mean, mean)) / max(n - 1, 1), rd)
+    w, v = np.linalg.eigh(cov)
+    comp = v[:, ::-1][:, :_PCA_K].T
+    for i in range(comp.shape[0]):
+        j = int(np.argmax(np.abs(comp[i])))
+        if comp[i, j] < 0:
+            comp[i] = -comp[i]
+    comp = np.round(comp, rd)
+    proj = np.round((m - mean) @ comp.T, rd)
+    rows = [f"({int(i)}, {int(round(p0 * 1e6))}, {int(round(p1 * 1e6))})"
+            for i, (p0, p1) in zip(ids, proj)]
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        "CAST(pc0_e6 AS BIGINT) AS pc0_e6, CAST(pc1_e6 AS BIGINT) AS pc1_e6",
+        "t(vec_id, pc0_e6, pc1_e6)", "(0, 0, 0)")
+
+
 def O_EMBEDDINGS_KMEANS() -> str:
     """Pure driver-side recompute of the identical deterministic Lloyd's
     iteration (same init, same per-round centroid rounding — which is what
@@ -5783,7 +5837,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # q20_promotion_suppliers q21_waiting_suppliers
     # q8_market_share q9_product_type_profit kg_hits
     # part_skyline events_cusum_drift kg_sssp docs_bpe_learn
-    # docs_ppjoin_pairs events_twap events_daily_fill docs_checksum)
+    # docs_ppjoin_pairs events_twap events_daily_fill docs_checksum
+    # embeddings_pca)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -5848,6 +5903,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_twap": q_events_twap,
     "events_daily_fill": q_events_daily_fill,
     "docs_checksum": q_docs_checksum,
+    "embeddings_pca": q_embeddings_pca,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -6068,4 +6124,5 @@ def oracles() -> dict[str, str]:
         "events_twap": O_EVENTS_TWAP,
         "events_daily_fill": O_EVENTS_DAILY_FILL,
         "docs_checksum": O_DOCS_CHECKSUM,
+        "embeddings_pca": O_EMBEDDINGS_PCA(),
     }

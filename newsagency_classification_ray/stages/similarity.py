@@ -521,3 +521,92 @@ def semdedup_keep(
         .groupby("cluster")
         .map_groups(dedup_cluster, batch_format="pyarrow")
     )
+
+
+def pca_fit(
+    embeddings: Dataset,
+    n_components: int = 2,
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+):
+    """Distributed PCA fit: one streaming pass emits per-block sufficient
+    statistics (n, Σx, ΣxᵀX — ONE bounded d(d+1)-value row per block, the
+    kmeans-partials layout), the driver reduces them in canonical byte
+    order and rounds to ``round_decimals`` (the rounding absorbs the
+    partial-sum ulp spread, same discipline as kmeans_fit/pagerank), then
+    eigendecomposes the d×d covariance locally — a 64×64 eigh is driver
+    noise. Eigenvector sign is fixed deterministically (the
+    largest-|component| entry is made positive). Returns
+    ``(mean, components)`` as rounded float64 arrays of shape (d,) and
+    (n_components, d)."""
+    def partial(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t, dtype=np.float64)
+        if len(m) == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "xtx": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({
+            "n": pa.array([len(m)], pa.int64()),
+            "s": pa.array([m.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "xtx": pa.array([(m.T @ m).ravel().tolist()],
+                            pa.list_(pa.float64()))})
+
+    rows = [r for r in embeddings.map_batches(
+        partial, batch_format="pyarrow").take_all()]
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    # canonical order before the float fold (arrival order is
+    # nondeterministic and float addition non-associative)
+    svecs = sorted(((np.asarray(r["s"], np.float64),
+                     np.asarray(r["xtx"], np.float64), int(r["n"]))
+                    for r in rows),
+                   key=lambda x: (x[0].tobytes(), x[1].tobytes(), x[2]))
+    d = len(svecs[0][0])
+    s = np.zeros(d)
+    xtx = np.zeros(d * d)
+    n = 0
+    for sv, xv, nv in svecs:
+        s += sv
+        xtx += xv
+        n += nv
+    s = np.round(s, round_decimals)
+    xtx = np.round(xtx.reshape(d, d), round_decimals)
+    mean = np.round(s / n, round_decimals)
+    cov = np.round((xtx - n * np.outer(mean, mean)) / max(n - 1, 1),
+                   round_decimals)
+    w, v = np.linalg.eigh(cov)
+    comp = v[:, ::-1][:, :n_components].T  # descending eigenvalue order
+    # deterministic sign: make each component's largest-|entry| positive
+    for i in range(comp.shape[0]):
+        j = int(np.argmax(np.abs(comp[i])))
+        if comp[i, j] < 0:
+            comp[i] = -comp[i]
+    return mean, np.round(comp, round_decimals)
+
+
+def pca_project(
+    embeddings: Dataset,
+    n_components: int = 2,
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+) -> Dataset:
+    """Distributed PCA projection: fit via :func:`pca_fit`, broadcast the
+    rounded (mean, components) once, then one streaming pass projects
+    every row (``(x - mean) @ compᵀ``, vectorized per batch). Output
+    coordinates round to ``round_decimals`` so re-runs and cluster sizes
+    can never flip the value hash. Returns (id_col, pc0..pc{k-1})."""
+    mean, comp = pca_fit(embeddings, n_components, id_col, round_decimals)
+    ref = ray.put((mean, comp))
+
+    def project(t: pa.Table) -> pa.Table:
+        mn, cp = ray.get(ref)
+        m = _batch_matrix(t, dtype=np.float64)
+        proj = np.round((m - mn) @ cp.T, round_decimals)
+        cols = {id_col: pa.array(
+            t[id_col].to_numpy(zero_copy_only=False), pa.int64())}
+        for i in range(cp.shape[0]):
+            cols[f"pc{i}"] = pa.array(proj[:, i], pa.float64())
+        return pa.table(cols)
+
+    return embeddings.map_batches(project, batch_format="pyarrow")

@@ -356,3 +356,37 @@ def test_daily_fill_generates_zero_rows(ray_session, tmp_path):
     assert out.n.tolist() == [1, 0, 0, 2]
     assert out.filled.tolist() == [0, 1, 1, 0]
     assert out.day.tolist() == list(range(out.day[0], out.day[0] + 4))
+
+
+from newsagency_classification_ray.stages.similarity import (
+    pca_fit,
+    pca_project,
+)
+
+
+def _emb_ds(m, nparts):
+    return ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(m)), pa.int64()),
+        "embedding": pa.array([row.tolist() for row in m],
+                              pa.list_(pa.float64())),
+    })).repartition(nparts)
+
+
+def test_pca_block_split_invariant_and_sane(ray_session):
+    rng = np.random.default_rng(17)
+    # anisotropic cloud: dominant variance along a known direction
+    base = rng.normal(size=(200, 8)) * np.asarray(
+        [5.0, 2.0, 1, 1, 1, 1, 1, 1])
+    m1, c1 = pca_fit(_emb_ds(base, 1), n_components=2)
+    m7, c7 = pca_fit(_emb_ds(base, 7), n_components=2)
+    # rounding absorbs the partial-fold ulp spread: bit-identical results
+    assert np.array_equal(m1, m7) and np.array_equal(c1, c7)
+    # components are unit-ish and orthogonal-ish (rounded at 1e-6)
+    assert abs(np.dot(c1[0], c1[1])) < 1e-4
+    assert abs(np.linalg.norm(c1[0]) - 1) < 1e-4
+    # pc0 captures the dominant axis
+    assert abs(c1[0][0]) > 0.9
+    proj = pca_project(_emb_ds(base, 7), n_components=2).to_pandas()
+    assert proj.pc0.var() > proj.pc1.var()
+    # deterministic sign: largest-|entry| positive
+    assert c1[0][int(np.argmax(np.abs(c1[0])))] > 0
