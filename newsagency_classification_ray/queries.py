@@ -1365,6 +1365,90 @@ FROM (
 ) GROUP BY user_id"""
 
 
+def q_events_concurrency(sf_dir: str):
+    """Peak CONCURRENT sessions per day — the interval-overlap aggregate
+    (capacity planning: how many sessions were open at once). Sessions
+    (30-min gap, same semantics as events_sessions) become ±1 boundary
+    deltas active over [first_event, last_event+1us); per-timestamp net
+    deltas reduce with a combiner (making keys unique), the global
+    ordered prefix sum is ops.running_sum's distributed two-pass layout
+    (no all-to-all beyond one range sort), and the daily MAX of the
+    running concurrency is one bounded groupby. Concurrency is sampled
+    at boundary timestamps (it only changes there); a day fully inside
+    one long session has no boundary and thus no row — mirrored in SQL."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def intervals(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts = ts[order]
+        head = np.concatenate(
+            ([True], np.diff(ts) > 30 * 60 * 1_000_000))
+        tail = np.concatenate((head[1:], [True]))
+        return pa.table({"start_us": pa.array(ts[head], pa.int64()),
+                         "endx_us": pa.array(ts[tail] + 1, pa.int64())})
+
+    iv = ev.groupby("user_id").map_groups(intervals,
+                                          batch_format="pyarrow")
+    bounds = iv.map_batches(
+        lambda t: pa.table({"ts": t["start_us"],
+                            "d": pa.array([1] * len(t), pa.int64())}),
+        batch_format="pyarrow").union(iv.map_batches(
+            lambda t: pa.table({"ts": t["endx_us"],
+                                "d": pa.array([-1] * len(t), pa.int64())}),
+            batch_format="pyarrow"))
+
+    def net(t: pa.Table) -> pa.Table:
+        g = t.group_by(["ts"]).aggregate([("d", "sum")])
+        return pa.table({"ts": g["ts"], "nd": g["d_sum"]})
+
+    per_ts = (bounds.map_batches(net, batch_format="pyarrow")
+              .groupby("ts").aggregate(Sum("nd", alias_name="nd")))
+    run = ops.running_sum(per_ts, "ts", "nd", out_col="conc")
+
+    def day_part(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"], pa.scalar(86_400_000_000, pa.int64()))
+        g = pa.table({"day": day, "c": t["conc"]}).group_by(
+            ["day"]).aggregate([("c", "max")])
+        return pa.table({"day": g["day"], "c": g["c_max"]})
+
+    from ray.data.aggregate import Max as _Max
+    out = (run.map_batches(day_part, batch_format="pyarrow")
+           .groupby("day").aggregate(_Max("c", alias_name="max_conc")))
+    return out.map_batches(
+        lambda t: pa.table({"day": t["day"],
+                            "max_conc": pc.cast(t["max_conc"],
+                                                pa.int64())}),
+        batch_format="pyarrow").sort("day")
+
+
+O_EVENTS_CONCURRENCY = """
+WITH e AS (SELECT user_id, event_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts_us,
+             sum(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e),
+iv AS (SELECT min(ts_us) AS start_us, max(ts_us) + 1 AS endx_us
+       FROM s GROUP BY user_id, sid),
+b AS (SELECT start_us AS ts, 1 AS d FROM iv
+      UNION ALL SELECT endx_us, -1 FROM iv),
+n AS (SELECT ts, sum(d) AS nd FROM b GROUP BY 1),
+r AS (SELECT ts, sum(nd) OVER (ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS conc FROM n)
+SELECT CAST(ts // 86400000000 AS BIGINT) AS day,
+       CAST(max(conc) AS BIGINT) AS max_conc
+FROM r GROUP BY 1 ORDER BY 1"""
+
+
 def q_events_asof_orders(sf_dir: str):
     """As-of join: each event picks the most recent order (o_orderdate <=
     ts) of the same customer, ties to the greatest o_orderkey — the custom
@@ -5838,7 +5922,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # q8_market_share q9_product_type_profit kg_hits
     # part_skyline events_cusum_drift kg_sssp docs_bpe_learn
     # docs_ppjoin_pairs events_twap events_daily_fill docs_checksum
-    # embeddings_pca)
+    # embeddings_pca events_concurrency)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -5904,6 +5988,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_daily_fill": q_events_daily_fill,
     "docs_checksum": q_docs_checksum,
     "embeddings_pca": q_embeddings_pca,
+    "events_concurrency": q_events_concurrency,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -6125,4 +6210,5 @@ def oracles() -> dict[str, str]:
         "events_daily_fill": O_EVENTS_DAILY_FILL,
         "docs_checksum": O_DOCS_CHECKSUM,
         "embeddings_pca": O_EMBEDDINGS_PCA(),
+        "events_concurrency": O_EVENTS_CONCURRENCY,
     }

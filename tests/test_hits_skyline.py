@@ -390,3 +390,26 @@ def test_pca_block_split_invariant_and_sane(ray_session):
     assert proj.pc0.var() > proj.pc1.var()
     # deterministic sign: largest-|entry| positive
     assert c1[0][int(np.argmax(np.abs(c1[0])))] > 0
+
+
+def test_concurrency_hand_trace(ray_session, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda m: t0 + dt.timedelta(minutes=m)
+    # u1: one session 0..10min; u2: one session 5..8min; u3: two sessions
+    # (0..1min, then 120..121min — split by the 30-min gap)
+    rows = [(1, s(0)), (1, s(10)),
+            (2, s(5)), (2, s(8)),
+            (3, s(0)), (3, s(1)), (3, s(120)), (3, s(121))]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array(["a"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = Q.q_events_concurrency(str(tmp_path)).to_pandas()
+    # all intervals fall on one day; peak: u1+u2+u3a overlap at minute 5? —
+    # u3a ends at minute 1 (+1us), so peak is u1+u2 = 2
+    assert out.day.tolist() == [int(t0.timestamp() // 86400)]
+    assert out.max_conc.tolist() == [2]
