@@ -2989,3 +2989,115 @@ def sssp(
         if improved == 0:
             break
     return dist
+
+
+def random_walks(
+    edges: Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    salt: str = "w",
+) -> Dataset:
+    """Deterministic random-walk corpus generation over a directed edge
+    list — the graph-embedding training-data step (DeepWalk/node2vec
+    input): ``walks_per_node`` walks of up to ``walk_len`` steps from
+    EVERY node. "Random" choices are salted crc32 draws keyed by
+    (start, walk#, step, current), so the corpus is bit-reproducible
+    across runs, engines and cluster sizes — the same auditability
+    property as the negative sampler. Parallel edges act as sampling
+    weights (each occurrence is a slot).
+
+    Distributed shape: the adjacency ranks once (per-src sorted neighbor
+    slots via one groupby — group size = out-degree), then each step is
+    two hash joins (state ⋈ degree → salted slot pick, state ⋈ adjacency
+    on (node, slot) → next hop); the walk state stays a bounded
+    (nodes × walks_per_node)-row Dataset and dead ends simply drop out of
+    the inner join. walk_len is the documented iteration bound. Returns
+    ``(node, w, step, visited)`` — step 0 is the start itself.
+    """
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t[src], "dst": t[dst]})
+
+    e = _compact(edges.map_batches(project, batch_format="pyarrow")).materialize()
+
+    def rank_group(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t["dst"])
+        return pa.table({
+            "a_src": t["src"].take(order),
+            "a_dst": t["dst"].take(order),
+            "slot": pa.array(range(len(t)), pa.int64())})
+
+    adj = e.groupby("src").map_groups(rank_group,
+                                      batch_format="pyarrow").materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["src"]).aggregate([("src", "count")])
+        return pa.table({"node": g["src"],
+                         "deg": pc.cast(g["src_count"], pa.int64())})
+
+    deg = _compact(e.map_batches(deg_partial, batch_format="pyarrow")
+                   .groupby("node").aggregate(Sum("deg", alias_name="deg"))) \
+        .materialize()
+
+    nodes = _compact(distinct(
+        e.map_batches(lambda t: pa.table({"n": t["src"]}),
+                      batch_format="pyarrow")
+        .union(e.map_batches(lambda t: pa.table({"n": t["dst"]}),
+                             batch_format="pyarrow")), ["n"])).materialize()
+
+    def init_state(t: pa.Table) -> pa.Table:
+        reps = pa.concat_tables([t] * walks_per_node) \
+            if walks_per_node > 1 else t
+        w = pa.array([i for i in range(walks_per_node)
+                      for _ in range(len(t))], pa.int64())
+        return pa.table({"node": reps["n"], "w": w, "cur": reps["n"],
+                         "step": pa.array([0] * len(reps), pa.int64())})
+
+    state = nodes.map_batches(init_state, batch_format="pyarrow") \
+        .materialize()
+    emitted = [state.map_batches(
+        lambda t: pa.table({"node": t["node"], "w": t["w"],
+                            "step": t["step"], "visited": t["cur"]}),
+        batch_format="pyarrow")]
+
+    for step in range(1, walk_len + 1):
+        st = hash_join_sized(_compact(state), deg, on=("cur",),
+                             right_on=("node",))
+        # Ray's join may suffix/drop the duplicate right key col; keep ours
+        def pick(t: pa.Table, step=step) -> pa.Table:
+            slots = []
+            for nd, w_, cur, dg in zip(t["node"].to_pylist(),
+                                       t["w"].to_pylist(),
+                                       t["cur"].to_pylist(),
+                                       t["deg"].to_pylist()):
+                h = zlib.crc32(f"{salt}|{nd}|{w_}|{step}|{cur}".encode())
+                slots.append(h % dg)
+            return pa.table({"node": t["node"], "w": t["w"],
+                             "cur": t["cur"],
+                             "slot": pa.array(slots, pa.int64())})
+
+        stp = st.map_batches(pick, batch_format="pyarrow")
+        nxt = hash_join_sized(_compact(stp), adj, on=("cur", "slot"),
+                              right_on=("a_src", "slot")).materialize()
+        if nxt.count() == 0:
+            break
+        state = nxt.map_batches(
+            lambda t, step=step: pa.table({
+                "node": t["node"], "w": t["w"], "cur": t["a_dst"],
+                "step": pa.array([step] * len(t), pa.int64())}),
+            batch_format="pyarrow").materialize()
+        emitted.append(state.map_batches(
+            lambda t: pa.table({"node": t["node"], "w": t["w"],
+                                "step": t["step"], "visited": t["cur"]}),
+            batch_format="pyarrow"))
+
+    out = emitted[0]
+    for e_ in emitted[1:]:
+        out = out.union(e_)
+    return out

@@ -2143,6 +2143,130 @@ def O_KG_PAGERANK() -> str:
     )
 
 
+_NEG_K = 2
+
+
+def q_kg_neg_samples(sf_dir: str):
+    """KG-embedding training-pair generation: for every positive
+    (article cites agency) triple, {_NEG_K} deterministically corrupted
+    negatives (TransE-style tail corruption). The corruption is a salted
+    md5 pick from the SORTED agency vocabulary (bounded — broadcast once),
+    re-probing one slot forward when the draw collides with the positive —
+    fully deterministic, so sampling is reproducible across runs, engines
+    and cluster sizes (the property that makes training-data generation
+    auditable). One streaming pass over triples; no shuffle at all."""
+    import hashlib as _hl
+    import struct as _st
+
+    trip = kg.triples(_mentions(sf_dir)).materialize()
+    vocab = sorted({r["qid"] for r in ops.distinct(
+        trip.map_batches(lambda t: pa.table({"qid": t["qid"]}),
+                         batch_format="pyarrow"), ["qid"]).take_all()})
+    nv = len(vocab)
+    vref = ray.put(vocab)
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        vb = ray.get(vref)
+        urls, qids, negs, ks = [], [], [], []
+        for u, q in zip(t["url"].to_pylist(), t["qid"].to_pylist()):
+            for i in range(_NEG_K):
+                h = _st.unpack(
+                    "<Q", _hl.md5(f"{u}|{q}|{i}".encode()).digest()[8:])[0]
+                cand = vb[h % nv]
+                if cand == q:
+                    cand = vb[(h % nv + 1) % nv]
+                urls.append(u)
+                qids.append(q)
+                negs.append(cand)
+                ks.append(i)
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "qid": pa.array(qids, pa.string()),
+                         "neg_qid": pa.array(negs, pa.string()),
+                         "k": pa.array(ks, pa.int64())})
+
+    return trip.map_batches(corrupt, batch_format="pyarrow") \
+        .sort(["url", "qid", "k"])
+
+
+def O_KG_NEG_SAMPLES(sf: str | None = None) -> str:
+    return f"""WITH {_pages_cte(sf or _SF001)},
+trip AS (SELECT url, qid FROM sql_mentions WHERE qid <> 'NIL'
+         GROUP BY url, qid),
+vocab AS (SELECT qid AS vq,
+                 row_number() OVER (ORDER BY qid) - 1 AS rn
+          FROM (SELECT DISTINCT qid FROM trip)),
+nv AS (SELECT count(*) AS n FROM vocab),
+c AS (SELECT t.url, t.qid, g.i AS k,
+             md5_number_lower(t.url || '|' || t.qid || '|'
+                              || CAST(g.i AS VARCHAR)) % nv.n AS idx
+      FROM trip t, nv, unnest(generate_series(0, {_NEG_K - 1})) AS g(i))
+SELECT c.url, c.qid,
+       CASE WHEN v1.vq = c.qid THEN v2.vq ELSE v1.vq END AS neg_qid,
+       CAST(c.k AS BIGINT) AS k
+FROM c
+JOIN nv ON TRUE
+JOIN vocab v1 ON v1.rn = c.idx
+JOIN vocab v2 ON v2.rn = (c.idx + 1) % nv.n
+ORDER BY url, qid, k"""
+
+
+_WALK_LEN, _WALKS_PER_NODE = 3, 2
+
+
+def q_kg_walks(sf_dir: str):
+    """Deterministic random-walk corpus over the symmetrized agency
+    co-occurrence graph — DeepWalk/node2vec training input; see
+    ops.random_walks for the two-joins-per-step shape and the salted
+    crc32 reproducibility contract."""
+    und = _kg_und_edges(sf_dir)
+    sym = und.union(und.map_batches(
+        lambda t: pa.table({"src_qid": t["dst_qid"],
+                            "dst_qid": t["src_qid"]}),
+        batch_format="pyarrow"))
+    edges = sym.map_batches(
+        lambda t: pa.table({"src": t["src_qid"], "dst": t["dst_qid"]}),
+        batch_format="pyarrow")
+    out = ops.random_walks(edges, walk_len=_WALK_LEN,
+                           walks_per_node=_WALKS_PER_NODE)
+    return out.sort(["node", "w", "step"])
+
+
+def O_KG_WALKS() -> str:
+    """Pure recompute: DuckDB re-derives the distinct undirected
+    co-occurrence edges, Python mirrors the salted-crc32 slot walk over
+    the identical sorted adjacency."""
+    import zlib as _zl
+
+    import duckdb
+
+    df = duckdb.connect().execute(O_KG_COOCCURRENCE(_SF001)).fetchdf()
+    und = sorted({(a, b) for a, b in zip(df["src_qid"], df["dst_qid"])})
+    pairs = sorted(set(und) | {(b, a) for a, b in und})
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    rows = []
+    for n in nodes:
+        for w in range(_WALKS_PER_NODE):
+            cur = n
+            rows.append((n, w, 0, cur))
+            for step in range(1, _WALK_LEN + 1):
+                nb = adj.get(cur)
+                if not nb:
+                    break
+                h = _zl.crc32(f"w|{n}|{w}|{step}|{cur}".encode())
+                cur = nb[h % len(nb)]
+                rows.append((n, w, step, cur))
+    vals = [f"({_sq(a)}, {b}, {c}, {_sq(d)})"
+            for a, b, c, d in sorted(rows)]
+    return _values_or_empty(
+        vals,
+        "SELECT node, CAST(w AS BIGINT) AS w, CAST(step AS BIGINT) AS step, "
+        "visited",
+        "t(node, w, step, visited)", "('', 0, 0, '')")
+
+
 _HITS_ITERS, _HITS_RD = 6, 9
 
 
@@ -5922,7 +6046,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # q8_market_share q9_product_type_profit kg_hits
     # part_skyline events_cusum_drift kg_sssp docs_bpe_learn
     # docs_ppjoin_pairs events_twap events_daily_fill docs_checksum
-    # embeddings_pca events_concurrency)
+    # embeddings_pca events_concurrency kg_neg_samples kg_walks)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -5989,6 +6113,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_checksum": q_docs_checksum,
     "embeddings_pca": q_embeddings_pca,
     "events_concurrency": q_events_concurrency,
+    "kg_neg_samples": q_kg_neg_samples,
+    "kg_walks": q_kg_walks,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -6211,4 +6337,6 @@ def oracles() -> dict[str, str]:
         "docs_checksum": O_DOCS_CHECKSUM,
         "embeddings_pca": O_EMBEDDINGS_PCA(),
         "events_concurrency": O_EVENTS_CONCURRENCY,
+        "kg_neg_samples": O_KG_NEG_SAMPLES(),
+        "kg_walks": O_KG_WALKS(),
     }

@@ -413,3 +413,54 @@ def test_concurrency_hand_trace(ray_session, tmp_path):
     # u3a ends at minute 1 (+1us), so peak is u1+u2 = 2
     assert out.day.tolist() == [int(t0.timestamp() // 86400)]
     assert out.max_conc.tolist() == [2]
+
+
+import zlib
+
+from newsagency_classification_ray.ops import random_walks
+
+
+def brute_walks(s, d, walk_len=3, wpn=2, salt="w"):
+    adj = {}
+    for a, b in sorted(zip(s, d), key=lambda x: (x[0], x[1])):
+        adj.setdefault(a, []).append(b)
+    nodes = sorted(set(s) | set(d))
+    rows = []
+    for n in nodes:
+        for w in range(wpn):
+            cur = n
+            rows.append((n, w, 0, cur))
+            for step in range(1, walk_len + 1):
+                nb = adj.get(cur)
+                if not nb:
+                    break
+                h = zlib.crc32(f"{salt}|{n}|{w}|{step}|{cur}".encode())
+                cur = nb[h % len(nb)]
+                rows.append((n, w, step, cur))
+    return sorted(rows)
+
+
+def test_random_walks_match_brute_force(ray_session):
+    rng = np.random.default_rng(19)
+    s = rng.integers(0, 12, 40).tolist()
+    d = rng.integers(0, 14, 40).tolist()  # 12/13 are sinks
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([str(x) for x in s]),
+        "dst": pa.array([str(x) for x in d])})).repartition(4)
+    out = random_walks(ds, walk_len=3, walks_per_node=2).to_pandas()
+    got = sorted((r.node, r.w, r.step, r.visited)
+                 for r in out.itertuples(index=False))
+    exp = brute_walks([str(x) for x in s], [str(x) for x in d])
+    assert got == [(str(a), b, c, str(e)) for a, b, c, e in exp]
+
+
+def test_random_walks_parallel_edges_weight_slots(ray_session):
+    # node a has neighbors [b, b, c]: slot draw hits b with 2/3 of slots
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(["a", "a", "a"]),
+        "dst": pa.array(["b", "b", "c"])}))
+    out = random_walks(ds, walk_len=1, walks_per_node=3).to_pandas()
+    step1 = out[(out.step == 1) & (out.node == "a")]
+    h = [zlib.crc32(f"w|a|{w}|1|a".encode()) % 3 for w in range(3)]
+    exp = [["b", "b", "c"][i] for i in h]
+    assert sorted(step1.visited.tolist()) == sorted(exp)
