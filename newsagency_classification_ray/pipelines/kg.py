@@ -366,6 +366,21 @@ def build_edges(triples_ds: Dataset, cooccur_ds: Dataset) -> Dataset:
     )
 
 
+def incremental_mentions(base: Dataset, delta: Dataset) -> Dataset:
+    """Incremental KG update: merge a new crawl increment's mention table
+    into an existing one. Because every downstream aggregate (triples,
+    canonicalization, co-occurrence) is an additive groupby over mention
+    rows, the ONLY cross-increment interaction is duplicate pages
+    appearing in both crawls — and exact-duplicate pages produce
+    byte-identical mention rows (see dedup_mentions), so one mention-level
+    dedup over the union restores exactly the batch-run table:
+    ``aggregates(incremental_mentions(m_a, m_b)) ==
+    aggregates(extract_mentions(pages_a ∪ pages_b))``, property-tested in
+    tests/test_hits_skyline.py. Only mention-scale rows enter the
+    exchange; the already-processed corpus is never re-read."""
+    return dedup_mentions(base.union(delta))
+
+
 def flagship(
     pages_path: str,
     *,

@@ -464,3 +464,50 @@ def test_random_walks_parallel_edges_weight_slots(ray_session):
     h = [zlib.crc32(f"w|a|{w}|1|a".encode()) % 3 for w in range(3)]
     exp = [["b", "b", "c"][i] for i in h]
     assert sorted(step1.visited.tolist()) == sorted(exp)
+
+
+import glob
+
+from newsagency_classification_ray.pipelines import kg
+from newsagency_classification_ray.sources.pages import ensure_pages
+
+
+def test_incremental_merge_equals_batch(ray_session):
+    # split the corpus into two "crawl increments" at the shard level; the
+    # i%997 duplicate-url pages can land in different halves, so this
+    # asserts the cross-increment dedup, not just additivity
+    p = ensure_pages("/root/testdata/sf0.001")
+    shards = sorted(glob.glob(p + "/*.parquet"))
+    assert len(shards) >= 4
+    half = len(shards) // 2
+    # materialize each increment first: that IS the incremental scenario
+    # (the base table already exists), and a lazy union of two actor-pool
+    # pipelines would over-reserve the 4-CPU test fixture
+    m_a = kg.extract_mentions(kg.read_pages(shards[:half])).materialize()
+    m_b = kg.extract_mentions(kg.read_pages(shards[half:])).materialize()
+    merged = kg.incremental_mentions(m_a, m_b).materialize()
+    batch = kg.extract_mentions(kg.read_pages(p)).materialize()
+
+    def key_rows(ds):
+        return sorted(
+            (r["mention_id"], r["qid"], r["url"]) for r in ds.take_all())
+
+    assert key_rows(merged) == key_rows(batch)
+
+    def trip_rows(m):
+        return sorted((r["url"], r["qid"], r["n_mentions"])
+                      for r in kg.triples(m).take_all())
+
+    assert trip_rows(merged) == trip_rows(batch)
+
+    def canon_rows(m):
+        return sorted(tuple(sorted(r.items()))
+                      for r in kg.canonicalize(m).take_all())
+
+    assert canon_rows(merged) == canon_rows(batch)
+
+    def cooc_rows(m):
+        return sorted((r["src_qid"], r["dst_qid"], r["year"], r["weight"])
+                      for r in kg.cooccurrence_edges(m).take_all())
+
+    assert cooc_rows(merged) == cooc_rows(batch)
