@@ -3766,6 +3766,27 @@ ORDER BY n DESC, item
 LIMIT 32"""
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority"]
+
+
+def q_orders_profile(sf_dir: str):
+    """Column profiling of the orders table (row/null/exact-distinct
+    counts + lexicographic string min/max) — the ingest data-quality
+    report; see ops.profile_table for the one-pass layout."""
+    orders = ops.read_table(sf_dir, "orders", _PROFILE_COLS)
+    return ops.profile_table(orders, _PROFILE_COLS).sort("col")
+
+
+O_ORDERS_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_val,
+       max(CAST({c} AS VARCHAR)) AS max_val
+FROM orders""" for c in _PROFILE_COLS) + "\nORDER BY col"
+
+
 _BPE_LEARN_N = 4
 
 
@@ -6046,7 +6067,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # q8_market_share q9_product_type_profit kg_hits
     # part_skyline events_cusum_drift kg_sssp docs_bpe_learn
     # docs_ppjoin_pairs events_twap events_daily_fill docs_checksum
-    # embeddings_pca events_concurrency kg_neg_samples kg_walks)
+    # embeddings_pca events_concurrency kg_neg_samples kg_walks
+    # orders_profile)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -6115,6 +6137,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_concurrency": q_events_concurrency,
     "kg_neg_samples": q_kg_neg_samples,
     "kg_walks": q_kg_walks,
+    "orders_profile": q_orders_profile,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -6339,4 +6362,5 @@ def oracles() -> dict[str, str]:
         "events_concurrency": O_EVENTS_CONCURRENCY,
         "kg_neg_samples": O_KG_NEG_SAMPLES(),
         "kg_walks": O_KG_WALKS(),
+        "orders_profile": O_ORDERS_PROFILE,
     }

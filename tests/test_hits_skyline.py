@@ -511,3 +511,21 @@ def test_incremental_merge_equals_batch(ray_session):
                       for r in kg.cooccurrence_edges(m).take_all())
 
     assert cooc_rows(merged) == cooc_rows(batch)
+
+
+from newsagency_classification_ray.ops import profile_table
+
+
+def test_profile_table_nulls_and_distincts(ray_session):
+    t = pa.table({
+        "a": pa.array([1, 2, 2, None, 9], pa.int64()),
+        "b": pa.array(["x", None, None, "y", "x"], pa.string()),
+    })
+    out = profile_table(ray.data.from_arrow(t).repartition(3), ["a", "b"]) \
+        .to_pandas().set_index("col")
+    assert out.loc["a"].n == 5 and out.loc["a"].n_null == 1
+    assert out.loc["a"].n_distinct == 3
+    # lexicographic string compare: "9" > "2" > "1"
+    assert out.loc["a"].min_val == "1" and out.loc["a"].max_val == "9"
+    assert out.loc["b"].n_null == 2 and out.loc["b"].n_distinct == 2
+    assert out.loc["b"].min_val == "x" and out.loc["b"].max_val == "y"
