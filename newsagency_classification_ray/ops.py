@@ -3171,3 +3171,68 @@ def profile_table(ds: Dataset, cols: list[str]) -> Dataset:
             "n_distinct": pc.cast(t["n_distinct"], pa.int64()),
             "min_val": t["min_val"], "max_val": t["max_val"]}),
         batch_format="pyarrow")
+
+
+def table_diff(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    cols: list[str],
+) -> Dataset:
+    """Row-level diff between two keyed table versions — the third leg of
+    the migration-validation toolkit (with the order-independent checksum
+    and the column profiler): classify every key as ``same`` / ``changed``
+    (any compared column differs) / ``removed`` (left only) / ``added``
+    (right only) and return the per-status counts. One distributed
+    full-outer join on the key; the comparison and the per-batch status
+    count combiner are vectorized, so the driver folds O(blocks × 4)
+    rows. Compared columns must be join-safe scalars; nulls compare equal
+    to nulls (IS DISTINCT FROM semantics)."""
+    from ray.data.aggregate import Sum
+
+    # Ray's full_outer join COALESCES the key columns into one, so side
+    # presence cannot be read off key validity; each side carries an
+    # explicit never-null marker instead (null marker after the join ⇔
+    # the row was absent from that side — correct even when every
+    # compared column is legitimately null).
+    lp = left.map_batches(
+        lambda t: pa.table({key: t[key],
+                            "_lm": pa.array([1] * len(t), pa.int8()),
+                            **{f"l_{c}": t[c] for c in cols}}),
+        batch_format="pyarrow")
+    rp = right.map_batches(
+        lambda t: pa.table({f"r_{key}": t[key],
+                            "_rm": pa.array([1] * len(t), pa.int8()),
+                            **{f"r_{c}": t[c] for c in cols}}),
+        batch_format="pyarrow")
+    j = hash_join(lp, rp, on=(key,), right_on=(f"r_{key}",),
+                  how="full_outer")
+
+    def classify(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        l_present = pc.is_valid(t["_lm"]).to_numpy(zero_copy_only=False)
+        r_present = pc.is_valid(t["_rm"]).to_numpy(zero_copy_only=False)
+        changed = np.zeros(len(t), dtype=bool)
+        for c in cols:
+            lv, rv = t[f"l_{c}"], t[f"r_{c}"]
+            neq = pc.fill_null(pc.not_equal(lv, rv), False) \
+                .to_numpy(zero_copy_only=False)
+            null_mismatch = (pc.is_null(lv).to_numpy(zero_copy_only=False)
+                             != pc.is_null(rv).to_numpy(
+                                 zero_copy_only=False))
+            changed |= neq | null_mismatch
+        status = np.where(~l_present, "added",
+                          np.where(~r_present, "removed",
+                                   np.where(changed, "changed", "same")))
+        g = pa.table({"status": pa.array(status.tolist(), pa.string()),
+                      "one": pa.array([1] * len(t), pa.int64())}) \
+            .group_by(["status"]).aggregate([("one", "sum")])
+        return pa.table({"status": g["status"], "n": g["one_sum"]})
+
+    out = (j.map_batches(classify, batch_format="pyarrow")
+           .groupby("status").aggregate(Sum("n", alias_name="n")))
+    return out.map_batches(
+        lambda t: pa.table({"status": t["status"],
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow")

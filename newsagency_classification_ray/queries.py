@@ -3787,6 +3787,58 @@ O_ORDERS_PROFILE = "\nUNION ALL\n".join(
 FROM orders""" for c in _PROFILE_COLS) + "\nORDER BY col"
 
 
+def q_docs_table_diff(sf_dir: str):
+    """Row-level diff between two corpus versions (ops.table_diff) — the
+    third migration-validation primitive (with checksum + profiler). The
+    'new version' is a deterministic perturbation built in-pipeline
+    (drop doc_id%101, reverse text at doc_id%97, add shifted copies of
+    doc_id%103), so the expected added/removed/changed/same counts are
+    SQL-derivable; a real run would read two snapshots instead."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def make_b(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        kept = t.take(pa.array(np.flatnonzero(did % 101 != 0), pa.int64()))
+        kd = pc.cast(kept["doc_id"], pa.int64())
+        rev_mask = kd.to_numpy(zero_copy_only=False) % 97 == 0
+        texts = kept["text"].to_pylist()
+        new_texts = [(x or "")[::-1] if m else x
+                     for x, m in zip(texts, rev_mask)]
+        base = pa.table({"doc_id": kd,
+                         "text": pa.array(new_texts, pa.string())})
+        extra = t.take(pa.array(np.flatnonzero(did % 103 == 0), pa.int64()))
+        added = pa.table({
+            "doc_id": pc.add(pc.cast(extra["doc_id"], pa.int64()),
+                             pa.scalar(1_000_000, pa.int64())),
+            "text": extra["text"]})
+        return pa.concat_tables([base, added])
+
+    b = docs.map_batches(make_b, batch_format="pyarrow")
+    a = docs.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                            "text": t["text"]}),
+        batch_format="pyarrow")
+    return ops.table_diff(a, b, "doc_id", ["text"]).sort("status")
+
+
+O_DOCS_TABLE_DIFF = """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN reverse(coalesce(text, ''))
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 101 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 103 = 0)
+SELECT status, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.text IS DISTINCT FROM b.text THEN 'changed'
+              ELSE 'same' END AS status
+  FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+GROUP BY 1 ORDER BY 1"""
+
+
 _BPE_LEARN_N = 4
 
 
@@ -6068,7 +6120,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # part_skyline events_cusum_drift kg_sssp docs_bpe_learn
     # docs_ppjoin_pairs events_twap events_daily_fill docs_checksum
     # embeddings_pca events_concurrency kg_neg_samples kg_walks
-    # orders_profile)
+    # orders_profile docs_table_diff)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -6138,6 +6190,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_neg_samples": q_kg_neg_samples,
     "kg_walks": q_kg_walks,
     "orders_profile": q_orders_profile,
+    "docs_table_diff": q_docs_table_diff,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -6363,4 +6416,5 @@ def oracles() -> dict[str, str]:
         "kg_neg_samples": O_KG_NEG_SAMPLES(),
         "kg_walks": O_KG_WALKS(),
         "orders_profile": O_ORDERS_PROFILE,
+        "docs_table_diff": O_DOCS_TABLE_DIFF,
     }

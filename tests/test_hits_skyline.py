@@ -529,3 +529,25 @@ def test_profile_table_nulls_and_distincts(ray_session):
     assert out.loc["a"].min_val == "1" and out.loc["a"].max_val == "9"
     assert out.loc["b"].n_null == 2 and out.loc["b"].n_distinct == 2
     assert out.loc["b"].min_val == "x" and out.loc["b"].max_val == "y"
+
+
+from newsagency_classification_ray.ops import table_diff
+
+
+def test_table_diff_statuses(ray_session):
+    a = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array(["a", "b", "c", None], pa.string())}))
+    b = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 3, 4, 5], pa.int64()),
+        "v": pa.array(["b", "X", None, "e"], pa.string())}))
+    out = table_diff(a, b, "k", ["v"]).to_pandas().set_index("status")
+    # k=1 removed, k=2 same, k=3 changed, k=4 null==null -> same, k=5 added
+    assert out.loc["removed"].n == 1 and out.loc["added"].n == 1
+    assert out.loc["changed"].n == 1 and out.loc["same"].n == 2
+    # null vs value counts as changed
+    c = ray.data.from_arrow(pa.table({
+        "k": pa.array([4], pa.int64()),
+        "v": pa.array(["now-set"], pa.string())}))
+    out2 = table_diff(a, c, "k", ["v"]).to_pandas().set_index("status")
+    assert out2.loc["changed"].n == 1 and out2.loc["removed"].n == 3
