@@ -5125,6 +5125,60 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
 FROM documents"""
 
 
+def q_events_scd2(sf_dir: str):
+    """SCD-type-2 temporal table build: collapse each user's event-type
+    change log into validity intervals (type, valid_from, valid_to; open
+    interval = NULL) — the slowly-changing-dimension history a warehouse
+    maintains from a CDC stream. One key shuffle; the in-group scan is
+    vectorized (order by (ts, event_id), keep change points via a shifted
+    compare, valid_to = next change point's ts). Consecutive repeats of
+    the same type collapse into one interval; exact int64 epoch-micros
+    throughout."""
+    ev = ops.read_table(sf_dir, "events",
+                        ["user_id", "ts", "event_id", "event_type"])
+
+    def scd2(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts))
+        ts_o, et_o = ts[order], et[order]
+        keep = np.concatenate(([True], et_o[1:] != et_o[:-1]))
+        kf = ts_o[keep]
+        kt = et_o[keep]
+        valid_to = np.concatenate((kf[1:], [-1])).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(
+                [int(g["user_id"][0].as_py())] * len(kf), pa.int64()),
+            "event_type": pa.array(kt.tolist(), pa.string()),
+            "valid_from_us": pa.array(kf, pa.int64()),
+            "valid_to_us": pa.array(
+                [None if v == -1 else int(v) for v in valid_to],
+                pa.int64()),
+            "rn": pa.array(range(len(kf)), pa.int64())})
+
+    out = ev.groupby("user_id").map_groups(scd2, batch_format="pyarrow")
+    return out.sort(["user_id", "rn"]).map_batches(
+        lambda t: t.select(["user_id", "event_type", "valid_from_us",
+                            "valid_to_us"]),
+        batch_format="pyarrow")
+
+
+O_EVENTS_SCD2 = """
+WITH o AS (SELECT user_id, event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                  lag(event_type) OVER w AS prev_t,
+                  row_number() OVER w AS rn
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (SELECT user_id, event_type, ts_us, rn FROM o
+      WHERE prev_t IS NULL OR event_type <> prev_t)
+SELECT user_id, event_type, ts_us AS valid_from_us,
+       lead(ts_us) OVER (PARTITION BY user_id ORDER BY rn) AS valid_to_us
+FROM c ORDER BY user_id, rn"""
+
+
 def q_user_360(sf_dir: str):
     """Multi-source cogroup ("customer 360"): orders and events each
     pre-aggregate to one row per user BEFORE a full-outer key join, so the
@@ -6120,7 +6174,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # part_skyline events_cusum_drift kg_sssp docs_bpe_learn
     # docs_ppjoin_pairs events_twap events_daily_fill docs_checksum
     # embeddings_pca events_concurrency kg_neg_samples kg_walks
-    # orders_profile docs_table_diff)
+    # orders_profile docs_table_diff events_scd2)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -6191,6 +6245,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_walks": q_kg_walks,
     "orders_profile": q_orders_profile,
     "docs_table_diff": q_docs_table_diff,
+    "events_scd2": q_events_scd2,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -6417,4 +6472,5 @@ def oracles() -> dict[str, str]:
         "kg_walks": O_KG_WALKS(),
         "orders_profile": O_ORDERS_PROFILE,
         "docs_table_diff": O_DOCS_TABLE_DIFF,
+        "events_scd2": O_EVENTS_SCD2,
     }

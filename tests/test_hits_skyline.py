@@ -133,6 +133,7 @@ def test_skyline_anticorrelated_guard_raises():
 
 import datetime as dt
 
+import pandas as pd
 import pyarrow.parquet as pq
 
 import newsagency_classification_ray.queries as Q
@@ -551,3 +552,31 @@ def test_table_diff_statuses(ray_session):
         "v": pa.array(["now-set"], pa.string())}))
     out2 = table_diff(a, c, "k", ["v"]).to_pandas().set_index("status")
     assert out2.loc["changed"].n == 1 and out2.loc["removed"].n == 3
+
+
+def test_scd2_collapses_repeats_and_opens_last(ray_session, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [(1, s(0), "view"), (1, s(10), "view"), (1, s(20), "click"),
+            (1, s(30), "view"),
+            (2, s(5), "buy")]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = Q.q_events_scd2(str(tmp_path)).to_pandas()
+    base = int(t0.timestamp() * 1_000_000)
+    u1 = out[out.user_id == 1].reset_index(drop=True)
+    # view [0,20) -> click [20,30) -> view [30, open)
+    assert u1.event_type.tolist() == ["view", "click", "view"]
+    assert u1.valid_from_us.tolist() == [base, base + 20_000_000,
+                                         base + 30_000_000]
+    assert u1.valid_to_us.tolist()[:2] == [base + 20_000_000,
+                                           base + 30_000_000]
+    assert pd.isna(u1.valid_to_us.iloc[2])
+    u2 = out[out.user_id == 2]
+    assert len(u2) == 1 and pd.isna(u2.valid_to_us.iloc[0])
