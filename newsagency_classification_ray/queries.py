@@ -1449,6 +1449,71 @@ SELECT CAST(ts // 86400000000 AS BIGINT) AS day,
 FROM r GROUP BY 1 ORDER BY 1"""
 
 
+def q_events_bounce_rate(sf_dir: str):
+    """Per-day session bounce counts: sessions (30-min gap, same
+    semantics as events_sessions) bucketed by their START day, with the
+    single-event ('bounce') count alongside the total — the engagement
+    KPI, shipped as exact integer sufficient statistics rather than a
+    hash-fragile ratio. One key shuffle (per-user grouping); sessions
+    reduce to (day, is_bounce) inside the group, then a per-batch
+    combiner + calendar-bounded groupby."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sess_days(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts = ts[order]
+        head = np.concatenate(([True], np.diff(ts) > 30 * 60 * 1_000_000))
+        sizes = np.diff(np.concatenate(
+            (np.flatnonzero(head), [len(ts)])))
+        return pa.table({
+            "day": pa.array(ts[head] // 86_400_000_000, pa.int64()),
+            "bounce": pa.array((sizes == 1).astype(np.int64), pa.int64()),
+            "one": pa.array([1] * int(head.sum()), pa.int64())})
+
+    per_sess = ev.groupby("user_id").map_groups(sess_days,
+                                                batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["day"]).aggregate([("one", "sum"),
+                                           ("bounce", "sum")])
+        return pa.table({"day": g["day"], "n": g["one_sum"],
+                         "b": g["bounce_sum"]})
+
+    out = (per_sess.map_batches(partial, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("n", alias_name="n_sessions"),
+                                     Sum("b", alias_name="n_bounce")))
+    return out.map_batches(
+        lambda t: pa.table({"day": t["day"],
+                            "n_sessions": pc.cast(t["n_sessions"],
+                                                  pa.int64()),
+                            "n_bounce": pc.cast(t["n_bounce"],
+                                                pa.int64())}),
+        batch_format="pyarrow").sort("day")
+
+
+O_EVENTS_BOUNCE_RATE = """
+WITH o AS (SELECT user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_s,
+                  row_number() OVER w AS rn
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts_us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY rn) AS sid
+      FROM o),
+iv AS (SELECT CAST(min(ts_us) // 86400000000 AS BIGINT) AS day,
+              count(*) AS sz
+       FROM s GROUP BY user_id, sid)
+SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+FROM iv GROUP BY 1 ORDER BY 1"""
+
+
 def q_events_asof_orders(sf_dir: str):
     """As-of join: each event picks the most recent order (o_orderdate <=
     ts) of the same customer, ties to the greatest o_orderkey — the custom
@@ -6174,7 +6239,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # part_skyline events_cusum_drift kg_sssp docs_bpe_learn
     # docs_ppjoin_pairs events_twap events_daily_fill docs_checksum
     # embeddings_pca events_concurrency kg_neg_samples kg_walks
-    # orders_profile docs_table_diff events_scd2)
+    # orders_profile docs_table_diff events_scd2
+    # events_bounce_rate)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -6246,6 +6312,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_profile": q_orders_profile,
     "docs_table_diff": q_docs_table_diff,
     "events_scd2": q_events_scd2,
+    "events_bounce_rate": q_events_bounce_rate,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -6473,4 +6540,5 @@ def oracles() -> dict[str, str]:
         "orders_profile": O_ORDERS_PROFILE,
         "docs_table_diff": O_DOCS_TABLE_DIFF,
         "events_scd2": O_EVENTS_SCD2,
+        "events_bounce_rate": O_EVENTS_BOUNCE_RATE,
     }
