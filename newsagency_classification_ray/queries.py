@@ -5398,6 +5398,89 @@ SELECT prev AS prev_type, event_type AS next_type,
 FROM s WHERE prev IS NOT NULL GROUP BY 1, 2"""
 
 
+_ABC_A_NUM, _ABC_B_NUM, _ABC_DEN = 7, 9, 10  # A: <70 %, B: 70–90 %, C: rest
+
+
+def q_lineitem_abc(sf_dir: str):
+    """ABC inventory classification — the multi-threshold generalization
+    of the Pareto head: parts classed A/B/C by where they START in the
+    descending cumulative revenue curve (A < 70 %, B < 90 %, C rest),
+    reported as per-class (count, revenue) sufficient statistics. Same
+    machinery as q_lineitem_pareto (composite int64 sort key + the
+    distributed two-pass prefix sum); class assignment and thresholds are
+    exact integer cross-multiplications."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pa.table({"l_partkey": t["l_partkey"],
+                      "cents": _cents(t["l_extendedprice"])})
+        g = d.group_by("l_partkey").aggregate([("cents", "sum")])
+        return pa.table({"l_partkey": g["l_partkey"],
+                         "rev_cents": g["cents_sum"]})
+
+    rev = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_partkey").aggregate(Sum("rev_cents",
+                                               alias_name="rev_cents")))
+    rev = rev.map_batches(lambda t: _i64(t, ["rev_cents"]),
+                          batch_format="pyarrow").materialize()
+    total = int(rev.sum("rev_cents") or 0)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        r = t["rev_cents"].to_numpy(zero_copy_only=False)
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        return t.append_column("sortkey", pa.array(-r * (1 << 21) + k,
+                                                   type=pa.int64()))
+
+    ordered = ops.running_sum(
+        rev.map_batches(keyed, batch_format="pyarrow")
+        .map_batches(lambda t: t.select(["sortkey", "rev_cents"]),
+                     batch_format="pyarrow"),
+        "sortkey", "rev_cents", out_col="cum_cents")
+
+    def classify(t: pa.Table) -> pa.Table:
+        r = t["rev_cents"].to_numpy(zero_copy_only=False)
+        cum = t["cum_cents"].to_numpy(zero_copy_only=False)
+        start = _ABC_DEN * (cum - r)
+        cls = np.where(start < _ABC_A_NUM * total, "A",
+                       np.where(start < _ABC_B_NUM * total, "B", "C"))
+        g = pa.table({"cls": pa.array(cls.tolist(), pa.string()),
+                      "one": pa.array([1] * len(t), pa.int64()),
+                      "rev": pa.array(r, pa.int64())}).group_by(
+            ["cls"]).aggregate([("one", "sum"), ("rev", "sum")])
+        return pa.table({"cls": g["cls"], "n": g["one_sum"],
+                         "rv": g["rev_sum"]})
+
+    out = (ordered.map_batches(classify, batch_format="pyarrow")
+           .groupby("cls").aggregate(Sum("n", alias_name="n_parts"),
+                                     Sum("rv", alias_name="revenue_cents")))
+    return out.map_batches(
+        lambda t: pa.table({"cls": t["cls"],
+                            "n_parts": pc.cast(t["n_parts"], pa.int64()),
+                            "revenue_cents": pc.cast(t["revenue_cents"],
+                                                     pa.int64())}),
+        batch_format="pyarrow").sort("cls")
+
+
+O_LINEITEM_ABC = f"""
+WITH r AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem GROUP BY 1),
+w AS (SELECT rev_cents,
+             sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(rev_cents) OVER () AS total
+      FROM r)
+SELECT CASE WHEN {_ABC_DEN} * (cum - rev_cents) < {_ABC_A_NUM} * total
+            THEN 'A'
+            WHEN {_ABC_DEN} * (cum - rev_cents) < {_ABC_B_NUM} * total
+            THEN 'B' ELSE 'C' END AS cls,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev_cents) AS BIGINT) AS revenue_cents
+FROM w GROUP BY 1 ORDER BY 1"""
+
+
 def q_lineitem_pareto(sf_dir: str):
     """Pareto (80/20) revenue head: the parts that cumulatively carry the
     first 80 % of revenue, in descending-revenue order. Per-part revenue
@@ -6240,7 +6323,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # docs_ppjoin_pairs events_twap events_daily_fill docs_checksum
     # embeddings_pca events_concurrency kg_neg_samples kg_walks
     # orders_profile docs_table_diff events_scd2
-    # events_bounce_rate)
+    # events_bounce_rate lineitem_abc)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -6313,6 +6396,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_table_diff": q_docs_table_diff,
     "events_scd2": q_events_scd2,
     "events_bounce_rate": q_events_bounce_rate,
+    "lineitem_abc": q_lineitem_abc,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -6541,4 +6625,5 @@ def oracles() -> dict[str, str]:
         "docs_table_diff": O_DOCS_TABLE_DIFF,
         "events_scd2": O_EVENTS_SCD2,
         "events_bounce_rate": O_EVENTS_BOUNCE_RATE,
+        "lineitem_abc": O_LINEITEM_ABC,
     }
