@@ -1514,6 +1514,53 @@ SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
 FROM iv GROUP BY 1 ORDER BY 1"""
 
 
+def q_events_streaks(sf_dir: str):
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands shape (SQL's ``day − row_number()`` grouping trick),
+    done as one key shuffle + an in-group vectorized run-length scan over
+    the user's DISTINCT active days. Ties between equal-length streaks
+    resolve to the earliest start day. Exact int64 epoch-days."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def streaks(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        days = np.unique(ts // 86_400_000_000)
+        head = np.concatenate(([True], np.diff(days) > 1))
+        starts = np.flatnonzero(head)
+        lens = np.diff(np.concatenate((starts, [len(days)])))
+        best = int(np.argmax(lens))  # argmax returns FIRST max → earliest
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"][0].as_py())], pa.int64()),
+            "max_streak": pa.array([int(lens[best])], pa.int64()),
+            "streak_start_day": pa.array([int(days[starts[best]])],
+                                         pa.int64())})
+
+    return ev.groupby("user_id").map_groups(streaks,
+                                            batch_format="pyarrow") \
+        .sort("user_id")
+
+
+O_EVENTS_STREAKS = """
+WITH d AS (SELECT DISTINCT user_id,
+                  date_diff('day', TIMESTAMP '1970-01-01',
+                            CAST(ts AS TIMESTAMP)) AS day
+           FROM events),
+i AS (SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                 AS grp
+      FROM d),
+s AS (SELECT user_id, CAST(min(day) AS BIGINT) AS start_day,
+             CAST(count(*) AS BIGINT) AS len
+      FROM i GROUP BY user_id, grp)
+SELECT user_id, len AS max_streak, start_day AS streak_start_day
+FROM (SELECT user_id, len, start_day,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, start_day) AS rn
+      FROM s)
+WHERE rn = 1 ORDER BY user_id"""
+
+
 def q_events_asof_orders(sf_dir: str):
     """As-of join: each event picks the most recent order (o_orderdate <=
     ts) of the same customer, ties to the greatest o_orderkey — the custom
@@ -6323,7 +6370,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # docs_ppjoin_pairs events_twap events_daily_fill docs_checksum
     # embeddings_pca events_concurrency kg_neg_samples kg_walks
     # orders_profile docs_table_diff events_scd2
-    # events_bounce_rate lineitem_abc)
+    # events_bounce_rate lineitem_abc events_streaks)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -6397,6 +6444,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_scd2": q_events_scd2,
     "events_bounce_rate": q_events_bounce_rate,
     "lineitem_abc": q_lineitem_abc,
+    "events_streaks": q_events_streaks,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -6626,4 +6674,5 @@ def oracles() -> dict[str, str]:
         "events_scd2": O_EVENTS_SCD2,
         "events_bounce_rate": O_EVENTS_BOUNCE_RATE,
         "lineitem_abc": O_LINEITEM_ABC,
+        "events_streaks": O_EVENTS_STREAKS,
     }

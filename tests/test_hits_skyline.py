@@ -580,3 +580,31 @@ def test_scd2_collapses_repeats_and_opens_last(ray_session, tmp_path):
     assert pd.isna(u1.valid_to_us.iloc[2])
     u2 = out[out.user_id == 2]
     assert len(u2) == 1 and pd.isna(u2.valid_to_us.iloc[0])
+
+
+def test_streaks_gaps_and_islands(ray_session, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda u, d: (u, t0 + dt.timedelta(days=d))
+    rows = (
+        # u1: days 0,1,2, 5,6 -> max streak 3 starting day 0
+        [mk(1, 0), mk(1, 1), mk(1, 2), mk(1, 5), mk(1, 6)]
+        # u2: days 3,4 and 8,9 -> tie of length 2 -> earliest start (3)
+        + [mk(2, 3), mk(2, 4), mk(2, 8), mk(2, 9)]
+        # u3: single day, multiple events that day
+        + [mk(3, 7), mk(3, 7)])
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array(["a"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = Q.q_events_streaks(str(tmp_path)).to_pandas().set_index("user_id")
+    base = int(t0.timestamp() // 86400)
+    assert out.loc[1].max_streak == 3
+    assert out.loc[1].streak_start_day == base
+    assert out.loc[2].max_streak == 2
+    assert out.loc[2].streak_start_day == base + 3
+    assert out.loc[3].max_streak == 1
+    assert out.loc[3].streak_start_day == base + 7
