@@ -3236,3 +3236,27 @@ def table_diff(
         lambda t: pa.table({"status": t["status"],
                             "n": pc.cast(t["n"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def unpivot(
+    ds: Dataset,
+    key_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> Dataset:
+    """UNPIVOT / melt — the inverse of :func:`pivot_counts`: each input
+    row emits one output row per value column (wide → long). A pure
+    vectorized map (per value column, one column-slice + constant label —
+    no shuffle, no row loop); output is ``len(value_cols)×`` the rows but
+    the same cells."""
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for vc in value_cols:
+            parts.append(pa.table({
+                **{k: t[k] for k in key_cols},
+                var_name: pa.array([vc] * len(t), pa.string()),
+                value_name: t[vc]}))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -3401,6 +3401,35 @@ SELECT strftime(o_orderdate, '%Y-%m') AS month,
 FROM orders GROUP BY 1"""
 
 
+def q_orders_status_unpivot(sf_dir: str):
+    """UNPIVOT/melt — the pivot's inverse run back-to-back on its own
+    output (month × per-status count columns → long (month, status, n)):
+    proves the wide↔long round-trip; see ops.unpivot (pure vectorized
+    map, no shuffle beyond the pivot's own)."""
+    wide = q_orders_status_pivot(sf_dir)
+    long = ops.unpivot(wide, ["month"], ["n_F", "n_O", "n_P"],
+                       var_name="status", value_name="n")
+    return long.map_batches(
+        lambda t: pa.table({
+            "month": t["month"],
+            "status": pc.utf8_replace_slice(t["status"], 0, 2, ""),
+            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow").sort(["month", "status"])
+
+
+O_ORDERS_STATUS_UNPIVOT = """
+WITH w AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_F,
+         CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_O,
+         CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_P
+  FROM orders GROUP BY 1)
+SELECT month, 'F' AS status, n_F AS n FROM w
+UNION ALL SELECT month, 'O', n_O FROM w
+UNION ALL SELECT month, 'P', n_P FROM w
+ORDER BY month, status"""
+
+
 _BM25_TERMS = ["join", "filter", "vector"]
 
 
@@ -6370,7 +6399,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # docs_ppjoin_pairs events_twap events_daily_fill docs_checksum
     # embeddings_pca events_concurrency kg_neg_samples kg_walks
     # orders_profile docs_table_diff events_scd2
-    # events_bounce_rate lineitem_abc events_streaks)
+    # events_bounce_rate lineitem_abc events_streaks
+    # orders_status_unpivot)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -6445,6 +6475,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_bounce_rate": q_events_bounce_rate,
     "lineitem_abc": q_lineitem_abc,
     "events_streaks": q_events_streaks,
+    "orders_status_unpivot": q_orders_status_unpivot,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -6675,4 +6706,5 @@ def oracles() -> dict[str, str]:
         "events_bounce_rate": O_EVENTS_BOUNCE_RATE,
         "lineitem_abc": O_LINEITEM_ABC,
         "events_streaks": O_EVENTS_STREAKS,
+        "orders_status_unpivot": O_ORDERS_STATUS_UNPIVOT,
     }
