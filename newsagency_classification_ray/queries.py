@@ -5557,6 +5557,49 @@ SELECT CASE WHEN {_ABC_DEN} * (cum - rev_cents) < {_ABC_A_NUM} * total
 FROM w GROUP BY 1 ORDER BY 1"""
 
 
+def q_part_weighted_median(sf_dir: str):
+    """WEIGHTED median: the part size at which half the catalog's retail
+    value sits on each side (lower weighted median, ``2·cum ≥ total``) —
+    the weighted-percentile statistic plain medians/quantiles don't give.
+    Per-size weights reduce with a combiner + one bounded groupby (p_size
+    has a bounded domain); the cumulative pick runs over that tiny series
+    (the unbounded-domain path would reuse running_sum's distributed
+    prefix sum, as q_lineitem_abc does). Exact integer cents."""
+    part = ops.read_table(sf_dir, "part", ["p_size", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"p_size": pc.cast(t["p_size"], pa.int64()),
+                      "w": _cents(t["p_retailprice"])}).group_by(
+            ["p_size"]).aggregate([("w", "sum")])
+        return pa.table({"p_size": g["p_size"], "w": g["w_sum"]})
+
+    per_size = (part.map_batches(partial, batch_format="pyarrow")
+                .groupby("p_size").aggregate(Sum("w", alias_name="w"))) \
+        .to_pandas().sort_values("p_size")
+    w = per_size["w"].astype("int64").to_numpy()
+    sizes = per_size["p_size"].astype("int64").to_numpy()
+    total = int(w.sum())
+    cum = np.cumsum(w)
+    idx = int(np.argmax(2 * cum >= total))
+    return pa.table({
+        "weighted_median_size": pa.array([int(sizes[idx])], pa.int64()),
+        "total_weight_cents": pa.array([total], pa.int64())})
+
+
+O_PART_WEIGHTED_MEDIAN = """
+WITH s AS (SELECT CAST(p_size AS BIGINT) AS p_size,
+                  CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                       AS BIGINT) AS w
+           FROM part GROUP BY 1),
+c AS (SELECT p_size, w,
+             sum(w) OVER (ORDER BY p_size ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER () AS total
+      FROM s)
+SELECT CAST(min(p_size) AS BIGINT) AS weighted_median_size,
+       CAST(max(total) AS BIGINT) AS total_weight_cents
+FROM c WHERE 2 * cum >= total"""
+
+
 def q_lineitem_pareto(sf_dir: str):
     """Pareto (80/20) revenue head: the parts that cumulatively carry the
     first 80 % of revenue, in descending-revenue order. Per-part revenue
@@ -6400,7 +6443,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # embeddings_pca events_concurrency kg_neg_samples kg_walks
     # orders_profile docs_table_diff events_scd2
     # events_bounce_rate lineitem_abc events_streaks
-    # orders_status_unpivot)
+    # orders_status_unpivot part_weighted_median)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -6476,6 +6519,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_abc": q_lineitem_abc,
     "events_streaks": q_events_streaks,
     "orders_status_unpivot": q_orders_status_unpivot,
+    "part_weighted_median": q_part_weighted_median,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -6707,4 +6751,5 @@ def oracles() -> dict[str, str]:
         "lineitem_abc": O_LINEITEM_ABC,
         "events_streaks": O_EVENTS_STREAKS,
         "orders_status_unpivot": O_ORDERS_STATUS_UNPIVOT,
+        "part_weighted_median": O_PART_WEIGHTED_MEDIAN,
     }
