@@ -3260,3 +3260,52 @@ def unpivot(
         return pa.concat_tables(parts)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def hll_overlap(
+    left: Dataset,
+    left_col: str,
+    right: Dataset,
+    right_col: str,
+    p: int = 12,
+) -> pa.Table:
+    """Sketch ALGEBRA: approximate key-overlap between two tables —
+    |A|, |B|, |A∪B| from mergeable HLLs plus inclusion–exclusion
+    |A∩B| ≈ |A|+|B|−|A∪B| — the join-cardinality estimate a planner
+    wants BEFORE paying for the join, in two shuffle-free passes with
+    O(2^p) state (the union sketch is the registerwise max of the two
+    side sketches: merging, not re-scanning, is the whole point of the
+    sketch). Deterministic (splitmix64 over int64 keys, no RNG), so a
+    pure driver recompute is an exact oracle. Returns one row
+    (est_left, est_right, est_union, est_inter)."""
+    import numpy as np
+
+    def side_sketch(ds: Dataset, col: str) -> "HyperLogLog":
+        def sk(t: pa.Table) -> pa.Table:
+            hll = HyperLogLog(p)
+            v = pc.cast(t[col], pa.int64()).to_numpy(zero_copy_only=False)
+            if len(v):
+                hll.add_hashes(_splitmix64(v))
+            return pa.table({"registers": pa.array(
+                [hll.registers.tobytes()], pa.binary())})
+
+        merged = HyperLogLog(p)
+        for row in ds.map_batches(sk, batch_format="pyarrow").take_all():
+            other = HyperLogLog(p)
+            other.registers = np.frombuffer(row["registers"],
+                                            dtype=np.uint8).copy()
+            merged.merge(other)
+        return merged
+
+    a = side_sketch(left, left_col)
+    b = side_sketch(right, right_col)
+    ea, eb = int(round(a.estimate())), int(round(b.estimate()))
+    u = HyperLogLog(p)
+    u.merge(a)
+    u.merge(b)
+    eu = int(round(u.estimate()))
+    return pa.table({
+        "est_left": pa.array([ea], pa.int64()),
+        "est_right": pa.array([eb], pa.int64()),
+        "est_union": pa.array([eu], pa.int64()),
+        "est_inter": pa.array([max(0, ea + eb - eu)], pa.int64())})

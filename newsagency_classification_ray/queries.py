@@ -3475,6 +3475,38 @@ def q_events_approx_users(sf_dir: str):
     return ops.grouped_approx_distinct(ev, "event_type", "user_id", p=12)
 
 
+def q_orders_customer_overlap(sf_dir: str):
+    """Join-cardinality estimation BEFORE the join: HLL sketch algebra
+    over orders.o_custkey vs customer.c_custkey (|A|, |B|, |A∪B| from
+    mergeable sketches, |A∩B| by inclusion–exclusion) — two shuffle-free
+    passes, O(2^12) state; see ops.hll_overlap."""
+    orders = ops.read_table(sf_dir, "orders", ["o_custkey"])
+    cust = ops.read_table(sf_dir, "customer", ["c_custkey"])
+    return ops.hll_overlap(orders, "o_custkey", cust, "c_custkey")
+
+
+def O_ORDERS_CUSTOMER_OVERLAP() -> str:
+    """Pure recompute with the same deterministic splitmix64 + HLL
+    register math (register merge is a max — associative/commutative, so
+    the block split can never change the state)."""
+    to = _read_parquet_cols(_SF001, "orders", ["o_custkey"])
+    tc = _read_parquet_cols(_SF001, "customer", ["c_custkey"])
+    a, b = ops.HyperLogLog(12), ops.HyperLogLog(12)
+    a.add_hashes(ops._splitmix64(
+        np.asarray(to["o_custkey"].to_pylist(), dtype=np.int64)))
+    b.add_hashes(ops._splitmix64(
+        np.asarray(tc["c_custkey"].to_pylist(), dtype=np.int64)))
+    ea, eb = int(round(a.estimate())), int(round(b.estimate()))
+    u = ops.HyperLogLog(12)
+    u.merge(a)
+    u.merge(b)
+    eu = int(round(u.estimate()))
+    return (f"SELECT CAST({ea} AS BIGINT) AS est_left, "
+            f"CAST({eb} AS BIGINT) AS est_right, "
+            f"CAST({eu} AS BIGINT) AS est_union, "
+            f"CAST({max(0, ea + eb - eu)} AS BIGINT) AS est_inter")
+
+
 def O_EVENTS_APPROX_USERS() -> str:
     """Oracle = pure recompute with the SAME deterministic hash + HLL
     finalize (VALUES pattern — the distributed path must reproduce it)."""
@@ -6443,7 +6475,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # embeddings_pca events_concurrency kg_neg_samples kg_walks
     # orders_profile docs_table_diff events_scd2
     # events_bounce_rate lineitem_abc events_streaks
-    # orders_status_unpivot part_weighted_median)
+    # orders_status_unpivot part_weighted_median
+    # orders_customer_overlap)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -6520,6 +6553,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_streaks": q_events_streaks,
     "orders_status_unpivot": q_orders_status_unpivot,
     "part_weighted_median": q_part_weighted_median,
+    "orders_customer_overlap": q_orders_customer_overlap,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -6752,4 +6786,5 @@ def oracles() -> dict[str, str]:
         "events_streaks": O_EVENTS_STREAKS,
         "orders_status_unpivot": O_ORDERS_STATUS_UNPIVOT,
         "part_weighted_median": O_PART_WEIGHTED_MEDIAN,
+        "orders_customer_overlap": O_ORDERS_CUSTOMER_OVERLAP(),
     }

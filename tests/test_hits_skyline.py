@@ -608,3 +608,22 @@ def test_streaks_gaps_and_islands(ray_session, tmp_path):
     assert out.loc[2].streak_start_day == base + 3
     assert out.loc[3].max_streak == 1
     assert out.loc[3].streak_start_day == base + 7
+
+
+from newsagency_classification_ray.ops import hll_overlap
+
+
+def test_hll_overlap_accuracy_and_block_invariance(ray_session):
+    # A = 0..9999, B = 5000..14999 -> |A∩B| = 5000, |A∪B| = 15000
+    a = ray.data.from_arrow(pa.table({
+        "k": pa.array(range(10_000), pa.int64())}))
+    b = ray.data.from_arrow(pa.table({
+        "k": pa.array(range(5_000, 15_000), pa.int64())}))
+    o1 = hll_overlap(a.repartition(7), "k", b.repartition(3), "k") \
+        .to_pylist()[0]
+    o2 = hll_overlap(a.repartition(1), "k", b.repartition(11), "k") \
+        .to_pylist()[0]
+    assert o1 == o2  # register max is associative: split-invariant
+    assert abs(o1["est_left"] - 10_000) / 10_000 < 0.05
+    assert abs(o1["est_union"] - 15_000) / 15_000 < 0.05
+    assert abs(o1["est_inter"] - 5_000) / 5_000 < 0.15  # I-E compounds err
