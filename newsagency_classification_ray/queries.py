@@ -5632,6 +5632,61 @@ SELECT CAST(min(p_size) AS BIGINT) AS weighted_median_size,
 FROM c WHERE 2 * cum >= total"""
 
 
+def q_part_weighted_median_by_brand(sf_dir: str):
+    """GROUPED weighted median: per brand, the size at which half the
+    brand's retail value sits on each side (lower weighted median). One
+    (brand, size) combiner + bounded groupby, then the per-brand
+    cumulative pick runs inside groupby(brand).map_groups — groups are
+    size-domain-bounded, the same contract grouped_ntile documents."""
+    part = ops.read_table(sf_dir, "part",
+                          ["p_brand", "p_size", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"p_brand": t["p_brand"],
+                      "p_size": pc.cast(t["p_size"], pa.int64()),
+                      "w": _cents(t["p_retailprice"])}).group_by(
+            ["p_brand", "p_size"]).aggregate([("w", "sum")])
+        return pa.table({"p_brand": g["p_brand"], "p_size": g["p_size"],
+                         "w": g["w_sum"]})
+
+    per = (part.map_batches(partial, batch_format="pyarrow")
+           .groupby(["p_brand", "p_size"])
+           .aggregate(Sum("w", alias_name="w")))
+
+    def pick(g: pa.Table) -> pa.Table:
+        sz = g["p_size"].to_numpy(zero_copy_only=False)
+        w = g["w"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sz)
+        sz, w = sz[order], w[order]
+        total = int(w.sum())
+        cum = np.cumsum(w)
+        idx = int(np.argmax(2 * cum >= total))
+        return pa.table({
+            "p_brand": pa.array([g["p_brand"][0].as_py()], pa.string()),
+            "wmedian_size": pa.array([int(sz[idx])], pa.int64()),
+            "total_cents": pa.array([total], pa.int64())})
+
+    return per.groupby("p_brand").map_groups(pick,
+                                             batch_format="pyarrow") \
+        .sort("p_brand")
+
+
+O_PART_WMEDIAN_BY_BRAND = """
+WITH s AS (SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+                  CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                       AS BIGINT) AS w
+           FROM part GROUP BY 1, 2),
+c AS (SELECT p_brand, p_size, w,
+             sum(w) OVER (PARTITION BY p_brand ORDER BY p_size
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY p_brand) AS total
+      FROM s)
+SELECT p_brand, CAST(min(p_size) AS BIGINT) AS wmedian_size,
+       CAST(max(total) AS BIGINT) AS total_cents
+FROM c WHERE 2 * cum >= total
+GROUP BY p_brand ORDER BY p_brand"""
+
+
 def q_lineitem_pareto(sf_dir: str):
     """Pareto (80/20) revenue head: the parts that cumulatively carry the
     first 80 % of revenue, in descending-revenue order. Per-part revenue
@@ -6476,7 +6531,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # orders_profile docs_table_diff events_scd2
     # events_bounce_rate lineitem_abc events_streaks
     # orders_status_unpivot part_weighted_median
-    # orders_customer_overlap)
+    # orders_customer_overlap part_wmedian_by_brand)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -6554,6 +6609,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_status_unpivot": q_orders_status_unpivot,
     "part_weighted_median": q_part_weighted_median,
     "orders_customer_overlap": q_orders_customer_overlap,
+    "part_wmedian_by_brand": q_part_weighted_median_by_brand,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -6787,4 +6843,5 @@ def oracles() -> dict[str, str]:
         "orders_status_unpivot": O_ORDERS_STATUS_UNPIVOT,
         "part_weighted_median": O_PART_WEIGHTED_MEDIAN,
         "orders_customer_overlap": O_ORDERS_CUSTOMER_OVERLAP(),
+        "part_wmedian_by_brand": O_PART_WMEDIAN_BY_BRAND,
     }
