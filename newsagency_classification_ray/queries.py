@@ -1561,6 +1561,89 @@ FROM (SELECT user_id, len, start_day,
 WHERE rn = 1 ORDER BY user_id"""
 
 
+def q_events_ohlc(sf_dir: str):
+    """Per-day OHLC bars (open/high/low/close of ``value``) — the
+    financial-rollup aggregate whose open/close are ORDER statistics
+    (earliest/latest by (ts, event_id)), not algebraic ones. Each batch
+    reduces to one candidate partial per day it sees (its own first/last
+    plus hi/lo/count); groupby(day).map_groups merges partials by the
+    same lexicographic (ts, event_id) rule, so the result is independent
+    of block layout. Exact int64 cents and epoch-micros."""
+    ev = ops.read_table(sf_dir, "events", ["ts", "event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000
+        order = np.lexsort((eid, ts, day))
+        d_o, t_o, e_o, c_o = day[order], ts[order], eid[order], cents[order]
+        head = np.concatenate(([True], d_o[1:] != d_o[:-1]))
+        tail = np.concatenate((head[1:], [True]))
+        starts = np.flatnonzero(head)
+        ends = np.flatnonzero(tail)
+        hi = np.maximum.reduceat(c_o, starts)
+        lo = np.minimum.reduceat(c_o, starts)
+        n = np.diff(np.concatenate((starts, [len(d_o)])))
+        return pa.table({
+            "day": pa.array(d_o[head], pa.int64()),
+            "o_ts": pa.array(t_o[starts], pa.int64()),
+            "o_eid": pa.array(e_o[starts], pa.int64()),
+            "open_cents": pa.array(c_o[starts], pa.int64()),
+            "c_ts": pa.array(t_o[ends], pa.int64()),
+            "c_eid": pa.array(e_o[ends], pa.int64()),
+            "close_cents": pa.array(c_o[ends], pa.int64()),
+            "high_cents": pa.array(hi, pa.int64()),
+            "low_cents": pa.array(lo, pa.int64()),
+            "n": pa.array(n, pa.int64())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        o = np.lexsort((g["o_eid"].to_numpy(zero_copy_only=False),
+                        g["o_ts"].to_numpy(zero_copy_only=False)))[0]
+        ce = g["c_eid"].to_numpy(zero_copy_only=False)
+        ct = g["c_ts"].to_numpy(zero_copy_only=False)
+        c = np.lexsort((-ce, -ct))[0]  # latest (ts, eid)
+        return pa.table({
+            "day": pa.array([int(g["day"][0].as_py())], pa.int64()),
+            "open_cents": pa.array([int(g["open_cents"][o].as_py())],
+                                   pa.int64()),
+            "high_cents": pa.array(
+                [int(pc.max(g["high_cents"]).as_py())], pa.int64()),
+            "low_cents": pa.array(
+                [int(pc.min(g["low_cents"]).as_py())], pa.int64()),
+            "close_cents": pa.array([int(g["close_cents"][c].as_py())],
+                                    pa.int64()),
+            "n": pa.array([int(pc.sum(g["n"]).as_py())], pa.int64())})
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").map_groups(merge, batch_format="pyarrow")
+            .sort("day"))
+
+
+O_EVENTS_OHLC = """
+WITH e AS (SELECT date_diff('day', TIMESTAMP '1970-01-01',
+                            CAST(ts AS TIMESTAMP)) AS day,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+x AS (SELECT day, cents,
+             first_value(cents) OVER w AS open_cents,
+             last_value(cents) OVER (PARTITION BY day
+                                     ORDER BY ts_us, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING)
+                 AS close_cents
+      FROM e WINDOW w AS (PARTITION BY day ORDER BY ts_us, event_id))
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(max(open_cents) AS BIGINT) AS open_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       CAST(max(close_cents) AS BIGINT) AS close_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM x GROUP BY 1 ORDER BY 1"""
+
+
 def q_events_asof_orders(sf_dir: str):
     """As-of join: each event picks the most recent order (o_orderdate <=
     ts) of the same customer, ties to the greatest o_orderkey — the custom
@@ -6531,7 +6614,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # orders_profile docs_table_diff events_scd2
     # events_bounce_rate lineitem_abc events_streaks
     # orders_status_unpivot part_weighted_median
-    # orders_customer_overlap part_wmedian_by_brand)
+    # orders_customer_overlap part_wmedian_by_brand
+    # events_ohlc)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -6610,6 +6694,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "part_weighted_median": q_part_weighted_median,
     "orders_customer_overlap": q_orders_customer_overlap,
     "part_wmedian_by_brand": q_part_weighted_median_by_brand,
+    "events_ohlc": q_events_ohlc,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -6844,4 +6929,5 @@ def oracles() -> dict[str, str]:
         "part_weighted_median": O_PART_WEIGHTED_MEDIAN,
         "orders_customer_overlap": O_ORDERS_CUSTOMER_OVERLAP(),
         "part_wmedian_by_brand": O_PART_WMEDIAN_BY_BRAND,
+        "events_ohlc": O_EVENTS_OHLC,
     }

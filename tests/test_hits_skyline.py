@@ -627,3 +627,27 @@ def test_hll_overlap_accuracy_and_block_invariance(ray_session):
     assert abs(o1["est_left"] - 10_000) / 10_000 < 0.05
     assert abs(o1["est_union"] - 15_000) / 15_000 < 0.05
     assert abs(o1["est_inter"] - 5_000) / 5_000 < 0.15  # I-E compounds err
+
+
+def test_ohlc_order_statistics_and_ties(ray_session, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    # day 0: open ties at sec 0 (eids 0,1 -> open = eid 0's 5.0); close
+    # ties at sec 50 (eids 3,4 -> close = eid 4's 1.0); hi 9.9, lo 1.0
+    rows = [(s(0), 0, 5.0), (s(0), 1, 7.0), (s(10), 2, 9.9),
+            (s(50), 3, 2.0), (s(50), 4, 1.0),
+            (s(86_400 + 5), 5, 3.0)]  # day 1: single event
+    tbl = pa.table({
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array(["a"] * len(rows), pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = Q.q_events_ohlc(str(tmp_path)).to_pandas()
+    d0 = out.iloc[0]
+    assert (d0.open_cents, d0.high_cents, d0.low_cents, d0.close_cents,
+            d0.n) == (500, 990, 100, 100, 5)
+    d1 = out.iloc[1]
+    assert (d1.open_cents, d1.close_cents, d1.n) == (300, 300, 1)
