@@ -6615,7 +6615,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # events_bounce_rate lineitem_abc events_streaks
     # orders_status_unpivot part_weighted_median
     # orders_customer_overlap part_wmedian_by_brand
-    # events_ohlc)
+    # events_ohlc suppliers_all_regions)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -6695,6 +6695,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_customer_overlap": q_orders_customer_overlap,
     "part_wmedian_by_brand": q_part_weighted_median_by_brand,
     "events_ohlc": q_events_ohlc,
+    "suppliers_all_regions": qt.suppliers_all_regions,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -6930,4 +6931,5 @@ def oracles() -> dict[str, str]:
         "orders_customer_overlap": O_ORDERS_CUSTOMER_OVERLAP(),
         "part_wmedian_by_brand": O_PART_WMEDIAN_BY_BRAND,
         "events_ohlc": O_EVENTS_OHLC,
+        "suppliers_all_regions": qt.O_SUPPLIERS_ALL_REGIONS,
     }

@@ -921,6 +921,89 @@ FROM lineitem l JOIN s ON CAST(l.l_partkey AS BIGINT) = s.p
 WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * s.n < s.sq"""
 
 
+def suppliers_all_regions(sf_dir: str):
+    """RELATIONAL DIVISION (the FOR-ALL shape): suppliers whose shipped
+    lineitems reach customers in EVERY region — the universal-quantifier
+    query that no plain join/filter expresses. Plan: the fact-fact
+    lineitem⋈orders join runs distributed on projected (key, key) sides;
+    customer attaches size-adaptively; nationkey→regionkey maps via an
+    index_in broadcast probe (nation is calendar-bounded); a per-batch
+    DISTINCT (suppkey, region) combiner bounds the exchange to
+    O(blocks × suppliers × regions) rows; division is then
+    count(distinct region) == |regions| — exact integers."""
+    nation = ops.read_table(sf_dir, "nation").to_pandas()
+    n_regions = int(nation["n_regionkey"].nunique())
+    nkey = pa.array(nation["n_nationkey"].astype(int), pa.int64())
+    nreg = pa.array(nation["n_regionkey"].astype(int), pa.int64())
+
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_orderkey", "l_suppkey"]).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "s_suppkey": pc.cast(t["l_suppkey"], pa.int64())}),
+        batch_format="pyarrow")
+    orders = ops.read_table(sf_dir, "orders",
+                            ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64())}),
+        batch_format="pyarrow")
+    cust = ops.read_table(sf_dir, "customer",
+                          ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table({
+            "o_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64())}),
+        batch_format="pyarrow")
+    lo = ops.hash_join(li, orders, on=("l_orderkey",),
+                       right_on=("o_orderkey",))
+    loc_ = ops.hash_join_sized(lo, ops._compact(cust), on=("o_custkey",))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        reg = pc.take(nreg, pc.index_in(t["c_nationkey"], value_set=nkey))
+        d = pa.table({"s_suppkey": t["s_suppkey"], "region": reg})
+        g = d.group_by(["s_suppkey", "region"]).aggregate([])
+        return g
+
+    dr = ops.distinct(loc_.map_batches(pairs, batch_format="pyarrow"),
+                      ["s_suppkey", "region"])
+
+    def cnt(t: pa.Table) -> pa.Table:
+        g = t.group_by(["s_suppkey"]).aggregate([("region", "count")])
+        return pa.table({"s_suppkey": g["s_suppkey"],
+                         "nr": pc.cast(g["region_count"], pa.int64())})
+
+    per = (dr.map_batches(cnt, batch_format="pyarrow")
+           .groupby("s_suppkey").aggregate(Sum("nr", alias_name="nr")))
+    winners = per.map_batches(
+        lambda t: pa.table({"s_suppkey": t.filter(
+            pc.equal(pc.cast(t["nr"], pa.int64()),
+                     pa.scalar(n_regions, pa.int64())))["s_suppkey"]}),
+        batch_format="pyarrow")
+    supp = ops.read_table(sf_dir, "supplier",
+                          ["s_suppkey", "s_name"]).map_batches(
+        lambda t: pa.table({"s_suppkey": pc.cast(t["s_suppkey"],
+                                                 pa.int64()),
+                            "s_name": t["s_name"]}),
+        batch_format="pyarrow")
+    out = ops.hash_join_sized(supp, ops._compact(winners), on=("s_suppkey",))
+    return out.sort("s_suppkey")
+
+
+O_SUPPLIERS_ALL_REGIONS = """
+WITH pr AS (SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS s_suppkey,
+                   n.n_regionkey
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN (SELECT s_suppkey FROM pr GROUP BY 1
+      HAVING count(*) = (SELECT count(DISTINCT n_regionkey) FROM nation))
+     w ON CAST(s.s_suppkey AS BIGINT) = w.s_suppkey
+ORDER BY s.s_suppkey"""
+
+
 _Q6_LO, _Q6_HI = "1996-01-01", "1997-01-01"
 _Q6_QTY = 24.0
 
