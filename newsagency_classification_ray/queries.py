@@ -2462,6 +2462,69 @@ def O_KG_WALKS() -> str:
         "t(node, w, step, visited)", "('', 0, 0, '')")
 
 
+def _greedy_cover(pairs: list[tuple[str, str]]) -> list[tuple[int, str, int]]:
+    """Deterministic greedy set cover over (host, item) incidence pairs:
+    each round picks the host covering the most uncovered items (ties →
+    lexicographically smallest host). Returns (pick_order, host,
+    newly_covered)."""
+    sets: dict[str, set] = {}
+    for h, q in pairs:
+        sets.setdefault(h, set()).add(q)
+    uncovered = set().union(*sets.values()) if sets else set()
+    out = []
+    rank = 0
+    while uncovered:
+        host, gain = min(((h, len(s & uncovered)) for h, s in sets.items()),
+                         key=lambda kv: (-kv[1], kv[0]))
+        if gain == 0:
+            break
+        out.append((rank, host, gain))
+        uncovered -= sets[host]
+        rank += 1
+    return out
+
+
+def q_kg_host_cover(sf_dir: str):
+    """Greedy SET COVER: the minimal-ish host set whose pages mention
+    every linked agency — the crawl-prioritization / data-layout planning
+    shape (which sources must we keep to retain full entity coverage?).
+    The distributed part reduces the corpus to the DISTINCT (host, qid)
+    incidence (combiner + one dedup exchange; dimension-scale — hosts ×
+    agencies); the classic greedy then iterates over that bounded
+    incidence on the driver, deterministic tie-breaks throughout."""
+    m = _mentions(sf_dir)
+    pairs_ds = ops.distinct(
+        m.map_batches(
+            lambda t: (lambda f: pa.table({"host": f["host"],
+                                           "qid": f["qid"]}))(
+                t.filter(pc.not_equal(t["qid"], "NIL"))),
+            batch_format="pyarrow"),
+        ["host", "qid"])
+    pairs = [(r["host"], r["qid"]) for r in pairs_ds.take_all()]
+    rows = _greedy_cover(pairs)
+    return pa.table({
+        "pick_order": pa.array([r[0] for r in rows], pa.int64()),
+        "host": pa.array([r[1] for r in rows], pa.string()),
+        "newly_covered": pa.array([r[2] for r in rows], pa.int64())})
+
+
+def O_KG_HOST_COVER() -> str:
+    """Pure recompute: DuckDB re-derives the distinct (host, qid)
+    incidence from the pages parquet, Python runs the identical greedy."""
+    import duckdb
+
+    sql = f"""WITH {_pages_cte(_SF001)}
+SELECT DISTINCT host, qid FROM sql_mentions WHERE qid <> 'NIL'"""
+    df = duckdb.connect().execute(sql).fetchdf()
+    rows = _greedy_cover(list(zip(df["host"], df["qid"])))
+    vals = [f"({r[0]}, {_sq(r[1])}, {r[2]})" for r in rows]
+    return _values_or_empty(
+        vals,
+        "SELECT CAST(pick_order AS BIGINT) AS pick_order, host, "
+        "CAST(newly_covered AS BIGINT) AS newly_covered",
+        "t(pick_order, host, newly_covered)", "(0, '', 0)")
+
+
 _HITS_ITERS, _HITS_RD = 6, 9
 
 
@@ -6615,7 +6678,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # events_bounce_rate lineitem_abc events_streaks
     # orders_status_unpivot part_weighted_median
     # orders_customer_overlap part_wmedian_by_brand
-    # events_ohlc suppliers_all_regions)
+    # events_ohlc suppliers_all_regions kg_host_cover)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -6696,6 +6759,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "part_wmedian_by_brand": q_part_weighted_median_by_brand,
     "events_ohlc": q_events_ohlc,
     "suppliers_all_regions": qt.suppliers_all_regions,
+    "kg_host_cover": q_kg_host_cover,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -6932,4 +6996,5 @@ def oracles() -> dict[str, str]:
         "part_wmedian_by_brand": O_PART_WMEDIAN_BY_BRAND,
         "events_ohlc": O_EVENTS_OHLC,
         "suppliers_all_regions": qt.O_SUPPLIERS_ALL_REGIONS,
+        "kg_host_cover": O_KG_HOST_COVER(),
     }

@@ -651,3 +651,19 @@ def test_ohlc_order_statistics_and_ties(ray_session, tmp_path):
             d0.n) == (500, 990, 100, 100, 5)
     d1 = out.iloc[1]
     assert (d1.open_cents, d1.close_cents, d1.n) == (300, 300, 1)
+
+
+from newsagency_classification_ray.queries import _greedy_cover
+
+
+def test_greedy_cover_deterministic():
+    pairs = [("h1", "a"), ("h1", "b"), ("h1", "c"),
+             ("h2", "c"), ("h2", "d"),
+             ("h3", "d"), ("h3", "e"),
+             ("h4", "e")]
+    out = _greedy_cover(pairs)
+    # h1 covers 3; then h3 covers d,e (2) beats h2 (1); done
+    assert out == [(0, "h1", 3), (1, "h3", 2)]
+    # tie between equal-gain hosts resolves lexicographically
+    out2 = _greedy_cover([("b", "x"), ("a", "y")])
+    assert out2[0][1] == "a"
