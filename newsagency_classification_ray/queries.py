@@ -2525,6 +2525,94 @@ SELECT DISTINCT host, qid FROM sql_mentions WHERE qid <> 'NIL'"""
         "t(pick_order, host, newly_covered)", "(0, '', 0)")
 
 
+_VORONOI_SEEDS = ("Q2826560", "Q40469", "Q130879")  # Havas, AFP, Reuters
+
+
+def q_kg_voronoi(sf_dir: str):
+    """Graph VORONOI partition: every co-occurrence-graph node labeled by
+    its nearest seed agency (hop distance; ties → the earlier seed in the
+    fixed seed list) — the graph-partitioning/assignment shape, composed
+    from one ops.sssp run per seed (bounded seed count) plus full-outer
+    min-merges. Nodes unreachable from every seed are absent. Returns
+    (node, seed, dist)."""
+    und = _kg_und_edges(sf_dir)
+    sym = und.union(und.map_batches(
+        lambda t: pa.table({"src_qid": t["dst_qid"],
+                            "dst_qid": t["src_qid"]}),
+        batch_format="pyarrow"))
+    edges = sym.map_batches(
+        lambda t: pa.table({"src": t["src_qid"], "dst": t["dst_qid"],
+                            "cost": pa.array([1] * len(t), pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    merged = None
+    for rank, seed in enumerate(_VORONOI_SEEDS):
+        d = ops.sssp(edges, [seed], cost="cost").map_batches(
+            lambda t, rank=rank, seed=seed: pa.table({
+                "node": t["node"],
+                f"d{rank}": pc.cast(t["dist"], pa.int64())}),
+            batch_format="pyarrow")
+        merged = d if merged is None else ops.hash_join_sized(
+            ops._compact(merged), ops._compact(d), on=("node",),
+            how="full_outer")
+
+    big = pa.scalar(2**62, pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        ds_ = [pc.coalesce(t[f"d{r}"], big).to_numpy(zero_copy_only=False)
+               for r in range(len(_VORONOI_SEEDS))]
+        mat = np.stack(ds_, axis=1)
+        best = mat.argmin(axis=1)  # first min → earlier seed wins ties
+        dist = mat[np.arange(len(mat)), best]
+        keep = dist < 2**62
+        return pa.table({
+            "node": t["node"].filter(pa.array(keep)),
+            "seed": pa.array(
+                [_VORONOI_SEEDS[b] for b, k in zip(best, keep) if k],
+                pa.string()),
+            "dist": pa.array(dist[keep], pa.int64())})
+
+    return merged.map_batches(pick, batch_format="pyarrow") \
+        .sort(["node"])
+
+
+def O_KG_VORONOI() -> str:
+    """Pure recompute: BFS per seed over the DuckDB-derived undirected
+    edges, identical (dist, seed-rank) argmin."""
+    from collections import deque
+
+    import duckdb
+
+    df = duckdb.connect().execute(O_KG_COOCCURRENCE(_SF001)).fetchdf()
+    und = sorted({(a, b) for a, b in zip(df["src_qid"], df["dst_qid"])})
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    best: dict = {}
+    for rank, seed in enumerate(_VORONOI_SEEDS):
+        if seed not in adj:
+            dist = {seed: 0}
+        else:
+            dist = {seed: 0}
+            q = deque([seed])
+            while q:
+                u = q.popleft()
+                for v in sorted(adj.get(u, ())):
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        q.append(v)
+        for v, d in dist.items():
+            cur = best.get(v)
+            if cur is None or (d, rank) < cur[:2]:
+                best[v] = (d, rank, seed)
+    rows = [f"({_sq(v)}, {_sq(s)}, {d})"
+            for v, (d, _, s) in sorted(best.items())]
+    return _values_or_empty(
+        rows, "SELECT node, seed, CAST(dist AS BIGINT) AS dist",
+        "t(node, seed, dist)", "('', '', 0)")
+
+
 _HITS_ITERS, _HITS_RD = 6, 9
 
 
@@ -6678,7 +6766,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # events_bounce_rate lineitem_abc events_streaks
     # orders_status_unpivot part_weighted_median
     # orders_customer_overlap part_wmedian_by_brand
-    # events_ohlc suppliers_all_regions kg_host_cover)
+    # events_ohlc suppliers_all_regions kg_host_cover kg_voronoi)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -6760,6 +6848,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_ohlc": q_events_ohlc,
     "suppliers_all_regions": qt.suppliers_all_regions,
     "kg_host_cover": q_kg_host_cover,
+    "kg_voronoi": q_kg_voronoi,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -6997,4 +7086,5 @@ def oracles() -> dict[str, str]:
         "events_ohlc": O_EVENTS_OHLC,
         "suppliers_all_regions": qt.O_SUPPLIERS_ALL_REGIONS,
         "kg_host_cover": O_KG_HOST_COVER(),
+        "kg_voronoi": O_KG_VORONOI(),
     }
