@@ -6766,7 +6766,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # events_bounce_rate lineitem_abc events_streaks
     # orders_status_unpivot part_weighted_median
     # orders_customer_overlap part_wmedian_by_brand
-    # events_ohlc suppliers_all_regions kg_host_cover kg_voronoi)
+    # events_ohlc suppliers_all_regions kg_host_cover kg_voronoi
+    # nation_share_of_region)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -6849,6 +6850,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "suppliers_all_regions": qt.suppliers_all_regions,
     "kg_host_cover": q_kg_host_cover,
     "kg_voronoi": q_kg_voronoi,
+    "nation_share_of_region": qt.nation_share_of_region,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -7087,4 +7089,5 @@ def oracles() -> dict[str, str]:
         "suppliers_all_regions": qt.O_SUPPLIERS_ALL_REGIONS,
         "kg_host_cover": O_KG_HOST_COVER(),
         "kg_voronoi": O_KG_VORONOI(),
+        "nation_share_of_region": qt.O_NATION_SHARE_OF_REGION,
     }

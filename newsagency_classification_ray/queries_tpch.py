@@ -1004,6 +1004,82 @@ JOIN (SELECT s_suppkey FROM pr GROUP BY 1
 ORDER BY s.s_suppkey"""
 
 
+def nation_share_of_region(sf_dir: str):
+    """Percent-of-parent hierarchy rollup (the RATIO_TO_REPORT window
+    shape): each supplier nation's revenue alongside its region's total,
+    as exact integer sufficient statistics (nation_rev_e4,
+    region_rev_e4). Revenue rounds per row to e4 (2-dec × 2-dec → exact,
+    order-independent int sums); the fact side reduces with a per-batch
+    per-suppkey combiner, the supplier (suppkey → nationkey) projection
+    joins size-adaptively, and the nation→region parent totals fold over
+    the 25-row nation table on the driver (calendar-bounded dim)."""
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "rev_e4": pc.cast(pc.round(pc.multiply(_rev(t), 10_000)),
+                              pa.int64())}).group_by(
+            ["s_suppkey"]).aggregate([("rev_e4", "sum")])
+        return pa.table({"s_suppkey": g["s_suppkey"],
+                         "rev_e4": g["rev_e4_sum"]})
+
+    per_supp = (li.map_batches(partial, batch_format="pyarrow")
+                .groupby("s_suppkey")
+                .aggregate(Sum("rev_e4", alias_name="rev_e4")))
+    supp = ops.read_table(sf_dir, "supplier",
+                          ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table({"s_suppkey": pc.cast(t["s_suppkey"],
+                                                 pa.int64()),
+                            "s_nationkey": pc.cast(t["s_nationkey"],
+                                                   pa.int64())}),
+        batch_format="pyarrow")
+    j = ops.hash_join_sized(ops._compact(per_supp), ops._compact(supp),
+                            on=("s_suppkey",))
+
+    def nat_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["s_nationkey"]).aggregate([("rev_e4", "sum")])
+        return pa.table({"s_nationkey": g["s_nationkey"],
+                         "r": pc.cast(g["rev_e4_sum"], pa.int64())})
+
+    per_nation = (j.map_batches(nat_partial, batch_format="pyarrow")
+                  .groupby("s_nationkey")
+                  .aggregate(Sum("r", alias_name="nation_rev_e4"))) \
+        .to_pandas()
+    nation = ops.read_table(sf_dir, "nation").to_pandas()
+    region = ops.read_table(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")
+    m = per_nation.merge(dim, left_on="s_nationkey",
+                         right_on="n_nationkey")
+    m["nation_rev_e4"] = m["nation_rev_e4"].astype("int64")
+    reg_tot = m.groupby("r_name")["nation_rev_e4"].transform("sum")
+    m = m.sort_values("n_name")
+    return pa.table({
+        "n_name": pa.array(m["n_name"], pa.string()),
+        "r_name": pa.array(m["r_name"], pa.string()),
+        "nation_rev_e4": pa.array(m["nation_rev_e4"], pa.int64()),
+        "region_rev_e4": pa.array(reg_tot[m.index].astype("int64"),
+                                  pa.int64())})
+
+
+O_NATION_SHARE_OF_REGION = """
+WITH nr AS (SELECT n.n_name, r.r_name,
+                   CAST(sum(CAST(round((l.l_extendedprice *
+                        (1 - l.l_discount)) * 10000) AS BIGINT))
+                        AS BIGINT) AS nation_rev_e4
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2)
+SELECT n_name, r_name, nation_rev_e4,
+       CAST(sum(nation_rev_e4) OVER (PARTITION BY r_name) AS BIGINT)
+           AS region_rev_e4
+FROM nr ORDER BY n_name"""
+
+
 _Q6_LO, _Q6_HI = "1996-01-01", "1997-01-01"
 _Q6_QTY = 24.0
 
