@@ -2613,6 +2613,55 @@ def O_KG_VORONOI() -> str:
         "t(node, seed, dist)", "('', '', 0)")
 
 
+def q_kg_edge_births(sf_dir: str):
+    """Graph-evolution analytics: how many co-occurrence edges are BORN
+    each year (first year a pair co-occurs) — the temporal-KG growth
+    curve. Per-edge first-year via a per-batch min combiner + one edge-
+    keyed groupby; the per-year census is a second bounded groupby."""
+    from ray.data.aggregate import Min as _Min
+
+    edges = kg.cooccurrence_edges(_mentions(sf_dir))
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"src_qid": t["src_qid"], "dst_qid": t["dst_qid"],
+                      "year": pc.cast(t["year"], pa.int64())}).group_by(
+            ["src_qid", "dst_qid"]).aggregate([("year", "min")])
+        return pa.table({"src_qid": g["src_qid"], "dst_qid": g["dst_qid"],
+                         "y": g["year_min"]})
+
+    first = (edges.map_batches(first_partial, batch_format="pyarrow")
+             .groupby(["src_qid", "dst_qid"])
+             .aggregate(_Min("y", alias_name="birth_year")))
+
+    def census(t: pa.Table) -> pa.Table:
+        g = pa.table({"birth_year": pc.cast(t["birth_year"],
+                                            pa.int64())}).group_by(
+            ["birth_year"]).aggregate([("birth_year", "count")])
+        return pa.table({"birth_year": g["birth_year"],
+                         "n": pc.cast(g["birth_year_count"], pa.int64())})
+
+    out = (first.map_batches(census, batch_format="pyarrow")
+           .groupby("birth_year").aggregate(Sum("n", alias_name="n_edges")))
+    return out.map_batches(
+        lambda t: pa.table({"birth_year": t["birth_year"],
+                            "n_edges": pc.cast(t["n_edges"], pa.int64())}),
+        batch_format="pyarrow").sort("birth_year")
+
+
+def O_KG_EDGE_BIRTHS() -> str:
+    import duckdb
+
+    df = duckdb.connect().execute(O_KG_COOCCURRENCE(_SF001)).fetchdf()
+    first = df.groupby(["src_qid", "dst_qid"], as_index=False)["year"].min()
+    cnt = first.groupby("year").size()
+    rows = [f"({int(y)}, {int(n)})" for y, n in sorted(cnt.items())]
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(birth_year AS BIGINT) AS birth_year, "
+        "CAST(n_edges AS BIGINT) AS n_edges",
+        "t(birth_year, n_edges)", "(0, 0)")
+
+
 _HITS_ITERS, _HITS_RD = 6, 9
 
 
@@ -6767,7 +6816,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # orders_status_unpivot part_weighted_median
     # orders_customer_overlap part_wmedian_by_brand
     # events_ohlc suppliers_all_regions kg_host_cover kg_voronoi
-    # nation_share_of_region)
+    # nation_share_of_region kg_edge_births)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -6851,6 +6900,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_host_cover": q_kg_host_cover,
     "kg_voronoi": q_kg_voronoi,
     "nation_share_of_region": qt.nation_share_of_region,
+    "kg_edge_births": q_kg_edge_births,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -7090,4 +7140,5 @@ def oracles() -> dict[str, str]:
         "kg_host_cover": O_KG_HOST_COVER(),
         "kg_voronoi": O_KG_VORONOI(),
         "nation_share_of_region": qt.O_NATION_SHARE_OF_REGION,
+        "kg_edge_births": O_KG_EDGE_BIRTHS(),
     }
