@@ -2662,6 +2662,58 @@ def O_KG_EDGE_BIRTHS() -> str:
         "t(birth_year, n_edges)", "(0, 0)")
 
 
+def q_kg_agency_burstiness(sf_dir: str):
+    """Per-agency temporal burstiness SUFFICIENT STATISTICS: over each
+    agency's yearly mention-count series, (n_years, Σn, Σn²) as exact
+    int64 — the Fano factor (variance/mean, the burstiness index) is one
+    division away, left to the reader because a rounded ratio would be
+    hash-fragile. Two bounded groupbys ((qid, year) census, then per-qid
+    fold with a per-batch combiner)."""
+    m = _mentions(sf_dir)
+
+    def yearly(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.not_equal(t["qid"], "NIL"))
+        g = pa.table({"qid": f["qid"],
+                      "year": pc.cast(f["year"], pa.int64())}).group_by(
+            ["qid", "year"]).aggregate([("year", "count")])
+        return pa.table({"qid": g["qid"], "year": g["year"],
+                         "n": pc.cast(g["year_count"], pa.int64())})
+
+    per_year = (m.map_batches(yearly, batch_format="pyarrow")
+                .groupby(["qid", "year"]).aggregate(Sum("n", alias_name="n")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64())
+        g = pa.table({"qid": t["qid"],
+                      "y": pa.array([1] * len(t), pa.int64()),
+                      "s": n,
+                      "s2": pc.multiply(n, n)}).group_by(["qid"]).aggregate(
+            [("y", "sum"), ("s", "sum"), ("s2", "sum")])
+        return pa.table({"qid": g["qid"], "y": g["y_sum"], "s": g["s_sum"],
+                         "s2": g["s2_sum"]})
+
+    out = (per_year.map_batches(fold, batch_format="pyarrow")
+           .groupby("qid").aggregate(Sum("y", alias_name="n_years"),
+                                     Sum("s", alias_name="sum_n"),
+                                     Sum("s2", alias_name="sum_n2")))
+    return out.map_batches(
+        lambda t: pa.table({"qid": t["qid"],
+                            "n_years": pc.cast(t["n_years"], pa.int64()),
+                            "sum_n": pc.cast(t["sum_n"], pa.int64()),
+                            "sum_n2": pc.cast(t["sum_n2"], pa.int64())}),
+        batch_format="pyarrow").sort("qid")
+
+
+def O_KG_AGENCY_BURSTINESS(sf: str | None = None) -> str:
+    return f"""WITH {_pages_cte(sf or _SF001)},
+y AS (SELECT qid, year, CAST(count(*) AS BIGINT) AS n
+      FROM sql_mentions WHERE qid <> 'NIL' GROUP BY 1, 2)
+SELECT qid, CAST(count(*) AS BIGINT) AS n_years,
+       CAST(sum(n) AS BIGINT) AS sum_n,
+       CAST(sum(n * n) AS BIGINT) AS sum_n2
+FROM y GROUP BY 1 ORDER BY 1"""
+
+
 _HITS_ITERS, _HITS_RD = 6, 9
 
 
@@ -6816,7 +6868,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # orders_status_unpivot part_weighted_median
     # orders_customer_overlap part_wmedian_by_brand
     # events_ohlc suppliers_all_regions kg_host_cover kg_voronoi
-    # nation_share_of_region kg_edge_births)
+    # nation_share_of_region kg_edge_births kg_agency_burstiness)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -6901,6 +6953,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_voronoi": q_kg_voronoi,
     "nation_share_of_region": qt.nation_share_of_region,
     "kg_edge_births": q_kg_edge_births,
+    "kg_agency_burstiness": q_kg_agency_burstiness,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -7141,4 +7194,5 @@ def oracles() -> dict[str, str]:
         "kg_voronoi": O_KG_VORONOI(),
         "nation_share_of_region": qt.O_NATION_SHARE_OF_REGION,
         "kg_edge_births": O_KG_EDGE_BIRTHS(),
+        "kg_agency_burstiness": O_KG_AGENCY_BURSTINESS(),
     }
