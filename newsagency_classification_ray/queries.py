@@ -3802,6 +3802,84 @@ SELECT doc_id, score_micro FROM s WHERE score_micro > 0
 ORDER BY score_micro DESC, doc_id LIMIT 15"""
 
 
+_HYBRID_QUERY_VEC = 3  # the query doc's embedding (vec_id == doc_id)
+
+
+def q_docs_hybrid_search(sf_dir: str):
+    """HYBRID retrieval — the RAG data-pipeline shape: a lexical BM25
+    pass produces the candidate set (two bounded passes, no corpus
+    shuffle), then the candidates re-rank by embedding cosine against a
+    query vector. The re-rank is candidate-bounded by construction
+    (k=15 rows), so the gather+cosine runs driver-side on a k-row table;
+    at corpus scale only the BM25 scan touches the data. Output keeps
+    BOTH scores (score_micro, cos_e6) — fusion weights are the reader's
+    policy choice."""
+    bm = rt.bm25_topk(ops.read_table(sf_dir, "documents",
+                                     ["doc_id", "text"]),
+                      _BM25_TERMS, k=15)
+    bm_t = bm if isinstance(bm, pa.Table) else pa.concat_tables(
+        list(bm.iter_batches(batch_format="pyarrow")))
+    cand = set(bm_t["doc_id"].to_pylist())
+    emb = ops.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    need = pa.array(sorted(cand | {_HYBRID_QUERY_VEC}), pa.int64())
+    rows = [b for b in emb.map_batches(
+        lambda t: t.filter(pc.is_in(pc.cast(t["vec_id"], pa.int64()),
+                                    value_set=need)),
+        batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        if len(b)]
+    et = pa.concat_tables(rows)
+    vecs = {int(i): np.asarray(v, np.float64)
+            for i, v in zip(et["vec_id"].to_pylist(),
+                            et["embedding"].to_pylist())}
+    q = vecs[_HYBRID_QUERY_VEC]
+    qn = q / np.linalg.norm(q)
+    out = []
+    for did, sc in zip(bm_t["doc_id"].to_pylist(),
+                       bm_t["score_micro"].to_pylist()):
+        v = vecs.get(int(did))
+        if v is None:
+            continue
+        c = float(np.dot(v / np.linalg.norm(v), qn))
+        out.append((int(did), int(sc), int(round(c * 1e6))))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in out], pa.int64()),
+        "score_micro": pa.array([r[1] for r in out], pa.int64()),
+        "cos_e6": pa.array([r[2] for r in out], pa.int64())})
+
+
+def O_DOCS_HYBRID_SEARCH() -> str:
+    """Pure recompute: the oracled BM25 SQL supplies the candidates, the
+    identical numpy cosine re-ranks them (VALUES pattern)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{_SF001}/documents.parquet')")
+    bm = con.execute(O_DOCS_BM25_TOPK).fetchdf()
+    et = _read_parquet_cols(_SF001, "embeddings", ["vec_id", "embedding"])
+    vecs = {int(i): np.asarray(v, np.float64)
+            for i, v in zip(et["vec_id"].to_pylist(),
+                            et["embedding"].to_pylist())}
+    q = vecs[_HYBRID_QUERY_VEC]
+    qn = q / np.linalg.norm(q)
+    out = []
+    for did, sc in zip(bm["doc_id"], bm["score_micro"]):
+        v = vecs.get(int(did))
+        if v is None:
+            continue
+        c = float(np.dot(v / np.linalg.norm(v), qn))
+        out.append((int(did), int(sc), int(round(c * 1e6))))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    rows = [f"({a}, {b}, {c})" for a, b, c in out]
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(score_micro AS BIGINT) AS score_micro, "
+        "CAST(cos_e6 AS BIGINT) AS cos_e6",
+        "t(doc_id, score_micro, cos_e6)", "(0, 0, 0)")
+
+
 def q_events_approx_users(sf_dir: str):
     """Per-type approximate distinct users (ops.grouped_approx_distinct):
     fixed 2^12-byte HLL sketch per (block, key) through the exchange —
@@ -6868,7 +6946,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # orders_status_unpivot part_weighted_median
     # orders_customer_overlap part_wmedian_by_brand
     # events_ohlc suppliers_all_regions kg_host_cover kg_voronoi
-    # nation_share_of_region kg_edge_births kg_agency_burstiness)
+    # nation_share_of_region kg_edge_births kg_agency_burstiness
+    # docs_hybrid_search)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -6954,6 +7033,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "nation_share_of_region": qt.nation_share_of_region,
     "kg_edge_births": q_kg_edge_births,
     "kg_agency_burstiness": q_kg_agency_burstiness,
+    "docs_hybrid_search": q_docs_hybrid_search,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -7195,4 +7275,5 @@ def oracles() -> dict[str, str]:
         "nation_share_of_region": qt.O_NATION_SHARE_OF_REGION,
         "kg_edge_births": O_KG_EDGE_BIRTHS(),
         "kg_agency_burstiness": O_KG_AGENCY_BURSTINESS(),
+        "docs_hybrid_search": O_DOCS_HYBRID_SEARCH(),
     }
