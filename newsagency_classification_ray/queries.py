@@ -802,6 +802,88 @@ def O_DOCS_PPJOIN_PAIRS() -> str:
         "t(doc_a, doc_b, inter, uni)", "(0, 0, 0, 0)")
 
 
+def q_docs_novelty(sf_dir: str):
+    """Per-document NOVELTY attribution — the data-selection signal
+    SemDeDup/DSIR don't give: how many of each doc's 3-shingles appear
+    for the FIRST time in that doc (first = smallest doc_id), i.e. each
+    doc's marginal contribution to corpus diversity. One (shingle →
+    min doc_id) groupby attributes every distinct shingle to exactly one
+    doc (ids-only exchange, text never moves); per-doc totals come from a
+    count combiner; a left join fills zero-novelty docs."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids, shs = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            sh = dd._shingle_hashes(txt or "", 3)
+            ids.extend([did] * len(sh))
+            shs.extend(sh.tolist())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "sh": pa.array(shs, pa.int64())})
+
+    rows = docs.map_batches(shingle_rows, batch_format="pyarrow")
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["sh"]).aggregate([("doc_id", "min")])
+        return pa.table({"sh": g["sh"], "first_doc": g["doc_id_min"]})
+
+    from ray.data.aggregate import Min as _Min
+    first = (rows.map_batches(min_partial, batch_format="pyarrow")
+             .groupby("sh").aggregate(_Min("first_doc",
+                                           alias_name="first_doc")))
+
+    def novel_cnt(t: pa.Table) -> pa.Table:
+        g = t.group_by(["first_doc"]).aggregate([("sh", "count")])
+        return pa.table({"doc_id": g["first_doc"],
+                         "nv": pc.cast(g["sh_count"], pa.int64())})
+
+    novel = (first.map_batches(novel_cnt, batch_format="pyarrow")
+             .groupby("doc_id").aggregate(Sum("nv", alias_name="n_novel")))
+
+    def size_cnt(t: pa.Table) -> pa.Table:
+        g = t.group_by(["doc_id"]).aggregate([("sh", "count")])
+        return pa.table({"doc_id": g["doc_id"],
+                         "ns": pc.cast(g["sh_count"], pa.int64())})
+
+    sizes = (rows.map_batches(size_cnt, batch_format="pyarrow")
+             .groupby("doc_id").aggregate(Sum("ns", alias_name="n_shingles")))
+    j = ops.hash_join(sizes, ops._compact(novel), on=("doc_id",),
+                      how="left_outer")
+    return j.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_shingles": pc.cast(t["n_shingles"], pa.int64()),
+            "n_novel": pc.coalesce(pc.cast(t["n_novel"], pa.int64()),
+                                   pa.scalar(0, pa.int64()))}),
+        batch_format="pyarrow").sort("doc_id")
+
+
+def O_DOCS_NOVELTY() -> str:
+    """Pure recompute with the identical shingle hashes and min-doc
+    attribution."""
+    t = _read_parquet_cols(_SF001, "documents", ["doc_id", "text"])
+    firsts: dict = {}
+    sizes: dict = {}
+    items = sorted(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    for did, txt in items:
+        sh = dd._shingle_hashes(txt or "", 3)
+        sizes[int(did)] = len(sh)
+        for h in sh.tolist():
+            if h not in firsts or firsts[h] > did:
+                firsts[h] = int(did)
+    novel: dict = {}
+    for h, d in firsts.items():
+        novel[d] = novel.get(d, 0) + 1
+    rows = [f"({d}, {sizes[d]}, {novel.get(d, 0)})" for d in sorted(sizes)]
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(n_shingles AS BIGINT) AS n_shingles, "
+        "CAST(n_novel AS BIGINT) AS n_novel",
+        "t(doc_id, n_shingles, n_novel)", "(0, 0, 0)")
+
+
 def q_minhash_pairs(sf_dir: str):
     docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
     return dd.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
@@ -6947,7 +7029,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # orders_customer_overlap part_wmedian_by_brand
     # events_ohlc suppliers_all_regions kg_host_cover kg_voronoi
     # nation_share_of_region kg_edge_births kg_agency_burstiness
-    # docs_hybrid_search)
+    # docs_hybrid_search docs_novelty)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -7034,6 +7116,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_edge_births": q_kg_edge_births,
     "kg_agency_burstiness": q_kg_agency_burstiness,
     "docs_hybrid_search": q_docs_hybrid_search,
+    "docs_novelty": q_docs_novelty,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -7276,4 +7359,5 @@ def oracles() -> dict[str, str]:
         "kg_edge_births": O_KG_EDGE_BIRTHS(),
         "kg_agency_burstiness": O_KG_AGENCY_BURSTINESS(),
         "docs_hybrid_search": O_DOCS_HYBRID_SEARCH(),
+        "docs_novelty": O_DOCS_NOVELTY(),
     }
