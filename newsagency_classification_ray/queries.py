@@ -2796,6 +2796,80 @@ SELECT qid, CAST(count(*) AS BIGINT) AS n_years,
 FROM y GROUP BY 1 ORDER BY 1"""
 
 
+def q_kg_edge_pmi_stats(sf_dir: str):
+    """Edge-strength normalization statistics for the co-occurrence
+    graph: per undirected agency pair, the summed co-occurrence weight
+    alongside both endpoints' marginal mention counts and the corpus
+    total — the exact integer sufficient statistics of edge PMI
+    (log(w·N/(n_a·n_b)) is one expression away; a rounded log would be
+    libm-fragile). Pair weights and marginals each reduce with combiners;
+    marginals attach via two size-adaptive joins."""
+    m = _mentions(sf_dir).materialize()
+    edges = kg.cooccurrence_edges(m)
+    pair_w = edges.groupby(["src_qid", "dst_qid"]).aggregate(
+        Sum("weight", alias_name="w"))
+
+    def marg_partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.not_equal(t["qid"], "NIL"))
+        g = f.select(["qid"]).group_by(["qid"]).aggregate(
+            [("qid", "count")])
+        return pa.table({"qid": g["qid"],
+                         "n": pc.cast(g["qid_count"], pa.int64())})
+
+    marg = (m.map_batches(marg_partial, batch_format="pyarrow")
+            .groupby("qid").aggregate(Sum("n", alias_name="n"))) \
+        .materialize()
+    total = int(marg.sum("n") or 0)
+
+    j1 = ops.hash_join_sized(
+        ops._compact(pair_w),
+        ops._compact(marg.map_batches(
+            lambda t: pa.table({"src_qid": t["qid"],
+                                "n_src": pc.cast(t["n"], pa.int64())}),
+            batch_format="pyarrow")),
+        on=("src_qid",))
+    j2 = ops.hash_join_sized(
+        j1,
+        ops._compact(marg.map_batches(
+            lambda t: pa.table({"dst_qid": t["qid"],
+                                "n_dst": pc.cast(t["n"], pa.int64())}),
+            batch_format="pyarrow")),
+        on=("dst_qid",))
+    return j2.map_batches(
+        lambda t: pa.table({
+            "src_qid": t["src_qid"], "dst_qid": t["dst_qid"],
+            "w": pc.cast(t["w"], pa.int64()),
+            "n_src": t["n_src"], "n_dst": t["n_dst"],
+            "n_total": pa.array([total] * len(t), pa.int64())}),
+        batch_format="pyarrow").sort(["src_qid", "dst_qid"])
+
+
+def O_KG_EDGE_PMI_STATS() -> str:
+    """Pure recompute: pair weights from the oracled co-occurrence SQL,
+    marginals from the mention CTE, merged in Python (VALUES)."""
+    import duckdb
+
+    con = duckdb.connect()
+    pw = con.execute(O_KG_COOCCURRENCE(_SF001)).fetchdf() \
+        .groupby(["src_qid", "dst_qid"], as_index=False)["weight"].sum()
+    mg = con.execute(f"""WITH {_pages_cte(_SF001)}
+SELECT qid, CAST(count(*) AS BIGINT) AS n FROM sql_mentions
+WHERE qid <> 'NIL' GROUP BY 1""").fetchdf()
+    nmap = dict(zip(mg["qid"], mg["n"].astype(int)))
+    total = int(mg["n"].sum())
+    rows = [
+        f"({_sq(a)}, {_sq(b)}, {int(w)}, {nmap[a]}, {nmap[b]}, {total})"
+        for a, b, w in sorted(zip(pw["src_qid"], pw["dst_qid"],
+                                  pw["weight"]))]
+    return _values_or_empty(
+        rows,
+        "SELECT src_qid, dst_qid, CAST(w AS BIGINT) AS w, "
+        "CAST(n_src AS BIGINT) AS n_src, CAST(n_dst AS BIGINT) AS n_dst, "
+        "CAST(n_total AS BIGINT) AS n_total",
+        "t(src_qid, dst_qid, w, n_src, n_dst, n_total)",
+        "('', '', 0, 0, 0, 0)")
+
+
 _HITS_ITERS, _HITS_RD = 6, 9
 
 
@@ -7029,7 +7103,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # orders_customer_overlap part_wmedian_by_brand
     # events_ohlc suppliers_all_regions kg_host_cover kg_voronoi
     # nation_share_of_region kg_edge_births kg_agency_burstiness
-    # docs_hybrid_search docs_novelty)
+    # docs_hybrid_search docs_novelty kg_edge_pmi_stats)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -7117,6 +7191,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_agency_burstiness": q_kg_agency_burstiness,
     "docs_hybrid_search": q_docs_hybrid_search,
     "docs_novelty": q_docs_novelty,
+    "kg_edge_pmi_stats": q_kg_edge_pmi_stats,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -7360,4 +7435,5 @@ def oracles() -> dict[str, str]:
         "kg_agency_burstiness": O_KG_AGENCY_BURSTINESS(),
         "docs_hybrid_search": O_DOCS_HYBRID_SEARCH(),
         "docs_novelty": O_DOCS_NOVELTY(),
+        "kg_edge_pmi_stats": O_KG_EDGE_PMI_STATS(),
     }
