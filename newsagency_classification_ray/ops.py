@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -3309,3 +3310,31 @@ def hll_overlap(
         "est_right": pa.array([eb], pa.int64()),
         "est_union": pa.array([eu], pa.int64()),
         "est_inter": pa.array([max(0, ea + eb - eu)], pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) curve codes — data-layout clustering for multi-column
+# range pruning (the reference has no layout optimizer; this is one of the
+# engine-side extras a 100-TB lakehouse write path needs: sort/partition by
+# the curve position so row-group min/max stats prune on BOTH keys).
+# --------------------------------------------------------------------------
+
+_ZM = [np.int64(m) for m in
+       (0x0000FFFF, 0x00FF00FF, 0x0F0F0F0F, 0x33333333, 0x55555555)]
+
+
+def zspread16(x: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of ``x`` onto the even bit positions of a
+    32-bit lane (vectorized magic-mask doubling; int64 throughout so the
+    SQL oracle's BIGINT ``&``/``<<`` math is bit-identical)."""
+    x = x.astype(np.int64) & _ZM[0]
+    x = (x | (x << 8)) & _ZM[1]
+    x = (x | (x << 4)) & _ZM[2]
+    x = (x | (x << 2)) & _ZM[3]
+    x = (x | (x << 1)) & _ZM[4]
+    return x
+
+
+def zorder16(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """32-bit Morton code interleaving two 16-bit keys (x on even bits)."""
+    return zspread16(x) | (zspread16(y) << np.int64(1))

@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from . import ops
 from . import queries_tpch as qt
@@ -7016,6 +7016,266 @@ SELECT c.day, c.n, CAST(c.s AS BIGINT) AS cusum_scaled,
 FROM c, g ORDER BY c.day"""
 
 
+# --------------------------------------------------------------------------
+# r4 batch: streaming debounce, behavioral diversity, data-quality audit,
+# z-order layout
+# --------------------------------------------------------------------------
+
+_DEBOUNCE_US = 60_000_000  # 60 s suppression window
+
+
+def q_events_debounce(sf_dir: str):
+    """Per-(user, event_type) debounce — the duplicate-suppression shape of
+    streaming ingestion: an event is KEPT iff it is the first of its type
+    for its user or lands >= 60 s after the PREVIOUS event of that type
+    (lag-based debounce — the stateless variant both engines express
+    identically; kept-based debounce would be a sequential scan). ONE
+    shuffle on user_id; the in-group pass factorizes event_type and runs a
+    single vectorized lexsort + diff — no per-type loop. Output: per-user
+    kept/dropped counts."""
+    ev = ops.read_table(sf_dir, "events",
+                        ["user_id", "event_type", "ts", "event_id"])
+
+    def debounce(g: pa.Table) -> pa.Table:
+        ts_ = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(
+            g["event_type"].to_numpy(zero_copy_only=False),
+            return_inverse=True)
+        order = np.lexsort((eid, ts_, codes))  # type, then ts, then id
+        c, t_ = codes[order], ts_[order]
+        same = c[1:] == c[:-1]
+        gap = t_[1:] - t_[:-1]
+        n_kept = int((~same | (gap >= _DEBOUNCE_US)).sum()) + 1
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_kept": pa.array([n_kept], pa.int64()),
+            "n_dropped": pa.array([len(c) - n_kept], pa.int64()),
+        })
+
+    return ev.groupby("user_id").map_groups(debounce, batch_format="pyarrow")
+
+
+O_EVENTS_DEBOUNCE = f"""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE gap IS NULL OR gap >= {_DEBOUNCE_US})
+            AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE gap < {_DEBOUNCE_US}) AS BIGINT)
+           AS n_dropped
+FROM g GROUP BY user_id"""
+
+
+def q_events_user_diversity(sf_dir: str):
+    """Per-user behavioral-diversity indices as exact integer sufficient
+    statistics: event count, type richness, Simpson concentration
+    numerator Σ n_i² and Berger–Parker max n_i (the float indices are one
+    division away; rounded ratios would be hash-fragile). Per-batch
+    (user, type) combiner → one keyed exchange → per-user fold with a
+    second combiner, so the shuffles move one row per (user, type) and
+    then one per user — never raw events."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return pa.table({
+            "user_id": pc.cast(g["user_id"], pa.int64()),
+            "event_type": g["event_type"],
+            "n": pc.cast(g["event_type_count"], pa.int64())})
+
+    per_type = (ev.map_batches(partial, batch_format="pyarrow")
+                .groupby(["user_id", "event_type"])
+                .aggregate(Sum("n", alias_name="n")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64())
+        g = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n_events": n,
+            "one": pa.array(np.ones(len(t), np.int64)),
+            "n2": pc.multiply(n, n),
+            "mx": n,
+        }).group_by(["user_id"]).aggregate(
+            [("n_events", "sum"), ("one", "sum"),
+             ("n2", "sum"), ("mx", "max")])
+        return pa.table({
+            "user_id": g["user_id"], "n_events": g["n_events_sum"],
+            "n_types": g["one_sum"], "simpson_sum": g["n2_sum"],
+            "max_type_n": g["mx_max"]})
+
+    out = (per_type.map_batches(fold, batch_format="pyarrow")
+           .groupby("user_id").aggregate(
+               Sum("n_events", alias_name="n_events"),
+               Sum("n_types", alias_name="n_types"),
+               Sum("simpson_sum", alias_name="simpson_sum"),
+               Max("max_type_n", alias_name="max_type_n")))
+    return out.map_batches(
+        lambda t: _i64(t, ["user_id", "n_events", "n_types",
+                           "simpson_sum", "max_type_n"]),
+        batch_format="pyarrow")
+
+
+O_EVENTS_USER_DIVERSITY = """
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2)
+SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(n * n) AS BIGINT) AS simpson_sum,
+       CAST(max(n) AS BIGINT) AS max_type_n
+FROM c GROUP BY 1"""
+
+
+def q_data_quality_audit(sf_dir: str):
+    """Cross-table data-quality audit — the referential-integrity and
+    completeness gate a lakehouse runs before a training-data release,
+    every check a DISTRIBUTED set operation (no driver-side key set):
+    child keys pre-DISTINCTed with a per-batch combiner, then an
+    anti-join against the parent key column counts the violations.
+    Orphan checks (child key with no parent row) for lineitem→orders /
+    part / supplier and orders→customer; dead-parent checks (parent never
+    referenced) for part, supplier and customer; a duplicate-PK check
+    (rows − distinct keys) and a null-key scan. ``hash_join_sized``
+    routes genuinely tiny sides through a broadcast probe and keeps the
+    fact-scaled ones on the partitioned exchange. Output: one row per
+    check (driver assembles 9 scalar counts — O(checks), not O(rows))."""
+
+    def keys(table: str, col: str, out: str):
+        return ops.distinct(
+            ops.read_table(sf_dir, table, [col]), [col]
+        ).map_batches(
+            lambda t, a=col, b=out: pa.table({b: pc.cast(t[a], pa.int64())}),
+            batch_format="pyarrow")
+
+    def n_missing(child, ckey, parent, pkey) -> int:
+        k = "k"
+        return ops.hash_join_sized(
+            ops._compact(keys(child, ckey, k)),
+            ops._compact(keys(parent, pkey, k)),
+            on=(k,), how="left_anti").count()
+
+    checks = {
+        "lineitem_orphan_order":
+            n_missing("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        "lineitem_orphan_part":
+            n_missing("lineitem", "l_partkey", "part", "p_partkey"),
+        "lineitem_orphan_supplier":
+            n_missing("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        "orders_orphan_customer":
+            n_missing("orders", "o_custkey", "customer", "c_custkey"),
+        "part_never_ordered":
+            n_missing("part", "p_partkey", "lineitem", "l_partkey"),
+        "supplier_never_used":
+            n_missing("supplier", "s_suppkey", "lineitem", "l_suppkey"),
+        "customer_no_orders":
+            n_missing("customer", "c_custkey", "orders", "o_custkey"),
+        "orders_dup_pk":
+            ops.read_table(sf_dir, "orders", ["o_orderkey"]).count()
+            - ops.distinct(ops.read_table(sf_dir, "orders", ["o_orderkey"]),
+                           ["o_orderkey"]).count(),
+        "events_null_user":
+            ops.read_table(sf_dir, "events", ["user_id"]).map_batches(
+                lambda t: pa.table({"n": pa.array(
+                    [t["user_id"].null_count], pa.int64())}),
+                batch_format="pyarrow").sum("n") or 0,
+    }
+    names = sorted(checks)
+    return pa.table({
+        "check_name": pa.array(names, pa.string()),
+        "n_violations": pa.array([int(checks[c]) for c in names],
+                                 pa.int64())})
+
+
+O_DATA_QUALITY_AUDIT = """
+SELECT check_name, n_violations FROM (
+  SELECT 'lineitem_orphan_order' AS check_name, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_violations
+  FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'lineitem_orphan_part', CAST(count(DISTINCT l_partkey) AS BIGINT)
+  FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+  UNION ALL
+  SELECT 'lineitem_orphan_supplier', CAST(count(DISTINCT l_suppkey) AS BIGINT)
+  FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+  UNION ALL
+  SELECT 'orders_orphan_customer', CAST(count(DISTINCT o_custkey) AS BIGINT)
+  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+  UNION ALL
+  SELECT 'part_never_ordered', CAST(count(*) AS BIGINT)
+  FROM part p WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+  UNION ALL
+  SELECT 'supplier_never_used', CAST(count(*) AS BIGINT)
+  FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+  UNION ALL
+  SELECT 'customer_no_orders', CAST(count(*) AS BIGINT)
+  FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  UNION ALL
+  SELECT 'orders_dup_pk', CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'events_null_user', CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT) FROM events
+) ORDER BY check_name"""
+
+
+def _sql_zspread16(col: str) -> str:
+    """DuckDB BIGINT expression mirroring :func:`ops.zspread16` bit for
+    bit (same magic masks, same shift ladder)."""
+    e = f"(({col}) & 65535)"
+    for shift, mask in ((8, 16711935), (4, 252645135),
+                        (2, 858993459), (1, 1431655765)):
+        e = f"(({e} | ({e} << {shift})) & {mask})"
+    return e
+
+
+def q_lineitem_zorder(sf_dir: str):
+    """Z-order (Morton) layout manifest — the space-filling-curve
+    clustering a lakehouse write path uses so row-group min/max stats
+    prune on BOTH join keys: interleave the low 16 bits of
+    (l_partkey, l_suppkey) into a 32-bit curve position, bucket by the
+    top 10 curve bits (1024 buckets ≅ output files), and emit per-bucket
+    row counts + curve-range bounds. Pure per-batch integer bit math
+    (``ops.zorder16``) with a per-batch combiner, then one bounded
+    groupby over ≤1024 keys — the actual layout write would just sort by
+    ``z`` within the same exchange."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        z = ops.zorder16(
+            t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        g = pa.table({
+            "bucket": pa.array(z >> np.int64(22), pa.int64()),
+            "n": pa.array(np.ones(len(z), np.int64)),
+            "z_min": pa.array(z, pa.int64()),
+            "z_max": pa.array(z, pa.int64()),
+        }).group_by(["bucket"]).aggregate(
+            [("n", "sum"), ("z_min", "min"), ("z_max", "max")])
+        return pa.table({"bucket": g["bucket"], "n": g["n_sum"],
+                         "z_min": g["z_min_min"], "z_max": g["z_max_max"]})
+
+    return (li.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").aggregate(
+                Sum("n", alias_name="n"),
+                Min("z_min", alias_name="z_min"),
+                Max("z_max", alias_name="z_max"))
+            .map_batches(
+                lambda t: _i64(t, ["bucket", "n", "z_min", "z_max"]),
+                batch_format="pyarrow"))
+
+
+def O_LINEITEM_ZORDER() -> str:
+    zp = _sql_zspread16("l_partkey")
+    zs = _sql_zspread16("l_suppkey")
+    return f"""
+WITH z AS (SELECT ({zp} | ({zs} << 1)) AS z FROM lineitem)
+SELECT CAST(z >> 22 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max
+FROM z GROUP BY 1"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -7192,6 +7452,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_hybrid_search": q_docs_hybrid_search,
     "docs_novelty": q_docs_novelty,
     "kg_edge_pmi_stats": q_kg_edge_pmi_stats,
+    "events_debounce": q_events_debounce,
+    "events_user_diversity": q_events_user_diversity,
+    "data_quality_audit": q_data_quality_audit,
+    "lineitem_zorder": q_lineitem_zorder,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -7436,4 +7700,8 @@ def oracles() -> dict[str, str]:
         "docs_hybrid_search": O_DOCS_HYBRID_SEARCH(),
         "docs_novelty": O_DOCS_NOVELTY(),
         "kg_edge_pmi_stats": O_KG_EDGE_PMI_STATS(),
+        "events_debounce": O_EVENTS_DEBOUNCE,
+        "events_user_diversity": O_EVENTS_USER_DIVERSITY,
+        "data_quality_audit": O_DATA_QUALITY_AUDIT,
+        "lineitem_zorder": O_LINEITEM_ZORDER(),
     }
