@@ -7512,6 +7512,230 @@ def O_DOCS_FUZZY_CONTAMINATION() -> str:
         "t(doc_id, n_bands_hit)", "(0, 0)")
 
 
+_ACTIVE_W_US = 300_000_000  # 5-min activity window per event
+
+
+def q_events_active_time(sf_dir: str):
+    """Per-user ACTIVE TIME via interval union — each event opens a 5-min
+    activity interval ``[ts, ts+W]``; overlapping intervals merge into
+    islands and the covered length is summed (the dwell-time KPI; a naive
+    ``n_events × W`` double-counts every overlap). Fixed W makes interval
+    ends monotone in starts, so the union sweep is one sorted diff per
+    user: island breaks where the gap exceeds W, coverage =
+    Σ (island_last + W − island_first). One shuffle on user_id, exact
+    int64 micros throughout."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def union_len(g: pa.Table) -> pa.Table:
+        ts_ = np.sort(g["ts"].to_numpy(zero_copy_only=False)
+                      .astype("datetime64[us]").astype(np.int64))
+        brk = np.flatnonzero(np.diff(ts_) > _ACTIVE_W_US) + 1
+        starts = np.r_[0, brk]
+        ends = np.r_[brk - 1, len(ts_) - 1]
+        cov = int((ts_[ends] + _ACTIVE_W_US - ts_[starts]).sum())
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_islands": pa.array([len(starts)], pa.int64()),
+            "active_us": pa.array([cov], pa.int64())})
+
+    return ev.groupby("user_id").map_groups(union_len,
+                                            batch_format="pyarrow")
+
+
+O_EVENTS_ACTIVE_TIME = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+m AS (SELECT user_id, t,
+             CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                       > {_ACTIVE_W_US} THEN 1 ELSE 0 END AS brk
+      FROM e),
+i AS (SELECT user_id, t,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS isl
+      FROM m),
+s AS (SELECT user_id, isl, max(t) + {_ACTIVE_W_US} - min(t) AS cov
+      FROM i GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(cov) AS BIGINT) AS active_us
+FROM s GROUP BY 1"""
+
+
+def q_kg_profile_similarity(sf_dir: str):
+    """Temporal-profile similarity between agencies: treating each
+    agency's yearly mention-count series as a vector, emit the exact
+    integer sufficient statistics of pairwise cosine — dot product over
+    shared years plus both squared norms (cos is one rsqrt away). The
+    per-year pair cross happens INSIDE a year group (bounded by the
+    agency inventory, the same group-size argument as co-occurrence);
+    pair partials then reduce through one vocabulary-scale groupby.
+    Norms ride a size-adaptive join. Pairs ordered qid_a < qid_b."""
+    m = _mentions(sf_dir).materialize()
+
+    def yearly(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.not_equal(t["qid"], "NIL"))
+        g = pa.table({"qid": f["qid"],
+                      "year": pc.cast(f["year"], pa.int64())}).group_by(
+            ["qid", "year"]).aggregate([("year", "count")])
+        return pa.table({"qid": g["qid"], "year": g["year"],
+                         "n": pc.cast(g["year_count"], pa.int64())})
+
+    per_year = (m.map_batches(yearly, batch_format="pyarrow")
+                .groupby(["qid", "year"])
+                .aggregate(Sum("n", alias_name="n"))).materialize()
+
+    def norms_partial(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64())
+        g = pa.table({"qid": t["qid"], "n2": pc.multiply(n, n)}).group_by(
+            ["qid"]).aggregate([("n2", "sum")])
+        return pa.table({"qid": g["qid"], "norm2": g["n2_sum"]})
+
+    norms = (per_year.map_batches(norms_partial, batch_format="pyarrow")
+             .groupby("qid").aggregate(Sum("norm2", alias_name="norm2")))
+
+    def year_pairs(g: pa.Table) -> pa.Table:
+        q = np.asarray(g["qid"].to_pylist(), dtype=object)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(q)  # qid_a < qid_b canonical order
+        q, n = q[order], n[order]
+        ia, ib = np.triu_indices(len(q), k=1)  # agency-inventory bounded
+        if len(ia) == 0:
+            return pa.table({"qid_a": pa.array([], pa.string()),
+                             "qid_b": pa.array([], pa.string()),
+                             "dot": pa.array([], pa.int64())})
+        return pa.table({"qid_a": pa.array(q[ia], pa.string()),
+                         "qid_b": pa.array(q[ib], pa.string()),
+                         "dot": pa.array(n[ia] * n[ib], pa.int64())})
+
+    dots = (per_year.groupby("year").map_groups(year_pairs,
+                                                batch_format="pyarrow")
+            .groupby(["qid_a", "qid_b"]).aggregate(Sum("dot",
+                                                       alias_name="dot")))
+
+    j1 = ops.hash_join_sized(
+        ops._compact(dots),
+        ops._compact(norms.map_batches(
+            lambda t: pa.table({"qid_a": t["qid"],
+                                "norm2_a": pc.cast(t["norm2"], pa.int64())}),
+            batch_format="pyarrow")), on=("qid_a",))
+    j2 = ops.hash_join_sized(
+        j1,
+        ops._compact(norms.map_batches(
+            lambda t: pa.table({"qid_b": t["qid"],
+                                "norm2_b": pc.cast(t["norm2"], pa.int64())}),
+            batch_format="pyarrow")), on=("qid_b",))
+    return j2.map_batches(
+        lambda t: _i64(t, ["dot", "norm2_a", "norm2_b"]),
+        batch_format="pyarrow")
+
+
+def O_KG_PROFILE_SIMILARITY(sf: str | None = None) -> str:
+    return f"""WITH {_pages_cte(sf or _SF001)},
+y AS (SELECT qid, year, CAST(count(*) AS BIGINT) AS n
+      FROM sql_mentions WHERE qid <> 'NIL' GROUP BY 1, 2),
+d AS (SELECT a.qid AS qid_a, b.qid AS qid_b,
+             CAST(sum(a.n * b.n) AS BIGINT) AS dot
+      FROM y a JOIN y b ON a.year = b.year AND a.qid < b.qid
+      GROUP BY 1, 2),
+nr AS (SELECT qid, CAST(sum(n * n) AS BIGINT) AS norm2 FROM y GROUP BY 1)
+SELECT d.qid_a, d.qid_b, d.dot,
+       na.norm2 AS norm2_a, nb.norm2 AS norm2_b
+FROM d JOIN nr na ON na.qid = d.qid_a JOIN nr nb ON nb.qid = d.qid_b"""
+
+
+def q_dup_cluster_histogram(sf_dir: str):
+    """Near-duplicate CLUSTER-SIZE histogram — the curation dashboard
+    number that tells you whether dedup is removing twins or collapsing
+    thousand-strong boilerplate families: MinHash+LSH pairs → distributed
+    min-label connected components → component sizes → size histogram.
+    Everything after sketching moves ids only; both groupbys are
+    duplicate-rate- then cluster-count-scaled. Output: (cluster_size,
+    n_clusters) over clusters of size ≥ 2 (singletons never enter the
+    pair list)."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dd.minhash_lsh_pairs(docs).map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+    labels = dd.connected_components(pairs)
+    sizes = labels.groupby("label").aggregate(Count(alias_name="cluster_size"))
+    return (sizes.map_batches(
+        lambda t: pa.table({"cluster_size":
+                            pc.cast(t["cluster_size"], pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("cluster_size").aggregate(Count(alias_name="n_clusters"))
+        .map_batches(lambda t: _i64(t, ["cluster_size", "n_clusters"]),
+                     batch_format="pyarrow"))
+
+
+def O_DUP_CLUSTER_HISTOGRAM() -> str:
+    """Pure recompute: oracled pair list → union-find → histogram."""
+    pairs = _pure_minhash_pairs(_SF001, 0.5)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes: dict[int, int] = {}
+    seen = {int(a) for a, b, _ in pairs} | {int(b) for a, b, _ in pairs}
+    for x in seen:
+        r = find(x)
+        sizes[r] = sizes.get(r, 0) + 1
+    hist: dict[int, int] = {}
+    for s in sizes.values():
+        hist[s] = hist.get(s, 0) + 1
+    rows = [f"({s}, {c})" for s, c in sorted(hist.items())]
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(cluster_size AS BIGINT) AS cluster_size, "
+        "CAST(n_clusters AS BIGINT) AS n_clusters",
+        "t(cluster_size, n_clusters)", "(0, 0)")
+
+
+_BOILER_K = 8  # prefix length (tokens) defining a boilerplate family
+
+
+def q_docs_boilerplate_prefixes(sf_dir: str):
+    """Boilerplate-header detection — the web-curation pass that finds
+    template families by their shared opening: normalize each doc to its
+    first 8 whitespace tokens and count docs per exact prefix; families
+    with ≥ 2 members are emitted (these are the headers/footers a
+    cleaner strips before dedup). Fully vectorized Arrow (regex split →
+    list_slice → binary_join) with a per-batch combiner; the exchange
+    moves one row per distinct prefix."""
+    docs = ops.read_table(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"].combine_chunks(), "\\s+")
+        pre = pc.binary_join(
+            pc.list_slice(toks, 0, _BOILER_K), " ")
+        g = pa.table({"prefix": pre}).group_by(["prefix"]).aggregate(
+            [("prefix", "count")])
+        return pa.table({"prefix": g["prefix"],
+                         "n_docs": pc.cast(g["prefix_count"], pa.int64())})
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("prefix").aggregate(Sum("n_docs", alias_name="n_docs"))
+            .map_batches(
+                lambda t: t.filter(pc.greater_equal(
+                    pc.cast(t["n_docs"], pa.int64()), 2)),
+                batch_format="pyarrow")
+            .map_batches(lambda t: _i64(t, ["n_docs"]),
+                         batch_format="pyarrow"))
+
+
+O_DOCS_BOILERPLATE_PREFIXES = rf"""
+WITH p AS (
+  SELECT array_to_string(
+           regexp_extract_all(text, '\S+')[1:{_BOILER_K}], ' ') AS prefix
+  FROM documents)
+SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs
+FROM p GROUP BY 1 HAVING count(*) >= 2"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -7695,6 +7919,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_keyness_stats": q_docs_keyness_stats,
     "kg_assortativity": q_kg_assortativity_stats,
     "docs_fuzzy_contamination": q_docs_fuzzy_contamination,
+    "events_active_time": q_events_active_time,
+    "kg_profile_similarity": q_kg_profile_similarity,
+    "dup_cluster_histogram": q_dup_cluster_histogram,
+    "docs_boilerplate_prefixes": q_docs_boilerplate_prefixes,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -7946,4 +8174,8 @@ def oracles() -> dict[str, str]:
         "docs_keyness_stats": O_DOCS_KEYNESS_STATS,
         "kg_assortativity": O_KG_ASSORTATIVITY_STATS(),
         "docs_fuzzy_contamination": O_DOCS_FUZZY_CONTAMINATION(),
+        "events_active_time": O_EVENTS_ACTIVE_TIME,
+        "kg_profile_similarity": O_KG_PROFILE_SIMILARITY(),
+        "dup_cluster_histogram": O_DUP_CLUSTER_HISTOGRAM(),
+        "docs_boilerplate_prefixes": O_DOCS_BOILERPLATE_PREFIXES,
     }
