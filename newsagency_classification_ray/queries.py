@@ -7736,6 +7736,258 @@ SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs
 FROM p GROUP BY 1 HAVING count(*) >= 2"""
 
 
+_REACH_SEED = "Q130879"  # Reuters — the highest-degree agency node
+
+
+def _temporal_reach(edges: list[tuple[str, str, int]],
+                    seed: str) -> dict[str, int]:
+    """Time-respecting reachability fixpoint over a bounded edge list:
+    node v is reached in year y if an edge (u, v, y) exists with u
+    reached in some year ≤ y — INCLUDING same-year chains (u→v→w all in
+    y). Years ascend; within a year, BFS over that year's subgraph from
+    the already-reached set. Shared by operator and oracle."""
+    by_year: dict[int, list[tuple[str, str]]] = {}
+    for a, b, y in edges:
+        by_year.setdefault(int(y), []).append((a, b))
+    reached: dict[str, int] = {}
+    for y in sorted(by_year):
+        adj: dict[str, list[str]] = {}
+        for a, b in by_year[y]:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        frontier = [n for n in adj
+                    if n == seed or reached.get(n, y + 1) <= y]
+        new_y = set()
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v != seed and v not in reached and v not in new_y:
+                        new_y.add(v)
+                        nxt.append(v)
+            frontier = nxt
+        for v in new_y:
+            reached[v] = y
+    return reached
+
+
+def q_kg_temporal_reach(sf_dir: str):
+    """Time-respecting reachability from the seed agency over the
+    co-occurrence graph — the temporal-KG question "when could
+    information flowing out of Reuters first have touched agency X?":
+    an edge is traversable only in (or after) its year, and same-year
+    chains count. The 100-TB work — reducing per-(host, year) mention
+    pairs to one (src, dst, min_year) row per edge — runs distributed
+    with a per-batch combiner; the fixpoint then walks the
+    agency-inventory-bounded edge list on the driver (same bounded-input
+    driver regime as CUSUM: ≤ |vocab|² rows, never corpus-scaled).
+    Output: (qid, first_reach_year), seed excluded."""
+    m = _mentions(sf_dir).materialize()
+    edges = kg.cooccurrence_edges(m)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"src_qid": t["src_qid"], "dst_qid": t["dst_qid"],
+                      "year": pc.cast(t["year"], pa.int64())}).group_by(
+            ["src_qid", "dst_qid"]).aggregate([("year", "min")])
+        return pa.table({"src_qid": g["src_qid"], "dst_qid": g["dst_qid"],
+                         "year": g["year_min"]})
+
+    rows = (edges.map_batches(partial, batch_format="pyarrow")
+            .groupby(["src_qid", "dst_qid"])
+            .aggregate(Min("year", alias_name="year"))).take_all()
+    reached = _temporal_reach(
+        [(r["src_qid"], r["dst_qid"], int(r["year"])) for r in rows],
+        _REACH_SEED)
+    qids = sorted(reached)
+    return pa.table({
+        "qid": pa.array(qids, pa.string()),
+        "first_reach_year": pa.array([reached[q] for q in qids],
+                                     pa.int64())})
+
+
+def O_KG_TEMPORAL_REACH() -> str:
+    """Same fixpoint over the oracled co-occurrence edge list (VALUES)."""
+    import duckdb
+
+    df = duckdb.connect().execute(O_KG_COOCCURRENCE(_SF001)).fetchdf()
+    agg: dict[tuple[str, str], int] = {}
+    for a, b, y in zip(df["src_qid"], df["dst_qid"], df["year"]):
+        k = (a, b)
+        agg[k] = min(agg.get(k, 10**9), int(y))
+    reached = _temporal_reach([(a, b, y) for (a, b), y in agg.items()],
+                              _REACH_SEED)
+    rows = [f"({_sq(q)}, {reached[q]})" for q in sorted(reached)]
+    return _values_or_empty(
+        rows,
+        "SELECT qid, CAST(first_reach_year AS BIGINT) AS first_reach_year",
+        "t(qid, first_reach_year)", "('', 0)")
+
+
+_ZONE_PART = 1500          # orders per zone-map partition (by o_orderkey)
+_ZONE_CUT_DAY = 10957      # 2000-01-01 in epoch days
+
+
+def q_orders_zonemap_prune(sf_dir: str):
+    """Zone-map pruning simulation — the scan-planning half of the
+    z-order story: partition orders by key range (deterministic
+    ``o_orderkey // _ZONE_PART`` so the map is engine-independent), collect
+    per-partition min/max order-date zone stats with a per-batch
+    combiner, and flag which partitions a ``date >= 2000-01-01``
+    predicate would skip without reading a row. Output: the zone map
+    itself (part_id, n_rows, min_day, max_day, pruned) — what a
+    lakehouse writes into its manifest footer."""
+    o = ops.read_table(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        part = pc.divide(pc.cast(t["o_orderkey"], pa.int64()),
+                         pa.scalar(_ZONE_PART, pa.int64()))
+        g = pa.table({"part_id": part, "n_rows": day,
+                      "min_day": day, "max_day": day}).group_by(
+            ["part_id"]).aggregate(
+            [("n_rows", "count"), ("min_day", "min"), ("max_day", "max")])
+        return pa.table({"part_id": g["part_id"],
+                         "n_rows": pc.cast(g["n_rows_count"], pa.int64()),
+                         "min_day": g["min_day_min"],
+                         "max_day": g["max_day_max"]})
+
+    zm = (o.map_batches(partial, batch_format="pyarrow")
+          .groupby("part_id").aggregate(
+              Sum("n_rows", alias_name="n_rows"),
+              Min("min_day", alias_name="min_day"),
+              Max("max_day", alias_name="max_day")))
+    return zm.map_batches(
+        lambda t: pa.table({
+            "part_id": pc.cast(t["part_id"], pa.int64()),
+            "n_rows": pc.cast(t["n_rows"], pa.int64()),
+            "min_day": pc.cast(t["min_day"], pa.int64()),
+            "max_day": pc.cast(t["max_day"], pa.int64()),
+            "pruned": pc.cast(pc.less(pc.cast(t["max_day"], pa.int64()),
+                                      _ZONE_CUT_DAY), pa.int64())}),
+        batch_format="pyarrow")
+
+
+O_ORDERS_ZONEMAP_PRUNE = f"""
+WITH z AS (
+  SELECT o_orderkey // {_ZONE_PART} AS part_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS min_day,
+         CAST(max(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS max_day
+  FROM orders GROUP BY 1)
+SELECT CAST(part_id AS BIGINT) AS part_id, n_rows, min_day, max_day,
+       CAST(CASE WHEN max_day < {_ZONE_CUT_DAY} THEN 1 ELSE 0 END AS BIGINT)
+           AS pruned
+FROM z"""
+
+
+_MEDOID_SCALE = np.int64(1 << 20)  # float32 → exact int64 feature grid
+
+
+def _medoid_scores(x_int: np.ndarray, s: np.ndarray, n: int) -> np.ndarray:
+    """Per-row squared distance to the label centroid in EXACT integer
+    form, cross-multiplied to avoid the division: score_i =
+    Σ_dims (n·x_i − S)². Inputs are the int64 feature grid and the exact
+    int64 per-label sum; the per-row dim reduction runs in float64 over
+    identical int64 inputs with a fixed dimension order, so operator and
+    oracle produce bit-identical scores."""
+    d = n * x_int.astype(np.float64) - s.astype(np.float64)
+    return (d * d).sum(axis=1)
+
+
+def q_embeddings_label_medoid(sf_dir: str):
+    """Per-label MEDOID — the representative-selection step of
+    cluster-based curation (semdedup prototypes, label auditing): the
+    member vector minimizing squared distance to its label centroid,
+    deterministic tie-break on vec_id. Two streaming passes, both with
+    bounded exchanges: (1) exact per-label integer feature sums (the
+    float32 grid is snapped to a 2^20 lattice, so partial-sum order
+    cannot flip a bit), (2) broadcast sums → per-batch local argmin
+    partials → one bounded reduce over (labels × blocks) candidates.
+    Output: (label, medoid_vec_id, n_vecs)."""
+    em = ops.read_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def to_int(t: pa.Table) -> np.ndarray:
+        x = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        return np.rint(x * float(_MEDOID_SCALE)).astype(np.int64)
+
+    def sum_partial(t: pa.Table) -> pa.Table:
+        x = to_int(t)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_l, out_s, out_n = [], [], []
+        for lv in np.unique(lab):
+            m = lab == lv
+            out_l.append(int(lv))
+            out_s.append(x[m].sum(axis=0).tobytes())
+            out_n.append(int(m.sum()))
+        return pa.table({"label": pa.array(out_l, pa.int64()),
+                         "s": pa.array(out_s, pa.binary()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    parts = em.map_batches(sum_partial, batch_format="pyarrow").take_all()
+    sums: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for r in parts:  # O(labels × blocks) driver reduce
+        lv = int(r["label"])
+        v = np.frombuffer(r["s"], dtype=np.int64)
+        sums[lv] = sums.get(lv, np.zeros_like(v)) + v
+        counts[lv] = counts.get(lv, 0) + int(r["n"])
+    import ray as _ray
+    bc = _ray.put((sums, counts))
+
+    def local_min(t: pa.Table) -> pa.Table:
+        s_all, n_all = _ray.get(bc)
+        x = to_int(t)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"label": [], "score": [], "vec_id": []}
+        for lv in np.unique(lab):
+            m = lab == lv
+            sc = _medoid_scores(x[m], s_all[int(lv)], n_all[int(lv)])
+            k = np.lexsort((ids[m], sc))[0]
+            out["label"].append(int(lv))
+            out["score"].append(float(sc[k]))
+            out["vec_id"].append(int(ids[m][k]))
+        return pa.table({"label": pa.array(out["label"], pa.int64()),
+                         "score": pa.array(out["score"], pa.float64()),
+                         "vec_id": pa.array(out["vec_id"], pa.int64())})
+
+    cand = em.map_batches(local_min, batch_format="pyarrow").take_all()
+    best: dict[int, tuple[float, int]] = {}
+    for r in cand:
+        k = (float(r["score"]), int(r["vec_id"]))
+        lv = int(r["label"])
+        if lv not in best or k < best[lv]:
+            best[lv] = k
+    labs = sorted(best)
+    return pa.table({
+        "label": pa.array(labs, pa.int64()),
+        "medoid_vec_id": pa.array([best[x][1] for x in labs], pa.int64()),
+        "n_vecs": pa.array([counts[x] for x in labs], pa.int64())})
+
+
+def O_EMBEDDINGS_LABEL_MEDOID() -> str:
+    """Pure numpy recompute on the same integer lattice (VALUES)."""
+    t = _read_parquet_cols(_SF001, "embeddings",
+                           ["vec_id", "embedding", "label"])
+    x = np.rint(np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+                * float(_MEDOID_SCALE)).astype(np.int64)
+    lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = []
+    for lv in np.unique(lab):
+        m = lab == lv
+        sc = _medoid_scores(x[m], x[m].sum(axis=0), int(m.sum()))
+        k = np.lexsort((ids[m], sc))[0]
+        rows.append(f"({int(lv)}, {int(ids[m][k])}, {int(m.sum())})")
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(label AS BIGINT) AS label, "
+        "CAST(medoid_vec_id AS BIGINT) AS medoid_vec_id, "
+        "CAST(n_vecs AS BIGINT) AS n_vecs",
+        "t(label, medoid_vec_id, n_vecs)", "(0, 0, 0)")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -7923,6 +8175,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_profile_similarity": q_kg_profile_similarity,
     "dup_cluster_histogram": q_dup_cluster_histogram,
     "docs_boilerplate_prefixes": q_docs_boilerplate_prefixes,
+    "kg_temporal_reach": q_kg_temporal_reach,
+    "orders_zonemap_prune": q_orders_zonemap_prune,
+    "embeddings_label_medoid": q_embeddings_label_medoid,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -8178,4 +8433,7 @@ def oracles() -> dict[str, str]:
         "kg_profile_similarity": O_KG_PROFILE_SIMILARITY(),
         "dup_cluster_histogram": O_DUP_CLUSTER_HISTOGRAM(),
         "docs_boilerplate_prefixes": O_DOCS_BOILERPLATE_PREFIXES,
+        "kg_temporal_reach": O_KG_TEMPORAL_REACH(),
+        "orders_zonemap_prune": O_ORDERS_ZONEMAP_PRUNE,
+        "embeddings_label_medoid": O_EMBEDDINGS_LABEL_MEDOID(),
     }
