@@ -56,9 +56,26 @@ def _to_df(res) -> pd.DataFrame:
     return res.to_pandas()
 
 
+def _run_query(name):
+    """One retry on Ray SYSTEM errors only (worker/actor churn killing a
+    task mid-suite — observed once in ~200 back-to-back queries). Logic
+    errors (RayTaskError wrapping a Python exception, assertion failures)
+    are never retried."""
+    from ray.exceptions import RaySystemError, RayTaskError
+
+    try:
+        return Q.QUERIES[name](SF)
+    except (RaySystemError, RayTaskError) as e:
+        cause = getattr(e, "cause", None)
+        if isinstance(e, RayTaskError) and not isinstance(cause,
+                                                          RaySystemError):
+            raise
+        return Q.QUERIES[name](SF)
+
+
 @pytest.mark.parametrize("name", ALL_QUERIES)
 def test_query_matches_oracle(name, con, oracle_map, ray_session):
-    got = canon(_to_df(Q.QUERIES[name](SF)))
+    got = canon(_to_df(_run_query(name)))
     if name in _SF_PINNED:
         row = got.iloc[0]
         assert row["precision"] == 1.0
