@@ -7988,6 +7988,180 @@ def O_EMBEDDINGS_LABEL_MEDOID() -> str:
         "t(label, medoid_vec_id, n_vecs)", "(0, 0, 0)")
 
 
+def q_docs_lang_confusion(sf_dir: str):
+    """Language-metadata QA — the declared-vs-detected confusion matrix
+    that catches mislabeled crawl segments before they poison a
+    per-language mixture: the vectorized stopword LangID actor pool
+    scores every doc, then one bounded groupby over
+    (declared, predicted) pairs (≤ |langs|² rows). The off-diagonal
+    rows are the docs a curation pass re-routes or drops."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+    scored = docs.map_batches(ts.LangIdStage, batch_format="pyarrow",
+                              batch_size=1024, concurrency=(1, 4), num_cpus=1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["lang", "lang_pred"]).group_by(
+            ["lang", "lang_pred"]).aggregate([("lang", "count")])
+        return pa.table({"lang": g["lang"], "lang_pred": g["lang_pred"],
+                         "n": pc.cast(g["lang_count"], pa.int64())})
+
+    return (scored.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "lang_pred"]).aggregate(Sum("n", alias_name="n"))
+            .map_batches(lambda t: _i64(t, ["n"]), batch_format="pyarrow"))
+
+
+def O_DOCS_LANG_CONFUSION() -> str:
+    return rf"""
+WITH toks AS (SELECT doc_id, lang AS lang_decl,
+                     regexp_extract_all(lower(text), '\S+') AS tk
+              FROM documents),
+scores AS (
+  SELECT t.doc_id, t.lang_decl, profiles.lang AS lang_cand,
+         CASE WHEN len(t.tk) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(t.tk, x -> list_contains(profiles.sw, x)))
+                        AS DOUBLE) / len(t.tk) END AS s
+  FROM toks t CROSS JOIN {_stopword_values_sql()}
+),
+best AS (SELECT doc_id, lang_decl, lang_cand, s,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY s DESC, lang_cand DESC) AS rn
+         FROM scores)
+SELECT lang_decl AS lang,
+       CASE WHEN s > 0 THEN lang_cand ELSE 'und' END AS lang_pred,
+       CAST(count(*) AS BIGINT) AS n
+FROM best WHERE rn = 1 GROUP BY 1, 2"""
+
+
+def _bridge_edges(edges: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Cut edges (bridges) of an undirected graph — iterative Tarjan
+    low-link (no recursion; the input is the agency-inventory-bounded
+    reduced edge list). Shared by operator and oracle. Parallel edges
+    are assumed already deduplicated; returns canonically ordered
+    (a < b) pairs."""
+    adj: dict[str, list[tuple[str, int]]] = {}
+    for i, (a, b) in enumerate(edges):
+        adj.setdefault(a, []).append((b, i))
+        adj.setdefault(b, []).append((a, i))
+    disc: dict[str, int] = {}
+    low: dict[str, int] = {}
+    timer = 0
+    out: list[tuple[str, str]] = []
+    for root in sorted(adj):
+        if root in disc:
+            continue
+        stack = [(root, -1, iter(adj[root]))]
+        disc[root] = low[root] = timer
+        timer += 1
+        while stack:
+            u, pe, it = stack[-1]
+            adv = False
+            for v, ei in it:
+                if ei == pe:
+                    continue
+                if v not in disc:
+                    disc[v] = low[v] = timer
+                    timer += 1
+                    stack.append((v, ei, iter(adj[v])))
+                    adv = True
+                    break
+                low[u] = min(low[u], disc[v])
+            if not adv:
+                stack.pop()
+                if stack:
+                    p = stack[-1][0]
+                    low[p] = min(low[p], low[u])
+                    if low[u] > disc[p]:
+                        a, b = edges[pe]
+                        out.append((min(a, b), max(a, b)))
+    return sorted(out)
+
+
+def q_kg_bridges(sf_dir: str):
+    """Bridge (cut-edge) detection on the agency co-occurrence graph —
+    the single-point-of-failure edges whose removal disconnects part of
+    the network (fragility analysis for the KG). The corpus-scale work —
+    collapsing per-(host, year) pair weights to one distinct edge — runs
+    distributed with a per-batch combiner; Tarjan low-link then walks
+    the agency-inventory-bounded edge list on the driver (bounded-input
+    driver regime, like temporal reach). Output: (src_qid, dst_qid)
+    bridges, canonical order."""
+    m = _mentions(sf_dir).materialize()
+    pairs = ops.distinct(kg.cooccurrence_edges(m),
+                         ["src_qid", "dst_qid"]).take_all()
+    bridges = _bridge_edges([(r["src_qid"], r["dst_qid"]) for r in pairs])
+    return pa.table({
+        "src_qid": pa.array([a for a, _ in bridges], pa.string()),
+        "dst_qid": pa.array([b for _, b in bridges], pa.string())})
+
+
+def O_KG_BRIDGES() -> str:
+    """Same Tarjan over the oracled distinct edge list (VALUES)."""
+    import duckdb
+
+    df = duckdb.connect().execute(O_KG_COOCCURRENCE(_SF001)).fetchdf()[
+        ["src_qid", "dst_qid"]].drop_duplicates()
+    bridges = _bridge_edges(list(zip(df["src_qid"], df["dst_qid"])))
+    rows = [f"({_sq(a)}, {_sq(b)})" for a, b in bridges]
+    return _values_or_empty(
+        rows, "SELECT src_qid, dst_qid",
+        "t(src_qid, dst_qid)", "('', '')")
+
+
+def q_source_vocab_stats(sf_dir: str):
+    """Per-source lexical-richness profile: total token count, distinct
+    vocabulary size and hapax-legomena count (tokens seen exactly once
+    in the source — the Heaps/Zipf tail a tokenizer-training pass cares
+    about). Per-batch (source, token) combiner → one vocabulary-scale
+    exchange → per-source fold; raw text never shuffles."""
+    docs = ops.read_table(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tl = pc.split_pattern_regex(t["text"].combine_chunks(), "\\s+")
+        flat = pc.list_flatten(tl)
+        src = pc.take(t["source"], pc.list_parent_indices(tl))
+        tb = pa.table({"source": src, "token": flat}).filter(
+            pc.not_equal(flat, ""))
+        g = tb.group_by(["source", "token"]).aggregate([("token", "count")])
+        return pa.table({"source": g["source"], "token": g["token"],
+                         "n": pc.cast(g["token_count"], pa.int64())})
+
+    per_tok = (docs.map_batches(partial, batch_format="pyarrow")
+               .groupby(["source", "token"])
+               .aggregate(Sum("n", alias_name="n")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64())
+        g = pa.table({
+            "source": t["source"], "n_tokens": n,
+            "one": pa.array(np.ones(len(t), np.int64)),
+            "hapax": pc.cast(pc.equal(n, 1), pa.int64()),
+        }).group_by(["source"]).aggregate(
+            [("n_tokens", "sum"), ("one", "sum"), ("hapax", "sum")])
+        return pa.table({"source": g["source"],
+                         "n_tokens": g["n_tokens_sum"],
+                         "n_vocab": g["one_sum"],
+                         "n_hapax": g["hapax_sum"]})
+
+    return (per_tok.map_batches(fold, batch_format="pyarrow")
+            .groupby("source").aggregate(
+                Sum("n_tokens", alias_name="n_tokens"),
+                Sum("n_vocab", alias_name="n_vocab"),
+                Sum("n_hapax", alias_name="n_hapax"))
+            .map_batches(
+                lambda t: _i64(t, ["n_tokens", "n_vocab", "n_hapax"]),
+                batch_format="pyarrow"))
+
+
+O_SOURCE_VOCAB_STATS = r"""
+WITH tok AS (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS token
+             FROM documents),
+c AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax
+FROM c GROUP BY 1"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -8178,6 +8352,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_temporal_reach": q_kg_temporal_reach,
     "orders_zonemap_prune": q_orders_zonemap_prune,
     "embeddings_label_medoid": q_embeddings_label_medoid,
+    "docs_lang_confusion": q_docs_lang_confusion,
+    "kg_bridges": q_kg_bridges,
+    "source_vocab_stats": q_source_vocab_stats,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -8436,4 +8613,7 @@ def oracles() -> dict[str, str]:
         "kg_temporal_reach": O_KG_TEMPORAL_REACH(),
         "orders_zonemap_prune": O_ORDERS_ZONEMAP_PRUNE,
         "embeddings_label_medoid": O_EMBEDDINGS_LABEL_MEDOID(),
+        "docs_lang_confusion": O_DOCS_LANG_CONFUSION(),
+        "kg_bridges": O_KG_BRIDGES(),
+        "source_vocab_stats": O_SOURCE_VOCAB_STATS,
     }
