@@ -8162,6 +8162,203 @@ SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
 FROM c GROUP BY 1"""
 
 
+_EMA_SCALE = 1 << 20  # fixed-point grid for the integer EMA recursion
+_EMA_NUM, _EMA_DEN = 7, 8  # smoothing 1/8 — s_t = (x·S + 7·s_{t-1}) // 8
+
+
+def q_events_ema(sf_dir: str):
+    """Exponentially-weighted daily trend in EXACT fixed-point integers:
+    ``s_t = (x_t·2^20 + 7·s_{t-1}) // 8`` over the day-ascending count
+    series — the smoothing a monitoring pipeline layers over raw daily
+    volume. Daily counts reduce distributed (per-batch combiner, one
+    bounded groupby); the recursion itself is inherently sequential with
+    no associative decomposition, so it runs over the calendar-bounded
+    series on the driver (same regime as CUSUM) and never touches
+    corpus-scale data. Floor division on non-negative ints matches the
+    oracle's ``//`` exactly — no float anywhere."""
+    ev = ops.read_table(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        g = pa.table({"day": day}).group_by(["day"]).aggregate(
+            [("day", "count")])
+        return pa.table({"day": g["day"],
+                         "n": pc.cast(g["day_count"], pa.int64())})
+
+    daily = (ev.map_batches(partial, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="n"))).to_pandas()
+    daily = daily.sort_values("day").reset_index(drop=True)
+    days = daily["day"].astype("int64").tolist()
+    xs = daily["n"].astype("int64").tolist()
+    emas = []
+    s = 0
+    for i, x in enumerate(xs):
+        s = x * _EMA_SCALE if i == 0 else \
+            (x * _EMA_SCALE + _EMA_NUM * s) // _EMA_DEN
+        emas.append(s)
+    return pa.table({"day": pa.array(days, pa.int64()),
+                     "n": pa.array(xs, pa.int64()),
+                     "ema_scaled": pa.array(emas, pa.int64())})
+
+
+O_EVENTS_EMA = f"""
+WITH RECURSIVE d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+seq AS (SELECT day, n, row_number() OVER (ORDER BY day) AS rn FROM d),
+r AS (
+  SELECT rn, day, n, n * {_EMA_SCALE} AS s FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT q.rn, q.day, q.n, (q.n * {_EMA_SCALE} + {_EMA_NUM} * r.s) // {_EMA_DEN}
+  FROM seq q JOIN r ON q.rn = r.rn + 1)
+SELECT CAST(day AS BIGINT) AS day, n, CAST(s AS BIGINT) AS ema_scaled
+FROM r"""
+
+
+def q_events_weekday_anomalies(sf_dir: str):
+    """Seasonality-aware volume anomalies: each day's event count is
+    compared against its own DAY-OF-WEEK class mean (weekly periodicity
+    is the dominant season in web traffic; a global mean flags every
+    weekend). Integer-exact via cross-multiplication — day d with count
+    n in class c (|c| days, Σc total) is HIGH when ``n·|c| > 2·Σc`` and
+    LOW when ``2·n·|c| < Σc``. Two bounded groupbys (daily census, then
+    class marginals broadcast onto the day table). Output: every day
+    labeled flag ∈ {+1, 0, −1} (labeling all days keeps the result
+    schema-stable when a quiet corpus has zero anomalies)."""
+    ev = ops.read_table(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        g = pa.table({"day": day}).group_by(["day"]).aggregate(
+            [("day", "count")])
+        return pa.table({"day": g["day"],
+                         "n": pc.cast(g["day_count"], pa.int64())})
+
+    daily = (ev.map_batches(partial, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="n"))) \
+        .materialize()
+
+    # class marginals: 7 rows — bounded driver reduce, then broadcast
+    def cls_partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(t["day"], pa.int64())
+        wd = pc.subtract(day, pc.multiply(
+            pc.divide(day, pa.scalar(7, pa.int64())),
+            pa.scalar(7, pa.int64())))  # day % 7 (days are non-negative)
+        return pa.table({"wd": wd, "n": pc.cast(t["n"], pa.int64()),
+                         "one": pa.array(np.ones(len(t), np.int64))}) \
+            .group_by(["wd"]).aggregate([("n", "sum"), ("one", "sum")])
+
+    cls_rows = daily.map_batches(cls_partial,
+                                 batch_format="pyarrow").take_all()
+    cls_sum: dict[int, int] = {}
+    cls_cnt: dict[int, int] = {}
+    for r in cls_rows:
+        w = int(r["wd"])
+        cls_sum[w] = cls_sum.get(w, 0) + int(r["n_sum"])
+        cls_cnt[w] = cls_cnt.get(w, 0) + int(r["one_sum"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        day = t["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wd = day % 7
+        sc = np.array([cls_sum[int(w)] for w in wd], np.int64)
+        cc = np.array([cls_cnt[int(w)] for w in wd], np.int64)
+        hi = n * cc > 2 * sc
+        lo = 2 * n * cc < sc
+        return pa.table({
+            "day": pa.array(day, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "day_class": pa.array(wd, pa.int64()),
+            "flag": pa.array(
+                np.where(hi, 1, np.where(lo, -1, 0)).astype(np.int64))})
+
+    return daily.map_batches(flag, batch_format="pyarrow")
+
+
+O_EVENTS_WEEKDAY_ANOMALIES = """
+WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+c AS (SELECT day % 7 AS wd, CAST(sum(n) AS BIGINT) AS sc,
+             CAST(count(*) AS BIGINT) AS cc
+      FROM d GROUP BY 1)
+SELECT CAST(d.day AS BIGINT) AS day, d.n,
+       CAST(d.day % 7 AS BIGINT) AS day_class,
+       CAST(CASE WHEN d.n * c.cc > 2 * c.sc THEN 1
+                 WHEN 2 * d.n * c.cc < c.sc THEN -1
+                 ELSE 0 END AS BIGINT) AS flag
+FROM d JOIN c ON c.wd = d.day % 7"""
+
+
+_TRIGRAM_K = 20
+
+
+def q_lang_char_trigrams(sf_dir: str):
+    """Per-language character-trigram profile — the feature table a
+    statistical language identifier is trained from: the top-20 char
+    trigrams per language by corpus count (ties broken trigram-
+    ascending). Trigram extraction is fully vectorized: each batch
+    concatenates its per-language text with NUL separators, takes a
+    ``sliding_window_view`` over the byte buffer (docs are ASCII; the
+    NUL guard stops cross-doc windows), packs windows into int64 codes
+    and reduces with ``np.unique`` — no per-doc loop. Per-batch partials
+    → one vocabulary-scale groupby → combiner-based grouped top-k."""
+    docs = ops.read_table(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        out_l, out_c, out_n = [], [], []
+        for lv in np.unique(langs):
+            buf = "\x00".join(
+                x or "" for x in texts[langs == lv]).encode("ascii")
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            if arr.size < 3:
+                continue
+            w = np.lib.stride_tricks.sliding_window_view(arr, 3)
+            w = w[~(w == 0).any(axis=1)]
+            if not len(w):
+                continue
+            code = (w[:, 0].astype(np.int64) << 16) | \
+                (w[:, 1].astype(np.int64) << 8) | w[:, 2].astype(np.int64)
+            uniq, cnt = np.unique(code, return_counts=True)
+            out_l.extend([lv] * len(uniq))
+            out_c.extend(uniq.tolist())
+            out_n.extend(cnt.tolist())
+        return pa.table({"lang": pa.array(out_l, pa.string()),
+                         "code": pa.array(out_c, pa.int64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    counts = (docs.map_batches(partial, batch_format="pyarrow")
+              .groupby(["lang", "code"]).aggregate(Sum("n", alias_name="n")))
+
+    def decode(t: pa.Table) -> pa.Table:
+        code = t["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tri = [chr((c >> 16) & 0xFF) + chr((c >> 8) & 0xFF) + chr(c & 0xFF)
+               for c in code.tolist()]
+        return pa.table({"lang": t["lang"],
+                         "tri": pa.array(tri, pa.string()),
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    return ops.group_top_k(
+        counts.map_batches(decode, batch_format="pyarrow"),
+        "lang", "n", _TRIGRAM_K, id_col="tri")
+
+
+O_LANG_CHAR_TRIGRAMS = f"""
+WITH g AS (
+  SELECT lang, substr(text, i.i + 1, 3) AS tri
+  FROM documents, unnest(range(greatest(length(text) - 2, 0))) AS i(i)),
+c AS (SELECT lang, tri, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2),
+r AS (SELECT lang, tri, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, tri) AS rn
+      FROM c)
+SELECT lang, tri, n FROM r WHERE rn <= {_TRIGRAM_K}"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -8355,6 +8552,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_lang_confusion": q_docs_lang_confusion,
     "kg_bridges": q_kg_bridges,
     "source_vocab_stats": q_source_vocab_stats,
+    "events_ema": q_events_ema,
+    "events_weekday_anomalies": q_events_weekday_anomalies,
+    "lang_char_trigrams": q_lang_char_trigrams,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -8616,4 +8816,7 @@ def oracles() -> dict[str, str]:
         "docs_lang_confusion": O_DOCS_LANG_CONFUSION(),
         "kg_bridges": O_KG_BRIDGES(),
         "source_vocab_stats": O_SOURCE_VOCAB_STATS,
+        "events_ema": O_EVENTS_EMA,
+        "events_weekday_anomalies": O_EVENTS_WEEKDAY_ANOMALIES,
+        "lang_char_trigrams": O_LANG_CHAR_TRIGRAMS,
     }
