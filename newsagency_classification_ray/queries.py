@@ -8446,7 +8446,14 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # orders_customer_overlap part_wmedian_by_brand
     # events_ohlc suppliers_all_regions kg_host_cover kg_voronoi
     # nation_share_of_region kg_edge_births kg_agency_burstiness
-    # docs_hybrid_search docs_novelty kg_edge_pmi_stats)
+    # docs_hybrid_search docs_novelty kg_edge_pmi_stats
+    # events_debounce events_user_diversity data_quality_audit
+    # lineitem_zorder docs_keyness_stats kg_assortativity
+    # docs_fuzzy_contamination events_active_time kg_profile_similarity
+    # dup_cluster_histogram docs_boilerplate_prefixes kg_temporal_reach
+    # orders_zonemap_prune embeddings_label_medoid docs_lang_confusion
+    # kg_bridges source_vocab_stats events_ema events_weekday_anomalies
+    # lang_char_trigrams)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
