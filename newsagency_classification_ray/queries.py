@@ -8359,6 +8359,116 @@ r AS (SELECT lang, tri, n,
 SELECT lang, tri, n FROM r WHERE rn <= {_TRIGRAM_K}"""
 
 
+def q_events_type_sets(sf_dir: str):
+    """Behavioral cohort segmentation by EXACT event-type set: each user
+    collapses to the sorted set of event types they ever emitted (the
+    bitmap-index / cohort primitive behind "did A and B but never C"
+    audiences), then cohort sizes reduce in one bounded groupby (≤ 2^|type
+    inventory| keys). Raw events shrink to distinct (user, type) pairs
+    with a per-batch combiner BEFORE the only keyed exchange."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "event_type"])
+    pairs = ops.distinct(ev, ["user_id", "event_type"])
+
+    def join_types(g: pa.Table) -> pa.Table:
+        ts_ = sorted(g["event_type"].to_pylist())
+        return pa.table({
+            "type_set": pa.array([",".join(ts_)], pa.string()),
+            "one": pa.array([1], pa.int64())})
+
+    return (pairs.groupby("user_id").map_groups(join_types,
+                                                batch_format="pyarrow")
+            .groupby("type_set").aggregate(Sum("one", alias_name="n_users"))
+            .map_batches(lambda t: _i64(t, ["n_users"]),
+                         batch_format="pyarrow"))
+
+
+O_EVENTS_TYPE_SETS = """
+WITH s AS (
+  SELECT user_id,
+         string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+             AS type_set
+  FROM events GROUP BY user_id)
+SELECT type_set, CAST(count(*) AS BIGINT) AS n_users
+FROM s GROUP BY 1"""
+
+
+def q_lineitem_daily_running_revenue(sf_dir: str):
+    """Global ordered running total — cumulative revenue (cents) by ship
+    day. Daily partial sums reduce distributed with per-batch combiners
+    (the 100-TB fact scan never re-enters an exchange); the cumulative
+    scan then runs over the calendar-bounded day series on the driver
+    (same bounded-series regime as CUSUM/EMA — a date axis is O(years),
+    not O(rows)). Revenue follows the registry's e4 convention — round
+    the per-day SUM once into 1e-4 currency units (4-dp-exact decimals,
+    so the rounded sum is ulp-stable); the cumulative scan is then pure
+    int64."""
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["l_shipdate"], pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({"day": day, "rev_raw": rev}).group_by(
+            ["day"]).aggregate([("rev_raw", "sum")])
+        return pa.table({"day": g["day"], "rev_raw": g["rev_raw_sum"]})
+
+    daily = (li.map_batches(partial, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("rev_raw",
+                                           alias_name="rev_raw"))) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    rev_e4 = (daily["rev_raw"] * 10_000).round().astype("int64")
+    return pa.table({
+        "day": pa.array(daily["day"].astype("int64"), pa.int64()),
+        "rev_e4": pa.array(rev_e4, pa.int64()),
+        "running_e4": pa.array(rev_e4.cumsum(), pa.int64())})
+
+
+O_LINEITEM_DAILY_RUNNING_REVENUE = """
+WITH d AS (
+  SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+         CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000)
+              AS BIGINT) AS rev_e4
+  FROM lineitem GROUP BY 1)
+SELECT CAST(day AS BIGINT) AS day, rev_e4,
+       CAST(sum(rev_e4) OVER (ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS running_e4
+FROM d"""
+
+
+def q_lineitem_key_skew(sf_dir: str):
+    """Join-key skew diagnostic — the multiplicity histogram of
+    ``l_orderkey`` (how many keys have exactly m lines): the number a
+    planner reads before choosing salting / broadcast / skew-join
+    armor. Two bounded groupbys, the first fed by a per-batch combiner
+    so the exchange carries one row per key, the second one row per
+    multiplicity."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey"]).aggregate([("l_orderkey", "count")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "m": pc.cast(g["l_orderkey_count"], pa.int64())})
+
+    per_key = (li.map_batches(partial, batch_format="pyarrow")
+               .groupby("l_orderkey").aggregate(Sum("m", alias_name="m")))
+    return (per_key.map_batches(
+        lambda t: pa.table({"multiplicity": pc.cast(t["m"], pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("multiplicity").aggregate(Count(alias_name="n_keys"))
+        .map_batches(lambda t: _i64(t, ["multiplicity", "n_keys"]),
+                     batch_format="pyarrow"))
+
+
+O_LINEITEM_KEY_SKEW = """
+WITH k AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS m
+           FROM lineitem GROUP BY 1)
+SELECT m AS multiplicity, CAST(count(*) AS BIGINT) AS n_keys
+FROM k GROUP BY 1"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -8562,6 +8672,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_ema": q_events_ema,
     "events_weekday_anomalies": q_events_weekday_anomalies,
     "lang_char_trigrams": q_lang_char_trigrams,
+    "events_type_sets": q_events_type_sets,
+    "lineitem_running_revenue": q_lineitem_daily_running_revenue,
+    "lineitem_key_skew": q_lineitem_key_skew,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -8826,4 +8939,7 @@ def oracles() -> dict[str, str]:
         "events_ema": O_EVENTS_EMA,
         "events_weekday_anomalies": O_EVENTS_WEEKDAY_ANOMALIES,
         "lang_char_trigrams": O_LANG_CHAR_TRIGRAMS,
+        "events_type_sets": O_EVENTS_TYPE_SETS,
+        "lineitem_running_revenue": O_LINEITEM_DAILY_RUNNING_REVENUE,
+        "lineitem_key_skew": O_LINEITEM_KEY_SKEW,
     }
