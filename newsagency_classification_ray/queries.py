@@ -8469,6 +8469,99 @@ SELECT m AS multiplicity, CAST(count(*) AS BIGINT) AS n_keys
 FROM k GROUP BY 1"""
 
 
+def q_kg_agency_host_concentration(sf_dir: str):
+    """Source-concentration profile per agency — is it cited across the
+    whole press or by one outlet? Exact integer sufficient statistics of
+    the per-host mention distribution: host richness, total mentions,
+    Simpson numerator Σ n_h² and the max single-host count. Per-batch
+    (qid, host) combiner → one keyed exchange → per-qid fold (the same
+    two-level reduce as the user-diversity op, on the KG axis)."""
+    m = _mentions(sf_dir).materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.not_equal(t["qid"], "NIL"))
+        g = f.select(["qid", "host"]).group_by(["qid", "host"]).aggregate(
+            [("host", "count")])
+        return pa.table({"qid": g["qid"], "host": g["host"],
+                         "n": pc.cast(g["host_count"], pa.int64())})
+
+    per_host = (m.map_batches(partial, batch_format="pyarrow")
+                .groupby(["qid", "host"]).aggregate(Sum("n", alias_name="n")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64())
+        g = pa.table({
+            "qid": t["qid"], "n_mentions": n,
+            "one": pa.array(np.ones(len(t), np.int64)),
+            "n2": pc.multiply(n, n), "mx": n,
+        }).group_by(["qid"]).aggregate(
+            [("n_mentions", "sum"), ("one", "sum"),
+             ("n2", "sum"), ("mx", "max")])
+        return pa.table({
+            "qid": g["qid"], "n_mentions": g["n_mentions_sum"],
+            "n_hosts": g["one_sum"], "simpson_sum": g["n2_sum"],
+            "max_host_n": g["mx_max"]})
+
+    return (per_host.map_batches(fold, batch_format="pyarrow")
+            .groupby("qid").aggregate(
+                Sum("n_mentions", alias_name="n_mentions"),
+                Sum("n_hosts", alias_name="n_hosts"),
+                Sum("simpson_sum", alias_name="simpson_sum"),
+                Max("max_host_n", alias_name="max_host_n"))
+            .map_batches(
+                lambda t: _i64(t, ["n_mentions", "n_hosts",
+                                   "simpson_sum", "max_host_n"]),
+                batch_format="pyarrow"))
+
+
+def O_KG_AGENCY_HOST_CONCENTRATION(sf: str | None = None) -> str:
+    return f"""WITH {_pages_cte(sf or _SF001)},
+h AS (SELECT qid, host, CAST(count(*) AS BIGINT) AS n
+      FROM sql_mentions WHERE qid <> 'NIL' GROUP BY 1, 2)
+SELECT qid, CAST(sum(n) AS BIGINT) AS n_mentions,
+       CAST(count(*) AS BIGINT) AS n_hosts,
+       CAST(sum(n * n) AS BIGINT) AS simpson_sum,
+       CAST(max(n) AS BIGINT) AS max_host_n
+FROM h GROUP BY 1"""
+
+
+def q_events_value_benford(sf_dir: str):
+    """Benford first-digit audit of transaction values — the
+    forensic-accounting / data-quality scan for fabricated or truncated
+    numeric columns: values snap to exact integer cents, the leading
+    digit falls out of the Arrow decimal STRING cast (bit-identical to
+    the oracle's ``substr(CAST(x AS VARCHAR), 1, 1)`` — no float log10
+    anywhere), and one bounded groupby (≤ 9×|types| keys) counts the
+    distribution per event type."""
+    ev = ops.read_table(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"])
+        digit = pc.cast(pc.utf8_slice_codeunits(
+            pc.cast(cents, pa.string()), 0, 1), pa.int64())
+        g = pa.table({"event_type": t["event_type"],
+                      "digit": digit}).group_by(
+            ["event_type", "digit"]).aggregate([("digit", "count")])
+        return pa.table({"event_type": g["event_type"], "digit": g["digit"],
+                         "n": pc.cast(g["digit_count"], pa.int64())})
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "digit"])
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(lambda t: _i64(t, ["digit", "n"]),
+                         batch_format="pyarrow"))
+
+
+O_EVENTS_VALUE_BENFORD = """
+WITH d AS (
+  SELECT event_type,
+         CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM events)
+SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY 1, 2"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -8675,6 +8768,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_type_sets": q_events_type_sets,
     "lineitem_running_revenue": q_lineitem_daily_running_revenue,
     "lineitem_key_skew": q_lineitem_key_skew,
+    "kg_host_concentration": q_kg_agency_host_concentration,
+    "events_value_benford": q_events_value_benford,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -8942,4 +9037,6 @@ def oracles() -> dict[str, str]:
         "events_type_sets": O_EVENTS_TYPE_SETS,
         "lineitem_running_revenue": O_LINEITEM_DAILY_RUNNING_REVENUE,
         "lineitem_key_skew": O_LINEITEM_KEY_SKEW,
+        "kg_host_concentration": O_KG_AGENCY_HOST_CONCENTRATION(),
+        "events_value_benford": O_EVENTS_VALUE_BENFORD,
     }
