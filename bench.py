@@ -239,6 +239,16 @@ def run_bench() -> dict:
           lambda: Q.QUERIES["q9_product_type_profit"](sf_dir).count())
     timed("q21_waiting_suppliers",
           lambda: Q.QUERIES["q21_waiting_suppliers"](sf_dir).num_rows)
+    # late-r4 additions: layout math, vocabulary-scale text reduce, cohort
+    # groupby, dedup clustering end-to-end
+    timed("lineitem_zorder",
+          lambda: Q.QUERIES["lineitem_zorder"](sf_dir).count())
+    timed("source_vocab_stats",
+          lambda: Q.QUERIES["source_vocab_stats"](sf_dir).count())
+    timed("events_type_sets",
+          lambda: Q.QUERIES["events_type_sets"](sf_dir).count())
+    timed("dup_cluster_histogram",
+          lambda: Q.QUERIES["dup_cluster_histogram"](sf_dir).count())
 
     headline = queries["kg_flagship"]
     result = {
