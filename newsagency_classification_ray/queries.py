@@ -8562,6 +8562,162 @@ SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
 FROM d GROUP BY 1, 2"""
 
 
+def q_kg_mention_gini_stats(sf_dir: str):
+    """Per-year inequality of agency attention — the exact integer
+    sufficient statistics of the Gini coefficient over that year's
+    agency mention counts: numerator Σᵢⱼ |nᵢ − nⱼ| and denominator
+    2·k·Σn (G = num/den, one division away). The census is the usual
+    combiner + one bounded groupby; the pairwise fold runs inside each
+    year group, bounded by the agency inventory (the co-occurrence
+    group-size argument), via the sorted identity
+    Σᵢⱼ|nᵢ−nⱼ| = 2·Σᵢ(2i−k+1)·n₍ᵢ₎ — O(k log k), no k² temporaries."""
+    m = _mentions(sf_dir).materialize()
+
+    def yearly(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.not_equal(t["qid"], "NIL"))
+        g = pa.table({"qid": f["qid"],
+                      "year": pc.cast(f["year"], pa.int64())}).group_by(
+            ["qid", "year"]).aggregate([("year", "count")])
+        return pa.table({"qid": g["qid"], "year": g["year"],
+                         "n": pc.cast(g["year_count"], pa.int64())})
+
+    per_year = (m.map_batches(yearly, batch_format="pyarrow")
+                .groupby(["qid", "year"]).aggregate(Sum("n", alias_name="n")))
+
+    def gini(g: pa.Table) -> pa.Table:
+        n = np.sort(g["n"].to_numpy(zero_copy_only=False).astype(np.int64))
+        k = len(n)
+        i = np.arange(k, dtype=np.int64)
+        num = int(((2 * i - k + 1) * n).sum()) * 2
+        return pa.table({
+            "year": pa.array([int(g["year"][0].as_py())], pa.int64()),
+            "n_agencies": pa.array([k], pa.int64()),
+            "gini_num": pa.array([num], pa.int64()),
+            "gini_den": pa.array([2 * k * int(n.sum())], pa.int64())})
+
+    return per_year.groupby("year").map_groups(gini, batch_format="pyarrow")
+
+
+def O_KG_MENTION_GINI_STATS(sf: str | None = None) -> str:
+    return f"""WITH {_pages_cte(sf or _SF001)},
+y AS (SELECT qid, year, CAST(count(*) AS BIGINT) AS n
+      FROM sql_mentions WHERE qid <> 'NIL' GROUP BY 1, 2),
+k AS (SELECT year, CAST(count(*) AS BIGINT) AS ka,
+             CAST(sum(n) AS BIGINT) AS s
+      FROM y GROUP BY 1),
+p AS (SELECT a.year, CAST(sum(abs(a.n - b.n)) AS BIGINT) AS num
+      FROM y a JOIN y b ON a.year = b.year GROUP BY 1)
+SELECT CAST(k.year AS BIGINT) AS year, k.ka AS n_agencies,
+       p.num AS gini_num, CAST(2 * k.ka * k.s AS BIGINT) AS gini_den
+FROM k JOIN p ON p.year = k.year"""
+
+
+def q_kg_cocitation_except(sf_dir: str):
+    """Targeted KG set query: agencies co-cited with the seed (Reuters)
+    but NEVER directly with Havas — "the seed's exclusive neighborhood"
+    — a distributed semi/anti-join composition over the reduced distinct
+    edge list (neighbor sets never leave the Dataset; no driver key
+    set). Output: qid rows."""
+    m = _mentions(sf_dir).materialize()
+    pairs = ops.distinct(kg.cooccurrence_edges(m), ["src_qid", "dst_qid"]) \
+        .materialize()
+
+    def neighbors(of: str) -> Any:
+        def pick(t: pa.Table) -> pa.Table:
+            a = t.filter(pc.equal(t["src_qid"], of))["dst_qid"]
+            b = t.filter(pc.equal(t["dst_qid"], of))["src_qid"]
+            return pa.table({"qid": pa.chunked_array(
+                list(a.chunks) + list(b.chunks), pa.string())})
+
+        return ops.distinct(
+            pairs.map_batches(pick, batch_format="pyarrow"), ["qid"])
+
+    reuters = neighbors("Q130879").materialize()
+    if reuters.count() == 0:
+        return pa.table({"qid": pa.array([], pa.string())})
+    havas = neighbors("Q2826560").map_batches(
+        lambda t: pa.table({"qid": t["qid"]}), batch_format="pyarrow")
+    out = ops.hash_join_sized(ops._compact(reuters), ops._compact(havas),
+                              on=("qid",), how="left_anti")
+    return out.map_batches(
+        lambda t: t.filter(pc.not_equal(t["qid"], "Q2826560")),
+        batch_format="pyarrow")
+
+
+def O_KG_COCITATION_EXCEPT() -> str:
+    """Pure recompute from the oracled distinct edge list (VALUES)."""
+    import duckdb
+
+    df = duckdb.connect().execute(O_KG_COOCCURRENCE(_SF001)).fetchdf()[
+        ["src_qid", "dst_qid"]].drop_duplicates()
+    nb: dict[str, set] = {}
+    for a, b in zip(df["src_qid"], df["dst_qid"]):
+        nb.setdefault(a, set()).add(b)
+        nb.setdefault(b, set()).add(a)
+    out = sorted((nb.get("Q130879", set()) - nb.get("Q2826560", set()))
+                 - {"Q2826560"})
+    rows = [f"({_sq(q)})" for q in out]
+    return _values_or_empty(rows, "SELECT qid", "t(qid)", "('')")
+
+
+def q_supplier_balance_outliers(sf_dir: str):
+    """Per-nation Tukey-fence outlier summary over supplier balances —
+    the robust-statistics screen (IQR rule) run before trusting a
+    financial column: exact lower order-statistic quartiles
+    (``x[⌊q·(n−1)⌋]`` on the cents-sorted group, the registry's
+    quantile convention) and integer cross-multiplied fences
+    (``2·bal < 2·q1 − 3·iqr`` avoids the ×1.5 float). One shuffle on
+    nationkey; groups are nation-sized (the NTILE group-fits-worker
+    bound, documented there). Output: one summary row per nation —
+    schema-stable even when no outliers exist."""
+    s = ops.read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey",
+                                            "s_acctbal"])
+
+    def summarize(g: pa.Table) -> pa.Table:
+        bal = np.sort(_cents(g["s_acctbal"]).to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        n = len(bal)
+        q1 = int(bal[int(0.25 * (n - 1))])
+        q3 = int(bal[int(0.75 * (n - 1))])
+        iqr = q3 - q1
+        lo = int((2 * bal < 2 * q1 - 3 * iqr).sum())
+        hi = int((2 * bal > 2 * q3 + 3 * iqr).sum())
+        return pa.table({
+            "s_nationkey": pa.array(
+                [int(g["s_nationkey"][0].as_py())], pa.int64()),
+            "n_suppliers": pa.array([n], pa.int64()),
+            "q1_cents": pa.array([q1], pa.int64()),
+            "q3_cents": pa.array([q3], pa.int64()),
+            "n_low_outliers": pa.array([lo], pa.int64()),
+            "n_high_outliers": pa.array([hi], pa.int64())})
+
+    return s.groupby("s_nationkey").map_groups(summarize,
+                                               batch_format="pyarrow")
+
+
+O_SUPPLIER_BALANCE_OUTLIERS = """
+WITH b AS (SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+                  CAST(round(s_acctbal * 100) AS BIGINT) AS bal,
+                  row_number() OVER (PARTITION BY s_nationkey
+                                     ORDER BY round(s_acctbal * 100)) - 1
+                      AS rn,
+                  count(*) OVER (PARTITION BY s_nationkey) AS n
+           FROM supplier),
+q AS (SELECT s_nationkey,
+             max(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT)
+                      THEN bal END) AS q1,
+             max(CASE WHEN rn = CAST(floor(0.75 * (n - 1)) AS BIGINT)
+                      THEN bal END) AS q3
+      FROM b GROUP BY 1)
+SELECT b.s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(q.q1 AS BIGINT) AS q1_cents, CAST(q.q3 AS BIGINT) AS q3_cents,
+       CAST(count(*) FILTER (WHERE 2 * b.bal < 2 * q.q1 - 3 * (q.q3 - q.q1))
+            AS BIGINT) AS n_low_outliers,
+       CAST(count(*) FILTER (WHERE 2 * b.bal > 2 * q.q3 + 3 * (q.q3 - q.q1))
+            AS BIGINT) AS n_high_outliers
+FROM b JOIN q USING (s_nationkey) GROUP BY 1, 3, 4"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -8770,6 +8926,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_key_skew": q_lineitem_key_skew,
     "kg_host_concentration": q_kg_agency_host_concentration,
     "events_value_benford": q_events_value_benford,
+    "kg_mention_gini": q_kg_mention_gini_stats,
+    "kg_cocitation_except": q_kg_cocitation_except,
+    "supplier_balance_outliers": q_supplier_balance_outliers,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -9039,4 +9198,7 @@ def oracles() -> dict[str, str]:
         "lineitem_key_skew": O_LINEITEM_KEY_SKEW,
         "kg_host_concentration": O_KG_AGENCY_HOST_CONCENTRATION(),
         "events_value_benford": O_EVENTS_VALUE_BENFORD,
+        "kg_mention_gini": O_KG_MENTION_GINI_STATS(),
+        "kg_cocitation_except": O_KG_COCITATION_EXCEPT(),
+        "supplier_balance_outliers": O_SUPPLIER_BALANCE_OUTLIERS,
     }
