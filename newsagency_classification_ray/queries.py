@@ -8718,6 +8718,132 @@ SELECT b.s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
 FROM b JOIN q USING (s_nationkey) GROUP BY 1, 3, 4"""
 
 
+def q_kg_edge_weight_hist(sf_dir: str):
+    """Edge-weight distribution of the co-occurrence graph — the KG-QA
+    histogram (how many agency pairs co-occur in exactly w
+    (host, year) groups) read before choosing an edge-weight pruning
+    threshold. Pair weights reduce with the usual combiner; the second
+    groupby is weight-inventory-bounded. Output: (weight, n_edges)."""
+    m = _mentions(sf_dir).materialize()
+    pair_w = kg.cooccurrence_edges(m).groupby(["src_qid", "dst_qid"]) \
+        .aggregate(Sum("weight", alias_name="w"))
+    return (pair_w.map_batches(
+        lambda t: pa.table({"weight": pc.cast(t["w"], pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("weight").aggregate(Count(alias_name="n_edges"))
+        .map_batches(lambda t: _i64(t, ["weight", "n_edges"]),
+                     batch_format="pyarrow"))
+
+
+def O_KG_EDGE_WEIGHT_HIST() -> str:
+    """Pure recompute from the oracled co-occurrence SQL (VALUES)."""
+    import duckdb
+
+    pw = duckdb.connect().execute(O_KG_COOCCURRENCE(_SF001)).fetchdf() \
+        .groupby(["src_qid", "dst_qid"])["weight"].sum()
+    hist: dict[int, int] = {}
+    for w in pw:
+        hist[int(w)] = hist.get(int(w), 0) + 1
+    rows = [f"({w}, {c})" for w, c in sorted(hist.items())]
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(weight AS BIGINT) AS weight, "
+        "CAST(n_edges AS BIGINT) AS n_edges",
+        "t(weight, n_edges)", "(0, 0)")
+
+
+def q_docs_dup_rate_by_source(sf_dir: str):
+    """Near-duplicate rate per source — the per-domain contamination
+    metric a curation dashboard tracks (one boilerplate-heavy domain can
+    dominate the global dup rate): MinHash+LSH pairs → distributed
+    connected components → VICTIM set (every member except each
+    cluster's min id, the keep-list convention) → distributed semi-join
+    back to the (doc_id, source) projection → per-source victim counts
+    against per-source totals. Ids only in every exchange. Output:
+    (source, n_docs, n_dups)."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "source"]) \
+        .materialize()
+    text_docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dd.minhash_lsh_pairs(text_docs).map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+    labels = dd.connected_components(pairs)
+    victims = labels.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(
+            t.filter(pc.not_equal(t["node"], t["label"]))["node"],
+            pa.int64())}),
+        batch_format="pyarrow")
+
+    dup_docs = ops.hash_join_sized(
+        ops._compact(docs.map_batches(
+            lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                                "source": t["source"]}),
+            batch_format="pyarrow")),
+        ops._compact(victims), on=("doc_id",), how="left_semi")
+
+    def count_by_source(ds, out_col):
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.select(["source"]).group_by(["source"]).aggregate(
+                [("source", "count")])
+            return pa.table({"source": g["source"],
+                             out_col: pc.cast(g["source_count"],
+                                              pa.int64())})
+
+        return (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("source").aggregate(Sum(out_col,
+                                                 alias_name=out_col)))
+
+    totals = count_by_source(docs, "n_docs").materialize()
+    dups = count_by_source(dup_docs, "n_dups").materialize()
+    if dups.count() == 0:  # dup-free corpus: joins can't take a drained side
+        return totals.map_batches(
+            lambda t: pa.table({
+                "source": t["source"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "n_dups": pa.array(np.zeros(len(t), np.int64))}),
+            batch_format="pyarrow")
+    out = ops.hash_join_sized(ops._compact(totals), ops._compact(dups),
+                              on=("source",), how="left_outer")
+    return out.map_batches(
+        lambda t: pa.table({
+            "source": t["source"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "n_dups": pc.cast(pc.fill_null(t["n_dups"], 0), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def O_DOCS_DUP_RATE_BY_SOURCE() -> str:
+    """Pure recompute: oracled pair list → union-find victims → pandas
+    per-source counts (VALUES)."""
+    pairs = _pure_minhash_pairs(_SF001, 0.5)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    seen = {int(a) for a, b, _ in pairs} | {int(b) for a, b, _ in pairs}
+    victims = {x for x in seen if find(x) != x}
+    t = _read_parquet_cols(_SF001, "documents", ["doc_id", "source"])
+    tot: dict[str, int] = {}
+    dup: dict[str, int] = {}
+    for i, s in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+        tot[s] = tot.get(s, 0) + 1
+        if int(i) in victims:
+            dup[s] = dup.get(s, 0) + 1
+    rows = [f"({_sq(s)}, {tot[s]}, {dup.get(s, 0)})" for s in sorted(tot)]
+    return _values_or_empty(
+        rows,
+        "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+        "CAST(n_dups AS BIGINT) AS n_dups",
+        "t(source, n_docs, n_dups)", "('', 0, 0)")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -8929,6 +9055,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_mention_gini": q_kg_mention_gini_stats,
     "kg_cocitation_except": q_kg_cocitation_except,
     "supplier_balance_outliers": q_supplier_balance_outliers,
+    "kg_edge_weight_hist": q_kg_edge_weight_hist,
+    "docs_dup_rate_by_source": q_docs_dup_rate_by_source,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -9201,4 +9329,6 @@ def oracles() -> dict[str, str]:
         "kg_mention_gini": O_KG_MENTION_GINI_STATS(),
         "kg_cocitation_except": O_KG_COCITATION_EXCEPT(),
         "supplier_balance_outliers": O_SUPPLIER_BALANCE_OUTLIERS,
+        "kg_edge_weight_hist": O_KG_EDGE_WEIGHT_HIST(),
+        "docs_dup_rate_by_source": O_DOCS_DUP_RATE_BY_SOURCE(),
     }
