@@ -9307,7 +9307,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # dup_cluster_histogram docs_boilerplate_prefixes kg_temporal_reach
     # orders_zonemap_prune embeddings_label_medoid docs_lang_confusion
     # kg_bridges source_vocab_stats events_ema events_weekday_anomalies
-    # lang_char_trigrams)
+    # lang_char_trigrams events_type_sets lineitem_running_revenue
+    # lineitem_key_skew kg_host_concentration events_value_benford
+    # kg_mention_gini kg_cocitation_except supplier_balance_outliers
+    # kg_edge_weight_hist docs_dup_rate_by_source docs_psi_drift
+    # docs_dedup_keep_best events_wau docs_dup_pairs_exact
+    # docs_incremental_dedup)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
