@@ -144,6 +144,7 @@ def asof_join(
     tie_col: str | None = None,
     bucket_us: int | None = None,
     hot_key_limit: int = 5_000_000,
+    direction: str = "backward",
 ) -> Dataset:
     """As-of join (an operator Ray Data lacks): for every left row, attach
     the right row with the greatest ``right_ts <= left_ts`` within the same
@@ -151,6 +152,16 @@ def asof_join(
     greatest ``tie_col`` (default: first of ``right_cols``) so the result is
     deterministic — the oracle encodes the same rule with ``row_number()
     OVER (ORDER BY ts DESC, tie DESC)``.
+
+    ``direction`` selects the match rule: ``"backward"`` (default, above),
+    ``"forward"`` (smallest ``right_ts >= left_ts``; ties on ``right_ts``
+    still break to the greatest ``tie_col``), or ``"nearest"`` (whichever
+    of the backward/forward candidates has the smaller ``|right_ts -
+    left_ts|``; an exact distance tie prefers the BACKWARD side, mirroring
+    ``ORDER BY abs(dt), right_ts <= left_ts DESC, tie DESC``). The
+    range-partitioned hot-key merge (``bucket_us``) carries only the
+    latest-earlier boundary row and is therefore backward-only; forward /
+    nearest with ``bucket_us`` raises.
 
     Null semantics: a left row with a null timestamp is emitted unmatched
     (null right columns); right rows with null timestamps never match —
@@ -174,6 +185,15 @@ def asof_join(
     to re-run bucketed.
     """
     import numpy as np
+
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    if direction != "backward" and bucket_us is not None:
+        raise ValueError(
+            "asof_join: bucket_us (range-partitioned hot-key merge) carries "
+            "only the latest-EARLIER boundary row per bucket and is "
+            "backward-only; run forward/nearest unbucketed or mirror the "
+            "carry for the other direction")
 
     NAT = np.iinfo(np.int64).min
     tie_col = tie_col or right_cols[0]
@@ -248,8 +268,33 @@ def asof_join(
             r_sorted = r_idx[order]
             r_ts = ts[r_sorted]
             l_ts = ts[l_idx]
-            pos = np.searchsorted(r_ts, l_ts, side="right") - 1
-            matched = (pos >= 0) & (l_ts != NAT)  # null left ts -> unmatched
+            lok = l_ts != NAT  # null left ts -> unmatched
+
+            def _back() -> "np.ndarray":
+                pos = np.searchsorted(r_ts, l_ts, side="right") - 1
+                return np.where((pos >= 0) & lok, pos, -1)
+
+            def _fwd() -> "np.ndarray":
+                j = np.searchsorted(r_ts, l_ts, side="left")
+                ok = (j < r_ts.size) & lok
+                jc = np.clip(j, 0, r_ts.size - 1)
+                # the sort above put the greatest tie LAST within an
+                # equal-ts run, so jump to the run's last index
+                j_last = np.searchsorted(r_ts, r_ts[jc], side="right") - 1
+                return np.where(ok, j_last, -1)
+
+            if direction == "backward":
+                pos = _back()
+            elif direction == "forward":
+                pos = _fwd()
+            else:  # nearest: smaller |dt| wins, exact tie -> backward
+                pb, pf = _back(), _fwd()
+                big = np.iinfo(np.int64).max
+                db = np.where(pb >= 0, l_ts - r_ts[np.clip(pb, 0, None)], big)
+                df = np.where(pf >= 0, r_ts[np.clip(pf, 0, None)] - l_ts, big)
+                pos = np.where((pb < 0) & (pf < 0), -1,
+                               np.where(db <= df, pb, pf))
+            matched = pos >= 0
             take = np.where(matched, r_sorted[np.clip(pos, 0, None)], -1)
             take_arr = pa.array([int(x) if x >= 0 else None for x in take],
                                 type=pa.int64())
@@ -3338,3 +3383,131 @@ def zspread16(x: np.ndarray) -> np.ndarray:
 def zorder16(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """32-bit Morton code interleaving two 16-bit keys (x on even bits)."""
     return zspread16(x) | (zspread16(y) << np.int64(1))
+
+
+# --------------------------------------------------------------------------
+# Distributed rank analytics — row_number / NTILE assignment / percent_rank
+# over a GLOBAL order, without ever holding the ordered column on one
+# worker: Ray's range sort gives totally ordered blocks, each block reduces
+# to (first-key, row-count) — O(blocks) driver state — and a broadcast
+# per-block exclusive offset turns in-block positions into global ranks.
+# Same two-pass layout as pack_by_token_budget / running_sum above, but
+# keyed by the composite sort tuple so float / timestamp keys work.
+# --------------------------------------------------------------------------
+
+
+def row_number_by(ds: Dataset, sort_cols: list[str], out_col: str = "rn") -> Dataset:
+    """``row_number() OVER (ORDER BY sort_cols)`` as a distributed two-pass
+    prefix count. Requires the composite sort key to be UNIQUE per row and
+    non-null (append a unique id column as the last sort col to guarantee
+    it — exactly what the SQL tie-break does); duplicates that cross a
+    block boundary or sit adjacent within a block raise rather than
+    silently assigning nondeterministic ranks."""
+    s = ds.sort(sort_cols).materialize()
+
+    def block_stat(t: pa.Table) -> pa.Table:
+        head = t.slice(0, 1 if len(t) else 0).select(sort_cols)
+        return head.append_column(
+            "_cnt", pa.array([len(t)] if len(t) else [], pa.int64()))
+
+    stats = s.map_batches(block_stat, batch_size=None,
+                          batch_format="pyarrow").take_all()  # O(blocks)
+    stats.sort(key=lambda r: tuple(r[c] for c in sort_cols))
+    offsets: dict[tuple, int] = {}
+    off = 0
+    for r in stats:
+        k = tuple(r[c] for c in sort_cols)
+        if k in offsets:
+            raise ValueError(
+                "row_number_by requires globally unique sort keys; two "
+                f"blocks both start at {k!r} — add a unique id tie-break "
+                "column")
+        offsets[k] = off
+        off += r["_cnt"]
+    ref = ray.put(offsets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        dup = None
+        for c in sort_cols:  # adjacent-equal rows ⇒ duplicate composite key
+            eq = pc.equal(t[c].slice(1), t[c].slice(0, len(t) - 1))
+            dup = eq if dup is None else pc.and_kleene(dup, eq)
+        if len(t) > 1 and pc.any(dup).as_py():
+            raise ValueError(
+                "row_number_by requires globally unique sort keys; found "
+                "duplicate composite keys within a block — add a unique id "
+                "tie-break column")
+        base = ray.get(ref)[tuple(t[c][0].as_py() for c in sort_cols)]
+        return t.append_column(
+            out_col, pa.array(base + np.arange(1, len(t) + 1), pa.int64()))
+
+    return s.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
+def ntile_from_rn(rn: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL ``NTILE(k)`` tile id from a 1-based row_number over ``n`` rows
+    (vectorized): the first ``n % k`` tiles hold ``ceil(n/k)`` rows, the
+    rest ``floor(n/k)`` — bit-identical to the engines' integer math."""
+    q, r = divmod(n, k)
+    rn = rn.astype(np.int64)
+    if q == 0:  # n < k: tile == rn
+        return rn
+    boundary = r * (q + 1)
+    big = (rn - 1) // (q + 1) + 1
+    small = r + (rn - boundary - 1) // q + 1
+    return np.where(rn <= boundary, big, small)
+
+
+def value_rank_counts(ds: Dataset, val_col: str) -> Dataset:
+    """Per DISTINCT value of ``val_col``: ``(val, _cnt, _lt, _le)`` where
+    ``_lt`` / ``_le`` count rows strictly below / at-or-below the value in
+    the GLOBAL order — the sufficient statistics for every rank-family
+    window (``rank = _lt + 1``, ``percent_rank = _lt / (n-1)``,
+    ``cume_dist = _le / n``, dense_rank = value position). Exchange rows
+    are (value, count) pairs — a per-batch Arrow combiner collapses each
+    block before the ONE value-key groupby — and the sorted distinct
+    values prefix-sum with O(blocks) driver state, so no worker ever holds
+    the ordered column. Join the result back on the value (use the
+    float64 bit pattern as an int64 equi-key for doubles)."""
+    from ray.data.aggregate import Sum
+
+    def local(t: pa.Table) -> pa.Table:
+        g = t.select([val_col]).group_by([val_col]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([val_col, "_cnt"])
+
+    counts = (ds.map_batches(local, batch_format="pyarrow")
+              .groupby(val_col).aggregate(Sum("_cnt", alias_name="_cnt")))
+    s = counts.sort(val_col).materialize()
+
+    def block_stat(t: pa.Table) -> pa.Table:
+        head = t.slice(0, 1 if len(t) else 0).select([val_col])
+        w = t["_cnt"].to_numpy(zero_copy_only=False)
+        return head.append_column(
+            "_wsum", pa.array([int(w.sum())] if len(t) else [], pa.int64()))
+
+    stats = s.map_batches(block_stat, batch_size=None,
+                          batch_format="pyarrow").take_all()
+    stats.sort(key=lambda r: r[val_col])
+    offsets: dict = {}
+    off = 0
+    for r in stats:
+        if r[val_col] in offsets:  # distinct by construction; defensive
+            raise ValueError("value_rank_counts: duplicate first-value "
+                             "across blocks after distinct groupby")
+        offsets[r[val_col]] = off
+        off += r["_wsum"]
+    ref = ray.put(offsets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("_lt", pa.array([], pa.int64())) \
+                    .append_column("_le", pa.array([], pa.int64()))
+        c = t["_cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = ray.get(ref)[t[val_col][0].as_py()]
+        le = base + np.cumsum(c)
+        return t.append_column("_lt", pa.array(le - c, pa.int64())) \
+                .append_column("_le", pa.array(le, pa.int64()))
+
+    return s.map_batches(assign, batch_size=None, batch_format="pyarrow")

@@ -9213,6 +9213,228 @@ FROM documents i JOIN e ON md5(substr(i.text, 1, {_INC_PREFIX_CHARS})) = e.h
 WHERE i.doc_id % 4 = 0"""
 
 
+def q_events_asof_next_order(sf_dir: str):
+    """Forward as-of join (ops.asof_join direction="forward"): each event
+    picks the EARLIEST order with o_orderdate >= ts of the same customer,
+    ties on the date to the greatest o_orderkey — the "next scheduled
+    action after this touchpoint" lookup. Same one-key-shuffle +
+    in-group searchsorted sweep as the backward direction."""
+    ev = ops.read_table(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = ops.read_table(sf_dir, "orders",
+                            ["o_orderkey", "o_custkey", "o_orderdate"])
+    out = ops.asof_join(ev, orders, left_key="user_id", right_key="o_custkey",
+                        left_ts="ts", right_ts="o_orderdate",
+                        right_cols=["o_orderkey"], direction="forward")
+    return out.map_batches(
+        lambda t: _i64(t.select(["event_id", "o_orderkey"]),
+                       ["event_id", "o_orderkey"]),
+        batch_format="pyarrow",
+    )
+
+
+O_EVENTS_ASOF_NEXT_ORDER = """
+WITH m AS (
+  SELECT e.event_id, o.o_orderkey,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate ASC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(m.o_orderkey AS BIGINT) AS o_orderkey
+FROM events e LEFT JOIN (SELECT event_id, o_orderkey FROM m WHERE rn = 1) m
+  USING (event_id)"""
+
+
+def q_events_asof_nearest_order(sf_dir: str):
+    """Nearest as-of join (ops.asof_join direction="nearest"): each event
+    picks the order of the same customer with the smallest
+    |o_orderdate - ts|; an exact distance tie prefers the earlier
+    (backward) order, and ties within a side break to the greatest
+    o_orderkey. The attribution variant when touchpoints can precede OR
+    follow the transaction."""
+    ev = ops.read_table(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = ops.read_table(sf_dir, "orders",
+                            ["o_orderkey", "o_custkey", "o_orderdate"])
+    out = ops.asof_join(ev, orders, left_key="user_id", right_key="o_custkey",
+                        left_ts="ts", right_ts="o_orderdate",
+                        right_cols=["o_orderkey"], direction="nearest")
+    return out.map_batches(
+        lambda t: _i64(t.select(["event_id", "o_orderkey"]),
+                       ["event_id", "o_orderkey"]),
+        batch_format="pyarrow",
+    )
+
+
+O_EVENTS_ASOF_NEAREST_ORDER = """
+WITH m AS (
+  SELECT e.event_id, o.o_orderkey,
+         row_number() OVER (PARTITION BY e.event_id
+             ORDER BY abs(date_diff('microsecond', e.ts,
+                                    CAST(o.o_orderdate AS TIMESTAMP))) ASC,
+                      CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END ASC,
+                      o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o ON o.o_custkey = e.user_id
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(m.o_orderkey AS BIGINT) AS o_orderkey
+FROM events e LEFT JOIN (SELECT event_id, o_orderkey FROM m WHERE rn = 1) m
+  USING (event_id)"""
+
+
+def q_orders_percent_rank(sf_dir: str):
+    """Global percent_rank / cume_dist of every order's total price — the
+    rank-family window over a fact-scaled total order, WITHOUT one worker
+    ever holding it: ops.value_rank_counts reduces to per-distinct-value
+    (cnt, lt, le) rank statistics (per-batch combiner, one value groupby,
+    O(blocks) driver prefix state), then a distributed hash join on the
+    float64 BIT PATTERN (exact equality key for doubles) carries the
+    counts back to each order row. pct_rank = lt/(n-1) and cume = le/n
+    are exact-integer float divisions, so the doubles are bit-identical
+    to the SQL engine's."""
+    o = ops.read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def bits(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return t.append_column("_vbits", pa.array(v.view(np.int64)))
+
+    rk = ops.value_rank_counts(o, "o_totalprice").map_batches(
+        lambda t: pa.table({
+            "_vbits": pa.array(t["o_totalprice"].to_numpy(
+                zero_copy_only=False).view(np.int64)),
+            "_lt": t["_lt"], "_le": t["_le"]}),
+        batch_size=None, batch_format="pyarrow")
+    n = o.count()  # driver scalar
+    joined = ops.hash_join(
+        o.map_batches(bits, batch_format="pyarrow").select_columns(
+            ["o_orderkey", "_vbits"]),
+        rk, on=("_vbits",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        lt = t["_lt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        le = t["_le"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pct = lt / (n - 1) if n > 1 else np.zeros(len(t))
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "pct_rank": pa.array(pct, pa.float64()),
+            "cume_dist": pa.array(le / n, pa.float64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+O_ORDERS_PERCENT_RANK = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       percent_rank() OVER (ORDER BY o_totalprice) AS pct_rank,
+       cume_dist() OVER (ORDER BY o_totalprice) AS cume_dist
+FROM orders"""
+
+
+def q_customer_rfm(sf_dir: str):
+    """RFM customer segmentation — the classic scoring matrix: per
+    customer with >=1 order, recency (µs since last order, vs the global
+    max order date), frequency (order count) and monetary (total spend in
+    cents) each bucket into NTILE(5) quintiles, tie-broken by custkey.
+    One per-batch Arrow combiner + custkey groupby builds the three
+    metrics; each dimension then gets a distributed row_number
+    (ops.row_number_by — unique (metric, custkey) sort key, O(blocks)
+    driver prefix state) and the SQL NTILE integer math
+    (ops.ntile_from_rn); the three score columns merge back with a
+    null-padded union + one custkey groupby instead of three joins.
+    Output: (c_custkey, r_score, f_score, m_score, rfm)."""
+    o = ops.read_table(sf_dir, "orders",
+                       ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def local(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        d = pa.table({
+            "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "_ts": pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                           pa.int64()),
+            "_cents": cents})
+        g = d.group_by(["c_custkey"]).aggregate(
+            [("_ts", "max"),
+             ("_cents", "sum"),
+             ("_cents", "count", pc.CountOptions(mode="all"))])
+        return g.rename_columns(["c_custkey", "_ts", "_cents", "_n"])
+
+    per_cust = (o.map_batches(local, batch_format="pyarrow")
+                .groupby("c_custkey")
+                .aggregate(Max("_ts", alias_name="last_us"),
+                           Sum("_cents", alias_name="cents"),
+                           Sum("_n", alias_name="freq"))
+                .materialize())
+    max_us = per_cust.max("last_us")  # driver scalar
+    n = per_cust.count()
+
+    def metrics(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "recency_us": pc.subtract(pa.scalar(max_us, pa.int64()),
+                                      t["last_us"]),
+            "freq": pc.cast(t["freq"], pa.int64()),
+            "cents": pc.cast(t["cents"], pa.int64())})
+
+    m = per_cust.map_batches(metrics, batch_format="pyarrow").materialize()
+
+    def scored(metric: str, out: str):
+        rn = ops.row_number_by(m.select_columns([metric, "c_custkey"]),
+                               [metric, "c_custkey"])
+
+        def tile(t: pa.Table) -> pa.Table:
+            sc = ops.ntile_from_rn(
+                t["rn"].to_numpy(zero_copy_only=False), n, 5)
+            cols = {"c_custkey": pc.cast(t["c_custkey"], pa.int64())}
+            for name in ("r_score", "f_score", "m_score"):
+                cols[name] = (pa.array(sc, pa.int64()) if name == out
+                              else pa.nulls(len(t), pa.int64()))
+            return pa.table(cols)
+
+        return rn.map_batches(tile, batch_format="pyarrow")
+
+    merged = (scored("recency_us", "r_score")
+              .union(scored("freq", "f_score"))
+              .union(scored("cents", "m_score"))
+              .groupby("c_custkey")
+              .aggregate(Max("r_score", alias_name="r_score"),
+                         Max("f_score", alias_name="f_score"),
+                         Max("m_score", alias_name="m_score")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = pc.cast(t["r_score"], pa.int64())
+        f = pc.cast(t["f_score"], pa.int64())
+        mm_ = pc.cast(t["m_score"], pa.int64())
+        rfm = pc.add(pc.add(pc.multiply(r, pa.scalar(100, pa.int64())),
+                            pc.multiply(f, pa.scalar(10, pa.int64()))), mm_)
+        return pa.table({"c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                         "r_score": r, "f_score": f, "m_score": mm_,
+                         "rfm": rfm})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+O_CUSTOMER_RFM = """
+WITH a AS (
+  SELECT o_custkey AS c_custkey,
+         (SELECT epoch_us(max(CAST(o_orderdate AS TIMESTAMP))) FROM orders)
+           - epoch_us(max(CAST(o_orderdate AS TIMESTAMP))) AS recency_us,
+         count(*) AS freq,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey),
+s AS (
+  SELECT c_custkey,
+         ntile(5) OVER (ORDER BY recency_us, c_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY freq, c_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY cents, c_custkey) AS m_score
+  FROM a)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+FROM s"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -9312,7 +9534,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # kg_mention_gini kg_cocitation_except supplier_balance_outliers
     # kg_edge_weight_hist docs_dup_rate_by_source docs_psi_drift
     # docs_dedup_keep_best events_wau docs_dup_pairs_exact
-    # docs_incremental_dedup)
+    # docs_incremental_dedup events_asof_next_order
+    # events_asof_nearest_order orders_percent_rank customer_rfm)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -9436,6 +9659,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_wau": q_events_wau,
     "docs_dup_pairs_exact": q_docs_dup_pairs_exact,
     "docs_incremental_dedup": q_docs_incremental_dedup,
+    "events_asof_next_order": q_events_asof_next_order,
+    "events_asof_nearest_order": q_events_asof_nearest_order,
+    "orders_percent_rank": q_orders_percent_rank,
+    "customer_rfm": q_customer_rfm,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -9715,4 +9942,8 @@ def oracles() -> dict[str, str]:
         "events_wau": O_EVENTS_WAU,
         "docs_dup_pairs_exact": O_DOCS_DUP_PAIRS_EXACT(),
         "docs_incremental_dedup": O_DOCS_INCREMENTAL_DEDUP,
+        "events_asof_next_order": O_EVENTS_ASOF_NEXT_ORDER,
+        "events_asof_nearest_order": O_EVENTS_ASOF_NEAREST_ORDER,
+        "orders_percent_rank": O_ORDERS_PERCENT_RANK,
+        "customer_rfm": O_CUSTOMER_RFM,
     }
