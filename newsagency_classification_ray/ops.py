@@ -3511,3 +3511,65 @@ def value_rank_counts(ds: Dataset, val_col: str) -> Dataset:
                 .append_column("_le", pa.array(le, pa.int64()))
 
     return s.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
+def grouped_prefix_counts(
+    ds: Dataset, val_col: str, count_cols: list[str]
+) -> Dataset:
+    """Per DISTINCT ``val_col`` value: the summed ``count_cols`` plus their
+    INCLUSIVE running totals in value order (``cum_<c>`` columns) — the
+    multi-cohort generalization of :func:`value_rank_counts`, and the
+    sufficient statistics for two-sample rank tests (Mann-Whitney U needs
+    the combined-cohort rank prefix, Kolmogorov-Smirnov needs each
+    cohort's ECDF numerator). Same exchange shape: a per-batch Arrow
+    combiner collapses blocks to (value, counts) partials, ONE value-key
+    groupby merges them, and the sorted distinct values prefix-sum with
+    O(blocks) driver state per cohort column."""
+    from ray.data.aggregate import Sum
+
+    def local(t: pa.Table) -> pa.Table:
+        g = t.group_by([val_col]).aggregate([(c, "sum") for c in count_cols])
+        return g.rename_columns([val_col] + list(count_cols))
+
+    agg = (ds.map_batches(local, batch_format="pyarrow")
+           .groupby(val_col)
+           .aggregate(*[Sum(c, alias_name=c) for c in count_cols]))
+    s = agg.sort(val_col).materialize()
+
+    def block_stat(t: pa.Table) -> pa.Table:
+        head = t.slice(0, 1 if len(t) else 0).select([val_col])
+        for c in count_cols:
+            w = t[c].to_numpy(zero_copy_only=False)
+            head = head.append_column(
+                "_s_" + c,
+                pa.array([int(w.sum())] if len(t) else [], pa.int64()))
+        return head
+
+    stats = s.map_batches(block_stat, batch_size=None,
+                          batch_format="pyarrow").take_all()  # O(blocks)
+    stats.sort(key=lambda r: r[val_col])
+    offsets: dict = {}
+    run = {c: 0 for c in count_cols}
+    for r in stats:
+        if r[val_col] in offsets:  # distinct by construction; defensive
+            raise ValueError("grouped_prefix_counts: duplicate first-value "
+                             "across blocks after distinct groupby")
+        offsets[r[val_col]] = dict(run)
+        for c in count_cols:
+            run[c] += r["_s_" + c]
+    ref = ray.put(offsets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        out = t
+        if len(t) == 0:
+            for c in count_cols:
+                out = out.append_column("cum_" + c, pa.array([], pa.int64()))
+            return out
+        base = ray.get(ref)[t[val_col][0].as_py()]
+        for c in count_cols:
+            w = t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            out = out.append_column(
+                "cum_" + c, pa.array(base[c] + np.cumsum(w), pa.int64()))
+        return out
+
+    return s.map_batches(assign, batch_size=None, batch_format="pyarrow")

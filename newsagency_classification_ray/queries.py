@@ -9435,6 +9435,129 @@ SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
 FROM s"""
 
 
+def q_events_mannwhitney(sf_dir: str):
+    """Mann-Whitney U rank-sum test between the 'view' and 'purchase'
+    value distributions — the distribution-shift A/B test that needs
+    GLOBAL ranks with tie-averaging, computed without any worker holding
+    the ordered column: ops.grouped_prefix_counts reduces events to
+    per-distinct-value cohort counts with running prefixes, and the
+    doubled rank-sum 2·R = Σ a_v·(2·lt_v + cnt_v + 1) (integer — the ½s
+    of averaged tie ranks cancel) folds in one bounded aggregate.
+    Output: one row (n_a, n_b, u2_a, u2_b) with u2 = 2·U, and
+    u2_a + u2_b == 2·n_a·n_b by construction."""
+    ev = ops.read_table(sf_dir, "events", ["event_type", "value"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_in(t["event_type"],
+                             value_set=pa.array(["view", "purchase"])),
+                    pc.is_valid(t["value"]))
+        t = t.filter(m)
+        a = pc.cast(pc.equal(t["event_type"], "view"), pa.int64())
+        return pa.table({"value": t["value"], "a": a,
+                         "b": pc.subtract(pa.scalar(1, pa.int64()), a)})
+
+    pref = ops.grouped_prefix_counts(
+        ev.map_batches(proj, batch_format="pyarrow"), "value", ["a", "b"]
+    ).materialize()
+    n_a = int(pref.sum("a") or 0)
+    n_b = int(pref.sum("b") or 0)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = a + b
+        le = (t["cum_a"].to_numpy(zero_copy_only=False)
+              + t["cum_b"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        lt = le - cnt
+        w = 2 * lt + cnt + 1  # doubled tie-averaged rank of every row at v
+        return pa.table({"r2a": pa.array([int((a * w).sum())], pa.int64()),
+                         "r2b": pa.array([int((b * w).sum())], pa.int64())})
+
+    tot = (pref.map_batches(contrib, batch_format="pyarrow")
+           .sum(["r2a", "r2b"]))
+    u2_a = int(tot["sum(r2a)"]) - n_a * (n_a + 1)
+    u2_b = int(tot["sum(r2b)"]) - n_b * (n_b + 1)
+    return ray.data.from_arrow(pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "u2_a": pa.array([u2_a], pa.int64()),
+        "u2_b": pa.array([u2_b], pa.int64())}))
+
+
+O_EVENTS_MANNWHITNEY = """
+WITH e AS (
+  SELECT value, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a
+  FROM events
+  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+r AS (
+  SELECT a, rank() OVER (ORDER BY value) AS rk,
+         count(*) OVER (PARTITION BY value) AS pc
+  FROM e),
+s AS (
+  SELECT sum(CASE WHEN a = 1 THEN 2 * rk + pc - 1 ELSE 0 END) AS r2a,
+         sum(CASE WHEN a = 0 THEN 2 * rk + pc - 1 ELSE 0 END) AS r2b,
+         sum(a) AS n_a, count(*) - sum(a) AS n_b
+  FROM r)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+       CAST(r2b - n_b * (n_b + 1) AS BIGINT) AS u2_b
+FROM s"""
+
+
+def q_docs_ks_drift(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov statistic between the even- and
+    odd-doc_id length distributions — the exact ECDF max-gap drift test,
+    in pure integers: per distinct n_chars the cohort prefix counts
+    (ops.grouped_prefix_counts) give each ECDF numerator, and the KS
+    numerator max|cum_a·n_b − cum_b·n_a| reduces with one bounded Max
+    (divide by n_a·n_b for the statistic). Output: one row
+    (ks_num, n_a, n_b)."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        a = pc.cast(pc.equal(
+            pc.bit_wise_and(t["doc_id"], pa.scalar(1, pa.int64())),
+            pa.scalar(0, pa.int64())), pa.int64())
+        return pa.table({"v": pc.cast(t["n_chars"], pa.int64()), "a": a,
+                         "b": pc.subtract(pa.scalar(1, pa.int64()), a)})
+
+    pref = ops.grouped_prefix_counts(
+        docs.map_batches(proj, batch_format="pyarrow"), "v", ["a", "b"]
+    ).materialize()
+    n_a = int(pref.sum("a") or 0)
+    n_b = int(pref.sum("b") or 0)
+
+    def gap(t: pa.Table) -> pa.Table:
+        ca = t["cum_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = t["cum_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.abs(ca * n_b - cb * n_a)
+        return pa.table({"d": pa.array([int(d.max()) if len(d) else 0],
+                                       pa.int64())})
+
+    ks = int(pref.map_batches(gap, batch_format="pyarrow").max("d") or 0)
+    return ray.data.from_arrow(pa.table({
+        "ks_num": pa.array([ks], pa.int64()),
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64())}))
+
+
+O_DOCS_KS_DRIFT = """
+WITH d AS (
+  SELECT n_chars AS v,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+         CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS b
+  FROM documents),
+g AS (SELECT v, sum(a) AS ca, sum(b) AS cb FROM d GROUP BY v),
+c AS (SELECT sum(ca) OVER (ORDER BY v) AS cum_a,
+             sum(cb) OVER (ORDER BY v) AS cum_b
+      FROM g)
+SELECT CAST(max(abs(cum_a * (SELECT sum(b) FROM d)
+                    - cum_b * (SELECT sum(a) FROM d))) AS BIGINT) AS ks_num,
+       CAST((SELECT sum(a) FROM d) AS BIGINT) AS n_a,
+       CAST((SELECT sum(b) FROM d) AS BIGINT) AS n_b
+FROM c"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -9535,7 +9658,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # kg_edge_weight_hist docs_dup_rate_by_source docs_psi_drift
     # docs_dedup_keep_best events_wau docs_dup_pairs_exact
     # docs_incremental_dedup events_asof_next_order
-    # events_asof_nearest_order orders_percent_rank customer_rfm)
+    # events_asof_nearest_order orders_percent_rank customer_rfm
+    # events_mannwhitney docs_ks_drift)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -9663,6 +9787,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_asof_nearest_order": q_events_asof_nearest_order,
     "orders_percent_rank": q_orders_percent_rank,
     "customer_rfm": q_customer_rfm,
+    "events_mannwhitney": q_events_mannwhitney,
+    "docs_ks_drift": q_docs_ks_drift,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -9946,4 +10072,6 @@ def oracles() -> dict[str, str]:
         "events_asof_nearest_order": O_EVENTS_ASOF_NEAREST_ORDER,
         "orders_percent_rank": O_ORDERS_PERCENT_RANK,
         "customer_rfm": O_CUSTOMER_RFM,
+        "events_mannwhitney": O_EVENTS_MANNWHITNEY,
+        "docs_ks_drift": O_DOCS_KS_DRIFT,
     }
