@@ -9575,6 +9575,163 @@ FROM part a JOIN part b
 WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9"""
 
 
+def q_docs_cluster_quality(sf_dir: str):
+    """Pair-counting quality of the MinHash-LSH near-dup clustering vs the
+    exact-duplicate ground truth — the dedup-pipeline EVALUATION the
+    curation loop runs after every recall/threshold change: pred clusters
+    are the LSH connected components, true clusters the sha1(text)
+    groups, and (pred_pairs, true_pairs, both_pairs) are the Σ C(n,2)
+    pair counts whose ratios give pair precision both/pred and recall
+    both/true. Everything exchanged is (hash, id) or (label, id) pairs —
+    the text never moves; singleton clusters contribute no pairs so the
+    component table (duplicate-rate-sized) never touches corpus scale.
+    Output: one row (n_docs, pred_pairs, true_pairs, both_pairs)."""
+    import hashlib
+
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "h": pa.array([hashlib.sha1((s or "").encode()).hexdigest()
+                           for s in texts], pa.string()),
+            "doc_id": pc.cast(t["doc_id"], pa.int64())})
+
+    hashed = docs.map_batches(hash_batch,
+                              batch_format="pyarrow").materialize()
+    n_docs = hashed.count()
+
+    def c2_sum(counts, cnt_col: str) -> int:  # Σ C(n,2), one bounded sum
+        def f(t: pa.Table) -> pa.Table:
+            n = t[cnt_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"p": pa.array([int((n * (n - 1) // 2).sum())],
+                                           pa.int64())})
+        return int(counts.map_batches(f, batch_format="pyarrow")
+                   .sum("p") or 0)
+
+    true_pairs = c2_sum(
+        hashed.groupby("h").aggregate(Count(alias_name="n")), "n")
+    labels = dd.connected_components(
+        dd.minhash_lsh_pairs(docs)).materialize()
+    pred_pairs = c2_sum(
+        labels.groupby("label").aggregate(Count(alias_name="n")), "n")
+    lab = labels.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["node"], pa.int64()),
+                            "label": pc.cast(t["label"], pa.int64())}),
+        batch_format="pyarrow")
+    both = ops.hash_join_sized(hashed, lab, on=("doc_id",))
+    both_pairs = c2_sum(
+        both.groupby(["label", "h"]).aggregate(Count(alias_name="n")), "n")
+    return ray.data.from_arrow(pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "pred_pairs": pa.array([pred_pairs], pa.int64()),
+        "true_pairs": pa.array([true_pairs], pa.int64()),
+        "both_pairs": pa.array([both_pairs], pa.int64())}))
+
+
+def O_DOCS_CLUSTER_QUALITY() -> str:
+    """Pure recompute: oracled LSH pairs → union-find clusters; sha1(text)
+    ground-truth groups; Σ C(n,2) pair counts (VALUES)."""
+    import hashlib
+    from collections import Counter
+
+    pairs = _pure_minhash_pairs(_SF001, 0.5)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    seen = {int(a) for a, b, _ in pairs} | {int(b) for a, b, _ in pairs}
+    t = _read_parquet_cols(_SF001, "documents", ["doc_id", "text"])
+    h = {int(i): hashlib.sha1((s or "").encode()).hexdigest()
+         for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+
+    def c2(c: Counter) -> int:
+        return sum(n * (n - 1) // 2 for n in c.values())
+
+    true_pairs = c2(Counter(h.values()))
+    pred_pairs = c2(Counter(find(x) for x in seen))
+    both_pairs = c2(Counter((find(x), h[x]) for x in seen))
+    return (f"SELECT CAST({len(h)} AS BIGINT) AS n_docs, "
+            f"CAST({pred_pairs} AS BIGINT) AS pred_pairs, "
+            f"CAST({true_pairs} AS BIGINT) AS true_pairs, "
+            f"CAST({both_pairs} AS BIGINT) AS both_pairs")
+
+
+def q_events_daily_acf(sf_dir: str):
+    """Autocorrelation sufficient statistics of the daily event-count
+    series at lags 1..7 — the seasonality probe, in pure integers: ONE
+    distributed (day → count) reduce with a per-batch combiner collapses
+    the stream, then the calendar-bounded daily inventory (same bounded
+    take_all contract as events_wau's active-day list) zero-fills gaps
+    and folds Σx_t·x_{t+lag} plus the head/tail Σx, Σx² windows that an
+    offline Pearson r needs. Output: (lag, sxy, sx_head, sx_tail,
+    sxx_head, sxx_tail, n_days)."""
+    ev = ops.read_table(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pa.table({"day": pc.cast(
+            pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")),
+                              unit="day"), pa.int64())})
+        g = d.group_by(["day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "c"])
+
+    daily = (ev.map_batches(partial, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("c", alias_name="c"))
+             .take_all())  # bounded: one row per calendar day
+    _DAY_US = 86_400_000_000
+    days = np.array([r["day"] // _DAY_US for r in daily], np.int64)
+    cnts = np.array([r["c"] for r in daily], np.int64)
+    mn, mx = int(days.min()), int(days.max())
+    x = np.zeros(mx - mn + 1, np.int64)
+    x[days - mn] = cnts
+    rows = []
+    for lag in range(1, 8):
+        head = x[:len(x) - lag] if lag < len(x) else x[:0]
+        tail = x[lag:]
+        rows.append({
+            "lag": lag,
+            "sxy": int((head * tail).sum()),
+            "sx_head": int(head.sum()), "sx_tail": int(tail.sum()),
+            "sxx_head": int((head * head).sum()),
+            "sxx_tail": int((tail * tail).sum()),
+            "n_days": len(x)})
+    return ray.data.from_arrow(pa.table({
+        k: pa.array([r[k] for r in rows], pa.int64())
+        for k in ("lag", "sxy", "sx_head", "sx_tail",
+                  "sxx_head", "sxx_tail", "n_days")}))
+
+
+O_EVENTS_DAILY_ACF = """
+WITH d AS (
+  SELECT CAST(date_diff('day', TIMESTAMP '1970-01-01',
+                        CAST(ts AS TIMESTAMP)) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+bnd AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+l AS (SELECT CAST(i AS BIGINT) AS lag FROM range(1, 8) t(i))
+SELECT l.lag,
+  CAST(coalesce((SELECT sum(a.c * b2.c) FROM d a JOIN d b2
+                 ON b2.day = a.day + l.lag), 0) AS BIGINT) AS sxy,
+  CAST((SELECT coalesce(sum(c), 0) FROM d, bnd
+        WHERE day <= mx - l.lag) AS BIGINT) AS sx_head,
+  CAST((SELECT coalesce(sum(c), 0) FROM d, bnd
+        WHERE day >= mn + l.lag) AS BIGINT) AS sx_tail,
+  CAST((SELECT coalesce(sum(c * c), 0) FROM d, bnd
+        WHERE day <= mx - l.lag) AS BIGINT) AS sxx_head,
+  CAST((SELECT coalesce(sum(c * c), 0) FROM d, bnd
+        WHERE day >= mn + l.lag) AS BIGINT) AS sxx_tail,
+  CAST((SELECT mx - mn + 1 FROM bnd) AS BIGINT) AS n_days
+FROM l"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -9676,7 +9833,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # docs_dedup_keep_best events_wau docs_dup_pairs_exact
     # docs_incremental_dedup events_asof_next_order
     # events_asof_nearest_order orders_percent_rank customer_rfm
-    # events_mannwhitney docs_ks_drift part_jw_names)
+    # events_mannwhitney docs_ks_drift part_jw_names
+    # docs_cluster_quality events_daily_acf)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -9807,6 +9965,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_mannwhitney": q_events_mannwhitney,
     "docs_ks_drift": q_docs_ks_drift,
     "part_jw_names": q_part_jw_names,
+    "docs_cluster_quality": q_docs_cluster_quality,
+    "events_daily_acf": q_events_daily_acf,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -10093,4 +10253,6 @@ def oracles() -> dict[str, str]:
         "events_mannwhitney": O_EVENTS_MANNWHITNEY,
         "docs_ks_drift": O_DOCS_KS_DRIFT,
         "part_jw_names": O_PART_JW_NAMES,
+        "docs_cluster_quality": O_DOCS_CLUSTER_QUALITY(),
+        "events_daily_acf": O_EVENTS_DAILY_ACF,
     }
