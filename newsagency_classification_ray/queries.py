@@ -9732,6 +9732,115 @@ SELECT l.lag,
 FROM l"""
 
 
+def q_lineitem_winsorized(sf_dir: str):
+    """Winsorized revenue statistics — the outlier-robust KPI prep step:
+    clip extended price (cents) at the exact p01/p99 order statistics and
+    report the clipped sum plus how many rows each fence touched. The
+    fences come from ops.quantiles_histogram (the sort-FREE two-pass
+    exact-quantile path — no all-to-all at 100 TB), broadcast as two
+    scalars into one clipping aggregation pass. Output: one row
+    (p01_cents, p99_cents, sum_wins_cents, n_below, n_above, n)."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_extendedprice"])
+    cents = li.map_batches(
+        lambda t: pa.table({"cents": pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+            pa.int64())}),
+        batch_format="pyarrow").materialize()
+    qt = ops.quantiles_histogram(cents, "cents", [0.01, 0.99])
+    lo, hi = (int(v) for v in qt["value"].to_pylist())
+
+    def clipped(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.clip(c, lo, hi)
+        return pa.table({
+            "s": pa.array([int(w.sum())], pa.int64()),
+            "nb": pa.array([int((c < lo).sum())], pa.int64()),
+            "na": pa.array([int((c > hi).sum())], pa.int64()),
+            "n": pa.array([len(c)], pa.int64())})
+
+    agg = cents.map_batches(clipped, batch_format="pyarrow") \
+        .sum(["s", "nb", "na", "n"])
+    return ray.data.from_arrow(pa.table({
+        "p01_cents": pa.array([lo], pa.int64()),
+        "p99_cents": pa.array([hi], pa.int64()),
+        "sum_wins_cents": pa.array([int(agg["sum(s)"])], pa.int64()),
+        "n_below": pa.array([int(agg["sum(nb)"])], pa.int64()),
+        "n_above": pa.array([int(agg["sum(na)"])], pa.int64()),
+        "n": pa.array([int(agg["sum(n)"])], pa.int64())}))
+
+
+O_LINEITEM_WINSORIZED = """
+WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+q AS (SELECT quantile_disc(cents, 0.01) AS lo,
+             quantile_disc(cents, 0.99) AS hi FROM c)
+SELECT CAST(lo AS BIGINT) AS p01_cents, CAST(hi AS BIGINT) AS p99_cents,
+       CAST(sum(CASE WHEN cents < lo THEN lo
+                     WHEN cents > hi THEN hi ELSE cents END) AS BIGINT)
+         AS sum_wins_cents,
+       CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below,
+       CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above,
+       CAST(count(*) AS BIGINT) AS n
+FROM c, q GROUP BY lo, hi"""
+
+
+def q_orders_basket_lift(sf_dir: str):
+    """Association-rule sufficient statistics for the top co-ordered part
+    pairs: (n_ab, n_a, n_b, n_orders) in exact integers — support,
+    confidence and lift are ratios of these, computed offline. The pair
+    mining reuses the bounded order-key self-join of orders_basket_pairs;
+    the per-part order counts are a part-scaled groupby, and only the
+    top-K pair endpoints' counts (bounded 2K rows) come back to the
+    driver for assembly. Output: (a, b, n_ab, n_a, n_b, n_orders)."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    d = ops.distinct(
+        li.map_batches(
+            lambda t: pa.table({"o": pc.cast(t["l_orderkey"], pa.int64()),
+                                "p": pc.cast(t["l_partkey"], pa.int64())}),
+            batch_format="pyarrow"),
+        ["o", "p"]).materialize()
+    n_orders = ops.distinct(
+        d.map_batches(lambda t: t.select(["o"]), batch_format="pyarrow"),
+        ["o"]).count()
+    top = q_orders_basket_pairs(sf_dir).take_all()  # bounded: K rows
+    if not top:
+        return ray.data.from_arrow(pa.table({
+            c: pa.array([], pa.int64())
+            for c in ("a", "b", "n_ab", "n_a", "n_b", "n_orders")}))
+    need = sorted({r["a"] for r in top} | {r["b"] for r in top})
+    need_arr = pa.array(need, pa.int64())
+    pcounts = (d.map_batches(
+        lambda t: t.filter(pc.is_in(t["p"], value_set=need_arr)),
+        batch_format="pyarrow")
+        .groupby("p").aggregate(Count(alias_name="n"))
+        .take_all())  # bounded: ≤ 2K parts
+    cnt = {r["p"]: r["n"] for r in pcounts}
+    return ray.data.from_arrow(pa.table({
+        "a": pa.array([r["a"] for r in top], pa.int64()),
+        "b": pa.array([r["b"] for r in top], pa.int64()),
+        "n_ab": pa.array([r["n"] for r in top], pa.int64()),
+        "n_a": pa.array([cnt[r["a"]] for r in top], pa.int64()),
+        "n_b": pa.array([cnt[r["b"]] for r in top], pa.int64()),
+        "n_orders": pa.array([n_orders] * len(top), pa.int64())}))
+
+
+def O_ORDERS_BASKET_LIFT() -> str:
+    return f"""
+WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pairs AS (
+  SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM d x JOIN d y ON x.o = y.o AND x.p < y.p
+  GROUP BY 1, 2 ORDER BY n_ab DESC, a, b LIMIT {_BASKET_K}),
+pcnt AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY p)
+SELECT pairs.a, pairs.b, pairs.n_ab,
+       pa.n AS n_a, pb.n AS n_b,
+       CAST((SELECT count(DISTINCT o) FROM d) AS BIGINT) AS n_orders
+FROM pairs JOIN pcnt pa ON pa.p = pairs.a JOIN pcnt pb ON pb.p = pairs.b"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -9834,7 +9943,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # docs_incremental_dedup events_asof_next_order
     # events_asof_nearest_order orders_percent_rank customer_rfm
     # events_mannwhitney docs_ks_drift part_jw_names
-    # docs_cluster_quality events_daily_acf)
+    # docs_cluster_quality events_daily_acf lineitem_winsorized
+    # orders_basket_lift)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -9967,6 +10077,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "part_jw_names": q_part_jw_names,
     "docs_cluster_quality": q_docs_cluster_quality,
     "events_daily_acf": q_events_daily_acf,
+    "lineitem_winsorized": q_lineitem_winsorized,
+    "orders_basket_lift": q_orders_basket_lift,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -10255,4 +10367,6 @@ def oracles() -> dict[str, str]:
         "part_jw_names": O_PART_JW_NAMES,
         "docs_cluster_quality": O_DOCS_CLUSTER_QUALITY(),
         "events_daily_acf": O_EVENTS_DAILY_ACF,
+        "lineitem_winsorized": O_LINEITEM_WINSORIZED,
+        "orders_basket_lift": O_ORDERS_BASKET_LIFT(),
     }
