@@ -8638,10 +8638,15 @@ def q_kg_cocitation_except(sf_dir: str):
     havas = neighbors("Q2826560").map_batches(
         lambda t: pa.table({"qid": t["qid"]}), batch_format="pyarrow")
     out = ops.hash_join_sized(ops._compact(reuters), ops._compact(havas),
-                              on=("qid",), how="left_anti")
-    return out.map_batches(
+                              on=("qid",), how="left_anti").map_batches(
         lambda t: t.filter(pc.not_equal(t["qid"], "Q2826560")),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()  # bounded: vocabulary-sized
+    if out.count() == 0:
+        # an all-empty Dataset loses its schema (Ray drops the qid column
+        # on empty blocks) and the driver's column compare then fails —
+        # return the typed empty table instead
+        return pa.table({"qid": pa.array([], pa.string())})
+    return out
 
 
 def O_KG_COCITATION_EXCEPT() -> str:
@@ -9841,6 +9846,96 @@ SELECT pairs.a, pairs.b, pairs.n_ab,
 FROM pairs JOIN pcnt pa ON pa.p = pairs.a JOIN pcnt pb ON pb.p = pairs.b"""
 
 
+def q_orders_group_pctrank(sf_dir: str):
+    """Per-partition rank windows: every order's percent_rank / cume_dist
+    of total price WITHIN its priority class — ONE shuffle on the group
+    key, then an in-group sorted searchsorted sweep computes the below /
+    at-or-below counts vectorized (same group-fits-a-worker bound as
+    grouped_ntile_stats; for a single corpus-scale group use the global
+    ops.value_rank_counts path instead). lt/(n-1) and le/n are
+    exact-integer float divisions → bit-identical to the SQL window.
+    Output: (o_orderkey, o_orderpriority, pct_rank, cume_dist)."""
+    o = ops.read_table(sf_dir, "orders",
+                       ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def fn(g: pa.Table) -> pa.Table:
+        v = g["o_totalprice"].to_numpy(zero_copy_only=False)
+        sv = np.sort(v)
+        lt = np.searchsorted(sv, v, side="left").astype(np.float64)
+        le = np.searchsorted(sv, v, side="right").astype(np.float64)
+        n = len(v)
+        pct = lt / (n - 1) if n > 1 else np.zeros(n)
+        return pa.table({
+            "o_orderkey": pc.cast(g["o_orderkey"], pa.int64()),
+            "o_orderpriority": g["o_orderpriority"],
+            "pct_rank": pa.array(pct, pa.float64()),
+            "cume_dist": pa.array(le / n, pa.float64())})
+
+    return o.groupby("o_orderpriority").map_groups(fn, batch_format="pyarrow")
+
+
+O_ORDERS_GROUP_PCTRANK = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
+       percent_rank() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS pct_rank,
+       cume_dist() OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice) AS cume_dist
+FROM orders"""
+
+
+def q_part_jw_clusters(sf_dir: str):
+    """Entity-resolution clusters: connected components over the
+    Jaro-Winkler ≥ 0.9 same-brand name pairs (ops.jw_pairs →
+    dd.connected_components), keeping each cluster's min part id as the
+    canonical representative — the transitive-closure step that turns
+    pairwise link scores into dedup groups. Pairs are
+    duplicate-rate-sized, so the contraction never touches corpus scale.
+    Output: (cluster, p_partkey) for every clustered part."""
+    part = ops.read_table(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+    pairs = ops.jw_pairs(part, "p_brand", "p_partkey", "p_name",
+                         min_sim=0.9)
+    labels = dd.connected_components(pairs, a_col="id_a", b_col="id_b")
+    return labels.map_batches(
+        lambda t: pa.table({"cluster": pc.cast(t["label"], pa.int64()),
+                            "p_partkey": pc.cast(t["node"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def O_PART_JW_CLUSTERS() -> str:
+    """Pure recompute: DuckDB's own jaro_winkler pair list (the scorer the
+    Ray side bit-matches) → union-find transitive closure (VALUES)."""
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM "
+        f"read_parquet('{_SF001}/part.parquet')")
+    pairs = con.execute("""
+        SELECT a.p_partkey, b.p_partkey FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+    """).fetchall()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    seen = sorted({int(a) for a, b in pairs} | {int(b) for a, b in pairs})
+    rows = [f"({find(x)}, {x})" for x in seen]
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(cluster AS BIGINT) AS cluster, "
+        "CAST(p_partkey AS BIGINT) AS p_partkey",
+        "t(cluster, p_partkey)", "(0, 0)")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -9944,7 +10039,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # events_asof_nearest_order orders_percent_rank customer_rfm
     # events_mannwhitney docs_ks_drift part_jw_names
     # docs_cluster_quality events_daily_acf lineitem_winsorized
-    # orders_basket_lift)
+    # orders_basket_lift orders_group_pctrank part_jw_clusters)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -10079,6 +10174,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_daily_acf": q_events_daily_acf,
     "lineitem_winsorized": q_lineitem_winsorized,
     "orders_basket_lift": q_orders_basket_lift,
+    "orders_group_pctrank": q_orders_group_pctrank,
+    "part_jw_clusters": q_part_jw_clusters,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -10369,4 +10466,6 @@ def oracles() -> dict[str, str]:
         "events_daily_acf": O_EVENTS_DAILY_ACF,
         "lineitem_winsorized": O_LINEITEM_WINSORIZED,
         "orders_basket_lift": O_ORDERS_BASKET_LIFT(),
+        "orders_group_pctrank": O_ORDERS_GROUP_PCTRANK,
+        "part_jw_clusters": O_PART_JW_CLUSTERS(),
     }
