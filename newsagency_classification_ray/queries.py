@@ -9087,25 +9087,18 @@ FROM days d JOIN ud u
 GROUP BY 1"""
 
 
-def q_docs_dup_pairs_exact(sf_dir: str):
-    """Exact-Jaccard verification of the LSH candidate pairs — the second
-    stage of the production two-stage dedup (cheap sketch recall pass,
-    then exact confirmation on the candidate set only). Text moves ONLY
-    for pair endpoints: the candidate ids (dup-rate-sized) semi-join the
-    corpus down to endpoint texts, two id-keyed joins attach each side,
-    and the true word-shingle Jaccard is computed per pair with the SAME
-    shingle hasher the sketch uses. O(candidates), never O(corpus²).
-    Output: (doc_a, doc_b, jacc_m) with jacc_m = round(1e6·|∩|/|∪|)."""
+def _lsh_pair_texts(sf_dir: str):
+    """Shared first half of the candidate-verification queries: LSH pair
+    ids (dup-rate-sized), endpoint texts semi-joined down from the corpus,
+    two id-keyed joins attaching text_a / text_b. Returns None when the
+    candidate set is empty (the caller emits its typed empty table)."""
     text_docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
     pairs = dd.minhash_lsh_pairs(text_docs).map_batches(
         lambda t: pa.table({"doc_a": pc.cast(t["doc_a"], pa.int64()),
                             "doc_b": pc.cast(t["doc_b"], pa.int64())}),
         batch_format="pyarrow").materialize()
-    empty = pa.table({"doc_a": pa.array([], pa.int64()),
-                      "doc_b": pa.array([], pa.int64()),
-                      "jacc_m": pa.array([], pa.int64())})
     if pairs.count() == 0:
-        return ray.data.from_arrow(empty)
+        return None
     endpoints = ops.distinct(
         pairs.map_batches(
             lambda t: pa.table({"doc_id": pa.concat_arrays(
@@ -9132,7 +9125,25 @@ def q_docs_dup_pairs_exact(sf_dir: str):
     j = j.map_batches(attach("a"), batch_format="pyarrow")
     j = ops.hash_join_sized(ops._compact(j), ops._compact(texts),
                             on=("doc_b",), right_on=("doc_id",))
-    j = j.map_batches(attach("b"), batch_format="pyarrow")
+    return j.map_batches(attach("b"), batch_format="pyarrow")
+
+
+def q_docs_dup_pairs_exact(sf_dir: str):
+    """Exact-Jaccard verification of the LSH candidate pairs — the second
+    stage of the production two-stage dedup (cheap sketch recall pass,
+    then exact confirmation on the candidate set only). Text moves ONLY
+    for pair endpoints (see _lsh_pair_texts): the candidate ids
+    (dup-rate-sized) semi-join the corpus down to endpoint texts, two
+    id-keyed joins attach each side, and the true word-shingle Jaccard is
+    computed per pair with the SAME shingle hasher the sketch uses.
+    O(candidates), never O(corpus²).
+    Output: (doc_a, doc_b, jacc_m) with jacc_m = round(1e6·|∩|/|∪|)."""
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jacc_m": pa.array([], pa.int64())})
+    j = _lsh_pair_texts(sf_dir)
+    if j is None:
+        return ray.data.from_arrow(empty)
 
     def verify(t: pa.Table) -> pa.Table:
         jm = np.empty(len(t), np.int64)
@@ -9936,6 +9947,131 @@ def O_PART_JW_CLUSTERS() -> str:
         "t(cluster, p_partkey)", "(0, 0)")
 
 
+def q_docs_dup_containment(sf_dir: str):
+    """Asymmetric containment on the LSH candidate pairs: |A∩B| with both
+    set sizes, so containment |∩|/|A| vs |∩|/|B| separates "B quotes A"
+    boilerplate inclusion from symmetric near-dups — the directional
+    signal Jaccard alone cannot give. Same O(candidates) text movement as
+    docs_dup_pairs_exact (shared _lsh_pair_texts). Output:
+    (doc_a, doc_b, inter, n_a, n_b) shingle-set counts."""
+    empty = pa.table({c: pa.array([], pa.int64())
+                      for c in ("doc_a", "doc_b", "inter", "n_a", "n_b")})
+    j = _lsh_pair_texts(sf_dir)
+    if j is None:
+        return ray.data.from_arrow(empty)
+
+    def score(t: pa.Table) -> pa.Table:
+        inter = np.empty(len(t), np.int64)
+        na = np.empty(len(t), np.int64)
+        nb = np.empty(len(t), np.int64)
+        for i, (xa, xb) in enumerate(zip(t["text_a"].to_pylist(),
+                                         t["text_b"].to_pylist())):
+            sa = dd._shingle_hashes(xa or "", 3)
+            sb = dd._shingle_hashes(xb or "", 3)
+            inter[i] = np.intersect1d(sa, sb, assume_unique=True).size
+            na[i], nb[i] = sa.size, sb.size
+        return pa.table({"doc_a": pc.cast(t["doc_a"], pa.int64()),
+                         "doc_b": pc.cast(t["doc_b"], pa.int64()),
+                         "inter": pa.array(inter), "n_a": pa.array(na),
+                         "n_b": pa.array(nb)})
+
+    return j.map_batches(score, batch_format="pyarrow")
+
+
+def O_DOCS_DUP_CONTAINMENT() -> str:
+    """Pure recompute (VALUES): oracled candidate list → exact shingle
+    intersection/set sizes with the same hasher on the driver."""
+    pairs = _pure_minhash_pairs(_SF001, 0.5)
+    t = _read_parquet_cols(_SF001, "documents", ["doc_id", "text"])
+    texts = {int(i): s or "" for i, s in
+             zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    rows = []
+    for a, b, _ in sorted(pairs):
+        sa = dd._shingle_hashes(texts[int(a)], 3)
+        sb = dd._shingle_hashes(texts[int(b)], 3)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        rows.append(f"({int(a)}, {int(b)}, {inter}, {sa.size}, {sb.size})")
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(doc_a AS BIGINT) AS doc_a, "
+        "CAST(doc_b AS BIGINT) AS doc_b, CAST(inter AS BIGINT) AS inter, "
+        "CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b",
+        "t(doc_a, doc_b, inter, n_a, n_b)", "(0, 0, 0, 0, 0)")
+
+
+def q_part_xyz_classes(sf_dir: str):
+    """XYZ demand-variability classification (the companion of the ABC
+    revenue classes): per part, weekly demand (quantity cents summed per
+    calendar week, absent weeks = zero demand) classifies X/Y/Z by the
+    coefficient of variation — CV ≤ 0.5 / ≤ 1.0 / above — decided in
+    EXACT integer cross-multiplication on the sufficient statistics
+    (n_weeks·Σq² − (Σq)² vs (Σq)², scaled by 4 for the 0.5 fence), so no
+    float threshold ever flips. Two bounded exchanges: (part, week)
+    partial sums, then per-part moment merge; the global week inventory
+    is one bounded distinct. Output: (p_partkey, xyz, s1, var_num)."""
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_partkey", "l_quantity", "l_shipdate"])
+
+    def weekly(t: pa.Table) -> pa.Table:
+        d = pa.table({
+            "p": pc.cast(t["l_partkey"], pa.int64()),
+            "wk": pc.cast(pc.floor_temporal(
+                pc.cast(t["l_shipdate"], pa.timestamp("us")), unit="week"),
+                pa.int64()),
+            "q": pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)),
+                         pa.int64())})
+        g = d.group_by(["p", "wk"]).aggregate([("q", "sum")])
+        return g.rename_columns(["p", "wk", "q"])
+
+    pw = (li.map_batches(weekly, batch_format="pyarrow")
+          .groupby(["p", "wk"]).aggregate(Sum("q", alias_name="q"))
+          .materialize())
+    n_weeks = ops.distinct(
+        pw.map_batches(lambda t: t.select(["wk"]), batch_format="pyarrow"),
+        ["wk"]).count()
+
+    def moments(t: pa.Table) -> pa.Table:
+        q = t["q"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = pa.table({"p": t["p"], "s1": pa.array(q, pa.int64()),
+                      "s2": pa.array(q * q, pa.int64())})
+        g = d.group_by(["p"]).aggregate([("s1", "sum"), ("s2", "sum")])
+        return g.rename_columns(["p", "s1", "s2"])
+
+    per_part = (pw.map_batches(moments, batch_format="pyarrow")
+                .groupby("p").aggregate(Sum("s1", alias_name="s1"),
+                                        Sum("s2", alias_name="s2")))
+
+    def classify(t: pa.Table) -> pa.Table:
+        s1 = t["s1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s2 = t["s2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        var_num = n_weeks * s2 - s1 * s1
+        xyz = np.where(4 * var_num <= s1 * s1, "X",
+                       np.where(var_num <= s1 * s1, "Y", "Z"))
+        return pa.table({"p_partkey": pc.cast(t["p"], pa.int64()),
+                         "xyz": pa.array(xyz.tolist(), pa.string()),
+                         "s1": pa.array(s1, pa.int64()),
+                         "var_num": pa.array(var_num, pa.int64())})
+
+    return per_part.map_batches(classify, batch_format="pyarrow")
+
+
+O_PART_XYZ_CLASSES = """
+WITH w AS (
+  SELECT l_partkey AS p, date_trunc('week', l_shipdate) AS wk,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS q
+  FROM lineitem GROUP BY 1, 2),
+nw AS (SELECT count(DISTINCT date_trunc('week', l_shipdate)) AS n
+       FROM lineitem),
+s AS (SELECT p, sum(q) AS s1, sum(q * q) AS s2 FROM w GROUP BY p)
+SELECT CAST(p AS BIGINT) AS p_partkey,
+       CASE WHEN 4 * (n * s2 - s1 * s1) <= s1 * s1 THEN 'X'
+            WHEN n * s2 - s1 * s1 <= s1 * s1 THEN 'Y'
+            ELSE 'Z' END AS xyz,
+       CAST(s1 AS BIGINT) AS s1,
+       CAST(n * s2 - s1 * s1 AS BIGINT) AS var_num
+FROM s, nw"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -10039,7 +10175,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # events_asof_nearest_order orders_percent_rank customer_rfm
     # events_mannwhitney docs_ks_drift part_jw_names
     # docs_cluster_quality events_daily_acf lineitem_winsorized
-    # orders_basket_lift orders_group_pctrank part_jw_clusters)
+    # orders_basket_lift orders_group_pctrank part_jw_clusters
+    # docs_dup_containment part_xyz_classes)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -10176,6 +10313,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_basket_lift": q_orders_basket_lift,
     "orders_group_pctrank": q_orders_group_pctrank,
     "part_jw_clusters": q_part_jw_clusters,
+    "docs_dup_containment": q_docs_dup_containment,
+    "part_xyz_classes": q_part_xyz_classes,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -10468,4 +10607,6 @@ def oracles() -> dict[str, str]:
         "orders_basket_lift": O_ORDERS_BASKET_LIFT(),
         "orders_group_pctrank": O_ORDERS_GROUP_PCTRANK,
         "part_jw_clusters": O_PART_JW_CLUSTERS(),
+        "docs_dup_containment": O_DOCS_DUP_CONTAINMENT(),
+        "part_xyz_classes": O_PART_XYZ_CLASSES,
     }
