@@ -10072,6 +10072,133 @@ SELECT CAST(p AS BIGINT) AS p_partkey,
 FROM s, nw"""
 
 
+def q_kg_neighbor_jaccard(sf_dir: str):
+    """Structural (role) similarity between agencies: for every agency
+    pair sharing ≥1 co-occurrence neighbor, the neighbor-set intersection
+    size plus both degrees — Jaccard inter/(deg_a+deg_b−inter) offline.
+    Two agencies never co-cited directly can still score high (same
+    brokerage role in disjoint regions). Shape: distinct undirected edge
+    list → symmetric (qid, nbr) table → ONE nbr-keyed self-join for the
+    intersections (bounded by the shared-neighbor count, never vocab²) +
+    a degree groupby joined back. Output:
+    (qid_a, qid_b, inter, deg_a, deg_b)."""
+    m = _mentions(sf_dir).materialize()
+    und = ops.distinct(
+        kg.cooccurrence_edges(m).map_batches(
+            lambda t: t.select(["src_qid", "dst_qid"]),
+            batch_format="pyarrow"),
+        ["src_qid", "dst_qid"]).materialize()
+    empty = pa.table({
+        "qid_a": pa.array([], pa.string()),
+        "qid_b": pa.array([], pa.string()),
+        "inter": pa.array([], pa.int64()),
+        "deg_a": pa.array([], pa.int64()),
+        "deg_b": pa.array([], pa.int64())})
+    if und.count() == 0:
+        return ray.data.from_arrow(empty)
+    sym = und.map_batches(
+        lambda t: pa.table({
+            "q": pa.chunked_array([t["src_qid"].combine_chunks(),
+                                   t["dst_qid"].combine_chunks()]),
+            "nbr": pa.chunked_array([t["dst_qid"].combine_chunks(),
+                                     t["src_qid"].combine_chunks()])}),
+        batch_format="pyarrow").materialize()
+    right = sym.map_batches(
+        lambda t: pa.table({"q2": t["q"], "nbr": t["nbr"]}),
+        batch_format="pyarrow")
+    inter = (ops.hash_join_sized(ops._compact(sym), ops._compact(right),
+                                 on=("nbr",))
+             .map_batches(lambda t: t.filter(pc.less(t["q"], t["q2"])),
+                          batch_format="pyarrow")
+             .groupby(["q", "q2"]).aggregate(Count(alias_name="inter")))
+    deg = sym.groupby("q").aggregate(Count(alias_name="deg")).materialize()
+    da = deg.map_batches(
+        lambda t: pa.table({"q": t["q"],
+                            "deg_a": pc.cast(t["deg"], pa.int64())}),
+        batch_format="pyarrow")
+    db = deg.map_batches(
+        lambda t: pa.table({"q2": t["q"],
+                            "deg_b": pc.cast(t["deg"], pa.int64())}),
+        batch_format="pyarrow")
+    out = ops.hash_join_sized(
+        ops.hash_join_sized(ops._compact(inter), ops._compact(da),
+                            on=("q",)),
+        ops._compact(db), on=("q2",))
+    return out.map_batches(
+        lambda t: pa.table({"qid_a": t["q"], "qid_b": t["q2"],
+                            "inter": pc.cast(t["inter"], pa.int64()),
+                            "deg_a": t["deg_a"], "deg_b": t["deg_b"]}),
+        batch_format="pyarrow")
+
+
+O_KG_NEIGHBOR_JACCARD = lambda sf: f"""WITH {_pages_cte(sf)},
+counts AS (SELECT host, year, qid FROM sql_mentions
+           WHERE qid <> 'NIL' GROUP BY host, year, qid),
+e AS (SELECT DISTINCT a.qid AS s, b.qid AS d
+      FROM counts a JOIN counts b
+        ON a.host = b.host AND a.year = b.year AND a.qid < b.qid),
+sym AS (SELECT s AS q, d AS nbr FROM e UNION ALL SELECT d, s FROM e),
+deg AS (SELECT q, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY q),
+i AS (SELECT x.q AS qid_a, y.q AS qid_b, CAST(count(*) AS BIGINT) AS inter
+      FROM sym x JOIN sym y ON x.nbr = y.nbr AND x.q < y.q
+      GROUP BY 1, 2)
+SELECT i.qid_a, i.qid_b, i.inter, da.deg AS deg_a, db.deg AS deg_b
+FROM i JOIN deg da ON da.q = i.qid_a JOIN deg db ON db.q = i.qid_b"""
+
+
+def q_docs_minhash_recall(sf_dir: str):
+    """Sketch-recall measurement — the dedup TUNING metric: of the TRUE
+    near-dup pairs (exact PPJoin, Jaccard ≥ 1/2), how many does the
+    MinHash-LSH candidate generator recover? Both pair lists are
+    duplicate-rate-sized; one inner id-pair join counts the overlap, so
+    the measurement costs no more than the dedup itself. Output: one row
+    (n_true, n_cand, n_recovered) — recall = recovered/true,
+    precision-proxy = recovered/cand, offline."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def ab(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": pc.cast(t["doc_a"], pa.int64()),
+                         "doc_b": pc.cast(t["doc_b"], pa.int64())})
+
+    true_p = dd.ppjoin_pairs(docs, threshold_num=_PPJOIN_NUM,
+                             threshold_den=_PPJOIN_DEN).map_batches(
+        ab, batch_format="pyarrow").materialize()
+    cand_p = dd.minhash_lsh_pairs(docs).map_batches(
+        ab, batch_format="pyarrow").materialize()
+    n_true, n_cand = true_p.count(), cand_p.count()
+    if n_true == 0 or n_cand == 0:
+        n_rec = 0
+    else:
+        n_rec = ops.hash_join_sized(ops._compact(true_p),
+                                    ops._compact(cand_p),
+                                    on=("doc_a", "doc_b"),
+                                    how="left_semi").count()
+    return ray.data.from_arrow(pa.table({
+        "n_true": pa.array([n_true], pa.int64()),
+        "n_cand": pa.array([n_cand], pa.int64()),
+        "n_recovered": pa.array([n_rec], pa.int64())}))
+
+
+def O_DOCS_MINHASH_RECALL() -> str:
+    """Pure recompute (VALUES): exact shingle-set pairs at Jaccard ≥ 1/2
+    and the sketch candidate list, both on the driver."""
+    t = _read_parquet_cols(_SF001, "documents", ["doc_id", "text"])
+    sets = {int(i): set(dd._shingle_hashes(x or "", 3).tolist())
+            for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    ids = sorted(sets)
+    true_pairs = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if uni and inter * _PPJOIN_DEN >= uni * _PPJOIN_NUM:
+                true_pairs.add((a, b))
+    cand = {(int(a), int(b)) for a, b, _ in _pure_minhash_pairs(_SF001, 0.5)}
+    return (f"SELECT CAST({len(true_pairs)} AS BIGINT) AS n_true, "
+            f"CAST({len(cand)} AS BIGINT) AS n_cand, "
+            f"CAST({len(true_pairs & cand)} AS BIGINT) AS n_recovered")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -10176,7 +10303,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # events_mannwhitney docs_ks_drift part_jw_names
     # docs_cluster_quality events_daily_acf lineitem_winsorized
     # orders_basket_lift orders_group_pctrank part_jw_clusters
-    # docs_dup_containment part_xyz_classes)
+    # docs_dup_containment part_xyz_classes kg_neighbor_jaccard
+    # docs_minhash_recall)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -10315,6 +10443,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "part_jw_clusters": q_part_jw_clusters,
     "docs_dup_containment": q_docs_dup_containment,
     "part_xyz_classes": q_part_xyz_classes,
+    "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
+    "docs_minhash_recall": q_docs_minhash_recall,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -10609,4 +10739,6 @@ def oracles() -> dict[str, str]:
         "part_jw_clusters": O_PART_JW_CLUSTERS(),
         "docs_dup_containment": O_DOCS_DUP_CONTAINMENT(),
         "part_xyz_classes": O_PART_XYZ_CLASSES,
+        "kg_neighbor_jaccard": O_KG_NEIGHBOR_JACCARD(_SF001),
+        "docs_minhash_recall": O_DOCS_MINHASH_RECALL(),
     }
