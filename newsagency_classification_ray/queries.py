@@ -10199,6 +10199,138 @@ def O_DOCS_MINHASH_RECALL() -> str:
             f"CAST({len(true_pairs & cand)} AS BIGINT) AS n_recovered")
 
 
+def q_kg_alias_diversity(sf_dir: str):
+    """Alias-table health per agency: mention volume, distinct raw
+    surface forms, and hapax surfaces (seen exactly once) — the linker-QA
+    dashboard row that flags entities whose alias inventory is thin or
+    noise-dominated. One (qid, surface) combiner+groupby collapses the
+    mention stream; the per-agency rollup is vocabulary-bounded.
+    Output: (qid, n_mentions, n_aliases, hapax)."""
+    m = _mentions(sf_dir)
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["qid"], "NIL"))
+        g = t.select(["qid", "surface"]).group_by(
+            ["qid", "surface"]).aggregate([([], "count_all")])
+        return g.rename_columns(["qid", "surface", "n"])
+
+    per_alias = (m.map_batches(local, batch_format="pyarrow")
+                 .groupby(["qid", "surface"])
+                 .aggregate(Sum("n", alias_name="n")))
+
+    def rollup(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = pa.table({"qid": t["qid"],
+                      "n_mentions": pa.array(n, pa.int64()),
+                      "n_aliases": pa.array(np.ones(len(t), np.int64)),
+                      "hapax": pa.array((n == 1).astype(np.int64))})
+        g = d.group_by(["qid"]).aggregate(
+            [("n_mentions", "sum"), ("n_aliases", "sum"), ("hapax", "sum")])
+        return g.rename_columns(["qid", "n_mentions", "n_aliases", "hapax"])
+
+    return (per_alias.map_batches(rollup, batch_format="pyarrow")
+            .groupby("qid")
+            .aggregate(Sum("n_mentions", alias_name="n_mentions"),
+                       Sum("n_aliases", alias_name="n_aliases"),
+                       Sum("hapax", alias_name="hapax")))
+
+
+O_KG_ALIAS_DIVERSITY = lambda sf: f"""WITH {_pages_cte(sf)},
+pa_ AS (SELECT qid, alias, count(*) AS n FROM sql_mentions
+        WHERE qid <> 'NIL' GROUP BY qid, alias)
+SELECT qid, CAST(sum(n) AS BIGINT) AS n_mentions,
+       CAST(count(*) AS BIGINT) AS n_aliases,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+FROM pa_ GROUP BY qid"""
+
+
+def q_kg_yoy_neighbors(sf_dir: str):
+    """Temporal-KG neighborhood stability: per agency and year, how much
+    of the co-occurrence neighbor set carries over from the PREVIOUS year
+    — intersection size plus both degrees (YoY Jaccard offline). The edge
+    churn signal kg_edge_births counts globally, localized per entity.
+    Shape: per-year distinct symmetric edges, ONE (q, nbr, year)-keyed
+    join against the year-shifted copy, degree groupbys joined back.
+    Output: (qid, year, inter, deg_prev, deg_curr) for years with a
+    predecessor year of activity."""
+    m = _mentions(sf_dir).materialize()
+    und = ops.distinct(
+        kg.cooccurrence_edges(m).map_batches(
+            lambda t: pa.table({"year": pc.cast(t["year"], pa.int64()),
+                                "s": t["src_qid"], "d": t["dst_qid"]}),
+            batch_format="pyarrow"),
+        ["year", "s", "d"]).materialize()
+    empty = pa.table({"qid": pa.array([], pa.string()),
+                      "year": pa.array([], pa.int64()),
+                      "inter": pa.array([], pa.int64()),
+                      "deg_prev": pa.array([], pa.int64()),
+                      "deg_curr": pa.array([], pa.int64())})
+    if und.count() == 0:
+        return ray.data.from_arrow(empty)
+    sym = und.map_batches(
+        lambda t: pa.table({
+            "year": pa.chunked_array([t["year"].combine_chunks()] * 2),
+            "q": pa.chunked_array([t["s"].combine_chunks(),
+                                   t["d"].combine_chunks()]),
+            "nbr": pa.chunked_array([t["d"].combine_chunks(),
+                                     t["s"].combine_chunks()])}),
+        batch_format="pyarrow").materialize()
+    shifted = sym.map_batches(
+        lambda t: pa.table({
+            "year": pc.add(t["year"], pa.scalar(1, pa.int64())),
+            "q": t["q"], "nbr": t["nbr"]}),
+        batch_format="pyarrow")
+    inter = (ops.hash_join_sized(ops._compact(sym), ops._compact(shifted),
+                                 on=("year", "q", "nbr"))
+             .groupby(["q", "year"]).aggregate(Count(alias_name="inter")))
+    deg = sym.groupby(["q", "year"]).aggregate(
+        Count(alias_name="deg")).materialize()
+    dc = deg.map_batches(
+        lambda t: pa.table({"q": t["q"], "year": pc.cast(t["year"],
+                                                         pa.int64()),
+                            "deg_curr": pc.cast(t["deg"], pa.int64())}),
+        batch_format="pyarrow")
+    dp = deg.map_batches(
+        lambda t: pa.table({"q": t["q"],
+                            "year": pc.add(pc.cast(t["year"], pa.int64()),
+                                           pa.scalar(1, pa.int64())),
+                            "deg_prev": pc.cast(t["deg"], pa.int64())}),
+        batch_format="pyarrow")
+    base = ops.hash_join_sized(ops._compact(dc), ops._compact(dp),
+                               on=("q", "year"))
+    out = ops.hash_join_sized(ops._compact(base), ops._compact(inter),
+                              on=("q", "year"), how="left_outer")
+    return out.map_batches(
+        lambda t: pa.table({
+            "qid": t["q"], "year": pc.cast(t["year"], pa.int64()),
+            "inter": pc.cast(pc.coalesce(t["inter"],
+                                         pa.scalar(0, pa.int64())),
+                             pa.int64()),
+            "deg_prev": t["deg_prev"], "deg_curr": t["deg_curr"]}),
+        batch_format="pyarrow")
+
+
+O_KG_YOY_NEIGHBORS = lambda sf: f"""WITH {_pages_cte(sf)},
+counts AS (SELECT host, year, qid FROM sql_mentions
+           WHERE qid <> 'NIL' GROUP BY host, year, qid),
+e AS (SELECT DISTINCT a.year AS year, a.qid AS s, b.qid AS d
+      FROM counts a JOIN counts b
+        ON a.host = b.host AND a.year = b.year AND a.qid < b.qid),
+sym AS (SELECT year, s AS q, d AS nbr FROM e
+        UNION ALL SELECT year, d, s FROM e),
+deg AS (SELECT q, year, CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY 1, 2),
+i AS (SELECT c.q, c.year, CAST(count(*) AS BIGINT) AS inter
+      FROM sym c JOIN sym p
+        ON p.q = c.q AND p.nbr = c.nbr AND p.year = c.year - 1
+      GROUP BY 1, 2)
+SELECT dc.q AS qid, CAST(dc.year AS BIGINT) AS year,
+       CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+       dp.deg AS deg_prev, dc.deg AS deg_curr
+FROM deg dc JOIN deg dp ON dp.q = dc.q AND dp.year = dc.year - 1
+LEFT JOIN i ON i.q = dc.q AND i.year = dc.year"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -10304,7 +10436,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # docs_cluster_quality events_daily_acf lineitem_winsorized
     # orders_basket_lift orders_group_pctrank part_jw_clusters
     # docs_dup_containment part_xyz_classes kg_neighbor_jaccard
-    # docs_minhash_recall)
+    # docs_minhash_recall kg_alias_diversity kg_yoy_neighbors)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -10445,6 +10577,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "part_xyz_classes": q_part_xyz_classes,
     "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
     "docs_minhash_recall": q_docs_minhash_recall,
+    "kg_alias_diversity": q_kg_alias_diversity,
+    "kg_yoy_neighbors": q_kg_yoy_neighbors,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -10741,4 +10875,6 @@ def oracles() -> dict[str, str]:
         "part_xyz_classes": O_PART_XYZ_CLASSES,
         "kg_neighbor_jaccard": O_KG_NEIGHBOR_JACCARD(_SF001),
         "docs_minhash_recall": O_DOCS_MINHASH_RECALL(),
+        "kg_alias_diversity": O_KG_ALIAS_DIVERSITY(_SF001),
+        "kg_yoy_neighbors": O_KG_YOY_NEIGHBORS(_SF001),
     }
