@@ -10485,6 +10485,103 @@ FROM f_ranked f LEFT JOIN q_ranked qr
 GROUP BY 1"""
 
 
+def q_events_hll_error(sf_dir: str):
+    """Sketch calibration audit: per event type, the EXACT distinct user
+    count next to the HLL(p=12) estimate the dashboards would serve —
+    the observability row that tells an operator whether ~1.6 % expected
+    error actually holds on their key distribution. Exact side is the
+    two-level distinct ((type, user) dedup groupby, then a per-type
+    count); the sketch side is the register-merge path
+    (ops.grouped_approx_distinct). Output: (event_type, n_exact, n_est)."""
+    ev = ops.read_table(sf_dir, "events", ["event_type", "user_id"])
+
+    def local(t: pa.Table) -> pa.Table:
+        return t.select(["event_type", "user_id"]).group_by(
+            ["event_type", "user_id"]).aggregate([])
+
+    exact = (ev.map_batches(local, batch_format="pyarrow")
+             .groupby(["event_type", "user_id"])
+             .aggregate(Count(alias_name="_n"))
+             .map_batches(lambda t: t.select(["event_type"]),
+                          batch_format="pyarrow")
+             .groupby("event_type").aggregate(Count(alias_name="n_exact")))
+    est = ops.grouped_approx_distinct(ev, "event_type", "user_id", p=12)
+    est = est.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "n_est": pc.cast(t["approx_n"], pa.int64())}),
+        batch_format="pyarrow")
+    out = ops.hash_join_sized(ops._compact(exact.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "n_exact": pc.cast(t["n_exact"], pa.int64())}),
+        batch_format="pyarrow")), ops._compact(est), on=("event_type",))
+    return out
+
+
+def O_EVENTS_HLL_ERROR() -> str:
+    """Exact side in SQL; the estimate recomputed with the same
+    deterministic splitmix64+HLL register math on the driver (VALUES)."""
+    t = _read_parquet_cols(_SF001, "events", ["event_type", "user_id"])
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = []
+    for k in sorted(set(et.tolist())):
+        hll = ops.HyperLogLog(12)
+        hll.add_hashes(ops._splitmix64(uid[et == k]))
+        rows.append(f"({_sq(k)}, {int(round(hll.estimate()))})")
+    return f"""WITH est(event_type, n_est) AS (VALUES {', '.join(rows)}),
+ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+       FROM events GROUP BY 1)
+SELECT ex.event_type, ex.n_exact, CAST(est.n_est AS BIGINT) AS n_est
+FROM ex JOIN est USING (event_type)"""
+
+
+def q_orders_priority_markov(sf_dir: str):
+    """Order-priority transition matrix: for each customer's orders in
+    (o_orderdate, o_orderkey) sequence, count consecutive priority pairs
+    — the Markov sufficient statistics for "does a low-priority order
+    follow an urgent one". ONE custkey shuffle; each group sorts its own
+    orders (customer-order-count bound) and emits vectorized adjacent
+    pairs; a per-batch combiner collapses before the tiny pair groupby.
+    Output: (prev_priority, next_priority, n)."""
+    o = ops.read_table(sf_dir, "orders",
+                       ["o_custkey", "o_orderkey", "o_orderdate",
+                        "o_orderpriority"])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ts = g["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ok = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, ts))
+        pr = g["o_orderpriority"].take(pa.array(order)).to_pylist()
+        if len(pr) < 2:
+            return pa.table({"prev_priority": pa.array([], pa.string()),
+                             "next_priority": pa.array([], pa.string())})
+        return pa.table({"prev_priority": pa.array(pr[:-1], pa.string()),
+                         "next_priority": pa.array(pr[1:], pa.string())})
+
+    def local(t: pa.Table) -> pa.Table:
+        g = t.group_by(["prev_priority", "next_priority"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["prev_priority", "next_priority", "n"])
+
+    return (o.groupby("o_custkey").map_groups(pairs, batch_format="pyarrow")
+            .map_batches(local, batch_format="pyarrow")
+            .groupby(["prev_priority", "next_priority"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+O_ORDERS_PRIORITY_MARKOV = """
+WITH s AS (
+  SELECT o_custkey, o_orderpriority,
+         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+           AS prev_p
+  FROM orders)
+SELECT prev_p AS prev_priority, o_orderpriority AS next_priority,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev_p IS NOT NULL GROUP BY 1, 2"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -10591,7 +10688,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # orders_basket_lift orders_group_pctrank part_jw_clusters
     # docs_dup_containment part_xyz_classes kg_neighbor_jaccard
     # docs_minhash_recall kg_alias_diversity kg_yoy_neighbors
-    # customer_repeat_cohorts embeddings_quant_recall)
+    # customer_repeat_cohorts embeddings_quant_recall events_hll_error
+    # orders_priority_markov)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -10736,6 +10834,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_yoy_neighbors": q_kg_yoy_neighbors,
     "customer_repeat_cohorts": q_customer_repeat_cohorts,
     "embeddings_quant_recall": q_embeddings_quant_recall,
+    "events_hll_error": q_events_hll_error,
+    "orders_priority_markov": q_orders_priority_markov,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -11036,4 +11136,6 @@ def oracles() -> dict[str, str]:
         "kg_yoy_neighbors": O_KG_YOY_NEIGHBORS(_SF001),
         "customer_repeat_cohorts": O_CUSTOMER_REPEAT_COHORTS,
         "embeddings_quant_recall": O_EMBEDDINGS_QUANT_RECALL,
+        "events_hll_error": O_EVENTS_HLL_ERROR(),
+        "orders_priority_markov": O_ORDERS_PRIORITY_MARKOV,
     }
