@@ -249,6 +249,16 @@ def run_bench() -> dict:
           lambda: Q.QUERIES["events_type_sets"](sf_dir).count())
     timed("dup_cluster_histogram",
           lambda: Q.QUERIES["dup_cluster_histogram"](sf_dir).count())
+    # closing-session additions: global rank join-back, three-pass NTILE
+    # scoring, pair-counting dedup evaluation, vectorized Jaro-Winkler ER
+    timed("orders_percent_rank",
+          lambda: Q.QUERIES["orders_percent_rank"](sf_dir).count())
+    timed("customer_rfm",
+          lambda: Q.QUERIES["customer_rfm"](sf_dir).count())
+    timed("docs_cluster_quality",
+          lambda: Q.QUERIES["docs_cluster_quality"](sf_dir).count())
+    timed("part_jw_names",
+          lambda: Q.QUERIES["part_jw_names"](sf_dir).count())
 
     headline = queries["kg_flagship"]
     result = {

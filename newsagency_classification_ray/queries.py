@@ -10582,6 +10582,38 @@ SELECT prev_p AS prev_priority, o_orderpriority AS next_priority,
 FROM s WHERE prev_p IS NOT NULL GROUP BY 1, 2"""
 
 
+_SYS_SAMPLE_K = 200
+
+
+def q_events_systematic_sample(sf_dir: str):
+    """Systematic 1-in-200 sample in GLOBAL (ts, event_id) order — the
+    eval-set sampling that guarantees even coverage across the whole time
+    range (a hash sample can cluster; a head sample is biased early).
+    ops.row_number_by assigns the global row_number with O(blocks) driver
+    prefix state (exercising its timestamp composite-key path), and the
+    modulus filter keeps rows rn ≡ 1 (mod 200).
+    Output: (event_id, rn)."""
+    ev = ops.read_table(sf_dir, "events", ["event_id", "ts"])
+    rn = ops.row_number_by(ev, ["ts", "event_id"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        r = t["rn"].to_numpy(zero_copy_only=False)
+        keep = (r - 1) % _SYS_SAMPLE_K == 0
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "rn": t["rn"]}).filter(pa.array(keep))
+
+    return rn.map_batches(pick, batch_format="pyarrow")
+
+
+O_EVENTS_SYSTEMATIC_SAMPLE = f"""
+WITH r AS (
+  SELECT event_id,
+         row_number() OVER (ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT CAST(event_id AS BIGINT) AS event_id, CAST(rn AS BIGINT) AS rn
+FROM r WHERE (rn - 1) % {_SYS_SAMPLE_K} = 0"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -10689,7 +10721,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # docs_dup_containment part_xyz_classes kg_neighbor_jaccard
     # docs_minhash_recall kg_alias_diversity kg_yoy_neighbors
     # customer_repeat_cohorts embeddings_quant_recall events_hll_error
-    # orders_priority_markov)
+    # orders_priority_markov events_systematic_sample)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -10836,6 +10868,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embeddings_quant_recall": q_embeddings_quant_recall,
     "events_hll_error": q_events_hll_error,
     "orders_priority_markov": q_orders_priority_markov,
+    "events_systematic_sample": q_events_systematic_sample,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -11138,4 +11171,5 @@ def oracles() -> dict[str, str]:
         "embeddings_quant_recall": O_EMBEDDINGS_QUANT_RECALL,
         "events_hll_error": O_EVENTS_HLL_ERROR(),
         "orders_priority_markov": O_ORDERS_PRIORITY_MARKOV,
+        "events_systematic_sample": O_EVENTS_SYSTEMATIC_SAMPLE,
     }

@@ -99,3 +99,17 @@ def test_value_rank_counts_ties_and_prefix(ray_session):
     rows.sort(key=lambda r: r["x"])
     assert [(r["x"], r["_cnt"], r["_lt"], r["_le"]) for r in rows] == [
         (1.0, 2, 0, 2), (2.0, 1, 2, 3), (3.0, 1, 3, 4), (5.0, 3, 4, 7)]
+
+
+def test_row_number_by_timestamp_composite_key(ray_session):
+    import datetime as dt
+
+    base = dt.datetime(2022, 5, 1)
+    # duplicate timestamps across blocks; event id breaks the tie
+    items = [{"ts": base + dt.timedelta(seconds=s), "id": i}
+             for i, s in enumerate([3, 1, 1, 2, 3, 1])]
+    ds = ray.data.from_items(items).repartition(3)
+    out = ops.row_number_by(ds, ["ts", "id"]).take_all()
+    out.sort(key=lambda r: (r["ts"], r["id"]))
+    assert [r["rn"] for r in out] == [1, 2, 3, 4, 5, 6]
+    assert [r["id"] for r in out] == [1, 2, 5, 3, 0, 4]
