@@ -698,6 +698,77 @@ class HyperLogLog:
         return float(est)
 
 
+class CountMinSketch:
+    """Fixed-size Count–Min sketch (d hash rows × w counters, int64).
+
+    The frequency-estimation counterpart of :class:`HyperLogLog`, following
+    the same distributed shape: per-batch vectorized accumulate (bincount
+    into the d×w grid), O(blocks) fixed-size partial rows through the
+    exchange, elementwise-sum merge, driver-side point queries. Estimates
+    are one-sided: ``estimate(k) >= true count`` always, with overshoot
+    ~ N·e/w at failure probability e^-d. Hashing is the engine-standard
+    splitmix64 over per-row fixed seeds — deterministic, no RNG.
+    """
+
+    # fixed odd 64-bit row seeds (digits of pi / e — nothing up the sleeve)
+    _SEEDS = (0x243F6A8885A308D3, 0x13198A2E03707345,
+              0xA4093822299F31D1, 0x082EFA98EC4E6C89)
+
+    def __init__(self, d: int = 4, w: int = 4096):
+        import numpy as np
+
+        if d > len(self._SEEDS):
+            raise ValueError(f"d <= {len(self._SEEDS)} supported")
+        self.d, self.w = d, w
+        self.counts = np.zeros((d, w), dtype=np.int64)
+        self._np = np
+
+    def _idx(self, keys: "np.ndarray", j: int) -> "np.ndarray":  # noqa: F821
+        np = self._np
+        h = _splitmix64(keys.astype(np.uint64) ^ np.uint64(self._SEEDS[j]))
+        return (h % np.uint64(self.w)).astype(np.int64)
+
+    def add(self, keys: "np.ndarray") -> None:  # noqa: F821
+        np = self._np
+        for j in range(self.d):
+            self.counts[j] += np.bincount(self._idx(keys, j),
+                                          minlength=self.w)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.counts += other.counts
+        return self
+
+    def estimate(self, keys: "np.ndarray") -> "np.ndarray":  # noqa: F821
+        np = self._np
+        est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+        k = np.asarray(keys, dtype=np.int64)
+        for j in range(self.d):
+            np.minimum(est, self.counts[j][self._idx(k, j)], out=est)
+        return est
+
+
+def countmin_sketch(ds: Dataset, col: str, *, d: int = 4,
+                    w: int = 4096) -> CountMinSketch:
+    """Merged Count–Min sketch of an int64 column: each block emits ONE
+    flattened d×w partial row (fixed 32·d·w bytes regardless of block
+    size), the driver sums the O(blocks) partials. The column itself never
+    re-enters the exchange — the same bounded-driver-reduce contract as
+    the HLL register merge."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        cms = CountMinSketch(d=d, w=w)
+        cms.add(t[col].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"part": pa.array([cms.counts.ravel()],
+                                          pa.list_(pa.int64()))})
+
+    merged = CountMinSketch(d=d, w=w)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        merged.counts += np.asarray(row["part"],
+                                    dtype=np.int64).reshape(d, w)
+    return merged
+
+
 def heavy_hitters_topk(
     ds: Dataset,
     list_col_fn,

@@ -10614,6 +10614,171 @@ SELECT CAST(event_id AS BIGINT) AS event_id, CAST(rn AS BIGINT) AS rn
 FROM r WHERE (rn - 1) % {_SYS_SAMPLE_K} = 0"""
 
 
+def q_orders_pit_state(sf_dir: str):
+    """Point-in-time dimension join (the feature-store correctness rule):
+    each order looks up the SCD2 event-type state its customer was in AT
+    o_orderdate — never a later version (no label leakage), never an
+    earlier one once superseded. The SCD2 intervals tile each user's
+    timeline, so the PIT lookup IS a backward as-of join on valid_from:
+    one key shuffle, in-group searchsorted, no interval-containment scan.
+    Orders before the user's first event (or with no events at all) keep
+    a NULL state, mirroring the oracle's LEFT JOIN."""
+    ev = ops.read_table(sf_dir, "events",
+                        ["user_id", "ts", "event_id", "event_type"])
+
+    def scd2(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts))
+        ts_o, et_o = ts[order], et[order]
+        keep = np.concatenate(([True], et_o[1:] != et_o[:-1]))
+        return pa.table({
+            "user_id": pa.array(
+                [int(g["user_id"][0].as_py())] * int(keep.sum()), pa.int64()),
+            "state": pa.array(et_o[keep].tolist(), pa.string()),
+            "valid_from": pa.array(ts_o[keep].astype("datetime64[us]"),
+                                   pa.timestamp("us"))})
+
+    dim = ev.groupby("user_id").map_groups(scd2, batch_format="pyarrow")
+    orders = ops.read_table(sf_dir, "orders",
+                            ["o_orderkey", "o_custkey", "o_orderdate"])
+    out = ops.asof_join(orders, dim, left_key="o_custkey",
+                        right_key="user_id", left_ts="o_orderdate",
+                        right_ts="valid_from", right_cols=["state"],
+                        tie_col="state", direction="backward")
+    return out.map_batches(
+        lambda t: pa.table({"o_orderkey": pc.cast(t["o_orderkey"],
+                                                  pa.int64()),
+                            "state": t["state"]}),
+        batch_format="pyarrow")
+
+
+O_ORDERS_PIT_STATE = """
+WITH o AS (SELECT user_id, event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                  lag(event_type) OVER w AS prev_t
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+dim AS (SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+               lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                 AS valid_to_us
+        FROM o WHERE prev_t IS NULL OR event_type <> prev_t)
+SELECT CAST(ord.o_orderkey AS BIGINT) AS o_orderkey, dim.state
+FROM orders ord
+LEFT JOIN dim
+  ON dim.user_id = ord.o_custkey
+ AND dim.valid_from_us <= epoch_us(CAST(ord.o_orderdate AS TIMESTAMP))
+ AND (dim.valid_to_us IS NULL
+      OR epoch_us(CAST(ord.o_orderdate AS TIMESTAMP)) < dim.valid_to_us)"""
+
+
+def q_docs_readability(sf_dir: str):
+    """Per-source readability sufficient statistics — docs, sentence
+    terminator runs, alphabetic words, vowel-group "syllables" — the exact
+    int64 inputs to a Flesch-style score (computed downstream; no floats
+    cross the engine boundary). Fully Arrow-native:
+    pc.count_substring_regex on zero-copy batches (RE2 on both engines,
+    so non-overlapping match counts agree bit-for-bit with DuckDB's
+    regexp_extract_all), a per-batch combiner, then a source-cardinality
+    groupby sum."""
+    docs = ops.read_table(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        d = pa.table({
+            "source": t["source"],
+            "one": pa.array(np.ones(len(t), dtype=np.int64)),
+            "sent": pc.cast(pc.count_substring_regex(txt, r"[.!?]+"),
+                            pa.int64()),
+            "words": pc.cast(pc.count_substring_regex(txt, "[A-Za-z]+"),
+                             pa.int64()),
+            "syll": pc.cast(
+                pc.count_substring_regex(pc.utf8_lower(txt), "[aeiouy]+"),
+                pa.int64())})
+        g = d.group_by("source").aggregate(
+            [("one", "sum"), ("sent", "sum"), ("words", "sum"),
+             ("syll", "sum")])
+        return g.rename_columns(
+            ["source", "n_docs", "n_sentences", "n_words", "n_syllables"])
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_sentences", alias_name="n_sentences"),
+                       Sum("n_words", alias_name="n_words"),
+                       Sum("n_syllables", alias_name="n_syllables")))
+
+
+O_DOCS_READABILITY = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+         AS n_sentences,
+       CAST(sum(length(regexp_extract_all(text, '[A-Za-z]+'))) AS BIGINT)
+         AS n_words,
+       CAST(sum(length(regexp_extract_all(lower(text), '[aeiouy]+')))
+            AS BIGINT) AS n_syllables
+FROM documents GROUP BY source"""
+
+
+_CM_TOPK = 20
+
+
+def q_events_countmin_topk(sf_dir: str):
+    """Count–Min sketch calibration on a heavy-hitter workload: the top-20
+    users by EXACT event count (ties to the smaller user_id) next to the
+    frequency the merged CM sketch (d=4, w=4096) would answer — the
+    one-sided-overestimate audit row for a sketch-backed rate limiter.
+    Exact side: per-batch combiner + user-cardinality groupby, local-topk
+    combiner, O(blocks·k) driver reduce. Sketch side: ops.countmin_sketch
+    (one fixed 128 KiB partial per block). Returns an Arrow table."""
+    ev = ops.read_table(sf_dir, "events", ["user_id"])
+
+    def local(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "n"])
+
+    counts = (ev.map_batches(local, batch_format="pyarrow")
+              .groupby("user_id").aggregate(Sum("n", alias_name="n")))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                            ("user_id", "ascending")])
+        return t.take(idx[:_CM_TOPK])
+
+    cand = counts.map_batches(local_topk, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: (-r["n"], r["user_id"]))
+    top = cand[:_CM_TOPK]
+
+    cms = ops.countmin_sketch(ev, "user_id", d=4, w=4096)
+    uids = np.array([r["user_id"] for r in top], dtype=np.int64)
+    return pa.table({
+        "user_id": pa.array(uids, pa.int64()),
+        "n_exact": pa.array([int(r["n"]) for r in top], pa.int64()),
+        "n_est": pa.array(cms.estimate(uids), pa.int64())})
+
+
+def O_EVENTS_COUNTMIN_TOPK() -> str:
+    """Exact top-20 in SQL; the CM estimates recomputed with the same
+    deterministic splitmix64 row hashes on the driver (VALUES)."""
+    t = _read_parquet_cols(_SF001, "events", ["user_id"])
+    uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cms = ops.CountMinSketch(d=4, w=4096)
+    cms.add(uid)
+    vals, cnts = np.unique(uid, return_counts=True)
+    order = np.lexsort((vals, -cnts))[:_CM_TOPK]
+    est = cms.estimate(vals[order])
+    rows = [f"({int(u)}, {int(e)})" for u, e in zip(vals[order], est)]
+    return f"""WITH est(user_id, n_est) AS (VALUES {', '.join(rows)}),
+ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+       FROM events GROUP BY 1
+       ORDER BY n_exact DESC, user_id LIMIT {_CM_TOPK})
+SELECT ex.user_id, ex.n_exact, CAST(est.n_est AS BIGINT) AS n_est
+FROM ex JOIN est USING (user_id)"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -10721,7 +10886,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # docs_dup_containment part_xyz_classes kg_neighbor_jaccard
     # docs_minhash_recall kg_alias_diversity kg_yoy_neighbors
     # customer_repeat_cohorts embeddings_quant_recall events_hll_error
-    # orders_priority_markov events_systematic_sample)
+    # orders_priority_markov events_systematic_sample
+    # orders_pit_state docs_readability events_countmin_topk)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -10869,6 +11035,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_hll_error": q_events_hll_error,
     "orders_priority_markov": q_orders_priority_markov,
     "events_systematic_sample": q_events_systematic_sample,
+    "orders_pit_state": q_orders_pit_state,
+    "docs_readability": q_docs_readability,
+    "events_countmin_topk": q_events_countmin_topk,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -11172,4 +11341,7 @@ def oracles() -> dict[str, str]:
         "events_hll_error": O_EVENTS_HLL_ERROR(),
         "orders_priority_markov": O_ORDERS_PRIORITY_MARKOV,
         "events_systematic_sample": O_EVENTS_SYSTEMATIC_SAMPLE,
+        "orders_pit_state": O_ORDERS_PIT_STATE,
+        "docs_readability": O_DOCS_READABILITY,
+        "events_countmin_topk": O_EVENTS_COUNTMIN_TOPK(),
     }
