@@ -698,6 +698,71 @@ class HyperLogLog:
         return float(est)
 
 
+def ktruss(edges: Dataset, *, src: str = "u", dst: str = "v",
+           min_support: int = 2, max_rounds: int = 64,
+           edge_limit: int = 4096) -> Dataset | pa.Table:
+    """k-truss (k = min_support + 2) of an undirected simple graph by
+    iterative support peeling: drop every edge contained in fewer than
+    ``min_support`` triangles of the CURRENT subgraph, repeat to fixpoint.
+    Each round is one distributed degree-oriented wedge pass
+    (:func:`edge_common_neighbors`); the driver holds only per-round edge
+    counts, never the graph, and the round count is bounded by the peel
+    depth (≤ max support), so even a 10⁹-edge graph stays O(depth)
+    streaming passes. Input must be deduplicated ``src < dst`` pairs.
+
+    Two regimes (the engine's standard bounded-input split): once the
+    surviving edge set fits ``edge_limit`` the peel finishes driver-side
+    in one gather — peeling only shrinks the set, and the distributed
+    wedge path's internal joins hit the Ray 2.49 sparse-side limitation
+    (see :func:`hash_join`) on near-drained frontiers. Both regimes are
+    pure integer math, so their outputs are identical by construction
+    (property-tested). Returns surviving (u, v, support); a typed empty
+    Arrow table when the truss is empty (Ray drops schemas on all-empty
+    Datasets)."""
+    cur = edges.map_batches(
+        lambda t: pa.table({"u": t[src], "v": t[dst]}),
+        batch_format="pyarrow").materialize()
+    empty = pa.table({"u": pa.array([], pa.string()),
+                      "v": pa.array([], pa.string()),
+                      "support": pa.array([], pa.int64())})
+    for _ in range(max_rounds):
+        n_cur = cur.count()
+        if n_cur == 0:
+            return empty
+        if n_cur <= edge_limit:  # bounded-input driver regime
+            es = {(r["u"], r["v"]) for r in cur.take_all()}
+            sup: dict = {}
+            while True:
+                adj: dict = {}
+                for a, b in es:
+                    adj.setdefault(a, set()).add(b)
+                    adj.setdefault(b, set()).add(a)
+                sup = {e2: len(adj[e2[0]] & adj[e2[1]]) for e2 in es}
+                keep_s = {e2 for e2, s in sup.items() if s >= min_support}
+                if keep_s == es:
+                    break
+                es = keep_s
+            if not es:
+                return empty
+            pairs = sorted(es)
+            return pa.table({
+                "u": pa.array([p[0] for p in pairs], pa.string()),
+                "v": pa.array([p[1] for p in pairs], pa.string()),
+                "support": pa.array([sup[p] for p in pairs], pa.int64())})
+        supd = edge_common_neighbors(cur, src="u", dst="v").materialize()
+        keep = supd.filter(lambda r: r["common"] >= min_support).materialize()
+        if keep.count() == n_cur:
+            out = keep.map_batches(
+                lambda t: pa.table({"u": t["u"], "v": t["v"],
+                                    "support": pc.cast(t["common"],
+                                                       pa.int64())}),
+                batch_format="pyarrow").materialize()
+            return out if out.count() else empty
+        cur = keep.map_batches(lambda t: t.select(["u", "v"]),
+                               batch_format="pyarrow").materialize()
+    raise RuntimeError(f"k-truss did not converge in {max_rounds} rounds")
+
+
 class CountMinSketch:
     """Fixed-size Count–Min sketch (d hash rows × w counters, int64).
 

@@ -10779,6 +10779,208 @@ SELECT ex.user_id, ex.n_exact, CAST(est.n_est AS BIGINT) AS n_est
 FROM ex JOIN est USING (user_id)"""
 
 
+_TRUSS_SUPPORT = 2  # k-truss with k = support + 2 = 4
+
+
+def q_kg_ktruss(sf_dir: str):
+    """4-truss of the agency co-occurrence graph: iteratively peel edges
+    supported by fewer than 2 triangles until fixpoint — the
+    cohesive-subgraph extraction that separates genuinely entangled
+    agency communities from one-off co-citations. Each round is ONE
+    distributed wedge pass (ops.edge_common_neighbors — degree-oriented,
+    O(Σ out-deg²) with out-deg O(√m)); the driver holds only the loop
+    counter and per-round edge counts, never the graph. Peel rounds are
+    bounded by the max support, so the pass count stays small even at
+    scale. Output: surviving (u, v, support) at fixpoint."""
+    edges = kg.cooccurrence_edges(_mentions(sf_dir))
+    dedup = (edges.groupby(["src_qid", "dst_qid"])
+             .aggregate(Count(alias_name="_n"))
+             .map_batches(lambda t: pa.table({"u": t["src_qid"],
+                                              "v": t["dst_qid"]}),
+                          batch_format="pyarrow"))
+    return ops.ktruss(dedup, src="u", dst="v", min_support=_TRUSS_SUPPORT)
+
+
+def O_KG_KTRUSS() -> str:
+    """Pure recompute: DuckDB re-derives the co-occurrence edges (the
+    already-oracled SQL), then plain-Python peeling runs the identical
+    support-≥-2 fixpoint."""
+    import duckdb
+
+    df = duckdb.connect().execute(O_KG_COOCCURRENCE(_SF001)).fetchdf()
+    edges = {(u, v) for u, v in zip(df["src_qid"], df["dst_qid"])}
+    while True:
+        adj: dict[str, set] = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        sup = {(u, v): len(adj[u] & adj[v]) for u, v in edges}
+        keep = {e for e, s in sup.items() if s >= _TRUSS_SUPPORT}
+        if keep == edges:
+            break
+        edges = keep
+    rows = [f"({_sq(u)}, {_sq(v)}, {sup[(u, v)]})"
+            for u, v in sorted(edges)]
+    return _values_or_empty(
+        rows,
+        "SELECT u, v, CAST(support AS BIGINT) AS support",
+        "t(u, v, support)", "('', '', 0)")
+
+
+def q_embeddings_silhouette(sf_dir: str):
+    """Per-cluster simplified-silhouette audit of the k-means clustering:
+    a(i) = distance to own centroid, b(i) = distance to the nearest OTHER
+    centroid, sil = (b-a)/max(a,b) — the cluster-cohesion score a
+    curation run uses to decide whether semantic buckets are real.
+    Per-point silhouettes quantize to int64 nanounits BEFORE the
+    per-cluster sum, so the exchange carries order-independent integers
+    (k bounded partial rows per block) and the pure-recompute oracle is
+    bit-exact. Output: (cluster, n, sil_sum_nano)."""
+    emb = ops.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    c = sim.kmeans_fit(emb, k=_KMEANS_K, iters=_KMEANS_ITERS,
+                       round_decimals=_KMEANS_RD)
+    cref = ray.put(c)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        q = _silhouette_nano(m, cc)
+        a = (-2.0 * (m @ cc.T) + (cc * cc).sum(axis=1)).argmin(axis=1)
+        d = pa.table({"cluster": pa.array(a, pa.int64()),
+                      "one": pa.array(np.ones(len(t), dtype=np.int64)),
+                      "q": pa.array(q, pa.int64())})
+        g = d.group_by("cluster").aggregate([("one", "sum"), ("q", "sum")])
+        return g.rename_columns(["cluster", "n", "sil_sum_nano"])
+
+    return (emb.map_batches(partial, batch_format="pyarrow")
+            .groupby("cluster")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sil_sum_nano", alias_name="sil_sum_nano")))
+
+
+def _silhouette_nano(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Shared per-point simplified-silhouette kernel (query + oracle run
+    this exact function, so float op order is identical): Euclidean
+    distances to all centroids, (b-a)/max(a,b), quantized half-away-from-
+    zero to 1e-9 units."""
+    d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) \
+        + (c * c).sum(axis=1)[None, :]
+    d = np.sqrt(np.maximum(d2, 0.0))
+    a_idx = (-2.0 * (m @ c.T) + (c * c).sum(axis=1)).argmin(axis=1)
+    rows = np.arange(len(m))
+    a = d[rows, a_idx]
+    dm = d.copy()
+    dm[rows, a_idx] = np.inf
+    b = dm.min(axis=1)
+    denom = np.maximum(a, b)
+    sil = np.where(denom > 0, (b - a) / np.where(denom > 0, denom, 1.0), 0.0)
+    x = sil * 1e9
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
+def O_EMBEDDINGS_SILHOUETTE() -> str:
+    t = _read_parquet_cols(_SF001, "embeddings", ["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    m = m[order]
+    ids_s = ids[order]
+    k, rd = _KMEANS_K, _KMEANS_RD
+    c = np.round(m[np.isin(ids_s, np.arange(k))], rd)
+
+    def assign(mm, cc):
+        return (-2.0 * (mm @ cc.T) + (cc * cc).sum(axis=1)).argmin(axis=1)
+
+    for _ in range(_KMEANS_ITERS):
+        a = assign(m, c)
+        sums = np.zeros_like(c)
+        np.add.at(sums, a, m)
+        counts = np.bincount(a, minlength=k)
+        ne = counts > 0
+        c = c.copy()
+        c[ne] = np.round(sums[ne] / counts[ne, None], rd)
+    q = _silhouette_nano(m, c)
+    a = assign(m, c)
+    rows = []
+    for cl in np.unique(a):
+        sel = a == cl
+        rows.append(f"({int(cl)}, {int(sel.sum())}, {int(q[sel].sum())})")
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(cluster AS BIGINT) AS cluster, CAST(n AS BIGINT) AS n,"
+        " CAST(sil_sum_nano AS BIGINT) AS sil_sum_nano",
+        "t(cluster, n, sil_sum_nano)", "(0, 0, 0)")
+
+
+_ZIPF_TOPN = 30
+
+
+def q_docs_zipf_mass(sf_dir: str):
+    """Per-source Zipf-shape sufficient statistics for tokenizer/corpus
+    planning: total tokens, distinct tokens, the head token's count, and
+    the rank-weighted mass Σ count·rank over the top-30 ranked tokens
+    (rank by count desc, token asc) — all exact int64, so a downstream
+    Zipf-slope fit never crosses the engine boundary as a float. Shape:
+    per-batch (source, token) combiner → one token-cardinality groupby →
+    per-source map_groups computing the ranked head vectorized."""
+    docs = ops.read_table(sf_dir, "documents", ["source", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"], pattern=r"\s+")
+        n = pc.list_value_length(toks)
+        src = t["source"].take(
+            pa.array(np.repeat(np.arange(len(t)),
+                               n.to_numpy(zero_copy_only=False))))
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        d = pa.table({"source": src.filter(keep), "token": flat.filter(keep)})
+        g = d.group_by(["source", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "token", "n"])
+
+    counts = (docs.map_batches(explode, batch_format="pyarrow")
+              .groupby(["source", "token"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def per_source(g: pa.Table) -> pa.Table:
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = np.asarray(g["token"].to_pylist(), dtype=object)
+        order = np.lexsort((tok, -n))
+        top = n[order][:_ZIPF_TOPN]
+        ranks = np.arange(1, len(top) + 1, dtype=np.int64)
+        return pa.table({
+            "source": pa.array([g["source"][0].as_py()], pa.string()),
+            "total_tokens": pa.array([int(n.sum())], pa.int64()),
+            "distinct_tokens": pa.array([len(n)], pa.int64()),
+            "head_count": pa.array([int(top[0]) if len(top) else 0],
+                                   pa.int64()),
+            "rank_mass": pa.array([int((top * ranks).sum())], pa.int64())})
+
+    return counts.groupby("source").map_groups(per_source,
+                                               batch_format="pyarrow")
+
+
+O_DOCS_ZIPF_MASS = r"""
+WITH tc AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS n
+  FROM documents, unnest(regexp_split_to_array(text, '\s+')) AS u(token)
+  WHERE token <> ''
+  GROUP BY source, token),
+r AS (
+  SELECT source, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, token) AS rk
+  FROM tc)
+SELECT tc.source,
+       CAST(sum(tc.n) AS BIGINT) AS total_tokens,
+       CAST(count(*) AS BIGINT) AS distinct_tokens,
+       (SELECT CAST(coalesce(max(n), 0) AS BIGINT) FROM r
+        WHERE r.source = tc.source AND r.rk = 1) AS head_count,
+       (SELECT CAST(coalesce(sum(n * rk), 0) AS BIGINT) FROM r
+        WHERE r.source = tc.source AND r.rk <= """ + str(_ZIPF_TOPN) + """)
+         AS rank_mass
+FROM tc GROUP BY tc.source"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -10887,7 +11089,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # docs_minhash_recall kg_alias_diversity kg_yoy_neighbors
     # customer_repeat_cohorts embeddings_quant_recall events_hll_error
     # orders_priority_markov events_systematic_sample
-    # orders_pit_state docs_readability events_countmin_topk)
+    # orders_pit_state docs_readability events_countmin_topk
+    # kg_ktruss embeddings_silhouette docs_zipf_mass)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -11038,6 +11241,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_pit_state": q_orders_pit_state,
     "docs_readability": q_docs_readability,
     "events_countmin_topk": q_events_countmin_topk,
+    "kg_ktruss": q_kg_ktruss,
+    "embeddings_silhouette": q_embeddings_silhouette,
+    "docs_zipf_mass": q_docs_zipf_mass,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -11344,4 +11550,7 @@ def oracles() -> dict[str, str]:
         "orders_pit_state": O_ORDERS_PIT_STATE,
         "docs_readability": O_DOCS_READABILITY,
         "events_countmin_topk": O_EVENTS_COUNTMIN_TOPK(),
+        "kg_ktruss": O_KG_KTRUSS(),
+        "embeddings_silhouette": O_EMBEDDINGS_SILHOUETTE(),
+        "docs_zipf_mass": O_DOCS_ZIPF_MASS,
     }
