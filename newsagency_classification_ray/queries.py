@@ -10981,6 +10981,208 @@ SELECT tc.source,
 FROM tc GROUP BY tc.source"""
 
 
+_CLOSENESS_SEEDS = ["Q130879", "Q2826560", "Q40464", "Q552226"]
+# Reuters, Havas, AFP, Wolff — the four historical wire-service hubs
+
+
+def q_kg_seed_closeness(sf_dir: str):
+    """Landmark-closeness audit: per node, hop distances to a PINNED seed
+    set (the four hub agencies) — (n_seeds reached, sum of hops, max
+    hops), all exact int64. Landmark BFS is the standard scale trick for
+    closeness centrality (S bounded traversals instead of all-pairs);
+    with a pinned-small S the engine runs S hop-BFS passes (ops.sssp,
+    cost=1) over the ONCE-materialized symmetric edge table; a tagged
+    single-traversal frontier is the shape to switch to if S grows.
+    Nodes unreachable from every seed are absent (sssp's reached-only
+    contract)."""
+    edges = kg.cooccurrence_edges(_mentions(sf_dir))
+    agg = edges.groupby(["src_qid", "dst_qid"]).aggregate(
+        Count(alias_name="_n"))
+    fwd = agg.map_batches(
+        lambda t: pa.table({"src": t["src_qid"], "dst": t["dst_qid"],
+                            "cost": pa.array(np.ones(len(t), np.int64))}),
+        batch_format="pyarrow")
+    rev = fwd.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"],
+                            "cost": t["cost"]}),
+        batch_format="pyarrow")
+    sym = fwd.union(rev).materialize()
+    per_seed = []
+    for s in _CLOSENESS_SEEDS:
+        d = ops.sssp(sym, [s], cost="cost")
+        per_seed.append(d.map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "hops": pc.cast(t["dist"], pa.int64())}),
+            batch_format="pyarrow"))
+    u = per_seed[0]
+    for d in per_seed[1:]:
+        u = u.union(d)
+    return (u.groupby("node")
+            .aggregate(Count(alias_name="n_seeds"),
+                       Sum("hops", alias_name="sum_hops"),
+                       Max("hops", alias_name="max_hops")))
+
+
+def O_KG_SEED_CLOSENESS() -> str:
+    """Pure recompute: DuckDB re-derives the co-occurrence edges, Python
+    runs the identical per-seed BFS and per-node integer rollup."""
+    import duckdb
+    from collections import deque
+
+    df = duckdb.connect().execute(O_KG_COOCCURRENCE(_SF001)).fetchdf()
+    adj: dict = {}
+    for a, b in zip(df["src_qid"], df["dst_qid"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    acc: dict = {}
+    for s in _CLOSENESS_SEEDS:
+        if s not in adj:
+            continue
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        for node, h in dist.items():
+            n, sm, mx = acc.get(node, (0, 0, 0))
+            acc[node] = (n + 1, sm + h, max(mx, h))
+    rows = [f"({_sq(node)}, {n}, {sm}, {mx})"
+            for node, (n, sm, mx) in sorted(acc.items())]
+    return _values_or_empty(
+        rows,
+        "SELECT node, CAST(n_seeds AS BIGINT) AS n_seeds,"
+        " CAST(sum_hops AS BIGINT) AS sum_hops,"
+        " CAST(max_hops AS BIGINT) AS max_hops",
+        "t(node, n_seeds, sum_hops, max_hops)", "('', 0, 0, 0)")
+
+
+_KM_CENSOR_DAYS = 30
+_US_PER_DAY = 86_400_000_000
+
+
+def q_customer_kaplan_meier(sf_dir: str):
+    """Kaplan–Meier survival sufficient statistics for customer lifetime:
+    duration = days between a customer's first and last order; a customer
+    is CENSORED when their last order falls within 30 days of the corpus
+    end (still-active, lifetime unobserved). Per distinct duration t:
+    at_risk (customers with T >= t), events (uncensored with T == t),
+    censored — the exact integer inputs to the KM estimator, no floats
+    cross the engine. Shape: per-customer rollup (one key groupby with
+    per-batch combiner) → a duration-cardinality groupby (bounded by the
+    corpus day-span) → driver suffix-sum for at_risk over that bounded
+    table. Order dates are midnight-aligned timestamps, so integer
+    us-per-day division equals calendar day diffs."""
+    o = ops.read_table(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate(
+            [("o_orderdate", "min"), ("o_orderdate", "max")])
+        return g.rename_columns(["o_custkey", "f", "l"])
+
+    per = (o.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_custkey")
+           .aggregate(Min("f", alias_name="f"), Max("l", alias_name="l"))
+           ).materialize()
+    gmax = per.max("l")
+    gmax_us = int(np.datetime64(gmax, "us").astype(np.int64))
+
+    def durations(t: pa.Table) -> pa.Table:
+        f = t["f"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        last = t["l"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        t_days = (last - f) // _US_PER_DAY
+        cen = ((gmax_us - last) // _US_PER_DAY) < _KM_CENSOR_DAYS
+        d = pa.table({"t_days": pa.array(t_days, pa.int64()),
+                      "ev": pa.array((~cen).astype(np.int64)),
+                      "ce": pa.array(cen.astype(np.int64))})
+        g = d.group_by("t_days").aggregate([("ev", "sum"), ("ce", "sum")])
+        return g.rename_columns(["t_days", "n_events", "n_censored"])
+
+    per_t = (per.map_batches(durations, batch_format="pyarrow")
+             .groupby("t_days")
+             .aggregate(Sum("n_events", alias_name="n_events"),
+                        Sum("n_censored", alias_name="n_censored"))
+             ).take_all()  # bounded: one row per distinct duration day
+    per_t.sort(key=lambda r: -r["t_days"])
+    at_risk, out = 0, []
+    for r in per_t:
+        at_risk += r["n_events"] + r["n_censored"]
+        out.append((r["t_days"], at_risk, r["n_events"], r["n_censored"]))
+    out.sort()
+    return pa.table({
+        "t_days": pa.array([x[0] for x in out], pa.int64()),
+        "at_risk": pa.array([x[1] for x in out], pa.int64()),
+        "n_events": pa.array([x[2] for x in out], pa.int64()),
+        "n_censored": pa.array([x[3] for x in out], pa.int64())})
+
+
+O_CUSTOMER_KAPLAN_MEIER = f"""
+WITH per AS (SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+             FROM orders GROUP BY 1),
+mx AS (SELECT max(o_orderdate) AS m FROM orders),
+d AS (SELECT date_diff('day', f, l) AS t_days,
+             CASE WHEN date_diff('day', l, m) < {_KM_CENSOR_DAYS}
+                  THEN 1 ELSE 0 END AS cen
+      FROM per, mx),
+g AS (SELECT t_days, sum(1 - cen) AS ev, sum(cen) AS ce
+      FROM d GROUP BY 1)
+SELECT CAST(t_days AS BIGINT) AS t_days,
+       CAST(sum(ev + ce) OVER (ORDER BY t_days DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS at_risk,
+       CAST(ev AS BIGINT) AS n_events,
+       CAST(ce AS BIGINT) AS n_censored
+FROM g"""
+
+
+def q_part_supplier_hhi(sf_dir: str):
+    """Supply-concentration (Herfindahl) sufficient statistics per part:
+    number of suppliers, total shipped quantity, and Σ per-supplier
+    quantity² — HHI = sum_sq/total² downstream, kept as exact int64 here
+    (l_quantity is integral in this corpus). The vendor-risk audit over
+    the fact table: per-batch (part, supp) combiner → one
+    (part, supp)-cardinality groupby → a part-cardinality rollup."""
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pa.table({"p": pc.cast(t["l_partkey"], pa.int64()),
+                      "s": pc.cast(t["l_suppkey"], pa.int64()),
+                      "q": pc.cast(t["l_quantity"], pa.int64())})
+        g = d.group_by(["p", "s"]).aggregate([("q", "sum")])
+        return g.rename_columns(["p", "s", "q"])
+
+    per_ps = (li.map_batches(partial, batch_format="pyarrow")
+              .groupby(["p", "s"]).aggregate(Sum("q", alias_name="q")))
+
+    def sq(t: pa.Table) -> pa.Table:
+        q = pc.cast(t["q"], pa.int64())
+        return pa.table({"part_key": t["p"], "q": q,
+                         "qq": pc.multiply(q, q),
+                         "one": pa.array(np.ones(len(t), np.int64))})
+
+    return (per_ps.map_batches(sq, batch_format="pyarrow")
+            .groupby("part_key")
+            .aggregate(Sum("one", alias_name="n_suppliers"),
+                       Sum("q", alias_name="total_qty"),
+                       Sum("qq", alias_name="sum_sq_qty")))
+
+
+O_PART_SUPPLIER_HHI = """
+WITH ps AS (SELECT l_partkey AS part_key, l_suppkey,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+            FROM lineitem GROUP BY 1, 2)
+SELECT CAST(part_key AS BIGINT) AS part_key,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(q) AS BIGINT) AS total_qty,
+       CAST(sum(q * q) AS BIGINT) AS sum_sq_qty
+FROM ps GROUP BY 1"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -11090,7 +11292,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # customer_repeat_cohorts embeddings_quant_recall events_hll_error
     # orders_priority_markov events_systematic_sample
     # orders_pit_state docs_readability events_countmin_topk
-    # kg_ktruss embeddings_silhouette docs_zipf_mass)
+    # kg_ktruss embeddings_silhouette docs_zipf_mass
+    # kg_seed_closeness customer_kaplan_meier part_supplier_hhi)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -11244,6 +11447,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_ktruss": q_kg_ktruss,
     "embeddings_silhouette": q_embeddings_silhouette,
     "docs_zipf_mass": q_docs_zipf_mass,
+    "kg_seed_closeness": q_kg_seed_closeness,
+    "customer_kaplan_meier": q_customer_kaplan_meier,
+    "part_supplier_hhi": q_part_supplier_hhi,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -11553,4 +11759,7 @@ def oracles() -> dict[str, str]:
         "kg_ktruss": O_KG_KTRUSS(),
         "embeddings_silhouette": O_EMBEDDINGS_SILHOUETTE(),
         "docs_zipf_mass": O_DOCS_ZIPF_MASS,
+        "kg_seed_closeness": O_KG_SEED_CLOSENESS(),
+        "customer_kaplan_meier": O_CUSTOMER_KAPLAN_MEIER,
+        "part_supplier_hhi": O_PART_SUPPLIER_HHI,
     }
