@@ -811,6 +811,18 @@ class CountMinSketch:
             np.minimum(est, self.counts[j][self._idx(k, j)], out=est)
         return est
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """One-sided join-size estimate (AGMS/CM inner product): for key
+        frequency vectors f, g the true equi-join size is Σ_k f(k)·g(k),
+        and min_j Σ_w counts_j[w]·other_j[w] ≥ that sum always (each row's
+        dot product adds only non-negative collision cross-terms). Both
+        sketches must share (d, w) and the seed table."""
+        np = self._np
+        if (self.d, self.w) != (other.d, other.w):
+            raise ValueError("inner_product requires identical (d, w)")
+        dots = (self.counts.astype(np.object_) * other.counts).sum(axis=1)
+        return int(min(dots))
+
 
 def countmin_sketch(ds: Dataset, col: str, *, d: int = 4,
                     w: int = 4096) -> CountMinSketch:
@@ -3829,3 +3841,254 @@ def jw_pairs(
         })
 
     return ds.groupby(block_col).map_groups(fn, batch_format="pyarrow")
+
+
+def late_arrival_stats(
+    ds: Dataset,
+    order_col: str,
+    ts_col: str,
+    group_col: str,
+) -> Dataset:
+    """Running-max late-arrival accounting: order the stream by the unique
+    arrival key ``order_col`` (commit/sequence order), track the running
+    maximum of the event-time column ``ts_col`` over everything that
+    arrived EARLIER, and call a row late when its event time is below that
+    watermark — the out-of-orderness audit every event-time windowing
+    stage needs before choosing its allowed lateness.
+
+    Distributed shape (the engine's standard two-pass prefix pattern, same
+    contract as :func:`row_number_by`): one range-shuffle sort on the
+    arrival key, an O(blocks) driver reduce of per-block (first key,
+    max event-time) stats to compute each block's carry-in watermark,
+    then one vectorized per-block pass (``np.maximum.accumulate`` shifted
+    by one, seeded with the carry) that emits per-group PARTIAL counters —
+    only ``groups × blocks`` rows reach the final groupby, never the
+    stream. Arrival keys must be globally unique (the same SQL tie-break
+    contract as ``row_number``); duplicates raise.
+
+    Output per group: ``n_events``, ``n_late``, ``max_late_us``,
+    ``sum_late_us`` (microsecond lateness vs the watermark, 0 when none).
+    """
+    s = ds.sort(order_col).materialize()
+    i64min = np.iinfo(np.int64).min
+
+    def block_stat(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"_k": pa.array([], pa.int64()),
+                             "_mx": pa.array([], pa.int64())})
+        mx = pc.max(pc.cast(t[ts_col], pa.int64())).as_py()
+        return pa.table({"_k": t[order_col].slice(0, 1),
+                         "_mx": pa.array([mx], pa.int64())})
+
+    stats = s.map_batches(block_stat, batch_size=None,
+                          batch_format="pyarrow").take_all()  # O(blocks)
+    stats.sort(key=lambda r: r["_k"])
+    carries: dict[int, int] = {}
+    run = i64min
+    for r in stats:
+        if r["_k"] in carries:
+            raise ValueError(
+                "late_arrival_stats requires globally unique arrival keys; "
+                f"two blocks both start at {r['_k']!r}")
+        carries[r["_k"]] = run
+        run = max(run, r["_mx"])
+    ref = ray.put(carries)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_late": pa.array([], pa.int64()),
+                             "max_late_us": pa.array([], pa.int64()),
+                             "sum_late_us": pa.array([], pa.int64())})
+        keys = t[order_col].to_numpy(zero_copy_only=False)
+        if len(keys) > 1 and (keys[1:] == keys[:-1]).any():
+            raise ValueError(
+                "late_arrival_stats requires globally unique arrival keys; "
+                "found duplicates within a block")
+        carry = ray.get(ref)[int(keys[0])]
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        before = np.empty(len(ts), dtype=np.int64)
+        before[0] = carry
+        np.maximum.accumulate(ts[:-1], out=before[1:])
+        np.maximum(before[1:], carry, out=before[1:])
+        late = ts < before
+        lateness = np.where(late, before - ts, 0)
+        d = pa.table({group_col: t[group_col],
+                      "_one": pa.array(np.ones(len(ts), np.int64)),
+                      "_late": pa.array(late.astype(np.int64)),
+                      "_lat": pa.array(lateness, pa.int64())})
+        g = d.group_by(group_col).aggregate(
+            [("_one", "sum"), ("_late", "sum"), ("_lat", "max"),
+             ("_lat", "sum")])
+        return g.rename_columns([group_col, "n_events", "n_late",
+                                 "max_late_us", "sum_late_us"])
+
+    from ray.data.aggregate import Max, Sum
+
+    out = (s.map_batches(partial, batch_size=None, batch_format="pyarrow")
+           .groupby(group_col)
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("n_late", alias_name="n_late"),
+                      Max("max_late_us", alias_name="max_late_us"),
+                      Sum("sum_late_us", alias_name="sum_late_us")))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({group_col: t[group_col],
+                         "n_events": pc.cast(t["n_events"], pa.int64()),
+                         "n_late": pc.cast(t["n_late"], pa.int64()),
+                         "max_late_us": pc.cast(t["max_late_us"], pa.int64()),
+                         "sum_late_us": pc.cast(t["sum_late_us"], pa.int64())})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def mis_priority(node: str) -> str:
+    """Deterministic total-order MIS priority for a string node id: 16 hex
+    digits of md5 (uniform, so the parallel rounds converge in O(log n)
+    expected like Luby's algorithm with random priorities) with the node
+    id appended as the uniqueness tie-break. Shared verbatim by both
+    regimes and the pure-Python oracle recompute."""
+    import hashlib
+
+    return hashlib.md5(node.encode("utf-8")).hexdigest()[:16] + "|" + node
+
+
+def _mis_greedy(edges: set[tuple[str, str]]) -> list[str]:
+    """Pure-Python parallel-greedy MIS (the driver regime and the oracle's
+    recompute): with UNIQUE priorities, round-synchronous 'join if you
+    beat every undecided neighbor' computes exactly the sequential greedy
+    MIS in priority order — the classic Luby equivalence."""
+    adj: dict[str, set[str]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    prio = {n: mis_priority(n) for n in adj}
+    und = set(adj)
+    mis: list[str] = []
+    while und:
+        winners = {n for n in und
+                   if all(prio[n] < prio[m] for m in adj[n] if m in und)}
+        mis.extend(winners)
+        losers = {m for n in winners for m in adj[n]}
+        und -= winners | losers
+    return sorted(mis)
+
+
+def maximal_independent_set(
+    edges: Dataset,
+    *,
+    src: str = "u",
+    dst: str = "v",
+    edge_limit: int = 100_000,
+    max_rounds: int = 64,
+) -> Dataset | pa.Table:
+    """Deterministic maximal independent set of an undirected simple graph
+    — the canonical conflict-free scheduling / seed-selection primitive
+    (e.g. pick a set of near-duplicate cluster representatives no two of
+    which conflict). Luby-style round-synchronous greedy under the fixed
+    hash priority :func:`mis_priority`: each round, every undecided node
+    whose priority beats all undecided neighbors joins the MIS and its
+    neighbors drop out; unique priorities make the result identical to
+    the sequential greedy in priority order, so the output is a pure
+    function of the edge set (no RNG, no round-count dependence).
+
+    Two regimes (the engine's standard bounded-input split): at or below
+    ``edge_limit`` edges the fixpoint runs driver-side in one gather
+    (:func:`_mis_greedy`); above it, each round is distributed — two
+    :func:`hash_join_sized` probes attach undecided-status+priority to
+    both edge endpoints, one groupby-min finds each node's best undecided
+    neighbor, a left join picks winners, and winners' neighborhoods are
+    anti-joined out. Per round the exchange moves only the shrinking
+    undecided subgraph; expected O(log n) rounds (uniform md5
+    priorities). Both regimes are exact string comparisons, so outputs
+    are identical by construction (property-tested). Returns a sorted
+    one-column ``node`` table/Dataset; typed empty when the graph is.
+    """
+    from ray.data.aggregate import Min
+
+    e = edges.map_batches(
+        lambda t: pa.table({"a": t[src], "b": t[dst]}),
+        batch_format="pyarrow").materialize()
+    empty = pa.table({"node": pa.array([], pa.string())})
+    n_e = e.count()
+    if n_e == 0:
+        return empty
+    if n_e <= edge_limit:
+        rows = e.take_all()
+        mis = _mis_greedy({(r["a"], r["b"]) for r in rows})
+        return pa.table({"node": pa.array(mis, pa.string())})
+
+    # distributed regime: symmetric edge list + undecided-status dataset
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pa.concat_arrays([t["a"].combine_chunks(),
+                                   t["b"].combine_chunks()]),
+            "b": pa.concat_arrays([t["b"].combine_chunks(),
+                                   t["a"].combine_chunks()])})
+
+    cur = e.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def node_prio(t: pa.Table) -> pa.Table:
+        nodes = t["a"].to_pylist()
+        return pa.table({"node": t["a"],
+                         "prio": pa.array([mis_priority(n) for n in nodes],
+                                          pa.string())})
+
+    from ray.data.aggregate import Count
+
+    und = (cur.groupby("a").aggregate(Count(alias_name="_c"))
+           .map_batches(lambda t: t.select(["a"]), batch_format="pyarrow")
+           .map_batches(node_prio, batch_format="pyarrow").materialize())
+    mis_parts: list[Dataset] = []
+    for _ in range(max_rounds):
+        if und.count() == 0:
+            if not mis_parts:
+                return empty
+            out = mis_parts[0]
+            for p in mis_parts[1:]:
+                out = out.union(p)
+            return out.sort("node")
+        # attach undecided priorities to both endpoints (inner joins drop
+        # edges touching decided nodes — the undecided subgraph)
+        ea = hash_join_sized(
+            cur, und.map_batches(
+                lambda t: t.rename_columns(["a", "prio_a"]),
+                batch_format="pyarrow"),
+            on=("a",)).materialize()
+        euu = hash_join_sized(
+            ea, und.map_batches(
+                lambda t: t.rename_columns(["b", "prio_b"]),
+                batch_format="pyarrow"),
+            on=("b",)).materialize()
+        # the undecided subgraph is all any later round can need — shrink
+        cur = euu.map_batches(lambda t: t.select(["a", "b"]),
+                              batch_format="pyarrow").materialize()
+        # a node wins iff NO undecided neighbor outranks it: anti-join the
+        # 'beaten' endpoint set (only inner/semi/anti joins in the loop —
+        # they have the tiny-frontier broadcast fallback; left_outer does
+        # not and dies on Ray 2.49's sparse-partition finalize)
+        beaten = euu.map_batches(
+            lambda t: pa.table(
+                {"node": t.filter(pc.less(t["prio_b"], t["prio_a"]))["a"]}),
+            batch_format="pyarrow").materialize()
+        winners = hash_join_sized(
+            und, beaten, on=("node",), how="left_anti").map_batches(
+            lambda t: pa.table({"node": t["node"]}),
+            batch_format="pyarrow").materialize()
+        if winners.count():
+            mis_parts.append(winners)
+        # losers: undecided neighbors of winners; then shrink the frontier
+        losers = hash_join_sized(
+            euu.map_batches(lambda t: pa.table({"a": t["a"], "node": t["b"]}),
+                            batch_format="pyarrow"),
+            winners.map_batches(lambda t: t.rename_columns(["a"]),
+                                batch_format="pyarrow"),
+            on=("a",), how="left_semi").map_batches(
+            lambda t: pa.table({"node": t["node"]}), batch_format="pyarrow")
+        decided = winners.union(losers).groupby("node").aggregate(
+            Count(alias_name="_c")).map_batches(
+            lambda t: t.select(["node"]), batch_format="pyarrow")
+        und = hash_join_sized(
+            und, decided, on=("node",), how="left_anti").materialize()
+    raise RuntimeError(f"MIS did not converge in {max_rounds} rounds")

@@ -11183,6 +11183,140 @@ SELECT CAST(part_key AS BIGINT) AS part_key,
 FROM ps GROUP BY 1"""
 
 
+def q_events_late_arrivals(sf_dir: str):
+    """Out-of-orderness audit of the event stream: order by the unique
+    arrival key (event_id — the commit sequence), track the running max of
+    the event timestamp, and summarize per event type how many rows
+    arrived with an event time BELOW that watermark plus their max/total
+    microsecond lateness — the number every event-time windowing stage
+    needs before choosing its allowed-lateness bound. Distributed
+    two-pass prefix-max (ops.late_arrival_stats): O(blocks) driver
+    carries, vectorized per-block cummax, per-group partials only through
+    the final groupby."""
+    ev = ops.read_table(sf_dir, "events", ["event_id", "ts", "event_type"])
+    return ops.late_arrival_stats(ev, "event_id", "ts", "event_type")
+
+
+O_EVENTS_LATE_ARRIVALS = """
+WITH w AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(coalesce(sum(CASE WHEN ts < mx THEN 1 END), 0) AS BIGINT)
+         AS n_late,
+       CAST(coalesce(max(CASE WHEN ts < mx
+              THEN date_diff('microsecond', ts, mx) END), 0) AS BIGINT)
+         AS max_late_us,
+       CAST(coalesce(sum(CASE WHEN ts < mx
+              THEN date_diff('microsecond', ts, mx) END), 0) AS BIGINT)
+         AS sum_late_us
+FROM w GROUP BY event_type"""
+
+
+def q_events_cm_join_size(sf_dir: str):
+    """Count–Min join-size estimation (the optimizer's pre-shuffle
+    cardinality probe): the exact equi-join sizes Σ_u f(u)·g(u) for the
+    user_id self-join (F2 / second frequency moment) and for joining the
+    full stream against its purchase sub-stream, next to the one-sided CM
+    inner-product estimates from two merged d=4 × w=4096 sketches. Exact
+    side: per-batch per-user combiners → one user-cardinality groupby →
+    O(blocks) partial-product reduce. Sketch side: ops.countmin_sketch
+    (one fixed 128 KiB partial per block per side) + the row-wise
+    inner-product minimum — the stream never re-enters the exchange."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "event_type"])
+
+    def local(t: pa.Table) -> pa.Table:
+        d = pa.table({
+            "u": t["user_id"],
+            "one": pa.array(np.ones(len(t), np.int64)),
+            "pur": pc.cast(pc.equal(t["event_type"], "purchase"),
+                           pa.int64())})
+        g = d.group_by("u").aggregate([("one", "sum"), ("pur", "sum")])
+        return g.rename_columns(["u", "n_all", "n_pur"])
+
+    counts = (ev.map_batches(local, batch_format="pyarrow")
+              .groupby("u").aggregate(Sum("n_all", alias_name="n_all"),
+                                      Sum("n_pur", alias_name="n_pur")))
+
+    def prod_partial(t: pa.Table) -> pa.Table:
+        na = pc.cast(t["n_all"], pa.int64()).to_numpy(zero_copy_only=False)
+        np_ = pc.cast(t["n_pur"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "self_": pa.array([int((na * na).sum())], pa.int64()),
+            "join_": pa.array([int((na * np_).sum())], pa.int64())})
+
+    parts = counts.map_batches(prod_partial,
+                               batch_format="pyarrow").take_all()
+    exact_self = sum(r["self_"] for r in parts)
+    exact_join = sum(r["join_"] for r in parts)
+
+    cms_all = ops.countmin_sketch(ev, "user_id")
+    pur = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+        batch_format="pyarrow")
+    cms_pur = ops.countmin_sketch(pur, "user_id")
+    return pa.table({
+        "exact_self": pa.array([exact_self], pa.int64()),
+        "est_self": pa.array([cms_all.inner_product(cms_all)], pa.int64()),
+        "exact_join": pa.array([exact_join], pa.int64()),
+        "est_join": pa.array([cms_all.inner_product(cms_pur)], pa.int64())})
+
+
+def O_EVENTS_CM_JOIN_SIZE() -> str:
+    """Exact join sizes in SQL; the CM inner-product estimates recomputed
+    driver-side with the identical sketch class (VALUES)."""
+    t = _read_parquet_cols(_SF001, "events", ["user_id", "event_type"])
+    uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_pur = pc.equal(t["event_type"], "purchase").to_numpy(
+        zero_copy_only=False)
+    a = ops.CountMinSketch(d=4, w=4096)
+    a.add(uid)
+    b = ops.CountMinSketch(d=4, w=4096)
+    b.add(uid[is_pur])
+    return f"""WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pur
+  FROM events GROUP BY 1)
+SELECT CAST(sum(n_all * n_all) AS BIGINT) AS exact_self,
+       CAST({a.inner_product(a)} AS BIGINT) AS est_self,
+       CAST(sum(n_all * n_pur) AS BIGINT) AS exact_join,
+       CAST({a.inner_product(b)} AS BIGINT) AS est_join
+FROM c"""
+
+
+def q_kg_mis(sf_dir: str):
+    """Maximal independent set of the agency co-occurrence graph under the
+    engine's fixed md5 priority — the conflict-free representative
+    selection (no two chosen agencies ever co-cited in the same
+    host-year): Luby-style round-synchronous greedy, two regimes
+    (driver fixpoint below ops.maximal_independent_set's edge_limit,
+    distributed join+groupby rounds above), identical output by
+    construction."""
+    edges = kg.cooccurrence_edges(_mentions(sf_dir))
+    dedup = (edges.groupby(["src_qid", "dst_qid"])
+             .aggregate(Count(alias_name="_n"))
+             .map_batches(lambda t: pa.table({"u": t["src_qid"],
+                                              "v": t["dst_qid"]}),
+                          batch_format="pyarrow"))
+    return ops.maximal_independent_set(dedup, src="u", dst="v")
+
+
+def O_KG_MIS() -> str:
+    """Pure recompute: DuckDB re-derives the co-occurrence edges (the
+    already-oracled SQL), then the shared pure-Python parallel-greedy
+    fixpoint (ops._mis_greedy, same mis_priority) selects the set."""
+    import duckdb
+
+    df = duckdb.connect().execute(O_KG_COOCCURRENCE(_SF001)).fetchdf()
+    edges = {(u, v) for u, v in zip(df["src_qid"], df["dst_qid"])}
+    rows = [f"({_sq(n)})" for n in ops._mis_greedy(edges)]
+    return _values_or_empty(rows, "SELECT node", "t(node)", "('')")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -11293,7 +11427,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # orders_priority_markov events_systematic_sample
     # orders_pit_state docs_readability events_countmin_topk
     # kg_ktruss embeddings_silhouette docs_zipf_mass
-    # kg_seed_closeness customer_kaplan_meier part_supplier_hhi)
+    # kg_seed_closeness customer_kaplan_meier part_supplier_hhi
+    # events_late_arrivals events_cm_join_size kg_mis)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -11450,6 +11585,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_seed_closeness": q_kg_seed_closeness,
     "customer_kaplan_meier": q_customer_kaplan_meier,
     "part_supplier_hhi": q_part_supplier_hhi,
+    "events_late_arrivals": q_events_late_arrivals,
+    "events_cm_join_size": q_events_cm_join_size,
+    "kg_mis": q_kg_mis,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -11762,4 +11900,7 @@ def oracles() -> dict[str, str]:
         "kg_seed_closeness": O_KG_SEED_CLOSENESS(),
         "customer_kaplan_meier": O_CUSTOMER_KAPLAN_MEIER,
         "part_supplier_hhi": O_PART_SUPPLIER_HHI,
+        "events_late_arrivals": O_EVENTS_LATE_ARRIVALS,
+        "events_cm_join_size": O_EVENTS_CM_JOIN_SIZE(),
+        "kg_mis": O_KG_MIS(),
     }
