@@ -4092,3 +4092,160 @@ def maximal_independent_set(
         und = hash_join_sized(
             und, decided, on=("node",), how="left_anti").materialize()
     raise RuntimeError(f"MIS did not converge in {max_rounds} rounds")
+
+
+def group_row_number(
+    ds: Dataset,
+    group_col: str,
+    sort_cols: list[str],
+    out_col: str = "rn",
+    return_sizes: bool = False,
+):
+    """``row_number() OVER (PARTITION BY group ORDER BY sort_cols)`` as a
+    distributed two-pass prefix count — the partitioned sibling of
+    :func:`row_number_by`. One range-shuffle sort on (group, *sort_cols),
+    an O(blocks·groups-per-block) driver reduce of per-block per-group
+    run counts (sorted order makes a group's rows contiguous, so only a
+    block's FIRST run can continue a previous block), then one vectorized
+    per-block pass assigning 1-based ranks. The composite
+    (group, *sort_cols) key must be unique per row (same row_number
+    tie-break contract); cross-block duplicate first-keys raise. With
+    ``return_sizes`` also returns the driver-known {group: cardinality}
+    dict (a free by-product of the prefix reduce — bounded by the number
+    of groups)."""
+    keys = [group_col] + list(sort_cols)
+    s = ds.sort(keys).materialize()
+
+    def block_stat(t: pa.Table) -> pa.Table:
+        head = t.slice(0, 1 if len(t) else 0).select(keys)
+        if len(t) == 0:
+            return (head.append_column(
+                "_groups", pa.array([], pa.list_(pa.string())))
+                .append_column("_counts", pa.array([], pa.list_(pa.int64()))))
+        g = np.asarray(t[group_col].to_pylist(), dtype=object)
+        starts = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
+        ends = np.append(starts[1:], len(g))
+        return (head.append_column(
+            "_groups", pa.array([[str(x) for x in g[starts]]],
+                                pa.list_(pa.string())))
+            .append_column("_counts",
+                           pa.array([(ends - starts).tolist()],
+                                    pa.list_(pa.int64()))))
+
+    stats = s.map_batches(block_stat, batch_size=None,
+                          batch_format="pyarrow").take_all()  # O(blocks)
+    stats.sort(key=lambda r: tuple(r[c] for c in keys))
+    running: dict[str, int] = {}
+    carries: dict[tuple, int] = {}
+    for r in stats:
+        k = tuple(r[c] for c in keys)
+        if k in carries:
+            raise ValueError(
+                "group_row_number requires a globally unique composite "
+                f"(group, sort) key; two blocks both start at {k!r}")
+        carries[k] = running.get(r["_groups"][0], 0)
+        for grp, cnt in zip(r["_groups"], r["_counts"]):
+            running[grp] = running.get(grp, 0) + int(cnt)
+    sizes = dict(running)  # final per-group cardinalities, driver-known
+    ref = ray.put(carries)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        if len(t) > 1:  # adjacent-equal rows ⇒ duplicate composite key
+            dup = None
+            for c in keys:
+                eq = pc.equal(t[c].slice(1), t[c].slice(0, len(t) - 1))
+                dup = eq if dup is None else pc.and_kleene(dup, eq)
+            if pc.any(dup).as_py():
+                raise ValueError(
+                    "group_row_number requires a globally unique composite "
+                    "(group, sort) key; found duplicates within a block")
+        g = np.asarray(t[group_col].to_pylist(), dtype=object)
+        starts = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
+        lens = np.diff(np.append(starts, len(g)))
+        local = np.arange(len(g), dtype=np.int64) - np.repeat(starts, lens)
+        k = tuple(t[c][0].as_py() for c in keys)
+        carry = ray.get(ref)[k]
+        rn = local + 1
+        rn[: lens[0]] += carry  # only the first run continues a prior block
+        return t.append_column(out_col, pa.array(rn, pa.int64()))
+
+    out = s.map_batches(assign, batch_size=None, batch_format="pyarrow")
+    return (out, sizes) if return_sizes else out
+
+
+# Poisson(1) inverse-CDF fences for the bootstrap: P(K > 12) < 1e-13, so
+# capping at 12 is deterministic noise far below any replicate's variance.
+_POIS1_CDF = None
+
+
+def _poisson1_weights(u: "np.ndarray") -> "np.ndarray":  # noqa: F821
+    global _POIS1_CDF
+    if _POIS1_CDF is None:
+        import math
+
+        p, cdf, acc = 1.0 / math.e, [], 0.0
+        for k in range(13):
+            acc += p
+            cdf.append(acc)
+            p /= (k + 1)
+        _POIS1_CDF = np.array(cdf, dtype=np.float64)
+    return np.searchsorted(_POIS1_CDF, u, side="right").astype(np.int64)
+
+
+_BOOT_SEED = 0x9E3779B97F4A7C15
+
+
+def poisson_bootstrap_sums(
+    ds: Dataset,
+    id_col: str,
+    value_col: str,
+    *,
+    n_replicates: int = 32,
+    cents: bool = True,
+) -> pa.Table:
+    """Deterministic Poisson bootstrap of a total: replicate b resamples
+    each row Poisson(1)-many times with the multiplicity a pure function
+    of (row id, b) — splitmix64(id XOR seed_b) mapped through the
+    Poisson(1) inverse CDF — so the replicate totals are exactly
+    reproducible on any partitioning, cluster size or engine (the classic
+    streaming bootstrap: at 100 TB you cannot resample-with-replacement,
+    but Poissonized multiplicities need only one pass). Per block:
+    one vectorized n×B weight draw and B partial (count, sum) pairs —
+    fixed O(B) rows per block through the reduce, values in exact int64
+    cents so summation order can never flip a hash. Returns B rows
+    (replicate, n_rows, total_cents) for downstream CI fences."""
+    def partial(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cv = np.round(v * 100).astype(np.int64) if cents else v.astype(
+            np.int64)
+        reps, ns, sums = [], [], []
+        for b in range(n_replicates):
+            seed = _splitmix64(np.array([_BOOT_SEED + b],
+                                        dtype=np.uint64))[0]
+            h = _splitmix64(ids.astype(np.uint64) ^ seed)
+            u = h.astype(np.float64) / float(2**64)
+            w = _poisson1_weights(u)
+            reps.append(b)
+            ns.append(int(w.sum()))
+            sums.append(int((w * cv).sum()))
+        return pa.table({"replicate": pa.array(reps, pa.int64()),
+                         "n_rows": pa.array(ns, pa.int64()),
+                         "total_cents": pa.array(sums, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("replicate")
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Sum("total_cents", alias_name="total_cents")))
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    t = t.sort_by("replicate")
+    return pa.table({
+        "replicate": pc.cast(t["replicate"], pa.int64()),
+        "n_rows": pc.cast(t["n_rows"], pa.int64()),
+        "total_cents": pc.cast(t["total_cents"], pa.int64())})
