@@ -4249,3 +4249,280 @@ def poisson_bootstrap_sums(
         "replicate": pc.cast(t["replicate"], pa.int64()),
         "n_rows": pc.cast(t["n_rows"], pa.int64()),
         "total_cents": pc.cast(t["total_cents"], pa.int64())})
+
+
+def _tarjan_scc(edges: set[tuple[str, str]]) -> dict[str, str]:
+    """Iterative Tarjan over the gathered edge set (driver regime of
+    :func:`scc`). Returns {node: scc_id} with scc_id = lexicographic min
+    member, so the labeling is a pure function of the edge set."""
+    adj: dict[str, list[str]] = {}
+    nodes: set[str] = set()
+    for a, b in edges:
+        nodes.add(a)
+        nodes.add(b)
+        adj.setdefault(a, []).append(b)
+    for k in adj:
+        adj[k].sort()  # deterministic visit order (not that it matters)
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on_stack: set[str] = set()
+    stack: list[str] = []
+    out: dict[str, str] = {}
+    counter = 0
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            nbrs = adj.get(v, [])
+            while pi < len(nbrs):
+                w = nbrs[pi]
+                pi += 1
+                if w not in index:
+                    work[-1] = (v, pi)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if pi == len(nbrs):
+                work.pop()
+                if work:
+                    u = work[-1][0]
+                    low[u] = min(low[u], low[v])
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on_stack.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    cid = min(comp)
+                    for w in comp:
+                        out[w] = cid
+    return out
+
+
+def scc(
+    edges: Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    edge_limit: int = 500_000,
+    max_rounds: int = 64,
+) -> Dataset | pa.Table:
+    """Strongly connected components of a directed graph, labeled by the
+    lexicographic min member — the cycle-structure primitive (mutual
+    reachability in link graphs, feedback sets in event-transition
+    graphs) that undirected components (:func:`..stages.dedup`
+    contraction) cannot express.
+
+    Two regimes (the engine's standard bounded-input split):
+
+    * ``edges <= edge_limit`` (after the distinct): one gather + iterative
+      Tarjan on the driver (:func:`_tarjan_scc`) — the right call for
+      type/vocabulary-bounded graphs.
+    * larger graphs: round-synchronous **trim + forward-backward peeling**
+      (Fleischer/Hendrickson/Pinar's FW-BW). Each round first TRIMS —
+      any live node missing either an in- or an out-edge inside the live
+      subgraph cannot sit on a cycle, so all such nodes are emitted as
+      singleton SCCs at once (this is what kills the long singleton tail
+      that would otherwise cost one round each) — then peels the SCC of
+      the lexicographic-min pivot as reach_fwd(pivot) ∩ reach_bwd(pivot)
+      (two :func:`sssp` sweeps + one semi join), anti-joins it out and
+      repeats. Rounds consumed = trim passes + number of NON-trivial
+      SCCs; real link graphs are one giant SCC plus tendrils, which this
+      handles in a handful of rounds. Exchanges move only the shrinking
+      live subgraph; every set operation is a hash join, never a gather.
+
+    Both regimes are exact set computations on the same distinct edge
+    set, so outputs are identical by construction (property-tested).
+    Returns ``(node, scc_id)`` sorted by node; typed empty for an empty
+    edge set. Self-loops are fine (they never merge components).
+    """
+    from ray.data.aggregate import Count
+
+    e = (edges.map_batches(
+        lambda t: pa.table({"s": pc.cast(t[src], pa.string()),
+                            "d": pc.cast(t[dst], pa.string())}),
+        batch_format="pyarrow")
+        .groupby(["s", "d"]).aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["s", "d"]),
+                     batch_format="pyarrow").materialize())
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "scc_id": pa.array([], pa.string())})
+    n_e = e.count()
+    if n_e == 0:
+        return empty
+    if n_e <= edge_limit:
+        lab = _tarjan_scc({(r["s"], r["d"]) for r in e.take_all()})
+        ks = sorted(lab)
+        return pa.table({"node": pa.array(ks, pa.string()),
+                         "scc_id": pa.array([lab[k] for k in ks],
+                                            pa.string())})
+
+    def _nodes_of(col: str):
+        return (e.groupby(col).aggregate(Count(alias_name="_c"))
+                .map_batches(lambda t, c=col: pa.table(
+                    {"node": t[c]}), batch_format="pyarrow"))
+
+    live = (_nodes_of("s").union(_nodes_of("d"))
+            .groupby("node").aggregate(Count(alias_name="_c"))
+            .map_batches(lambda t: t.select(["node"]),
+                         batch_format="pyarrow").materialize())
+    parts: list[Dataset] = []
+
+    def _filter_edges(ee: Dataset, keep: Dataset) -> Dataset:
+        ee = hash_join_sized(ee, keep.map_batches(
+            lambda t: t.rename_columns(["s"]), batch_format="pyarrow"),
+            on=("s",), how="left_semi")
+        ee = hash_join_sized(ee, keep.map_batches(
+            lambda t: t.rename_columns(["d"]), batch_format="pyarrow"),
+            on=("d",), how="left_semi")
+        return ee.materialize()
+
+    for _ in range(max_rounds):
+        if live.count() == 0:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.union(p)
+            return out.sort("node")
+        # trim: live nodes with BOTH an out- and an in-edge in the live
+        # subgraph survive; everything else is a singleton SCC
+        core = hash_join_sized(
+            hash_join_sized(live, _nodes_of("s"), on=("node",),
+                            how="left_semi"),
+            _nodes_of("d"), on=("node",), how="left_semi").materialize()
+        singles = hash_join_sized(
+            live, core, on=("node",), how="left_anti").materialize()
+        if singles.count() > 0:
+            parts.append(singles.map_batches(
+                lambda t: pa.table({"node": t["node"],
+                                    "scc_id": t["node"]}),
+                batch_format="pyarrow").materialize())
+            live = core
+            e = _filter_edges(e, live)
+            continue
+        # FW-BW peel of the lexicographic-min pivot's SCC
+        mins = live.map_batches(
+            lambda t: pa.table({"m": pa.array(
+                [pc.min(t["node"]).as_py()] if len(t) else [],
+                pa.string())}), batch_format="pyarrow").take_all()
+        pivot = min(r["m"] for r in mins)
+        ones = e.map_batches(
+            lambda t: t.append_column(
+                "w", pa.array(np.ones(len(t), np.int64))),
+            batch_format="pyarrow")
+        fwd = sssp(ones, [pivot], src="s", dst="d", cost="w",
+                   max_iters=max(30, max_rounds))
+        rev = ones.map_batches(
+            lambda t: pa.table({"s": t["d"], "d": t["s"], "w": t["w"]}),
+            batch_format="pyarrow")
+        bwd = sssp(rev, [pivot], src="s", dst="d", cost="w",
+                   max_iters=max(30, max_rounds))
+        comp = hash_join_sized(
+            fwd.map_batches(lambda t: pa.table({"node": t["node"]}),
+                            batch_format="pyarrow"),
+            bwd.map_batches(lambda t: pa.table({"node": t["node"]}),
+                            batch_format="pyarrow"),
+            on=("node",), how="left_semi").materialize()
+        parts.append(comp.map_batches(
+            lambda t, p=pivot: pa.table(
+                {"node": t["node"],
+                 "scc_id": pa.array([p] * len(t), pa.string())}),
+            batch_format="pyarrow").materialize())
+        live = hash_join_sized(
+            live, comp, on=("node",), how="left_anti").materialize()
+        e = _filter_edges(e, live)
+    raise RuntimeError(f"scc did not converge in {max_rounds} rounds")
+
+
+def kendall_tau_b(
+    ds: Dataset,
+    x_col: str,
+    y_col: str,
+    *,
+    cell_limit: int = 200_000,
+) -> pa.Table:
+    """Exact Kendall tau-b between two BOUNDED-CARDINALITY integer
+    columns via the contingency-table identity — the rank-correlation
+    complement of :func:`..queries` OLS/moments: concordant/discordant
+    pair counts come from suffix/prefix sums over the |X|×|Y| cell
+    matrix, never from the O(n²) pair space, so a 10^12-row input costs
+    one (x, y) groupby (the per-batch combiner keeps the exchange at
+    cells-per-block rows) plus an O(cells) driver reduce. All pair
+    arithmetic is exact int64 (counts and C/D/tie terms are integers);
+    only the final normalization touches floats, and those are
+    correctly-rounded sqrt/divide over exactly-representable integers,
+    so the quantized nano-units are engine-independent. Raises when the
+    joint domain exceeds ``cell_limit`` — the bounded-domain assumption
+    made explicit (same contract as NTILE's group bound). Returns one
+    row: (n_rows, concordant, discordant, tau_b_nano)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"x": pc.cast(t[x_col], pa.int64()),
+                      "y": pc.cast(t[y_col], pa.int64())}) \
+            .group_by(["x", "y"]).aggregate([([], "count_all")])
+        return pa.table({"x": g["x"], "y": g["y"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["x", "y"]).aggregate(Sum("n", alias_name="n"))
+             .take_all())
+    if len(cells) > cell_limit:
+        raise ValueError(
+            f"kendall_tau_b: joint domain has {len(cells)} cells "
+            f"(> {cell_limit}); this operator assumes bounded-cardinality "
+            "ordinal columns — bucket the inputs first")
+    if not cells:
+        return pa.table({"n_rows": pa.array([], pa.int64()),
+                         "concordant": pa.array([], pa.int64()),
+                         "discordant": pa.array([], pa.int64()),
+                         "tau_b_nano": pa.array([], pa.int64())})
+    xs = sorted({r["x"] for r in cells})
+    ys = sorted({r["y"] for r in cells})
+    xi = {v: i for i, v in enumerate(xs)}
+    yi = {v: i for i, v in enumerate(ys)}
+    m = np.zeros((len(xs), len(ys)), dtype=np.int64)
+    for r in cells:
+        m[xi[r["x"]], yi[r["y"]]] = r["n"]
+    # strict suffix sum: SE[i, j] = sum of m over x' > i AND y' > j
+    suf = np.cumsum(np.cumsum(m[::-1, ::-1], axis=0), axis=1)[::-1, ::-1]
+    se = np.zeros_like(m)
+    se[:-1, :-1] = suf[1:, 1:]
+    conc = int((m * se).sum())
+    # strict (x' > i, y' < j) sum for discordant
+    sufx = np.cumsum(m[::-1, :], axis=0)[::-1, :]
+    down = np.zeros_like(m)
+    down[:-1, :] = sufx[1:, :]
+    dl = np.cumsum(down, axis=1)
+    dd = np.zeros_like(m)
+    dd[:, 1:] = dl[:, :-1]
+    disc = int((m * dd).sum())
+    n = int(m.sum())
+    n0 = n * (n - 1) // 2
+    nx = m.sum(axis=1)
+    ny = m.sum(axis=0)
+    tx = int((nx * (nx - 1) // 2).sum())
+    ty = int((ny * (ny - 1) // 2).sum())
+    denom = float(n0 - tx) * float(n0 - ty)
+    if denom <= 0:
+        nano = 0
+    else:
+        val = float(conc - disc) / np.sqrt(denom) * 1e9
+        nano = int(np.sign(val) * np.floor(np.abs(val) + 0.5))
+    return pa.table({"n_rows": pa.array([n], pa.int64()),
+                     "concordant": pa.array([conc], pa.int64()),
+                     "discordant": pa.array([disc], pa.int64()),
+                     "tau_b_nano": pa.array([nano], pa.int64())})

@@ -11521,6 +11521,230 @@ def O_LINEITEM_BOOTSTRAP_CI() -> str:
             "AS t(replicate, n_rows, total_cents)")
 
 
+def q_lineitem_kendall(sf_dir: str):
+    """Exact Kendall tau-b rank correlation between quantity and discount
+    — ordinal association over a bounded joint domain (50 × 11 cells), so
+    the O(n²) pair space collapses to suffix/prefix sums over one tiny
+    contingency groupby (ops.kendall_tau_b). Every pair count is exact
+    int64; the single float step (sqrt + divide over exactly-representable
+    integers) is correctly rounded, so the nano-quantized tau matches any
+    engine bit-for-bit."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "q": pc.cast(t["l_quantity"], pa.int64()),
+            "d": pa.array(np.round(d * 100).astype(np.int64), pa.int64())})
+
+    return ops.kendall_tau_b(
+        li.map_batches(prep, batch_format="pyarrow"), "q", "d")
+
+
+O_LINEITEM_KENDALL = """
+WITH c AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 100) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2),
+s AS (SELECT
+  (SELECT CAST(sum(n) AS BIGINT) FROM c) AS n,
+  (SELECT CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT)
+     FROM c a, c b WHERE b.q > a.q AND b.d > a.d) AS conc,
+  (SELECT CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT)
+     FROM c a, c b WHERE b.q > a.q AND b.d < a.d) AS disc,
+  (SELECT CAST(coalesce(sum(nq * (nq - 1) // 2), 0) AS BIGINT)
+     FROM (SELECT sum(n) AS nq FROM c GROUP BY q)) AS tx,
+  (SELECT CAST(coalesce(sum(nd * (nd - 1) // 2), 0) AS BIGINT)
+     FROM (SELECT sum(n) AS nd FROM c GROUP BY d)) AS ty),
+t AS (SELECT n, conc, disc,
+             CAST(conc - disc AS DOUBLE)
+               / sqrt(CAST(n * (n - 1) // 2 - tx AS DOUBLE)
+                      * CAST(n * (n - 1) // 2 - ty AS DOUBLE)) * 1e9 AS v
+      FROM s)
+SELECT n AS n_rows, conc AS concordant, disc AS discordant,
+       CAST(CASE WHEN v >= 0 THEN floor(v + 0.5)
+                 ELSE -floor(-v + 0.5) END AS BIGINT) AS tau_b_nano
+FROM t"""
+
+
+def _pav_rate_nano(pos: list[int], cnt: list[int]) -> list[int]:
+    """Pool-adjacent-violators over per-bin (positives, count) pairs in
+    bin order: the unique non-decreasing weighted-least-squares fit of
+    the per-bin rates. Pooling compares exact integer cross-products and
+    the emitted rate is round-half-up integer division to 1e-9 units, so
+    the query and the oracle recompute share bit-exact arithmetic
+    end-to-end (no float anywhere)."""
+    stack: list[list[int]] = []  # [sum_pos, sum_cnt, n_bins]
+    for p, c in zip(pos, cnt):
+        stack.append([int(p), int(c), 1])
+        while len(stack) > 1 and \
+                stack[-2][0] * stack[-1][1] >= stack[-1][0] * stack[-2][1]:
+            p2, c2, k2 = stack.pop()
+            stack[-1][0] += p2
+            stack[-1][1] += c2
+            stack[-1][2] += k2
+    out: list[int] = []
+    for p, c, k in stack:
+        nano = (p * 1_000_000_000 * 2 + c) // (2 * c)
+        out.extend([nano] * k)
+    return out
+
+
+def q_docs_isotonic(sf_dir: str):
+    """Isotonic (PAV) calibration curve of P(lang = 'en' | length bin):
+    the monotone-fit primitive behind score calibration at corpus scale.
+    The distributed part is one bounded groupby — per-block combiners
+    reduce each block to ≤ 51 (bin, positives, count) partials — and the
+    PAV itself runs on the driver over the ≤ 51 pooled bins (the classic
+    two-phase shape: sufficient statistics scale with the DOMAIN, not the
+    data). All arithmetic is exact integers (_pav_rate_nano), so the
+    fitted nano-rates are engine-independent."""
+    docs = ops.read_table(sf_dir, "documents", ["n_chars", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nc = pc.cast(t["n_chars"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = np.minimum(nc // 100, 50)
+        lab = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = pa.table({"bin": pa.array(b, pa.int64()),
+                      "pos": pa.array(lab, pa.int64())}) \
+            .group_by("bin").aggregate([("pos", "sum"), ([], "count_all")])
+        return pa.table({"bin": g["bin"],
+                         "pos": pc.cast(g["pos_sum"], pa.int64()),
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    rows = (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("pos", alias_name="pos"),
+                                      Sum("n", alias_name="n"))
+            .take_all())  # <= 51 rows: domain-bounded sufficient stats
+    rows.sort(key=lambda r: r["bin"])
+    nano = _pav_rate_nano([r["pos"] for r in rows], [r["n"] for r in rows])
+    return pa.table({
+        "bin": pa.array([r["bin"] for r in rows], pa.int64()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        "pos": pa.array([int(r["pos"]) for r in rows], pa.int64()),
+        "iso_rate_nano": pa.array(nano, pa.int64())})
+
+
+def O_DOCS_ISOTONIC() -> str:
+    """VALUES recompute: the identical binning + shared exact-integer PAV
+    (_pav_rate_nano) driven from the raw parquet."""
+    t = _read_parquet_cols(_SF001, "documents", ["n_chars", "lang"])
+    nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = np.minimum(nc // 100, 50)
+    lab = (np.asarray(t["lang"].to_pylist(), dtype=object) == "en") \
+        .astype(np.int64)
+    bins = sorted(set(b.tolist()))
+    pos = [int(lab[b == v].sum()) for v in bins]
+    cnt = [int((b == v).sum()) for v in bins]
+    nano = _pav_rate_nano(pos, cnt)
+    rows = [f"({v}, {c}, {p}, {r})"
+            for v, c, p, r in zip(bins, cnt, pos, nano)]
+    return ("SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n, "
+            "CAST(pos AS BIGINT) AS pos, "
+            "CAST(iso_rate_nano AS BIGINT) AS iso_rate_nano "
+            f"FROM (VALUES {', '.join(rows)}) "
+            "AS t(bin, n, pos, iso_rate_nano)")
+
+
+def q_events_scc(sf_dir: str):
+    """Strongly connected components of the event-type transition graph:
+    which event types are mutually reachable through observed user
+    journeys (the cycle structure that separates 'funnel' stages from
+    'loop' stages). Edge derivation is the distributed part — each user
+    group emits its DISTINCT consecutive-type pairs, one bounded groupby
+    dedups them globally — and ops.scc labels the types-bounded digraph
+    (driver Tarjan at this domain size; the trim+FW-BW regime takes over
+    past the edge limit)."""
+    ev = ops.read_table(sf_dir, "events",
+                        ["user_id", "ts", "event_id", "event_type"])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        et = et[np.lexsort((eid, ts))]
+        if len(et) < 2:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string())})
+        u = sorted({(a, b) for a, b in zip(et[:-1], et[1:])})
+        return pa.table({"src": pa.array([p[0] for p in u], pa.string()),
+                         "dst": pa.array([p[1] for p in u], pa.string())})
+
+    edges = ev.groupby("user_id").map_groups(pairs, batch_format="pyarrow")
+    return ops.scc(edges)
+
+
+def _kosaraju_scc(edges: set) -> dict:
+    """Independent SCC labeling (Kosaraju two-pass, iterative) used only
+    by the oracle recompute — a deliberately different algorithm from
+    ops._tarjan_scc so the two sides do not share the code under test."""
+    adj: dict = {}
+    radj: dict = {}
+    nodes: set = set()
+    for a, b in edges:
+        nodes.update((a, b))
+        adj.setdefault(a, []).append(b)
+        radj.setdefault(b, []).append(a)
+    seen: set = set()
+    order: list = []
+    for s in sorted(nodes):
+        if s in seen:
+            continue
+        stack = [(s, iter(sorted(adj.get(s, []))))]
+        seen.add(s)
+        while stack:
+            v, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append((w, iter(sorted(adj.get(w, [])))))
+                    advanced = True
+                    break
+            if not advanced:
+                order.append(v)
+                stack.pop()
+    lab: dict = {}
+    for v in reversed(order):
+        if v in lab:
+            continue
+        comp = [v]
+        lab[v] = None
+        i = 0
+        while i < len(comp):
+            for w in radj.get(comp[i], []):
+                if w not in lab:
+                    lab[w] = None
+                    comp.append(w)
+            i += 1
+        cid = min(comp)
+        for w in comp:
+            lab[w] = cid
+    return lab
+
+
+def O_EVENTS_SCC() -> str:
+    """VALUES recompute: DuckDB derives the distinct transition edges in
+    SQL; an independent Kosaraju labels them."""
+    import duckdb
+
+    df = duckdb.connect().execute(f"""
+        WITH s AS (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM read_parquet('{_SF001}/events.parquet'))
+        SELECT DISTINCT prev AS src, event_type AS dst
+        FROM s WHERE prev IS NOT NULL""").fetchdf()
+    lab = _kosaraju_scc(set(zip(df["src"], df["dst"])))
+    rows = [f"({_sq(k)}, {_sq(lab[k])})" for k in sorted(lab)]
+    return _values_or_empty(
+        rows, "SELECT node, scc_id", "t(node, scc_id)", "('', '')")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -11633,7 +11857,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # kg_ktruss embeddings_silhouette docs_zipf_mass
     # kg_seed_closeness customer_kaplan_meier part_supplier_hhi
     # events_late_arrivals events_cm_join_size kg_mis
-    # docs_stratified_split kg_diameter lineitem_bootstrap_ci)
+    # docs_stratified_split kg_diameter lineitem_bootstrap_ci
+    # lineitem_kendall docs_isotonic events_scc)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -11796,6 +12021,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_stratified_split": q_docs_stratified_split,
     "kg_diameter": q_kg_diameter,
     "lineitem_bootstrap_ci": q_lineitem_bootstrap_ci,
+    "lineitem_kendall": q_lineitem_kendall,
+    "docs_isotonic": q_docs_isotonic,
+    "events_scc": q_events_scc,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -12114,4 +12342,7 @@ def oracles() -> dict[str, str]:
         "docs_stratified_split": O_DOCS_STRATIFIED_SPLIT,
         "kg_diameter": O_KG_DIAMETER(),
         "lineitem_bootstrap_ci": O_LINEITEM_BOOTSTRAP_CI(),
+        "lineitem_kendall": O_LINEITEM_KENDALL,
+        "docs_isotonic": O_DOCS_ISOTONIC(),
+        "events_scc": O_EVENTS_SCC(),
     }
