@@ -4526,3 +4526,219 @@ def kendall_tau_b(
                      "concordant": pa.array([conc], pa.int64()),
                      "discordant": pa.array([disc], pa.int64()),
                      "tau_b_nano": pa.array([nano], pa.int64())})
+
+
+def frequent_triples(
+    ds: Dataset,
+    basket_col: str,
+    item_col: str,
+    *,
+    support: int = 2,
+    pair_limit: int = 2_000_000,
+    basket_cap: int = 512,
+) -> pa.Table | Dataset:
+    """Apriori frequent 3-itemsets over (basket, item) rows — the market-
+    basket primitive one level past pairwise lift. The whole point at
+    scale is CANDIDATE PRUNING, and that is what this implements: level 1
+    keeps items with support ≥ threshold, level 2 counts pairs only among
+    frequent items, and level 3 generates a triple candidate ONLY when all
+    three of its sub-pairs are frequent (the Apriori downward-closure
+    property), so the combinatorial (n over 3) space never exists. The
+    frequent-pair set is a bounded broadcast (``ray.put`` once, read per
+    group; raises past ``pair_limit`` — the explicit bounded-dictionary
+    assumption) and each per-basket group touches only its own ≤ dozens
+    of items; exchanges carry ids, never payloads. Baskets with more than
+    ``basket_cap`` frequent-pair-active items raise rather than silently
+    exploding the candidate space (cap such domains upstream). Returns
+    (p1, p2, p3, support) with p1 < p2 < p3, sorted."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Count
+
+    bi = (ds.map_batches(
+        lambda t: pa.table({"b": pc.cast(t[basket_col], pa.int64()),
+                            "i": pc.cast(t[item_col], pa.int64())}),
+        batch_format="pyarrow")
+        .groupby(["b", "i"]).aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["b", "i"]),
+                     batch_format="pyarrow").materialize())
+
+    def _freq_items() -> set:
+        cnt = (bi.groupby("i").aggregate(Count(alias_name="n"))
+               .map_batches(lambda t: t.filter(
+                   pc.greater_equal(t["n"], support)),
+                   batch_format="pyarrow"))
+        return {r["i"] for r in cnt.take_all()}
+
+    f1 = _freq_items()
+    if not f1:
+        return pa.table({"p1": pa.array([], pa.int64()),
+                         "p2": pa.array([], pa.int64()),
+                         "p3": pa.array([], pa.int64()),
+                         "support": pa.array([], pa.int64())})
+    f1_ref = ray.put(f1)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        keep = ray.get(f1_ref)
+        items = sorted(v for v in set(g["i"].to_pylist()) if v in keep)
+        ps = list(combinations(items, 2))
+        return pa.table({"p1": pa.array([p[0] for p in ps], pa.int64()),
+                         "p2": pa.array([p[1] for p in ps], pa.int64())})
+
+    f2_ds = (bi.groupby("b").map_groups(pairs, batch_format="pyarrow")
+             .groupby(["p1", "p2"]).aggregate(Count(alias_name="n"))
+             .map_batches(lambda t: t.filter(
+                 pc.greater_equal(t["n"], support)).select(["p1", "p2"]),
+                 batch_format="pyarrow").materialize())
+    n_f2 = f2_ds.count()
+    if n_f2 > pair_limit:
+        raise ValueError(
+            f"frequent_triples: {n_f2} frequent pairs exceed the broadcast "
+            f"bound ({pair_limit}); raise the support threshold")
+    f2 = {(r["p1"], r["p2"]) for r in f2_ds.take_all()}
+    if not f2:
+        return pa.table({"p1": pa.array([], pa.int64()),
+                         "p2": pa.array([], pa.int64()),
+                         "p3": pa.array([], pa.int64()),
+                         "support": pa.array([], pa.int64())})
+    f2_ref = ray.put(f2)
+
+    def triples(g: pa.Table) -> pa.Table:
+        fp = ray.get(f2_ref)
+        active = {v for p in fp for v in p}
+        items = sorted(v for v in set(g["i"].to_pylist()) if v in active)
+        if len(items) > basket_cap:
+            raise ValueError(
+                f"frequent_triples: basket with {len(items)} frequent-pair-"
+                f"active items exceeds basket_cap={basket_cap}")
+        # Apriori candidate generation: every sub-pair must be frequent
+        ts = [(a, b, c) for a, b, c in combinations(items, 3)
+              if (a, b) in fp and (a, c) in fp and (b, c) in fp]
+        return pa.table({"p1": pa.array([t[0] for t in ts], pa.int64()),
+                         "p2": pa.array([t[1] for t in ts], pa.int64()),
+                         "p3": pa.array([t[2] for t in ts], pa.int64())})
+
+    out = (bi.groupby("b").map_groups(triples, batch_format="pyarrow")
+           .groupby(["p1", "p2", "p3"]).aggregate(Count(alias_name="support"))
+           .map_batches(lambda t: pa.table({
+               "p1": pc.cast(t["p1"], pa.int64()),
+               "p2": pc.cast(t["p2"], pa.int64()),
+               "p3": pc.cast(t["p3"], pa.int64()),
+               "support": pc.cast(t["support"], pa.int64())})
+               .filter(pc.greater_equal(pc.cast(t["support"], pa.int64()),
+                                        support)),
+               batch_format="pyarrow").materialize())
+    if out.count() == 0:
+        return pa.table({"p1": pa.array([], pa.int64()),
+                         "p2": pa.array([], pa.int64()),
+                         "p3": pa.array([], pa.int64()),
+                         "support": pa.array([], pa.int64())})
+    return out.sort(["p1", "p2", "p3"])
+
+
+def brandes_sweep_nano(adj: dict, s: str) -> dict:
+    """One Brandes single-source dependency sweep over an unweighted
+    adjacency dict (neighbors PRE-SORTED): BFS shortest-path counts, then
+    the reverse-order accumulation δ(v) = Σ_w σ(v)/σ(w) · (1 + δ(w)).
+    The per-node dependency is quantized half-away-from-zero to 1e-9
+    units BEFORE any cross-seed summation, so the total is an
+    order-independent integer sum and the query and its oracle recompute
+    (which both call THIS function) agree bit-for-bit."""
+    from collections import deque
+
+    sigma = {s: 1}
+    dist = {s: 0}
+    order: list = []
+    q = deque([s])
+    while q:
+        v = q.popleft()
+        order.append(v)
+        for w in adj.get(v, ()):
+            if w not in dist:
+                dist[w] = dist[v] + 1
+                sigma[w] = 0
+                q.append(w)
+            if dist[w] == dist[v] + 1:
+                sigma[w] += sigma[v]
+    delta = {v: 0.0 for v in order}
+    for w in reversed(order):
+        for v in adj.get(w, ()):
+            if dist.get(v, -2) == dist[w] - 1:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+    out = {}
+    for v in order:
+        if v == s:
+            continue
+        x = delta[v] * 1e9
+        out[v] = int(np.sign(x) * np.floor(np.abs(x) + 0.5))
+    return out
+
+
+def betweenness(
+    edges: Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    k_seeds: int | None = None,
+    edge_limit: int = 5_000_000,
+) -> pa.Table:
+    """Betweenness centrality of an undirected graph by SEED-PARALLEL
+    Brandes: the edge list is aggregated once (distinct, symmetrized),
+    broadcast via ``ray.put``, and each task runs exact single-source
+    sweeps (:func:`brandes_sweep_nano`) for its batch of seeds — the
+    classic k-source approximation (Brandes–Pich): with ``k_seeds=None``
+    every node is a source and the result is EXACT (each unordered pair
+    contributes from both endpoints — values are 2× the textbook
+    normalization; integer nano-units are reported unnormalized).
+    Per-seed dependencies are nano-quantized before the groupby-sum, so
+    the reduction is an order-independent integer aggregate. The graph
+    itself must be bounded (``edge_limit`` raises otherwise) — this is
+    the vocabulary-bounded-graph regime, same contract as the dense
+    PageRank broadcast; the data-scale side is whatever upstream
+    aggregation DERIVED the edge list."""
+    from ray.data.aggregate import Count, Sum
+
+    e = (edges.map_batches(
+        lambda t: pa.table({"a": pc.cast(t[src], pa.string()),
+                            "b": pc.cast(t[dst], pa.string())}),
+        batch_format="pyarrow")
+        .groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+        .materialize())
+    if e.count() > edge_limit:
+        raise ValueError(
+            f"betweenness: {e.count()} edges exceed the broadcast bound "
+            f"({edge_limit}); this operator targets vocabulary-bounded "
+            "graphs — contract the graph first")
+    adj: dict = {}
+    for r in e.take_all():
+        if r["a"] == r["b"]:
+            continue
+        adj.setdefault(r["a"], set()).add(r["b"])
+        adj.setdefault(r["b"], set()).add(r["a"])
+    nodes = sorted(adj)
+    if not nodes:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "bw_nano": pa.array([], pa.int64())})
+    adj = {k: sorted(v) for k, v in adj.items()}
+    seeds = nodes if k_seeds is None else nodes[:k_seeds]
+    adj_ref = ray.put(adj)
+
+    def sweep(t: pa.Table) -> pa.Table:
+        a = ray.get(adj_ref)
+        ns, vs = [], []
+        for s in t["seed"].to_pylist():
+            for v, nano in brandes_sweep_nano(a, s).items():
+                ns.append(v)
+                vs.append(nano)
+        return pa.table({"node": pa.array(ns, pa.string()),
+                         "bw_nano": pa.array(vs, pa.int64())})
+
+    part = (ray.data.from_arrow(pa.table({"seed": pa.array(seeds)}))
+            .repartition(max(1, min(len(seeds), 16)))
+            .map_batches(sweep, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("bw_nano", alias_name="bw_nano")))
+    got = {r["node"]: r["bw_nano"] for r in part.take_all()}
+    return pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "bw_nano": pa.array([int(got.get(n, 0)) for n in nodes],
+                            pa.int64())})

@@ -11745,6 +11745,153 @@ def O_EVENTS_SCC() -> str:
         rows, "SELECT node, scc_id", "t(node, scc_id)", "('', '')")
 
 
+def q_orders_itemsets3(sf_dir: str):
+    """Apriori frequent 3-itemsets of parts co-ordered in the same order
+    (support ≥ 2): ops.frequent_triples — level-wise candidate pruning
+    (triples generated only when all three sub-pairs are frequent) with
+    the frequent-pair set as a bounded broadcast, so the (n over 3)
+    candidate space never exists. The SQL oracle brute-forces the same
+    answer with a 3-way self-join; the operator exists precisely because
+    that join is the thing you cannot run at 100 TB."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return ops.frequent_triples(li, "l_orderkey", "l_partkey", support=2)
+
+
+O_ORDERS_ITEMSETS3 = """
+WITH b AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS o,
+                           CAST(l_partkey AS BIGINT) AS p FROM lineitem)
+SELECT a.p AS p1, b2.p AS p2, c.p AS p3,
+       CAST(count(*) AS BIGINT) AS support
+FROM b a JOIN b b2 ON a.o = b2.o AND b2.p > a.p
+         JOIN b c ON a.o = c.o AND c.p > b2.p
+GROUP BY 1, 2, 3 HAVING count(*) >= 2"""
+
+
+def q_kg_betweenness(sf_dir: str):
+    """Exact betweenness centrality of the agency co-occurrence graph by
+    seed-parallel Brandes (ops.betweenness): the vocabulary-bounded edge
+    list is broadcast once and every node runs as a source in parallel
+    tasks; per-seed dependencies are nano-quantized before the
+    groupby-sum so the cross-seed reduction is an order-independent
+    integer aggregate (values are 2× the textbook normalization — both
+    endpoints of every pair contribute)."""
+    edges = kg.cooccurrence_edges(_mentions(sf_dir)).map_batches(
+        lambda t: t.select(["src_qid", "dst_qid"]), batch_format="pyarrow")
+    return ops.betweenness(edges, src="src_qid", dst="dst_qid")
+
+
+def O_KG_BETWEENNESS() -> str:
+    """VALUES recompute: DuckDB re-derives the co-occurrence edges;
+    Python runs the identical per-seed sweeps (ops.brandes_sweep_nano)
+    and sums the quantized integers."""
+    import duckdb
+
+    df = duckdb.connect().execute(O_KG_COOCCURRENCE(_SF001)).fetchdf()
+    adj: dict = {}
+    for a, b in zip(df["src_qid"], df["dst_qid"]):
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    adj = {k: sorted(v) for k, v in adj.items()}
+    nodes = sorted(adj)
+    tot = {n: 0 for n in nodes}
+    for s in nodes:
+        for v, nano in ops.brandes_sweep_nano(adj, s).items():
+            tot[v] += nano
+    rows = [f"({_sq(n)}, {tot[n]})" for n in nodes]
+    return _values_or_empty(
+        rows, "SELECT node, CAST(bw_nano AS BIGINT) AS bw_nano",
+        "t(node, bw_nano)", "('', 0)")
+
+
+def _nano_ha(x: float) -> int:
+    v = x * 1e9
+    return int(np.sign(v) * np.floor(np.abs(v) + 0.5))
+
+
+def q_lineitem_conformal(sf_dir: str):
+    """Conformal prediction bands for a global OLS fit (price-cents ~
+    quantity): pass 1 reduces each block to five integer sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²; exact int64 cents per block,
+    arbitrary-precision Python combine on the O(blocks) driver fold, so
+    no float ever enters the normal equations); pass 2 streams the
+    residuals — each row's |y − ŷ| quantized half-away to exact cents —
+    into the engine's exact sorted quantile probe at p50/p90/p99. The
+    empirical residual quantiles ARE the split-free conformal band
+    radii. Slope/intercept are correctly-rounded doubles of exact
+    integers, reported in nano units."""
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_quantity", "l_extendedprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["l_quantity"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        yc = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"n": pa.array([len(x)], pa.int64()),
+                         "sx": pa.array([int(x.sum())], pa.int64()),
+                         "sy": pa.array([int(yc.sum())], pa.int64()),
+                         "sxy": pa.array([int((x * yc).sum())], pa.int64()),
+                         "sxx": pa.array([int((x * x).sum())], pa.int64())})
+
+    rows = li.map_batches(part, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)     # Python ints: no overflow at any SF
+    sx = sum(r["sx"] for r in rows)
+    sy = sum(r["sy"] for r in rows)
+    sxy = sum(r["sxy"] for r in rows)
+    sxx = sum(r["sxx"] for r in rows)
+    b = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    a = (float(sy) - b * float(sx)) / float(n)
+
+    def resid(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["l_quantity"], pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        yc = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64).astype(np.float64)
+        v = yc - (a + b * x)
+        ar = np.abs(np.sign(v) * np.floor(np.abs(v) + 0.5))
+        return pa.table({"ar": pa.array(ar, pa.float64())})
+
+    qt = ops.exact_quantiles(
+        li.map_batches(resid, batch_format="pyarrow"),
+        "ar", [0.50, 0.90, 0.99])
+    k = len(qt)
+    return (qt.rename_columns(["q", "abs_resid_cents"])
+            .append_column("slope_nano",
+                           pa.array([_nano_ha(b)] * k, pa.int64()))
+            .append_column("intercept_nano",
+                           pa.array([_nano_ha(a)] * k, pa.int64())))
+
+
+O_LINEITEM_CONFORMAL = """
+WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+           FROM lineitem),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(yc) AS sy,
+             sum(x * yc) AS sxy, sum(x * x) AS sxx FROM d),
+co AS (SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE) AS b, n, sx, sy FROM s),
+co2 AS (SELECT b, (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE) AS a FROM co),
+r AS (SELECT abs(CASE WHEN v >= 0 THEN floor(v + 0.5)
+                      ELSE -floor(-v + 0.5) END) AS ar
+      FROM (SELECT CAST(yc AS DOUBLE) - (a + b * CAST(x AS DOUBLE)) AS v
+            FROM d, co2)),
+rr AS (SELECT ar, row_number() OVER (ORDER BY ar) - 1 AS rn FROM r),
+n2 AS (SELECT count(*) AS cnt FROM r)
+SELECT CAST(qs.q AS DOUBLE) AS q, rr.ar AS abs_resid_cents,
+       (SELECT CAST(CASE WHEN b * 1e9 >= 0 THEN floor(b * 1e9 + 0.5)
+                         ELSE -floor(-(b * 1e9) + 0.5) END AS BIGINT)
+        FROM co2) AS slope_nano,
+       (SELECT CAST(CASE WHEN a * 1e9 >= 0 THEN floor(a * 1e9 + 0.5)
+                         ELSE -floor(-(a * 1e9) + 0.5) END AS BIGINT)
+        FROM co2) AS intercept_nano
+FROM (VALUES (0.50), (0.90), (0.99)) qs(q), n2, rr
+WHERE rr.rn = CAST(floor(CAST(qs.q AS DOUBLE) * (n2.cnt - 1)) AS BIGINT)
+ORDER BY q"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -11858,7 +12005,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # kg_seed_closeness customer_kaplan_meier part_supplier_hhi
     # events_late_arrivals events_cm_join_size kg_mis
     # docs_stratified_split kg_diameter lineitem_bootstrap_ci
-    # lineitem_kendall docs_isotonic events_scc)
+    # lineitem_kendall docs_isotonic events_scc
+    # orders_itemsets3 kg_betweenness lineitem_conformal)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -12024,6 +12172,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_kendall": q_lineitem_kendall,
     "docs_isotonic": q_docs_isotonic,
     "events_scc": q_events_scc,
+    "orders_itemsets3": q_orders_itemsets3,
+    "kg_betweenness": q_kg_betweenness,
+    "lineitem_conformal": q_lineitem_conformal,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -12345,4 +12496,7 @@ def oracles() -> dict[str, str]:
         "lineitem_kendall": O_LINEITEM_KENDALL,
         "docs_isotonic": O_DOCS_ISOTONIC(),
         "events_scc": O_EVENTS_SCC(),
+        "orders_itemsets3": O_ORDERS_ITEMSETS3,
+        "kg_betweenness": O_KG_BETWEENNESS(),
+        "lineitem_conformal": O_LINEITEM_CONFORMAL,
     }
