@@ -4742,3 +4742,70 @@ def betweenness(
         "node": pa.array(nodes, pa.string()),
         "bw_nano": pa.array([int(got.get(n, 0)) for n in nodes],
                             pa.int64())})
+
+
+def fs_pattern_counts(
+    ds: Dataset,
+    block_col: str,
+    id_col: str,
+    name_col: str,
+    type_col: str,
+    cents_col: str,
+    *,
+    jw_threshold: float = 0.9,
+    cents_tol: int = 100,
+) -> Dataset:
+    """Fellegi–Sunter agreement-pattern counting over blocked candidate
+    pairs — the sufficient statistics of probabilistic record linkage.
+    Within each blocking group every unordered pair is scored on three
+    binary comparators (name Jaro-Winkler ≥ threshold, exact type match,
+    price within ``cents_tol``) and only the 8-cell pattern histogram
+    leaves the group (a bounded combiner: the pair space never hits the
+    exchange). The JW comparator reuses :func:`_jaro_winkler_pairs` with
+    the same best-case length-ratio prefilter as :func:`jw_pairs` —
+    pairs pruned by the prefilter provably score below the threshold, so
+    their agreement bit is 0 without computing anything. Returns
+    (pattern, n) with pattern = a_name·4 + a_type·2 + a_price."""
+    def fn(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        texts = ["" if x is None else x
+                 for x in g[name_col].take(pa.array(order)).to_pylist()]
+        types = np.asarray(g[type_col].take(pa.array(order)).to_pylist(),
+                           dtype=object)
+        cents = pc.cast(g[cents_col], pa.int64()).to_numpy(
+            zero_copy_only=False)[order]
+        lens = np.asarray([len(x) for x in texts], dtype=np.int64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        if len(ii) == 0:
+            return pa.table({"pattern": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        a1 = np.zeros(len(ii), dtype=bool)
+        a = np.minimum(lens[ii], lens[jj]).astype(np.float64)
+        b = np.maximum(lens[ii], lens[jj]).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            best_j = (2.0 + a / b) / 3.0
+        best = np.where(a > 0, best_j + 0.4 * (1.0 - best_j), 0.0)
+        cand = np.flatnonzero(best >= jw_threshold)
+        if len(cand):
+            L = max(int(lens.max()), 1)
+            M = np.zeros((len(texts), L), dtype=np.uint32)
+            for i, s in enumerate(texts):
+                if s:
+                    M[i, :len(s)] = np.frombuffer(
+                        s.encode("utf-32-le"), dtype=np.uint32)
+            sim = _jaro_winkler_pairs(M[ii[cand]], M[jj[cand]],
+                                      lens[ii[cand]], lens[jj[cand]])
+            a1[cand] = sim >= jw_threshold
+        a2 = types[ii] == types[jj]
+        a3 = np.abs(cents[ii] - cents[jj]) <= cents_tol
+        pat = (a1.astype(np.int64) * 4 + a2.astype(np.int64) * 2
+               + a3.astype(np.int64))
+        u, c = np.unique(pat, return_counts=True)
+        return pa.table({"pattern": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return (ds.groupby(block_col).map_groups(fn, batch_format="pyarrow")
+            .groupby("pattern").aggregate(Sum("n", alias_name="n")))
