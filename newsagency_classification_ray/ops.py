@@ -624,7 +624,7 @@ def hash_join_sized(
     rk = (right_on or on)[0]
     lk = on[0]
     if (len(on) == 1 and n <= 32 * _join_parts()
-            and how in ("inner", "left_anti", "left_semi")):
+            and how in ("inner", "left_anti", "left_semi", "left_outer")):
         bt = [b for b in right.iter_batches(batch_format="pyarrow") if len(b)]
         small_t = pa.concat_tables(bt, promote_options="default") if bt else None
         if how in ("left_anti", "left_semi"):
@@ -640,14 +640,27 @@ def hash_join_sized(
 
             return left.map_batches(filt, batch_format="pyarrow")
         if small_t is None:
-            return left.map_batches(lambda t: t.slice(0, 0),
-                                    batch_format="pyarrow")
+            if how == "inner":
+                return left.map_batches(lambda t: t.slice(0, 0),
+                                        batch_format="pyarrow")
+            # left_outer against an empty right: keep every left row with
+            # null right columns — synthesize a typed empty small side so
+            # the broadcast probe below emits the nulls (needs the right
+            # schema; Ray drops it on all-empty datasets, so fall through
+            # to the distributed join if it is gone).
+            sch = getattr(right.schema(), "base_schema", None)
+            if sch is None:
+                parts = max(1, min(_join_parts(), (n + 3) // 4))
+                return hash_join(left, right, on, how, parts, right_on)
+            small_t = sch.empty_table()
         overlap = (set(small_t.column_names) - {rk}) & set(left.schema().names)
         if not overlap:
             if rk != lk:
                 small_t = small_t.rename_columns(
                     [lk if c == rk else c for c in small_t.column_names])
-            return broadcast_join(left, small_t, on=lk)
+            return broadcast_join(
+                left, small_t, on=lk,
+                how="inner" if how == "inner" else "left")
     parts = max(1, min(_join_parts(), (n + 3) // 4))
     return hash_join(left, right, on, how, parts, right_on)
 
@@ -4809,3 +4822,238 @@ def fs_pattern_counts(
 
     return (ds.groupby(block_col).map_groups(fn, batch_format="pyarrow")
             .groupby("pattern").aggregate(Sum("n", alias_name="n")))
+
+
+def max_spanning_forest(
+    ds: Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    driver_edge_limit: int = 500_000,
+    max_rounds: int = 40,
+) -> Dataset:
+    """Maximum-weight spanning forest of an undirected weighted graph —
+    the association-backbone extraction a KG pipeline runs to thin a
+    dense co-occurrence graph down to its strongest tree of links.
+
+    Determinism: edges are ranked under the TOTAL order
+    ``(weight DESC, u ASC, v ASC)`` with ``(u, v) = (min(src,dst),
+    max(src,dst))``; a total order means effective weights are distinct,
+    so the maximum spanning forest is UNIQUE and every regime / execution
+    order / cluster size emits the identical edge set. Weights must be
+    integers (cast to int64; exactness end to end). The caller supplies
+    one row per undirected pair (pre-aggregate parallel edges first);
+    self-loops are dropped.
+
+    * ``edges <= driver_edge_limit``: Kruskal with union-find on the
+      driver (a canonicalized KG backbone is node-scale tiny).
+    * larger graphs: textbook distributed Boruvka — each round every
+      component picks its best incident cross edge (per-batch lexsort
+      combiner, then one groupby(component) reduce), the picked edges
+      join the forest, and components contract by parent-pointer
+      jumping (2-cycles from mutual picks root at the smaller label;
+      each jump is one node-scale hash join, O(log n) jumps). Rounds
+      halve the component count, so O(log n) rounds total; only
+      node-scale label tables and the edge list ever enter a join, and
+      edge blocks stream through every round.
+
+    Returns ``(src, dst, weight)`` with ``src < dst``, one row per
+    forest edge.
+    """
+    def norm(t: pa.Table) -> pa.Table:
+        u = pc.min_element_wise(t[src], t[dst])
+        v = pc.max_element_wise(t[src], t[dst])
+        w = pc.cast(t[weight], pa.int64())
+        keep = pc.invert(pc.equal(u, v))
+        return pa.table({"u": u, "v": v, "w": w}).filter(keep)
+
+    e = _compact(ds.map_batches(norm, batch_format="pyarrow")).materialize()
+    # Ray drops the schema on all-empty datasets — fall back to the input's
+    # schema (from_arrow of a typed empty table keeps it), else string ids.
+    sch = e.schema() or ds.schema()
+    base = getattr(sch, "base_schema", None) if sch is not None else None
+    if base is not None and "u" in base.names:
+        node_type = base.field("u").type
+    elif base is not None and src in base.names:
+        node_type = base.field(src).type
+    else:
+        node_type = pa.string()
+    empty = pa.table({"src": pa.array([], node_type),
+                      "dst": pa.array([], node_type),
+                      "weight": pa.array([], pa.int64())})
+    if e.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    if e.count() <= driver_edge_limit:
+        rows = sorted(((-int(r["w"]), r["u"], r["v"]) for r in e.take_all()))
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        out = []
+        for nw, u, v in rows:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+                out.append((u, v, -nw))
+        out.sort()
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array([a for a, _, _ in out], node_type),
+            "dst": pa.array([b for _, b, _ in out], node_type),
+            "weight": pa.array([w for _, _, w in out], pa.int64())}))
+
+    # ---- distributed Boruvka ----
+    def uv_nodes(t: pa.Table) -> pa.Table:
+        n = pa.chunked_array([t["u"].combine_chunks(),
+                              t["v"].combine_chunks()]).combine_chunks()
+        return pa.table({"node": n})
+
+    labels = distinct(e.map_batches(uv_nodes, batch_format="pyarrow"),
+                      ["node"]).map_batches(
+        lambda t: pa.table({"node": t["node"], "lab": t["node"]}),
+        batch_format="pyarrow").materialize()
+    forest = ray.data.from_arrow(empty)
+
+    def _best_local(t: pa.Table) -> pa.Table:
+        # per-batch combiner: keep the best (w DESC, u, v) row per comp
+        if len(t) == 0:
+            return t
+        c = np.asarray(t["c"].to_pylist(), dtype=object)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        u = np.asarray(t["u"].to_pylist(), dtype=object)
+        v = np.asarray(t["v"].to_pylist(), dtype=object)
+        order = np.lexsort((v, u, -w, c))
+        first = np.ones(len(order), dtype=bool)
+        cs = c[order]
+        first[1:] = cs[1:] != cs[:-1]
+        idx = pa.array(order[first].astype(np.int64))
+        return t.take(idx)
+
+    for _ in range(max_rounds):
+        lu = hash_join_sized(
+            e, labels.map_batches(
+                lambda t: pa.table({"u": t["node"], "lu": t["lab"]}),
+                batch_format="pyarrow"), on=("u",))
+        both = hash_join_sized(
+            lu, labels.map_batches(
+                lambda t: pa.table({"v": t["node"], "lv": t["lab"]}),
+                batch_format="pyarrow"), on=("v",))
+        cross = both.filter(
+            lambda r: r["lu"] != r["lv"]).materialize()
+        if cross.count() == 0:
+            break
+
+        def emit2(t: pa.Table) -> pa.Table:
+            base = {"u": t["u"], "v": t["v"], "w": t["w"]}
+            t1 = pa.table({**base, "c": t["lu"], "o": t["lv"]})
+            t2 = pa.table({**base, "c": t["lv"], "o": t["lu"]})
+            return pa.concat_tables([t1, t2])
+
+        picks = (cross.map_batches(emit2, batch_format="pyarrow")
+                 .map_batches(_best_local, batch_format="pyarrow")
+                 .groupby("c").map_groups(_best_local,
+                                          batch_format="pyarrow")
+                 ).materialize()
+        selected = distinct(picks, ["u", "v", "w"])
+        forest = forest.union(selected.map_batches(
+            lambda t: pa.table({"src": t["u"], "dst": t["v"],
+                                "weight": t["w"]}),
+            batch_format="pyarrow")).materialize()
+
+        # contraction: parent pointers with 2-cycle break, then jumping
+        par = picks.map_batches(
+            lambda t: pa.table({"c": t["c"], "p": t["o"]}),
+            batch_format="pyarrow")
+        mutual = hash_join_sized(
+            par, par.map_batches(
+                lambda t: pa.table({"p": t["c"], "pp": t["p"]}),
+                batch_format="pyarrow"), on=("p",))
+        par = mutual.map_batches(
+            lambda t: pa.table({"c": t["c"], "p": pc.if_else(
+                pc.equal(t["pp"], t["c"]),
+                pc.min_element_wise(t["c"], t["p"]), t["p"])}),
+            batch_format="pyarrow").materialize()
+        for _ in range(max_rounds):
+            j = hash_join_sized(
+                par, par.map_batches(
+                    lambda t: pa.table({"p": t["c"], "pp": t["p"]}),
+                    batch_format="pyarrow"), on=("p",), how="left_outer")
+            j = j.map_batches(
+                lambda t: pa.table({
+                    "c": t["c"], "p": pc.coalesce(t["pp"], t["p"]),
+                    "chg": pc.cast(pc.and_(
+                        pc.is_valid(t["pp"]),
+                        pc.invert(pc.equal(t["pp"], t["p"]))), pa.int64())}),
+                batch_format="pyarrow").materialize()
+            changed = sum(
+                int(b["m"][0].as_py() or 0) for b in j.map_batches(
+                    lambda t: pa.table({"m": pa.array(
+                        [int(pc.sum(t["chg"]).as_py() or 0)], pa.int64())}),
+                    batch_format="pyarrow").iter_batches(
+                        batch_format="pyarrow"))
+            par = j.select_columns(["c", "p"])
+            if changed == 0:
+                break
+        labels = hash_join_sized(
+            labels, par.map_batches(
+                lambda t: pa.table({"lab": t["c"], "root": t["p"]}),
+                batch_format="pyarrow"), on=("lab",),
+            how="left_outer").map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "lab": pc.coalesce(t["root"], t["lab"])}),
+            batch_format="pyarrow").materialize()
+    return forest
+
+
+def gazetteer_counts(
+    docs: Dataset,
+    phrases: list[str],
+    *,
+    text_col: str = "text",
+) -> Dataset:
+    """Dictionary / gazetteer phrase spotting — the surface-form
+    frequency audit a KG pipeline runs before committing an alias list
+    (cf. the reference's newsagency alias vocabulary): for every phrase,
+    the corpus-wide document frequency and total (non-overlapping,
+    case-sensitive) hit count.
+
+    Bounded-inventory contract: the phrase list is the small side — it is
+    captured in the task closure once (Ray ships it per task, not per
+    batch) and each batch runs ONE vectorized ``pc.count_substring``
+    kernel per phrase, so per-batch work is O(len(phrases) · bytes) with
+    no Python row loop. Raises if the inventory exceeds 10k entries —
+    beyond that an Aho-Corasick actor stage is the right tool, not a
+    per-phrase kernel sweep. Per-batch partial (phrase, n_docs, n_hits)
+    rows → one bounded groupby; the text column never enters the
+    exchange. Returns (phrase, n_docs, n_hits)."""
+    from ray.data.aggregate import Sum
+
+    if len(phrases) > 10_000:
+        raise ValueError(
+            "gazetteer_counts: phrase inventory > 10k; use an automaton "
+            "actor stage instead of the per-phrase kernel sweep")
+    ph = sorted(set(phrases))
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        nd, nh = [], []
+        for p in ph:
+            c = pc.count_substring(txt, pattern=p)
+            nh.append(int(pc.sum(c).as_py() or 0))
+            nd.append(int(pc.sum(pc.cast(pc.greater(
+                c, pa.scalar(0, pa.int32())), pa.int64())).as_py() or 0))
+        return pa.table({"phrase": pa.array(ph, pa.string()),
+                         "n_docs": pa.array(nd, pa.int64()),
+                         "n_hits": pa.array(nh, pa.int64())})
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("phrase").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                         Sum("n_hits", alias_name="n_hits")))

@@ -12495,6 +12495,198 @@ def O_EVENTS_DRIFT_FDR() -> str:
         "('', 0, 0, 0, 0, 0, 0)")
 
 
+def q_kg_mst(sf_dir: str):
+    """Maximum-weight spanning forest of the (year-collapsed) agency
+    co-occurrence graph — the backbone a KG pipeline keeps when thinning
+    a dense association graph to its strongest tree of links. Edge
+    weights are exact integer co-occurrence counts; the total order
+    (weight DESC, src, dst) makes the forest unique, so Kruskal (driver
+    regime) and distributed Boruvka agree bit-for-bit (see
+    ops.max_spanning_forest). Output: (src_qid, dst_qid, weight)."""
+    edges = kg.cooccurrence_edges(_mentions(sf_dir))
+    agg = edges.groupby(["src_qid", "dst_qid"]).aggregate(
+        Sum("weight", alias_name="w"))
+    f = ops.max_spanning_forest(agg, src="src_qid", dst="dst_qid",
+                                weight="w")
+    return f.map_batches(
+        lambda t: pa.table({"src_qid": t["src"], "dst_qid": t["dst"],
+                            "weight": pc.cast(t["weight"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def O_KG_MST() -> str:
+    """Pure recompute: DuckDB re-derives the co-occurrence edges (the
+    already-oracled O_KG_COOCCURRENCE SQL), Python runs Kruskal under the
+    identical (weight DESC, src, dst) total order — integer weights and a
+    unique forest, so no float and no tie ambiguity anywhere."""
+    import duckdb
+
+    df = duckdb.connect().execute(O_KG_COOCCURRENCE(_SF001)).fetchdf()
+    agg = df.groupby(["src_qid", "dst_qid"], as_index=False)["weight"].sum()
+    rows = sorted((-int(w), a, b) for a, b, w in
+                  zip(agg["src_qid"], agg["dst_qid"], agg["weight"]))
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    out = []
+    for nw, a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            out.append((a, b, -nw))
+    vals = [f"({_sq(a)}, {_sq(b)}, {w})" for a, b, w in sorted(out)]
+    return _values_or_empty(
+        vals, "SELECT src_qid, dst_qid, CAST(weight AS BIGINT) AS weight",
+        "t(src_qid, dst_qid, weight)", "('', '', 0)")
+
+
+_GAZETTEER = ["big table", "fast scan", "group agg", "hash join",
+              "merge part", "sort merge", "table scan", "window window"]
+
+
+def q_docs_gazetteer(sf_dir: str):
+    """Gazetteer phrase spotting over the documents corpus: per-phrase
+    document frequency and total non-overlapping hit count for a fixed
+    multi-word surface inventory (the alias-audit step before committing
+    a dictionary to the linker). One vectorized count_substring kernel
+    per (phrase, batch); text never enters the exchange
+    (ops.gazetteer_counts). Output: (phrase, n_docs, n_hits)."""
+    docs = ops.read_table(sf_dir, "documents", ["text"])
+    return ops.gazetteer_counts(docs, _GAZETTEER)
+
+
+def O_DOCS_GAZETTEER() -> str:
+    ph = ", ".join(f"({_sq(p)})" for p in _GAZETTEER)
+    return f"""
+WITH ph(phrase) AS (VALUES {ph})
+SELECT ph.phrase,
+       CAST(sum(CASE WHEN contains(d.text, ph.phrase)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(sum((length(d.text) - length(replace(d.text, ph.phrase, '')))
+                // length(ph.phrase)) AS BIGINT) AS n_hits
+FROM ph CROSS JOIN documents d
+GROUP BY ph.phrase"""
+
+
+def _div_nano(num: int, den: int) -> int:
+    """round(num * 1e9 / den) half away from zero, in EXACT integer
+    arithmetic (arbitrary-precision Python ints — no float ever touches
+    the quotient, so engines can't disagree at any magnitude)."""
+    num *= 10**9
+    s = -1 if (num < 0) != (den < 0) else 1
+    num, den = abs(num), abs(den)
+    return s * ((2 * num + den) // (2 * den))
+
+
+def _ols2_nano(n, sx1, sx2, sy, s11, s12, s22, s1y, s2y, syy):
+    """Two-regressor OLS via Cramer's rule on the exact integer normal
+    equations. Betas and R² are ratios of integer determinants, rounded
+    with _div_nano — bit-exact on every engine at every scale. Returns
+    (b0_nano, b1_nano, b2_nano, r2_nano)."""
+    det = (n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2)
+           + sx2 * (sx1 * s12 - s11 * sx2))
+    if det == 0:
+        return 0, 0, 0, 0
+    d0 = (sy * (s11 * s22 - s12 * s12) - sx1 * (s1y * s22 - s12 * s2y)
+          + sx2 * (s1y * s12 - s11 * s2y))
+    d1 = (n * (s1y * s22 - s12 * s2y) - sy * (sx1 * s22 - s12 * sx2)
+          + sx2 * (sx1 * s2y - s1y * sx2))
+    d2 = (n * (s11 * s2y - s1y * s12) - sx1 * (sx1 * s2y - s1y * sx2)
+          + sy * (sx1 * s12 - s11 * sx2))
+    r2_num = n * (d0 * sy + d1 * s1y + d2 * s2y) - det * sy * sy
+    r2_den = det * (n * syy - sy * sy)
+    r2 = _div_nano(r2_num, r2_den) if r2_den != 0 else 0
+    return (_div_nano(d0, det), _div_nano(d1, det), _div_nano(d2, det), r2)
+
+
+def q_lineitem_ols2(sf_dir: str):
+    """Multiple regression price_cents ~ quantity + discount_cents with
+    EXACT integer normal equations: each block reduces to ten integer
+    sufficient statistics (Σy² is carried as a hi/lo int64 pair — y² can
+    reach 2^48 per row, so a single int64 per-block sum would overflow
+    long before a real block does), the O(blocks) driver fold runs in
+    arbitrary-precision Python ints, and Cramer's rule + _div_nano turn
+    the determinant ratios into nano-unit betas and R² with zero float
+    anywhere. One streaming pass; nothing but 12 ints per block moves.
+    Output: one row (n, b0_nano, b1_nano, b2_nano, r2_nano)."""
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_quantity", "l_extendedprice", "l_discount"])
+
+    def part(t: pa.Table) -> pa.Table:
+        x1 = pc.cast(t["l_quantity"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        x2 = np.round(t["l_discount"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        y = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        yy = y * y
+        return pa.table({
+            "n": pa.array([len(y)], pa.int64()),
+            "sx1": pa.array([int(x1.sum())], pa.int64()),
+            "sx2": pa.array([int(x2.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "s11": pa.array([int((x1 * x1).sum())], pa.int64()),
+            "s12": pa.array([int((x1 * x2).sum())], pa.int64()),
+            "s22": pa.array([int((x2 * x2).sum())], pa.int64()),
+            "s1y": pa.array([int((x1 * y).sum())], pa.int64()),
+            "s2y": pa.array([int((x2 * y).sum())], pa.int64()),
+            "syy_hi": pa.array([int((yy >> 30).sum())], pa.int64()),
+            "syy_lo": pa.array([int((yy & ((1 << 30) - 1)).sum())],
+                               pa.int64())})
+
+    rows = li.map_batches(part, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    sx1 = sum(r["sx1"] for r in rows)
+    sx2 = sum(r["sx2"] for r in rows)
+    sy = sum(r["sy"] for r in rows)
+    s11 = sum(r["s11"] for r in rows)
+    s12 = sum(r["s12"] for r in rows)
+    s22 = sum(r["s22"] for r in rows)
+    s1y = sum(r["s1y"] for r in rows)
+    s2y = sum(r["s2y"] for r in rows)
+    syy = sum(r["syy_hi"] for r in rows) * (1 << 30) \
+        + sum(r["syy_lo"] for r in rows)
+    b0, b1, b2, r2 = _ols2_nano(n, sx1, sx2, sy, s11, s12, s22,
+                                s1y, s2y, syy)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "b0_nano": pa.array([b0], pa.int64()),
+        "b1_nano": pa.array([b1], pa.int64()),
+        "b2_nano": pa.array([b2], pa.int64()),
+        "r2_nano": pa.array([r2], pa.int64())})
+
+
+def O_LINEITEM_OLS2() -> str:
+    """VALUES recompute: DuckDB folds the same ten integer sufficient
+    statistics (HUGEINT sums — exact), the shared Cramer kernel does the
+    rest in Python ints."""
+    import duckdb
+
+    r = duckdb.connect().execute(f"""
+        WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
+                          CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                   FROM read_parquet('{_SF001}/lineitem.parquet'))
+        SELECT count(*), sum(x1), sum(x2), sum(y), sum(x1*x1), sum(x1*x2),
+               sum(x2*x2), sum(x1*y), sum(x2*y), sum(y*y) FROM d""") \
+        .fetchone()
+    n, sx1, sx2, sy, s11, s12, s22, s1y, s2y, syy = (int(v) for v in r)
+    b0, b1, b2, r2 = _ols2_nano(n, sx1, sx2, sy, s11, s12, s22,
+                                s1y, s2y, syy)
+    return _values_or_empty(
+        [f"({n}, {b0}, {b1}, {b2}, {r2})"],
+        "SELECT CAST(n AS BIGINT) AS n, CAST(b0_nano AS BIGINT) AS b0_nano, "
+        "CAST(b1_nano AS BIGINT) AS b1_nano, "
+        "CAST(b2_nano AS BIGINT) AS b2_nano, "
+        "CAST(r2_nano AS BIGINT) AS r2_nano",
+        "t(n, b0_nano, b1_nano, b2_nano, r2_nano)", "(0, 0, 0, 0, 0)")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -12611,7 +12803,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # lineitem_kendall docs_isotonic events_scc
     # orders_itemsets3 kg_betweenness lineitem_conformal
     # kg_cutpoints events_xcorr source_lang_mi
-    # part_fs_weights events_lttb events_drift_fdr)
+    # part_fs_weights events_lttb events_drift_fdr
+    # kg_mst docs_gazetteer lineitem_ols2)
     "events_gap_stats": q_events_gap_stats,
     "events_attribution": q_events_attribution,
     "lineitem_mad": q_lineitem_mad,
@@ -12786,6 +12979,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "part_fs_weights": q_part_fs_weights,
     "events_lttb": q_events_lttb,
     "events_drift_fdr": q_events_drift_fdr,
+    "kg_mst": q_kg_mst,
+    "docs_gazetteer": q_docs_gazetteer,
+    "lineitem_ols2": q_lineitem_ols2,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -13116,4 +13312,7 @@ def oracles() -> dict[str, str]:
         "part_fs_weights": O_PART_FS_WEIGHTS(),
         "events_lttb": O_EVENTS_LTTB(),
         "events_drift_fdr": O_EVENTS_DRIFT_FDR(),
+        "kg_mst": O_KG_MST(),
+        "docs_gazetteer": O_DOCS_GAZETTEER(),
+        "lineitem_ols2": O_LINEITEM_OLS2(),
     }
