@@ -4541,6 +4541,87 @@ def kendall_tau_b(
                      "tau_b_nano": pa.array([nano], pa.int64())})
 
 
+def spearman_rho(
+    ds: Dataset,
+    x_col: str,
+    y_col: str,
+    *,
+    cell_limit: int = 200_000,
+) -> pa.Table:
+    """Exact Spearman rank correlation between two BOUNDED-CARDINALITY
+    integer columns — the monotone-association complement of
+    :func:`kendall_tau_b`, built on the same contingency identity: ranks
+    are a function of the MARGINAL histograms alone (average rank of
+    value v = rows below v + (ties(v)+1)/2), so the O(n log n) global
+    rank sort collapses to one (x, y) groupby with per-batch combiners
+    plus an O(cells) driver reduce. Average ranks are carried DOUBLED
+    (2·rank is always an integer, and scaling both variables by 2 leaves
+    the correlation untouched), so every cross-moment is exact
+    arbitrary-precision integer arithmetic; only the final
+    Pearson-over-ranks normalization touches floats — a correctly-rounded
+    sqrt/divide over exactly-representable integers, identical to what
+    the DuckDB oracle's HUGEINT→DOUBLE pipeline computes, so the
+    nano-quantized rho matches any engine bit-for-bit. Raises when the
+    joint domain exceeds ``cell_limit`` (the bounded-domain contract,
+    same as kendall's). Returns one row: (n_rows, rho_s_nano)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"x": pc.cast(t[x_col], pa.int64()),
+                      "y": pc.cast(t[y_col], pa.int64())}) \
+            .group_by(["x", "y"]).aggregate([([], "count_all")])
+        return pa.table({"x": g["x"], "y": g["y"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["x", "y"]).aggregate(Sum("n", alias_name="n"))
+             .take_all())
+    if len(cells) > cell_limit:
+        raise ValueError(
+            f"spearman_rho: joint domain has {len(cells)} cells "
+            f"(> {cell_limit}); this operator assumes bounded-cardinality "
+            "ordinal columns — bucket the inputs first")
+    if not cells:
+        return pa.table({"n_rows": pa.array([], pa.int64()),
+                         "rho_s_nano": pa.array([], pa.int64())})
+
+    def doubled_ranks(axis: str) -> dict:
+        marg: dict = {}
+        for r in cells:
+            marg[r[axis]] = marg.get(r[axis], 0) + int(r["n"])
+        out: dict = {}
+        below = 0
+        for v in sorted(marg):
+            out[v] = 2 * below + marg[v] + 1  # 2 × average rank
+            below += marg[v]
+        return out
+
+    r2x = doubled_ranks("x")
+    r2y = doubled_ranks("y")
+    n = sx = sy = sxx = syy = sxy = 0  # exact Python ints throughout
+    for r in cells:
+        c, rx, ry = int(r["n"]), r2x[r["x"]], r2y[r["y"]]
+        n += c
+        sx += c * rx
+        sy += c * ry
+        sxx += c * rx * rx
+        syy += c * ry * ry
+        sxy += c * rx * ry
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    if dx <= 0 or dy <= 0:
+        nano = 0
+    else:
+        val = float(num) / math.sqrt(float(dx) * float(dy)) * 1e9
+        nano = int(math.floor(val + 0.5)) if val >= 0 \
+            else -int(math.floor(-val + 0.5))
+    return pa.table({"n_rows": pa.array([n], pa.int64()),
+                     "rho_s_nano": pa.array([nano], pa.int64())})
+
+
 def frequent_triples(
     ds: Dataset,
     basket_col: str,

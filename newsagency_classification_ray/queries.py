@@ -12687,6 +12687,220 @@ def O_LINEITEM_OLS2() -> str:
         "t(n, b0_nano, b1_nano, b2_nano, r2_nano)", "(0, 0, 0, 0, 0)")
 
 
+def q_lineitem_spearman(sf_dir: str):
+    """Exact Spearman rank correlation between quantity and tax — the
+    monotone-association audit over a bounded joint domain (50 × 9
+    cells). Ranks come from the marginal histograms (average ranks
+    doubled to stay integer), so no global sort ever runs: one combined
+    (q, t) groupby plus an O(cells) exact-big-int driver reduce
+    (ops.spearman_rho); the single float step is a correctly-rounded
+    sqrt/divide over exactly-representable integers, mirrored
+    op-for-op by the oracle's HUGEINT→DOUBLE pipeline."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_quantity", "l_tax"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        tax = t["l_tax"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "q": pc.cast(t["l_quantity"], pa.int64()),
+            "t": pa.array(np.round(tax * 100).astype(np.int64), pa.int64())})
+
+    return ops.spearman_rho(
+        li.map_batches(prep, batch_format="pyarrow"), "q", "t")
+
+
+O_LINEITEM_SPEARMAN = """
+WITH c AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_tax * 100) AS BIGINT) AS y,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM lineitem GROUP BY 1, 2),
+xm AS (SELECT x, sum(n) AS n FROM c GROUP BY x),
+xr AS (SELECT x, 2 * coalesce(sum(n) OVER (ORDER BY x
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS r2
+       FROM xm),
+ym AS (SELECT y, sum(n) AS n FROM c GROUP BY y),
+yr AS (SELECT y, 2 * coalesce(sum(n) OVER (ORDER BY y
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS r2
+       FROM ym),
+j AS (SELECT c.n AS n, xr.r2 AS rx, yr.r2 AS ry
+      FROM c JOIN xr ON c.x = xr.x JOIN yr ON c.y = yr.y),
+s AS (SELECT CAST(sum(n) AS HUGEINT) AS n,
+             CAST(sum(n * rx) AS HUGEINT) AS sx,
+             CAST(sum(n * ry) AS HUGEINT) AS sy,
+             CAST(sum(n * rx * rx) AS HUGEINT) AS sxx,
+             CAST(sum(n * ry * ry) AS HUGEINT) AS syy,
+             CAST(sum(n * rx * ry) AS HUGEINT) AS sxy FROM j),
+t AS (SELECT n, CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) * 1e9 AS v
+      FROM s)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(CASE WHEN v >= 0 THEN floor(v + 0.5)
+                 ELSE -floor(-v + 0.5) END AS BIGINT) AS rho_s_nano
+FROM t"""
+
+
+def _chi2_nano(cells: list) -> tuple[int, int, int]:
+    """Pearson chi-square statistic + Cramér's V over a contingency
+    table of (row_label, col_label, count) cells, with each cell's
+    N·O²/(R·C) contribution quantized to nano-units by _div_nano BEFORE
+    summing — so the whole statistic is exact integer arithmetic (the
+    chi-square identity chi² = N·(Σ O²/(R·C)) − N needs no E_ij floats)
+    and any engine folding the same contingency reproduces it
+    bit-for-bit. The only float is Cramér's sqrt over the already-
+    quantized integers. Returns (chi2_nano, cramers_v_nano, dof)."""
+    import math
+
+    rm: dict = {}
+    cm: dict = {}
+    big = 0
+    for r, c, n in cells:
+        rm[r] = rm.get(r, 0) + int(n)
+        cm[c] = cm.get(c, 0) + int(n)
+        big += int(n)
+    if big == 0 or len(rm) < 2 or len(cm) < 2:
+        return 0, 0, 0
+    dof = (len(rm) - 1) * (len(cm) - 1)
+    acc = 0
+    for r, c, n in cells:
+        n = int(n)
+        acc += _div_nano(big * n * n, rm[r] * cm[c])
+    chi2 = max(0, acc - big * 10**9)
+    m = min(len(rm), len(cm)) - 1
+    v = math.sqrt((chi2 / 1e9) / (big * m))
+    return chi2, int(math.floor(v * 1e9 + 0.5)), dof
+
+
+def q_orders_chi2(sf_dir: str):
+    """Chi-square test of independence (+ Cramér's V effect size) for
+    order priority × order status — the categorical-association audit a
+    curation pipeline runs before trusting a stratification key. The
+    distributed part is one bounded contingency groupby (per-block
+    combiners reduce each block to ≤ 5×3 cells); the shared exact-integer
+    kernel (_chi2_nano) finishes on the driver, so sufficient statistics
+    scale with the DOMAIN, not the data. One row:
+    (n_rows, dof, chi2_nano, cramers_v_nano)."""
+    o = ops.read_table(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderpriority", "o_orderstatus"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"p": g["o_orderpriority"], "s": g["o_orderstatus"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    cells = (o.map_batches(partial, batch_format="pyarrow")
+             .groupby(["p", "s"]).aggregate(Sum("n", alias_name="n"))
+             .take_all())  # ≤ 15 rows: domain-bounded sufficient stats
+    chi2, v, dof = _chi2_nano([(r["p"], r["s"], r["n"]) for r in cells])
+    n = sum(int(r["n"]) for r in cells)
+    return pa.table({"n_rows": pa.array([n], pa.int64()),
+                     "dof": pa.array([dof], pa.int64()),
+                     "chi2_nano": pa.array([chi2], pa.int64()),
+                     "cramers_v_nano": pa.array([v], pa.int64())})
+
+
+def O_ORDERS_CHI2() -> str:
+    """VALUES recompute: DuckDB folds the same contingency table, the
+    shared exact-integer kernel (_chi2_nano) does the rest."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) "
+        f"FROM read_parquet('{_SF001}/orders.parquet') "
+        f"GROUP BY 1, 2").fetchall()
+    chi2, v, dof = _chi2_nano(rows)
+    n = sum(int(r[2]) for r in rows)
+    return _values_or_empty(
+        [f"({n}, {dof}, {chi2}, {v})"],
+        "SELECT CAST(n_rows AS BIGINT) AS n_rows, "
+        "CAST(dof AS BIGINT) AS dof, "
+        "CAST(chi2_nano AS BIGINT) AS chi2_nano, "
+        "CAST(cramers_v_nano AS BIGINT) AS cramers_v_nano",
+        "t(n_rows, dof, chi2_nano, cramers_v_nano)", "(0, 0, 0, 0)")
+
+
+def _anova_nano(groups: list) -> tuple[int, int, int, int, int]:
+    """One-way ANOVA from per-group integer sufficient statistics
+    (n_g, Σy_g, Σy²_g): between/within sums of squares via the identity
+    SSB = Σ S_g²/n_g − S²/N, SSW = Σy² − Σ S_g²/n_g, each S²/n term
+    nano-quantized by _div_nano before summing (exact integers
+    end-to-end; group order cannot matter because integer addition
+    commutes). The F-ratio is the single float step, computed over the
+    already-quantized integers. Returns
+    (n_rows, k, ssb_nano, ssw_nano, f_nano)."""
+    import math
+
+    k = len(groups)
+    big = sum(int(n) for n, _, _ in groups)
+    s_all = sum(int(s) for _, s, _ in groups)
+    qq = sum(int(q) for _, _, q in groups)
+    if k < 2 or big <= k:
+        return big, k, 0, 0, 0
+    inner = sum(_div_nano(int(s) * int(s), int(n)) for n, s, _ in groups)
+    ssb = max(0, inner - _div_nano(s_all * s_all, big))
+    ssw = qq * 10**9 - inner
+    if ssw <= 0:
+        return big, k, ssb, max(0, ssw), 0
+    f = (ssb / 1e9 / (k - 1)) / (ssw / 1e9 / (big - k))
+    return big, k, ssb, ssw, int(math.floor(f * 1e9 + 0.5))
+
+
+def q_lineitem_anova(sf_dir: str):
+    """One-way ANOVA of quantity across return flags — does the flag
+    explain any quantity variance? Per-block combiners fold each block to
+    ≤ 3 (flag, n, Σq, Σq²) partials (q ≤ 50, so Σq² per block sits far
+    inside int64), one bounded groupby merges them, and the shared
+    exact-integer kernel (_anova_nano) emits nano-quantized SSB/SSW/F on
+    the driver. One row: (n_rows, k, ssb_nano, ssw_nano, f_nano)."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(t["l_quantity"], pa.int64())
+        g = pa.table({"flag": t["l_returnflag"], "s": q,
+                      "qq": pc.multiply(q, q)}) \
+            .group_by("flag").aggregate([("s", "sum"), ("qq", "sum"),
+                                         ([], "count_all")])
+        return pa.table({"flag": g["flag"],
+                         "n": pc.cast(g["count_all"], pa.int64()),
+                         "s": pc.cast(g["s_sum"], pa.int64()),
+                         "qq": pc.cast(g["qq_sum"], pa.int64())})
+
+    rows = (li.map_batches(partial, batch_format="pyarrow")
+            .groupby("flag").aggregate(Sum("n", alias_name="n"),
+                                       Sum("s", alias_name="s"),
+                                       Sum("qq", alias_name="qq"))
+            .take_all())  # ≤ 3 rows
+    n, k, ssb, ssw, f = _anova_nano(
+        [(r["n"], r["s"], r["qq"]) for r in rows])
+    return pa.table({"n_rows": pa.array([n], pa.int64()),
+                     "k": pa.array([k], pa.int64()),
+                     "ssb_nano": pa.array([ssb], pa.int64()),
+                     "ssw_nano": pa.array([ssw], pa.int64()),
+                     "f_nano": pa.array([f], pa.int64())})
+
+
+def O_LINEITEM_ANOVA() -> str:
+    """VALUES recompute: DuckDB folds the same per-flag integer
+    sufficient statistics, the shared kernel (_anova_nano) finishes."""
+    import duckdb
+
+    rows = duckdb.connect().execute(f"""
+        SELECT CAST(count(*) AS BIGINT),
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT),
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT)
+        FROM read_parquet('{_SF001}/lineitem.parquet')
+        GROUP BY l_returnflag""").fetchall()
+    n, k, ssb, ssw, f = _anova_nano([tuple(int(v) for v in r) for r in rows])
+    return _values_or_empty(
+        [f"({n}, {k}, {ssb}, {ssw}, {f})"],
+        "SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS k, "
+        "CAST(ssb_nano AS BIGINT) AS ssb_nano, "
+        "CAST(ssw_nano AS BIGINT) AS ssw_nano, "
+        "CAST(f_nano AS BIGINT) AS f_nano",
+        "t(n_rows, k, ssb_nano, ssw_nano, f_nano)", "(0, 0, 0, 0, 0)")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -12982,6 +13196,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_mst": q_kg_mst,
     "docs_gazetteer": q_docs_gazetteer,
     "lineitem_ols2": q_lineitem_ols2,
+    "lineitem_spearman": q_lineitem_spearman,
+    "orders_chi2": q_orders_chi2,
+    "lineitem_anova": q_lineitem_anova,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -13315,4 +13532,7 @@ def oracles() -> dict[str, str]:
         "kg_mst": O_KG_MST(),
         "docs_gazetteer": O_DOCS_GAZETTEER(),
         "lineitem_ols2": O_LINEITEM_OLS2(),
+        "lineitem_spearman": O_LINEITEM_SPEARMAN,
+        "orders_chi2": O_ORDERS_CHI2(),
+        "lineitem_anova": O_LINEITEM_ANOVA(),
     }
