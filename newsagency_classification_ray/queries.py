@@ -12901,6 +12901,184 @@ def O_LINEITEM_ANOVA() -> str:
         "t(n_rows, k, ssb_nano, ssw_nano, f_nano)", "(0, 0, 0, 0, 0)")
 
 
+_HARDNEG_K = 3
+
+
+def q_embeddings_hard_negatives(sf_dir: str):
+    """Hardest-negative mining (contrastive-training prep): for each of
+    the 8 fixed anchors, the 3 most-cosine-similar vectors with a
+    DIFFERENT label. Anchors broadcast once, one float64 matmul per
+    block with a label mask, O(blocks·anchors·k) candidates into the
+    bounded reduce (sim.hard_negative_topk) — at 10⁹ vectors the same
+    IVF bucketing as lsh_ann_topk is the recall path; this is the exact
+    baseline it is measured against."""
+    emb = ops.read_table(sf_dir, "embeddings",
+                         ["vec_id", "embedding", "label"])
+    qrows = emb.map_batches(
+        lambda t: t.filter(pc.is_in(
+            pc.cast(t["vec_id"], pa.int64()),
+            value_set=pa.array(_ANN_QUERY_IDS, type=pa.int64()))),
+        batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qvecs = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    out = sim.hard_negative_topk(
+        emb, qvecs, [int(r["vec_id"]) for r in qrows],
+        [int(r["label"]) for r in qrows], k=_HARDNEG_K)
+    return out.map_batches(
+        lambda t: _i64(t.select(["query_id", "vec_id", "rank"]),
+                       ["query_id", "vec_id", "rank"]),
+        batch_format="pyarrow")
+
+
+O_EMBEDDINGS_HARD_NEGATIVES = f"""
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+           WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS s
+  FROM q CROSS JOIN embeddings e WHERE e.label <> q.label
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_HARDNEG_K}"""
+
+
+def q_events_seq_match(sf_dir: str):
+    """MATCH_RECOGNIZE-style sequence-pattern count with NEGATION — per
+    user, how many 'view' events are followed by a 'purchase' within 30
+    minutes with NO intervening 'error' (event order is the total
+    (ts, event_id) order, so ties cannot flip the match set). The funnel
+    queries count participation; this counts pattern INSTANCES under an
+    exclusion, the shape simple window functions cannot express. Per-user
+    groups are bounded (one user's events fit a worker — the same group
+    contract as events_sessions), and inside each group the scan is three
+    sorted position arrays + searchsorted, no Python pair loop.
+    Returns (user_id, n_matches) for users with ≥ 1 match."""
+    ev = ops.read_table(sf_dir, "events",
+                        ["user_id", "ts", "event_id", "event_type"])
+    win_us = 30 * 60 * 1_000_000
+
+    def matches(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts))
+        ts, et = ts[order], et[order]
+        vpos = np.flatnonzero(et == "view")
+        ppos = np.flatnonzero(et == "purchase")
+        epos = np.flatnonzero(et == "error")
+        n = 0
+        if len(vpos) and len(ppos):
+            nxt = np.searchsorted(ppos, vpos, side="right")
+            ok = nxt < len(ppos)
+            cand = ppos[np.minimum(nxt, len(ppos) - 1)]
+            ok &= ts[cand] <= ts[vpos] + win_us
+            # no error strictly between the view and its matched purchase
+            errs = np.searchsorted(epos, cand) - np.searchsorted(epos, vpos)
+            n = int((ok & (errs == 0)).sum())
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_matches": pa.array([], pa.int64())})
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"][0].as_py())], pa.int64()),
+            "n_matches": pa.array([n], pa.int64())})
+
+    return ev.groupby("user_id").map_groups(matches, batch_format="pyarrow")
+
+
+O_EVENTS_SEQ_MATCH = """
+WITH v AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'view'),
+p AS (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase'),
+fp AS (
+  SELECT v.user_id, v.ts AS vt, v.event_id AS vid, p.ts AS pt,
+         p.event_id AS pid,
+         row_number() OVER (PARTITION BY v.user_id, v.event_id
+                            ORDER BY p.ts, p.event_id) AS rn
+  FROM v JOIN p ON p.user_id = v.user_id
+       AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+),
+m AS (
+  SELECT user_id, vt, vid, pt, pid FROM fp
+  WHERE rn = 1 AND pt <= vt + INTERVAL 30 MINUTE
+    AND NOT EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.user_id = fp.user_id AND e.event_type = 'error'
+        AND (e.ts > fp.vt OR (e.ts = fp.vt AND e.event_id > fp.vid))
+        AND (e.ts < fp.pt OR (e.ts = fp.pt AND e.event_id < fp.pid)))
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_matches
+FROM m GROUP BY user_id"""
+
+
+def q_events_theilsen(sf_dir: str, day_limit: int = 5_000):
+    """Theil–Sen robust trend of daily event volume — the median of all
+    pairwise day-to-day slopes, the estimator that shrugs off the
+    outlier days a mean-squares fit (lineitem_regression) chases. The
+    distributed part is one bounded daily-count groupby (per-block
+    combiners); the O(days²) pair sweep runs on the driver over exact
+    integers — each pairwise slope is nano-quantized by the SAME
+    half-away-from-zero integer division the SQL oracle spells out, and
+    the reported slope is the LOWER MEDIAN (element (m+1)//2 of the
+    sorted slopes), so no float touches anything. Raises past
+    ``day_limit`` days (25M pairs) — at longer horizons, bucket to weeks
+    first. One row: (n_days, n_pairs, slope_nano)."""
+    ev = ops.read_table(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["ts"], pa.date32()).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    rows = (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("c", alias_name="c"))
+            .take_all())
+    if len(rows) > day_limit:
+        raise ValueError(
+            f"events_theilsen: {len(rows)} days > {day_limit}; bucket to "
+            "coarser periods before the pairwise sweep")
+    rows.sort(key=lambda r: r["day"])
+    days = [int(r["day"]) for r in rows]
+    cnts = [int(r["c"]) for r in rows]
+    slopes = [_div_nano(cnts[j] - cnts[i], days[j] - days[i])
+              for i in range(len(days)) for j in range(i + 1, len(days))]
+    slopes.sort()
+    m = len(slopes)
+    med = slopes[(m + 1) // 2 - 1] if m else 0
+    return pa.table({"n_days": pa.array([len(days)], pa.int64()),
+                     "n_pairs": pa.array([m], pa.int64()),
+                     "slope_nano": pa.array([med], pa.int64())})
+
+
+O_EVENTS_THEILSEN = """
+WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+dd AS (SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS di, c FROM d),
+p AS (SELECT b.c - a.c AS num, b.di - a.di AS den
+      FROM dd a JOIN dd b ON b.di > a.di),
+s AS (SELECT CASE WHEN num >= 0
+                  THEN (2 * num * 1000000000 + den) // (2 * den)
+                  ELSE -((2 * (-num) * 1000000000 + den) // (2 * den))
+             END AS slope FROM p),
+r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+             count(*) OVER () AS m
+      FROM s)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM dd) AS n_days,
+       CAST(m AS BIGINT) AS n_pairs, CAST(slope AS BIGINT) AS slope_nano
+FROM r WHERE rn = (m + 1) // 2"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -13199,6 +13377,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_spearman": q_lineitem_spearman,
     "orders_chi2": q_orders_chi2,
     "lineitem_anova": q_lineitem_anova,
+    "embeddings_hard_negatives": q_embeddings_hard_negatives,
+    "events_seq_match": q_events_seq_match,
+    "events_theilsen": q_events_theilsen,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -13535,4 +13716,7 @@ def oracles() -> dict[str, str]:
         "lineitem_spearman": O_LINEITEM_SPEARMAN,
         "orders_chi2": O_ORDERS_CHI2(),
         "lineitem_anova": O_LINEITEM_ANOVA(),
+        "embeddings_hard_negatives": O_EMBEDDINGS_HARD_NEGATIVES,
+        "events_seq_match": O_EVENTS_SEQ_MATCH,
+        "events_theilsen": O_EVENTS_THEILSEN,
     }

@@ -69,6 +69,51 @@ def brute_force_topk(
     return _reduce_topk(local, k)
 
 
+def hard_negative_topk(
+    embeddings: Dataset,
+    query_vecs: np.ndarray,
+    query_ids: list[int],
+    query_labels: list[int],
+    k: int = 3,
+) -> Dataset:
+    """Hardest-negative mining for contrastive training: for each anchor,
+    the top-k most-similar vectors carrying a DIFFERENT label (plus the
+    usual self-exclusion). Identical shape to :func:`brute_force_topk` —
+    anchors broadcast once via ``ray.put``, one float64 matmul per batch,
+    O(blocks · anchors · k) candidate rows into the bounded reduce — the
+    per-batch label mask is the only difference, so the scale story is
+    unchanged. ``embeddings`` must carry (vec_id, embedding, label).
+    Returns (query_id, vec_id, score, rank), rank 1-based, ties by vec_id
+    ascending (matches the SQL oracle's ``ORDER BY s DESC, vec_id``)."""
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qref = ray.put((qn, list(query_ids), [int(x) for x in query_labels]))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        q, qids, qlabs = ray.get(qref)
+        m = _normalize(_batch_matrix(t, dtype=np.float64))
+        ids = t["vec_id"].to_numpy()
+        labs = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        scores = m @ q.T  # (batch, nq)
+        out_q, out_v, out_s = [], [], []
+        for j, (qid, ql) in enumerate(zip(qids, qlabs)):
+            col = scores[:, j].copy()
+            col[(ids == qid) | (labs == ql)] = -np.inf
+            kk = min(k, len(ids))
+            idx = np.lexsort((ids, -col))[:kk]  # score desc, vec_id asc
+            idx = idx[np.isfinite(col[idx])]
+            out_q.extend([qid] * len(idx))
+            out_v.extend(ids[idx].tolist())
+            out_s.extend(col[idx].astype(np.float64).tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "score": pa.array(out_s, type=pa.float64()),
+        })
+
+    local = embeddings.map_batches(local_topk, batch_format="pyarrow")
+    return _reduce_topk(local, k)
+
+
 def _reduce_topk(local: Dataset, k: int, driver_limit: int = 5_000_000) -> Dataset:
     """Merge per-block candidate rows (query_id, vec_id, score) into the
     per-query global top-k. The candidate set is O(blocks · queries · k) —
