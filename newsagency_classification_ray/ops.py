@@ -5094,6 +5094,104 @@ def max_spanning_forest(
     return forest
 
 
+def adamic_adar_topk(
+    edges: Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 10,
+    degree_cap: int = 100_000,
+) -> pa.Table:
+    """Adamic–Adar link prediction: for every NON-edge node pair at
+    distance 2, the score Σ over common neighbors w of 1/ln(deg w) —
+    quantized PER CENTER to integer nano-units (floor(1e9/ln(deg)+0.5))
+    before summing, so the aggregate is exact integer arithmetic and no
+    float-summation-order question can split engines; the one float per
+    center (a divide + ln over a small-int degree) is the identical
+    expression the SQL oracle evaluates. Returns the top-``k`` candidate
+    pairs by (score DESC, u ASC, v ASC) as (u, v, aa_nano).
+
+    Shape: edge normalization (u < v, dedup), adjacency emit both
+    directions, one groupby(center) whose groups are DEGREE-bounded
+    (``degree_cap`` raises — per-center pair generation is quadratic in
+    degree, the same explicit contract as NTILE's group bound; salt/cap
+    hub nodes upstream if a web-scale graph trips it), one (u, v) groupby
+    to sum the quantized weights, an anti-join against the edge set on a
+    composite key, and a k-row sort+limit."""
+    import math
+
+    def norm(t: pa.Table) -> pa.Table:
+        u = pc.min_element_wise(t[src], t[dst])
+        v = pc.max_element_wise(t[src], t[dst])
+        keep = pc.invert(pc.equal(u, v))
+        return pa.table({"u": u, "v": v}).filter(keep)
+
+    e = distinct(_compact(edges.map_batches(norm, batch_format="pyarrow")),
+                 ["u", "v"]).materialize()
+    node_type = pa.string()
+    sch = e.schema()
+    base = getattr(sch, "base_schema", None) if sch is not None else None
+    if base is not None and "u" in base.names:
+        node_type = base.field("u").type
+    empty = pa.table({"u": pa.array([], node_type),
+                      "v": pa.array([], node_type),
+                      "aa_nano": pa.array([], pa.int64())})
+    if e.count() == 0:
+        return empty
+
+    def adj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "x": pa.chunked_array([t["u"].combine_chunks(),
+                                   t["v"].combine_chunks()]).combine_chunks(),
+            "n": pa.chunked_array([t["v"].combine_chunks(),
+                                   t["u"].combine_chunks()]).combine_chunks()})
+
+    def center_pairs(g: pa.Table) -> pa.Table:
+        nb = sorted(set(g["n"].to_pylist()))
+        deg = len(nb)
+        if deg > degree_cap:
+            raise ValueError(
+                f"adamic_adar_topk: node degree {deg} > {degree_cap}; "
+                "cap or salt hub nodes before link prediction")
+        if deg < 2:
+            return pa.table({"u": pa.array([], node_type),
+                             "v": pa.array([], node_type),
+                             "w": pa.array([], pa.int64())})
+        wn = int(math.floor(1e9 / math.log(float(deg)) + 0.5))
+        arr = np.asarray(nb, dtype=object)
+        iu, ju = np.triu_indices(deg, k=1)
+        return pa.table({"u": pa.array(arr[iu].tolist(), node_type),
+                         "v": pa.array(arr[ju].tolist(), node_type),
+                         "w": pa.array([wn] * len(iu), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    scored = (e.map_batches(adj, batch_format="pyarrow")
+              .groupby("x").map_groups(center_pairs, batch_format="pyarrow")
+              .groupby(["u", "v"]).aggregate(Sum("w", alias_name="aa_nano")))
+
+    sep = pa.scalar("\x1f")
+
+    def keyed(t: pa.Table) -> pa.Table:
+        kk = pc.binary_join_element_wise(
+            pc.cast(t["u"], pa.string()), pc.cast(t["v"], pa.string()), sep)
+        return t.append_column("pairkey", kk)
+
+    cand = hash_join_sized(
+        scored.map_batches(keyed, batch_format="pyarrow"),
+        e.map_batches(lambda t: keyed(t).select(["pairkey"]),
+                      batch_format="pyarrow"),
+        on=("pairkey",), how="left_anti")
+    out = (cand.select_columns(["u", "v", "aa_nano"])
+           .sort(["aa_nano", "u", "v"], descending=[True, False, False])
+           .limit(k).materialize())
+    if out.count() == 0:
+        return empty
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow") if len(b)],
+        promote_options="default")
+
+
 def gazetteer_counts(
     docs: Dataset,
     phrases: list[str],

@@ -13079,6 +13079,242 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM dd) AS n_days,
 FROM r WHERE rn = (m + 1) // 2"""
 
 
+def _runs_z_nano(cnts: list) -> tuple[int, int, int, int]:
+    """Wald–Wolfowitz runs test over the SIGNS of consecutive deltas of
+    an ordered count series (zero deltas dropped, the standard
+    convention): returns (n_plus, n_minus, n_runs, z_nano). Runs/sign
+    counts are exact integers; the z-score normalization is the single
+    float step — mu = 2·n1·n2/n + 1, var = (mu−1)(mu−2)/(n−1) — written
+    once here and shared by query and oracle, so both sides compute the
+    identical doubles."""
+    import math
+
+    signs = []
+    for a, b in zip(cnts[:-1], cnts[1:]):
+        if b != a:
+            signs.append(1 if b > a else -1)
+    n1 = sum(1 for s in signs if s > 0)
+    n2 = len(signs) - n1
+    runs = 0
+    prev = 0
+    for s in signs:
+        if s != prev:
+            runs += 1
+            prev = s
+    n = n1 + n2
+    if n1 == 0 or n2 == 0 or n < 2:
+        return n1, n2, runs, 0
+    mu = 2.0 * n1 * n2 / n + 1.0
+    var = (mu - 1.0) * (mu - 2.0) / (n - 1.0)
+    if var <= 0:
+        return n1, n2, runs, 0
+    z = (runs - mu) / math.sqrt(var) * 1e9
+    zn = int(math.floor(z + 0.5)) if z >= 0 else -int(math.floor(-z + 0.5))
+    return n1, n2, runs, zn
+
+
+def q_orders_runs_test(sf_dir: str):
+    """Wald–Wolfowitz runs test for randomness of the daily order-volume
+    trend — do up-days and down-days alternate like noise, or cluster
+    (momentum / seasonality)? One bounded daily-count groupby with
+    per-block combiners is the only exchange; the sign/run scan and the
+    shared z kernel (_runs_z_nano) finish on the O(days) driver series.
+    One row: (n_days, n_plus, n_minus, n_runs, z_nano)."""
+    o = ops.read_table(sf_dir, "orders", ["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["o_orderdate"], pa.date32()) \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    rows = (o.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("c", alias_name="c"))
+            .take_all())
+    rows.sort(key=lambda r: r["day"])
+    n1, n2, runs, zn = _runs_z_nano([int(r["c"]) for r in rows])
+    return pa.table({"n_days": pa.array([len(rows)], pa.int64()),
+                     "n_plus": pa.array([n1], pa.int64()),
+                     "n_minus": pa.array([n2], pa.int64()),
+                     "n_runs": pa.array([runs], pa.int64()),
+                     "z_nano": pa.array([zn], pa.int64())})
+
+
+def O_ORDERS_RUNS_TEST() -> str:
+    """VALUES recompute: DuckDB folds the ordered daily counts, the
+    shared kernel (_runs_z_nano) does the sign/run scan + z."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) "
+        f"FROM read_parquet('{_SF001}/orders.parquet') "
+        f"GROUP BY 1 ORDER BY 1").fetchall()
+    n1, n2, runs, zn = _runs_z_nano([int(r[1]) for r in rows])
+    return _values_or_empty(
+        [f"({len(rows)}, {n1}, {n2}, {runs}, {zn})"],
+        "SELECT CAST(n_days AS BIGINT) AS n_days, "
+        "CAST(n_plus AS BIGINT) AS n_plus, "
+        "CAST(n_minus AS BIGINT) AS n_minus, "
+        "CAST(n_runs AS BIGINT) AS n_runs, CAST(z_nano AS BIGINT) AS z_nano",
+        "t(n_days, n_plus, n_minus, n_runs, z_nano)", "(0, 0, 0, 0, 0)")
+
+
+_BURROWS_K = 20
+
+
+def _burrows_delta_nano(cells: list, vocab: list) -> list:
+    """Burrows' Delta stylometric distance between sources from
+    (source, token, count) cells — token '' rows carry each source's
+    total token count. Relative frequencies are nano-quantized integers
+    (_div_nano) so the inputs to the float z-score step are engine-exact;
+    the z/mean/abs-diff arithmetic then runs in ONE shared kernel over a
+    canonical (sorted sources, fixed vocab) iteration order, so query and
+    oracle produce the identical doubles. Returns sorted
+    (src_a, src_b, delta_nano) rows for all source pairs."""
+    import math
+
+    totals = {s: int(n) for s, w, n in cells if w == ""}
+    sources = sorted(s for s, t in totals.items() if t > 0)
+    if len(sources) < 2:
+        return []
+    freq = {(s, w): 0 for s in sources for w in vocab}
+    for s, w, n in cells:
+        if w and (s, w) in freq:
+            freq[(s, w)] = _div_nano(int(n), totals[s])
+    z: dict = {}
+    for w in vocab:
+        vals = [freq[(s, w)] for s in sources]
+        mu = sum(vals) / len(vals)
+        sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / len(vals))
+        for s, v in zip(sources, vals):
+            z[(s, w)] = 0.0 if sd == 0 else (v - mu) / sd
+    out = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            d = sum(abs(z[(a, w)] - z[(b, w)]) for w in vocab) / len(vocab)
+            out.append((a, b, int(math.floor(d * 1e9 + 0.5))))
+    return out
+
+
+def q_docs_burrows_delta(sf_dir: str):
+    """Burrows' Delta — the classic stylometric distance between corpus
+    sources over the most-frequent-word profile (the source-attribution
+    audit a mixed-provenance corpus runs before trusting 'source' as a
+    stratification key). Two bounded passes: the certified-exact top-20
+    vocabulary via the Misra–Gries heavy-hitter sketch (no full-vocab
+    groupby ever), then per-(source, vocab-token) counts + per-source
+    totals through one domain-bounded groupby; the shared exact-integer
+    kernel (_burrows_delta_nano) finishes on ≤ sources×21 rows. Returns
+    (src_a, src_b, delta_nano) per source pair."""
+    docs = ops.read_table(sf_dir, "documents", ["source", "text"])
+
+    def toks(t: pa.Table) -> pa.Array:
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(pc.coalesce(t["text"], pa.scalar("")),
+                                   pattern=r"\s+"))
+        return flat.filter(pc.not_equal(flat, ""))
+
+    vocab_t = ops.heavy_hitters_topk(docs, toks, k=_BURROWS_K, cap=1024)
+    vocab = vocab_t["item"].to_pylist()
+    vset = pa.array(vocab, pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        lst = pc.split_pattern_regex(pc.coalesce(t["text"], pa.scalar("")),
+                                     pattern=r"\s+")
+        flat = pc.list_flatten(lst)
+        src = pc.take(t["source"], pc.list_parent_indices(lst))
+        keep = pc.not_equal(flat, "")
+        flat, src = flat.filter(keep), src.filter(keep)
+        tot = pa.table({"source": src}).group_by("source") \
+            .aggregate([([], "count_all")])
+        inv = pc.is_in(flat, value_set=vset)
+        cnt = pa.table({"source": src.filter(inv),
+                        "token": flat.filter(inv)}) \
+            .group_by(["source", "token"]).aggregate([([], "count_all")])
+        return pa.concat_tables([
+            pa.table({"source": tot["source"],
+                      "token": pa.array([""] * len(tot), pa.string()),
+                      "n": pc.cast(tot["count_all"], pa.int64())}),
+            pa.table({"source": cnt["source"], "token": cnt["token"],
+                      "n": pc.cast(cnt["count_all"], pa.int64())})])
+
+    cells = (docs.map_batches(partial, batch_format="pyarrow")
+             .groupby(["source", "token"]).aggregate(Sum("n", alias_name="n"))
+             .take_all())  # ≤ sources × (vocab+1): domain-bounded
+    rows = _burrows_delta_nano(
+        [(r["source"], r["token"], r["n"]) for r in cells], vocab)
+    return pa.table({
+        "src_a": pa.array([r[0] for r in rows], pa.string()),
+        "src_b": pa.array([r[1] for r in rows], pa.string()),
+        "delta_nano": pa.array([r[2] for r in rows], pa.int64())})
+
+
+def O_DOCS_BURROWS_DELTA() -> str:
+    """VALUES recompute: DuckDB picks the same (count DESC, token ASC)
+    top-20 vocabulary and folds the same cells; the shared kernel
+    finishes."""
+    import duckdb
+
+    con = duckdb.connect()
+    base = (f"FROM read_parquet('{_SF001}/documents.parquet'), "
+            r"unnest(regexp_split_to_array(text, '\s+')) AS u(token) "
+            "WHERE token <> ''")
+    vocab = [r[0] for r in con.execute(
+        f"SELECT token {base} GROUP BY token "
+        f"ORDER BY count(*) DESC, token LIMIT {_BURROWS_K}").fetchall()]
+    inlist = ", ".join(_sq(w) for w in vocab)
+    cells = con.execute(
+        f"SELECT source, token, CAST(count(*) AS BIGINT) {base} "
+        f"AND token IN ({inlist}) GROUP BY 1, 2 "
+        f"UNION ALL SELECT source, '', CAST(count(*) AS BIGINT) {base} "
+        f"GROUP BY 1, 2").fetchall()
+    rows = _burrows_delta_nano([(r[0], r[1], int(r[2])) for r in cells],
+                               vocab)
+    return _values_or_empty(
+        [f"({_sq(a)}, {_sq(b)}, {d})" for a, b, d in rows],
+        "SELECT src_a, src_b, CAST(delta_nano AS BIGINT) AS delta_nano",
+        "t(src_a, src_b, delta_nano)", "('', '', 0)")
+
+
+def q_kg_adamic_adar(sf_dir: str):
+    """Adamic–Adar link prediction over the agency co-occurrence graph —
+    which agency pairs that never co-occur are most likely to (the KG
+    completion primitive): Σ over common neighbors of 1/ln(degree),
+    per-center contributions quantized to integer nano-units before the
+    sum so the score aggregate is exact across engines
+    (ops.adamic_adar_topk). Top-10 non-edge pairs by (score, u, v)."""
+    edges = kg.cooccurrence_edges(_mentions(sf_dir)).map_batches(
+        lambda t: t.select(["src_qid", "dst_qid"]), batch_format="pyarrow")
+    out = ops.adamic_adar_topk(edges, src="src_qid", dst="dst_qid", k=10)
+    return out.rename_columns(["u", "v", "aa_nano"])
+
+
+O_KG_ADAMIC_ADAR = lambda sf: f"""WITH {_pages_cte(sf)},
+  counts AS (SELECT host, year, qid FROM sql_mentions
+             WHERE qid <> 'NIL' GROUP BY host, year, qid),
+  e AS (SELECT DISTINCT a.qid AS u, b.qid AS v
+        FROM counts a JOIN counts b
+          ON a.host = b.host AND a.year = b.year AND a.qid < b.qid),
+  adj AS (SELECT u AS x, v AS n FROM e UNION ALL SELECT v, u FROM e),
+  deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY x),
+  w AS (SELECT x, CAST(floor(1000000000.0 / ln(CAST(d AS DOUBLE)) + 0.5)
+                       AS BIGINT) AS wn
+        FROM deg WHERE d >= 2),
+  pairs AS (SELECT a1.x AS u, a2.x AS v, w.wn
+            FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.x < a2.x
+            JOIN w ON w.x = a1.n),
+  scored AS (SELECT u, v, CAST(sum(wn) AS BIGINT) AS aa_nano
+             FROM pairs GROUP BY 1, 2),
+  nonedge AS (SELECT s.u, s.v, s.aa_nano FROM scored s
+              LEFT JOIN e ON e.u = s.u AND e.v = s.v WHERE e.u IS NULL),
+  r AS (SELECT u, v, aa_nano,
+               row_number() OVER (ORDER BY aa_nano DESC, u, v) AS rn
+        FROM nonedge)
+SELECT u, v, aa_nano FROM r WHERE rn <= 10"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -13380,6 +13616,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embeddings_hard_negatives": q_embeddings_hard_negatives,
     "events_seq_match": q_events_seq_match,
     "events_theilsen": q_events_theilsen,
+    "orders_runs_test": q_orders_runs_test,
+    "docs_burrows_delta": q_docs_burrows_delta,
+    "kg_adamic_adar": q_kg_adamic_adar,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -13719,4 +13958,7 @@ def oracles() -> dict[str, str]:
         "embeddings_hard_negatives": O_EMBEDDINGS_HARD_NEGATIVES,
         "events_seq_match": O_EVENTS_SEQ_MATCH,
         "events_theilsen": O_EVENTS_THEILSEN,
+        "orders_runs_test": O_ORDERS_RUNS_TEST(),
+        "docs_burrows_delta": O_DOCS_BURROWS_DELTA(),
+        "kg_adamic_adar": O_KG_ADAMIC_ADAR(_SF001),
     }
