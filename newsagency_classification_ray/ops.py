@@ -5236,3 +5236,112 @@ def gazetteer_counts(
     return (docs.map_batches(partial, batch_format="pyarrow")
             .groupby("phrase").aggregate(Sum("n_docs", alias_name="n_docs"),
                                          Sum("n_hits", alias_name="n_hits")))
+
+
+class AhoCorasickAutomaton:
+    """Classic Aho–Corasick multi-pattern matcher with NON-OVERLAPPING
+    per-phrase counting — the exact left-to-right restart-after-match
+    semantics of ``pc.count_substring`` / SQL ``replace()``-length
+    counting, so it is drop-in interchangeable with the per-phrase
+    kernel sweep (property-tested equal). Build cost is O(Σ|phrase|)
+    once; matching is O(|text| + matches) regardless of inventory size —
+    the property that makes 100k-phrase gazetteers linear where the
+    kernel sweep is O(phrases · bytes)."""
+
+    def __init__(self, phrases: list[str]):
+        from collections import deque
+
+        self.phrases = sorted(set(phrases))
+        if any(not p for p in self.phrases):
+            raise ValueError("empty phrase in gazetteer inventory")
+        self.goto: list[dict] = [{}]
+        self.out: list[list[int]] = [[]]
+        for idx, p in enumerate(self.phrases):
+            s = 0
+            for ch in p:
+                nxt = self.goto[s].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append([])
+                    nxt = len(self.goto) - 1
+                    self.goto[s][ch] = nxt
+                s = nxt
+            self.out[s].append(idx)
+        self.fail = [0] * len(self.goto)
+        dq = deque(self.goto[0].values())
+        while dq:
+            r = dq.popleft()
+            for ch, s in self.goto[r].items():
+                dq.append(s)
+                f = self.fail[r]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[s] = self.goto[f].get(ch, 0)
+                if self.fail[s] == s:
+                    self.fail[s] = 0
+                self.out[s] = self.out[s] + self.out[self.fail[s]]
+        self.plens = [len(p) for p in self.phrases]
+
+    def count(self, text: str) -> list[int]:
+        counts = [0] * len(self.phrases)
+        last_end = [-1] * len(self.phrases)
+        s = 0
+        goto, fail, out, plens = self.goto, self.fail, self.out, self.plens
+        for i, ch in enumerate(text):
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0)
+            for idx in out[s]:
+                if i - plens[idx] + 1 > last_end[idx]:
+                    counts[idx] += 1
+                    last_end[idx] = i
+        return counts
+
+
+class GazetteerAutomatonStage:
+    """Actor-pool phrase spotter — the declared scale path past
+    :func:`gazetteer_counts`'s 10k-phrase kernel-sweep bound: the
+    automaton is built ONCE per actor in ``__init__`` (the T1/T5
+    stateful-stage contract — never per batch), each ``__call__``
+    streams a batch's texts through it and emits one bounded
+    (phrase, n_docs, n_hits) partial table. Matching is
+    O(bytes + matches) per batch independent of inventory size."""
+
+    def __init__(self, phrases: list[str], text_col: str = "text"):
+        self.ac = AhoCorasickAutomaton(phrases)
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ph = self.ac.phrases
+        nd = np.zeros(len(ph), dtype=np.int64)
+        nh = np.zeros(len(ph), dtype=np.int64)
+        for s in t[self.text_col].to_pylist():
+            c = np.asarray(self.ac.count(s or ""), dtype=np.int64)
+            nh += c
+            nd += c > 0
+        return pa.table({"phrase": pa.array(ph, pa.string()),
+                         "n_docs": pa.array(nd, pa.int64()),
+                         "n_hits": pa.array(nh, pa.int64())})
+
+
+def gazetteer_counts_automaton(
+    docs: Dataset,
+    phrases: list[str],
+    *,
+    text_col: str = "text",
+    concurrency: tuple[int, int] = (1, 8),
+) -> Dataset:
+    """Automaton-backed gazetteer counts: identical output contract to
+    :func:`gazetteer_counts` ((phrase, n_docs, n_hits), non-overlapping
+    case-sensitive hits) with no inventory-size ceiling — the phrase
+    list ships once per ACTOR (constructor args), not per task or per
+    batch, and the per-batch partial → one bounded groupby layout is
+    unchanged, so the text column never enters the exchange."""
+    from ray.data.aggregate import Sum
+
+    return (docs.map_batches(
+        GazetteerAutomatonStage,
+        fn_constructor_args=(phrases, text_col),
+        concurrency=concurrency, batch_format="pyarrow")
+        .groupby("phrase").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                     Sum("n_hits", alias_name="n_hits")))
