@@ -13716,6 +13716,218 @@ def O_EVENTS_HOLT() -> str:
         "t(n_days, level_nano, trend_nano, forecast_nano)", "(0, 0, 0, 0)")
 
 
+def q_kg_butterflies(sf_dir: str):
+    """Bipartite butterfly (4-cycle) census of the url–agency citation
+    graph — the standard cohesion statistic for bipartite networks: per
+    unordered agency pair, c = #urls citing both, and butterflies =
+    Σ C(c,2) (each pair of urls sharing a pair of agencies closes one
+    rectangle). The agency side is vocabulary-bounded, so the pair table
+    is ≤ C(|vocab|,2) rows no matter how many urls flow through: per-url
+    map_groups emits the within-url pairs (k ≤ |vocab| ⇒ bounded per
+    group), a per-batch combiner pre-counts them, ONE bounded groupby
+    sums, and the driver folds ΣC(c,2) over ≤406 rows. n_edges comes
+    from a separate distinct-(url,qid) pass over the already-materialized
+    mentions cache (per-batch distinct partials → count). One exact-int64
+    row: (n_edges, n_pairs, n_wedges, n_butterflies)."""
+    m = _linked(sf_dir)
+
+    def url_pairs(g: pa.Table) -> pa.Table:
+        qids = sorted(set(g["qid"].to_pylist()))
+        qa, qb = [], []
+        for i in range(len(qids)):
+            for j in range(i + 1, len(qids)):
+                qa.append(qids[i])
+                qb.append(qids[j])
+        return pa.table({"qa": pa.array(qa, pa.string()),
+                         "qb": pa.array(qb, pa.string())})
+
+    def pair_combiner(t: pa.Table) -> pa.Table:
+        g = t.group_by(["qa", "qb"]).aggregate([([], "count_all")])
+        return g.rename_columns(["qa", "qb", "c"])
+
+    pair_rows = (m.groupby("url").map_groups(url_pairs,
+                                             batch_format="pyarrow")
+                 .map_batches(pair_combiner, batch_format="pyarrow")
+                 .groupby(["qa", "qb"]).aggregate(Sum("c", alias_name="c"))
+                 .take_all())  # ≤ C(|vocab|,2) rows — agency-side bounded
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["url", "qid"]).aggregate([([], "count_all")])
+        return g.select(["url", "qid"])
+
+    n_edges = (m.map_batches(edge_partial, batch_format="pyarrow")
+               .groupby(["url", "qid"]).aggregate(Count(alias_name="_n"))
+               .count())
+    cs = [int(r["c"]) for r in pair_rows]
+    return pa.table({
+        "n_edges": pa.array([int(n_edges)], pa.int64()),
+        "n_pairs": pa.array([len(cs)], pa.int64()),
+        "n_wedges": pa.array([sum(cs)], pa.int64()),
+        "n_butterflies": pa.array([sum(c * (c - 1) // 2 for c in cs)],
+                                  pa.int64())})
+
+
+O_KG_BUTTERFLIES = lambda sf: f"""WITH {_pages_cte(sf)},
+  e AS (SELECT DISTINCT url, qid FROM sql_mentions WHERE qid <> 'NIL'),
+  p AS (SELECT a.qid AS qa, b.qid AS qb, CAST(count(*) AS BIGINT) AS c
+        FROM e a JOIN e b ON a.url = b.url AND a.qid < b.qid
+        GROUP BY a.qid, b.qid)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum(c), 0) AS BIGINT) AS n_wedges,
+       CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS n_butterflies
+FROM p"""
+
+
+def q_docs_yule_k(sf_dir: str):
+    """Per-source lexical-diversity sufficient statistics: token count N,
+    vocabulary size V, the frequency-spectrum second moment S2 = Σ n², and
+    Yule's characteristic K = 10⁴·(S2 − N)/N² — the classic
+    sample-size-invariant repetitiveness constant (high K = repetitive/
+    boilerplate-ish source, low K = lexically diverse), nano-quantized
+    through the shared exact-integer division so engines can't disagree.
+    Same exchange shape as docs_zipf_mass: per-batch (source, token)
+    combiner → one token-cardinality groupby → per-source integer fold."""
+    docs = ops.read_table(sf_dir, "documents", ["source", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"], pattern=r"\s+")
+        n = pc.list_value_length(toks)
+        src = t["source"].take(
+            pa.array(np.repeat(np.arange(len(t)),
+                               n.to_numpy(zero_copy_only=False))))
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        d = pa.table({"source": src.filter(keep), "token": flat.filter(keep)})
+        g = d.group_by(["source", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "token", "n"])
+
+    counts = (docs.map_batches(explode, batch_format="pyarrow")
+              .groupby(["source", "token"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def per_source(g: pa.Table) -> pa.Table:
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n.sum())
+        s2 = int((n * n).sum())
+        k = _div_nano(10**4 * (s2 - total), total * total)
+        return pa.table({
+            "source": pa.array([g["source"][0].as_py()], pa.string()),
+            "total_tokens": pa.array([total], pa.int64()),
+            "distinct_tokens": pa.array([len(n)], pa.int64()),
+            "s2": pa.array([s2], pa.int64()),
+            "yule_k_nano": pa.array([k], pa.int64())})
+
+    return counts.groupby("source").map_groups(per_source,
+                                               batch_format="pyarrow")
+
+
+O_DOCS_YULE_K = r"""
+WITH tc AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS n
+  FROM documents, unnest(regexp_split_to_array(text, '\s+')) AS u(token)
+  WHERE token <> '' GROUP BY source, token),
+s AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS distinct_tokens,
+         CAST(sum(n * n) AS BIGINT) AS s2
+  FROM tc GROUP BY source)
+SELECT source, total_tokens, distinct_tokens, s2,
+       CAST((2 * (10000 * (CAST(s2 AS HUGEINT) - total_tokens)
+                  * 1000000000)
+             + CAST(total_tokens AS HUGEINT) * total_tokens)
+            // (2 * CAST(total_tokens AS HUGEINT) * total_tokens)
+            AS BIGINT) AS yule_k_nano
+FROM s"""
+
+
+_HW_PERIOD = 7
+
+
+def _holtwinters_nano(cnts: list, alpha: float = 0.5, beta: float = 0.3,
+                      gamma: float = 0.3,
+                      period: int = _HW_PERIOD) -> tuple[int, int, int]:
+    """Additive Holt-Winters triple exponential smoothing (level + trend
+    + period-7 seasonality) over an ordered count series — the seasonal
+    step past _holt_nano. Standard two-season init: l₀ = mean(season 1),
+    b₀ = (mean(season 2) − mean(season 1))/period, sᵢ = xᵢ − l₀; then
+    l = α(x − s_old) + (1−α)(l + b), b = β(l − l_prev) + (1−β)b,
+    s = γ(x − l) + (1−γ)s_old. Exact-int inputs, ONE shared float
+    recursion in series order ⇒ query and oracle produce identical
+    doubles. Returns (level_nano, trend_nano, forecast_nano) where the
+    forecast is the one-step-ahead l + b + s_{next}."""
+    import math
+
+    if len(cnts) < 2 * period:
+        return 0, 0, 0
+    m0 = sum(float(c) for c in cnts[:period]) / period
+    m1 = sum(float(c) for c in cnts[period:2 * period]) / period
+    lv = m0
+    b = (m1 - m0) / period
+    seas = [float(c) - m0 for c in cnts[:period]]
+    for t in range(period, len(cnts)):
+        x = float(cnts[t])
+        s_old = seas[t % period]
+        prev = lv
+        lv = alpha * (x - s_old) + (1.0 - alpha) * (lv + b)
+        b = beta * (lv - prev) + (1.0 - beta) * b
+        seas[t % period] = gamma * (x - lv) + (1.0 - gamma) * s_old
+
+    def q(v: float) -> int:
+        vn = v * 1e9
+        return int(math.floor(vn + 0.5)) if vn >= 0 \
+            else -int(math.floor(-vn + 0.5))
+
+    return q(lv), q(b), q(lv + b + seas[len(cnts) % period])
+
+
+def q_events_holtwinters(sf_dir: str):
+    """Holt-Winters seasonal smoothing of daily event volume — adds the
+    weekly (period-7) seasonal component events_holt's level+trend model
+    can't express, so weekday-shaped traffic forecasts stop lagging the
+    cycle. Identical exchange shape to events_holt: one bounded daily
+    groupby with per-block combiners, then the shared O(days) float
+    recursion (_holtwinters_nano) on the driver. One row:
+    (n_days, level_nano, trend_nano, forecast_nano)."""
+    ev = ops.read_table(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["ts"], pa.date32()).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    rows = (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("c", alias_name="c"))
+            .take_all())
+    rows.sort(key=lambda r: r["day"])
+    lv, b, f = _holtwinters_nano([int(r["c"]) for r in rows])
+    return pa.table({"n_days": pa.array([len(rows)], pa.int64()),
+                     "level_nano": pa.array([lv], pa.int64()),
+                     "trend_nano": pa.array([b], pa.int64()),
+                     "forecast_nano": pa.array([f], pa.int64())})
+
+
+def O_EVENTS_HOLTWINTERS() -> str:
+    """VALUES recompute: DuckDB folds the ordered daily counts, the
+    shared kernel runs the identical float recursion."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) "
+        f"FROM read_parquet('{_SF001}/events.parquet') "
+        f"GROUP BY 1 ORDER BY 1").fetchall()
+    lv, b, f = _holtwinters_nano([int(r[1]) for r in rows])
+    return _values_or_empty(
+        [f"({len(rows)}, {lv}, {b}, {f})"],
+        "SELECT CAST(n_days AS BIGINT) AS n_days, "
+        "CAST(level_nano AS BIGINT) AS level_nano, "
+        "CAST(trend_nano AS BIGINT) AS trend_nano, "
+        "CAST(forecast_nano AS BIGINT) AS forecast_nano",
+        "t(n_days, level_nano, trend_nano, forecast_nano)", "(0, 0, 0, 0)")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -14026,6 +14238,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_gazetteer_ac": q_docs_gazetteer_ac,
     "events_markov_entropy": q_events_markov_entropy,
     "events_holt": q_events_holt,
+    "kg_butterflies": q_kg_butterflies,
+    "docs_yule_k": q_docs_yule_k,
+    "events_holtwinters": q_events_holtwinters,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -14374,4 +14589,7 @@ def oracles() -> dict[str, str]:
         "docs_gazetteer_ac": O_DOCS_GAZETTEER_AC(),
         "events_markov_entropy": O_EVENTS_MARKOV_ENTROPY(),
         "events_holt": O_EVENTS_HOLT(),
+        "kg_butterflies": O_KG_BUTTERFLIES(_SF001),
+        "docs_yule_k": O_DOCS_YULE_K,
+        "events_holtwinters": O_EVENTS_HOLTWINTERS(),
     }
