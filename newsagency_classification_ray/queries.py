@@ -13928,6 +13928,285 @@ def O_EVENTS_HOLTWINTERS() -> str:
         "t(n_days, level_nano, trend_nano, forecast_nano)", "(0, 0, 0, 0)")
 
 
+_BLOOM_M = 1 << 17          # filter bits
+_BLOOM_K = 4                 # hash functions
+# (multiplier, offset) pairs — splitmix64/xxhash-style odd constants; the
+# position math is uint64-wrapping multiply-add mod m, identical in numpy
+# (uint64 wraps) and DuckDB (HUGEINT product % 2^64), so the oracle can
+# reconstruct the exact bit array.
+_BLOOM_HASHES = [
+    (11400714819323198485, 7046029254386353087),
+    (14029467366897019727, 11442695040888963407),
+    (1609587929392839161, 9650029242287828579),
+    (9650029242287828579, 2654435761),
+]
+
+
+def _bloom_pos(ids_u64: np.ndarray) -> list:
+    """k position arrays for uint64 ids (wrapping multiply-add mod m)."""
+    out = []
+    with np.errstate(over="ignore"):
+        for a, b in _BLOOM_HASHES:
+            out.append(((ids_u64 * np.uint64(a)) + np.uint64(b))
+                       % np.uint64(_BLOOM_M))
+    return out
+
+
+def q_docs_bloom_fpr(sf_dir: str):
+    """MEASURED Bloom-filter false-positive rate — the sketch-calibration
+    audit for bloom-join sizing (events_hll_error / events_countmin_topk's
+    sibling): insert the doc_ids of the 80% split (doc_id % 10 < 8) into
+    an m=2^17, k=4 filter, probe with the disjoint 20% split (all true
+    non-members by construction), and count exact false positives. Shape:
+    one pruned doc_id pass emits per-block DISTINCT bit positions (≤ m
+    rows total — the exchange is bounded by the filter size, never the
+    corpus), the assembled bit array is ray.put ONCE and shared zero-copy
+    by every probe task, and a second pruned pass reduces to three
+    counters. One row: (n_inserted, n_probes, n_false_pos, fpr_nano)."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id"])
+
+    def bit_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ins = ids[ids % 10 < 8].astype(np.uint64)
+        pos = np.unique(np.concatenate(_bloom_pos(ins))) if len(ins) \
+            else np.empty(0, np.uint64)
+        return pa.table({"pos": pa.array(pos.astype(np.int64), pa.int64())})
+
+    bit_rows = (docs.map_batches(bit_partial, batch_format="pyarrow")
+                .groupby("pos").aggregate(Count(alias_name="_n"))
+                .take_all())  # ≤ _BLOOM_M rows — filter-size bounded
+    bits = np.zeros(_BLOOM_M, dtype=bool)
+    if bit_rows:
+        bits[np.array([r["pos"] for r in bit_rows], np.int64)] = True
+    bref = ray.put(bits)
+
+    def probe(t: pa.Table) -> pa.Table:
+        barr = ray.get(bref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ins_n = int((ids % 10 < 8).sum())
+        pr = ids[ids % 10 >= 8].astype(np.uint64)
+        if len(pr):
+            member = np.ones(len(pr), dtype=bool)
+            for pos in _bloom_pos(pr):
+                member &= barr[pos.astype(np.int64)]
+            fp = int(member.sum())
+        else:
+            fp = 0
+        return pa.table({"n_inserted": pa.array([ins_n], pa.int64()),
+                         "n_probes": pa.array([len(pr)], pa.int64()),
+                         "n_false_pos": pa.array([fp], pa.int64())})
+
+    agg = docs.map_batches(probe, batch_format="pyarrow").aggregate(
+        Sum("n_inserted", alias_name="n_inserted"),
+        Sum("n_probes", alias_name="n_probes"),
+        Sum("n_false_pos", alias_name="n_false_pos"))
+    n_ins = int(agg["n_inserted"] or 0)
+    n_pr = int(agg["n_probes"] or 0)
+    n_fp = int(agg["n_false_pos"] or 0)
+    fpr = _div_nano(n_fp, n_pr) if n_pr else 0
+    return pa.table({"n_inserted": pa.array([n_ins], pa.int64()),
+                     "n_probes": pa.array([n_pr], pa.int64()),
+                     "n_false_pos": pa.array([n_fp], pa.int64()),
+                     "fpr_nano": pa.array([fpr], pa.int64())})
+
+
+def O_DOCS_BLOOM_FPR() -> str:
+    hv = ", ".join(f"({j}, {a}, {b})"
+                   for j, (a, b) in enumerate(_BLOOM_HASHES))
+    return f"""
+WITH h(j, a, b) AS (VALUES {hv}),
+ins AS (SELECT doc_id FROM documents WHERE doc_id % 10 < 8),
+probe AS (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8),
+bits AS (
+  SELECT DISTINCT CAST(((CAST(i.doc_id AS HUGEINT) * h.a + h.b)
+                        % CAST(18446744073709551616 AS HUGEINT))
+                       % {_BLOOM_M} AS BIGINT) AS pos
+  FROM ins i, h),
+pp AS (
+  SELECT p.doc_id, h.j,
+         CAST(((CAST(p.doc_id AS HUGEINT) * h.a + h.b)
+               % CAST(18446744073709551616 AS HUGEINT))
+              % {_BLOOM_M} AS BIGINT) AS pos
+  FROM probe p, h),
+hits AS (
+  SELECT doc_id FROM pp WHERE pos IN (SELECT pos FROM bits)
+  GROUP BY doc_id HAVING count(DISTINCT j) = {_BLOOM_K})
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ins) AS n_inserted,
+       (SELECT CAST(count(*) AS BIGINT) FROM probe) AS n_probes,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_false_pos,
+       CAST(coalesce(
+         (2 * (SELECT CAST(count(*) AS HUGEINT) FROM hits) * 1000000000
+          + (SELECT count(*) FROM probe))
+         // (2 * nullif((SELECT CAST(count(*) AS HUGEINT) FROM probe), 0)),
+         0) AS BIGINT) AS fpr_nano"""
+
+
+_JL_R = 16  # projected dimensionality
+
+
+def _q6(x: float) -> int:
+    """round-half-away-from-zero of x·1e6 — the micro quantizer both
+    engines apply to float32 embedding components (via double) before any
+    arithmetic, so every downstream sum is exact-integer and order-free."""
+    import math
+
+    v = float(x) * 1e6
+    return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """±1 sign of the (component i, output dim j) projection cell — bit 13
+    of an exact-int multiply-add, identical in Python and SQL BIGINT."""
+    return 1 if ((i * 2654435761 + j * 40503) // 8192) % 2 == 0 else -1
+
+
+def q_embeddings_jl_distortion(sf_dir: str):
+    """Johnson–Lindenstrauss distortion audit: project each embedding
+    through a deterministic ±1 sign matrix (d → r=16) and report, per
+    probe pair, the original and projected squared distances plus the JL
+    ratio ‖P(x−y)‖² / (r·‖x−y‖²) (expectation 1 for ±1 matrices) —
+    the measurement that justifies sketching embeddings before a 100-TB
+    near-dup pass. Components are micro-quantized (_q6) so all distance
+    math is exact integer; probe pairs are (v, v+1) for v ≡ 0 (mod 7).
+    Shape: pair-key groupby (groups of ≤2 rows), all math inside
+    map_groups — no driver state, no broadcast."""
+    emb = ops.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rem = vid % 7
+        keep = (rem == 0) | (rem == 1)
+        sub = t.filter(pa.array(keep))
+        key = (vid[keep] - rem[keep]).astype(np.int64)
+        return sub.append_column("pkey", pa.array(key, pa.int64()))
+
+    def pair_stats(g: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                          "vec_b": pa.array([], pa.int64()),
+                          "d2_orig": pa.array([], pa.int64()),
+                          "d2_proj": pa.array([], pa.int64()),
+                          "ratio_nano": pa.array([], pa.int64())})
+        ids = g["vec_id"].to_pylist()
+        if len(ids) != 2 or abs(ids[0] - ids[1]) != 1:
+            return empty
+        lo = 0 if ids[0] < ids[1] else 1
+        embs = g["embedding"].to_pylist()
+        qa = [_q6(x) for x in embs[lo]]
+        qb = [_q6(x) for x in embs[1 - lo]]
+        dq = [a - b for a, b in zip(qa, qb)]
+        d2o = sum(d * d for d in dq)
+        d2p = 0
+        for j in range(1, _JL_R + 1):
+            p = sum(_jl_sign(i, j) * d for i, d in enumerate(dq, start=1))
+            d2p += p * p
+        ratio = _div_nano(d2p, _JL_R * d2o) if d2o else 0
+        return pa.table({"vec_a": pa.array([min(ids)], pa.int64()),
+                         "vec_b": pa.array([max(ids)], pa.int64()),
+                         "d2_orig": pa.array([d2o], pa.int64()),
+                         "d2_proj": pa.array([d2p], pa.int64()),
+                         "ratio_nano": pa.array([ratio], pa.int64())})
+
+    return (emb.map_batches(tag, batch_format="pyarrow")
+            .groupby("pkey").map_groups(pair_stats, batch_format="pyarrow")
+            .map_batches(lambda t: t.select(
+                ["vec_a", "vec_b", "d2_orig", "d2_proj", "ratio_nano"]),
+                batch_format="pyarrow"))
+
+
+O_EMBEDDINGS_JL_DISTORTION = r"""
+WITH pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 7 = 0),
+comp0 AS (
+  SELECT va, vb, unnest(range(1, len(ea) + 1)) AS i,
+         unnest(ea) AS xa, unnest(eb) AS xb
+  FROM pairs),
+comp AS (
+  SELECT va, vb, CAST(i AS BIGINT) AS i,
+         CAST(sign(CAST(xa AS DOUBLE) * 1000000.0)
+              * floor(abs(CAST(xa AS DOUBLE) * 1000000.0) + 0.5) AS BIGINT)
+       - CAST(sign(CAST(xb AS DOUBLE) * 1000000.0)
+              * floor(abs(CAST(xb AS DOUBLE) * 1000000.0) + 0.5) AS BIGINT)
+           AS dq
+  FROM comp0),
+proj AS (
+  SELECT va, vb, j,
+         CAST(sum(CASE WHEN ((i * 2654435761 + j * 40503) // 8192) % 2 = 0
+                       THEN dq ELSE -dq END) AS BIGINT) AS p
+  FROM comp, (SELECT unnest(range(1, 17)) AS j) jj
+  GROUP BY va, vb, j),
+d2o AS (SELECT va, vb, CAST(sum(dq * dq) AS BIGINT) AS d2_orig
+        FROM comp GROUP BY va, vb),
+d2p AS (SELECT va, vb, CAST(sum(p * p) AS BIGINT) AS d2_proj
+        FROM proj GROUP BY va, vb)
+SELECT d2o.va AS vec_a, d2o.vb AS vec_b, d2_orig, d2_proj,
+       CAST(coalesce(
+         (2 * CAST(d2_proj AS HUGEINT) * 1000000000 + 16 * d2_orig)
+         // (2 * 16 * CAST(nullif(d2_orig, 0) AS HUGEINT)), 0) AS BIGINT)
+         AS ratio_nano
+FROM d2o JOIN d2p ON d2o.va = d2p.va AND d2o.vb = d2p.vb"""
+
+
+def q_docs_length_auc(sf_dir: str):
+    """Exact tie-corrected ROC AUC of doc length as a classifier for
+    lang='en' — the rank statistic behind 'does this cheap feature
+    separate the target class', computed entirely from the marginal
+    (n_chars, label) histogram: 2U = Σ_s c1(s)·(2·C0(<s) + c0(s)) with
+    midrank tie handling, AUC = 2U / (2·n1·n0). The exchange is one
+    bounded groupby over distinct lengths (≤ max doc length, never the
+    corpus); the driver folds the sorted histogram in exact ints. One
+    row: (n_pos, n_neg, u2, auc_nano)."""
+    docs = ops.read_table(sf_dir, "documents", ["n_chars", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        en = pc.cast(pc.equal(t["lang"], "en"), pa.int64())
+        d = pa.table({"nc": t["n_chars"], "c1": en,
+                      "c0": pc.subtract(pa.scalar(1, pa.int64()), en)})
+        g = d.group_by(["nc"]).aggregate([("c1", "sum"), ("c0", "sum")])
+        return g.rename_columns(["nc", "c1", "c0"])
+
+    rows = (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("nc").aggregate(Sum("c1", alias_name="c1"),
+                                     Sum("c0", alias_name="c0"))
+            .take_all())  # ≤ distinct lengths — value-domain bounded
+    rows.sort(key=lambda r: r["nc"])
+    n1 = n0 = u2 = c0_less = 0
+    for r in rows:
+        c1, c0 = int(r["c1"]), int(r["c0"])
+        u2 += c1 * (2 * c0_less + c0)
+        c0_less += c0
+        n1 += c1
+        n0 += c0
+    auc = _div_nano(u2, 2 * n1 * n0) if n1 and n0 else 0
+    return pa.table({"n_pos": pa.array([n1], pa.int64()),
+                     "n_neg": pa.array([n0], pa.int64()),
+                     "u2": pa.array([u2], pa.int64()),
+                     "auc_nano": pa.array([auc], pa.int64())})
+
+
+O_DOCS_LENGTH_AUC = r"""
+WITH hist AS (
+  SELECT n_chars AS nc,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS c0
+  FROM documents GROUP BY n_chars),
+cum AS (
+  SELECT nc, c1, c0,
+         coalesce(sum(c0) OVER (ORDER BY nc
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c0l
+  FROM hist)
+SELECT CAST(sum(c1) AS BIGINT) AS n_pos,
+       CAST(sum(c0) AS BIGINT) AS n_neg,
+       CAST(sum(c1 * (2 * c0l + c0)) AS BIGINT) AS u2,
+       CAST(coalesce(
+         (2 * CAST(sum(c1 * (2 * c0l + c0)) AS HUGEINT) * 1000000000
+          + 2 * sum(c1) * sum(c0))
+         // (2 * nullif(2 * CAST(sum(c1) AS HUGEINT) * sum(c0), 0)),
+         0) AS BIGINT) AS auc_nano
+FROM cum"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -14241,6 +14520,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_butterflies": q_kg_butterflies,
     "docs_yule_k": q_docs_yule_k,
     "events_holtwinters": q_events_holtwinters,
+    "docs_bloom_fpr": q_docs_bloom_fpr,
+    "embeddings_jl_distortion": q_embeddings_jl_distortion,
+    "docs_length_auc": q_docs_length_auc,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -14592,4 +14874,7 @@ def oracles() -> dict[str, str]:
         "kg_butterflies": O_KG_BUTTERFLIES(_SF001),
         "docs_yule_k": O_DOCS_YULE_K,
         "events_holtwinters": O_EVENTS_HOLTWINTERS(),
+        "docs_bloom_fpr": O_DOCS_BLOOM_FPR(),
+        "embeddings_jl_distortion": O_EMBEDDINGS_JL_DISTORTION,
+        "docs_length_auc": O_DOCS_LENGTH_AUC,
     }
