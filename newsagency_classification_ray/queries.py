@@ -14207,6 +14207,251 @@ SELECT CAST(sum(c1) AS BIGINT) AS n_pos,
 FROM cum"""
 
 
+_KNN_K = 3
+_KNN_BCAST_LIMIT = 200_000  # vectors; past this, route through IVF buckets
+
+
+def q_embeddings_knn_graph(sf_dir: str):
+    """k-nearest-neighbor graph over the embedding table — the building
+    block under semantic-dedup clustering and graph-based ANN indexes
+    (HNSW seeds): every vector gets its top-3 neighbors by quantized-L2
+    with a deterministic (d2, neighbor_id) tie-break. Components are
+    micro-quantized (_q6) so distances are exact int64 and the result is
+    hash-stable. Regime: the quantized matrix is gathered ONCE (bounded:
+    raises past _KNN_BCAST_LIMIT vectors — the scale path is the IVF
+    bucketing of ivf_ann_topk, where each vector only scores against its
+    own centroid bucket), ray.put once, and every block matmuls against
+    it (|x−y|² = |x|²+|y|²−2x·y). Output: (vec_id, rank, neighbor_id,
+    d2)."""
+    emb = ops.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        m = np.array([[_q6(x) for x in v]
+                      for v in t["embedding"].to_pylist()], dtype=np.int64)
+        return pa.table({"vec_id": t["vec_id"],
+                         "q": pa.array(list(m), pa.list_(pa.int64()))})
+
+    qds = emb.map_batches(quant, batch_format="pyarrow").materialize()
+    n = qds.count()
+    if n > _KNN_BCAST_LIMIT:
+        raise ValueError(
+            f"embeddings_knn_graph: {n} vectors exceeds the broadcast "
+            f"regime limit {_KNN_BCAST_LIMIT}; use the IVF bucket route "
+            f"(ivf_ann_topk) for corpus-scale kNN graphs")
+    rows = qds.take_all()
+    ids = np.array([r["vec_id"] for r in rows], np.int64)
+    mat = np.array([r["q"] for r in rows], np.int64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    ref = ray.put((ids, mat, (mat * mat).sum(axis=1)))
+
+    def topk(t: pa.Table) -> pa.Table:
+        bids, bmat, bnorm = ray.get(ref)
+        q = np.array([list(v) for v in t["q"].to_pylist()], np.int64)
+        qid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qnorm = (q * q).sum(axis=1)
+        d2 = qnorm[:, None] + bnorm[None, :] - 2 * (q @ bmat.T)
+        out_v, out_r, out_n, out_d = [], [], [], []
+        for r in range(len(q)):
+            drow = d2[r]
+            mask = bids != qid[r]
+            cand_d, cand_i = drow[mask], bids[mask]
+            sel = np.lexsort((cand_i, cand_d))[:_KNN_K]
+            for rk, s in enumerate(sel, start=1):
+                out_v.append(int(qid[r]))
+                out_r.append(rk)
+                out_n.append(int(cand_i[s]))
+                out_d.append(int(cand_d[s]))
+        return pa.table({"vec_id": pa.array(out_v, pa.int64()),
+                         "rank": pa.array(out_r, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "d2": pa.array(out_d, pa.int64())})
+
+    return qds.map_batches(topk, batch_format="pyarrow")
+
+
+O_EMBEDDINGS_KNN_GRAPH = r"""
+WITH q AS (
+  SELECT vec_id, CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS i,
+         CAST(sign(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              * floor(abs(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                      + 0.5) AS BIGINT) AS qv
+  FROM embeddings),
+d AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(sum((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d2
+  FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id),
+r AS (
+  SELECT va, vb, d2,
+         row_number() OVER (PARTITION BY va ORDER BY d2, vb) AS rk
+  FROM d)
+SELECT va AS vec_id, CAST(rk AS BIGINT) AS rank, vb AS neighbor_id, d2
+FROM r WHERE rk <= 3"""
+
+
+_WIN_K = 8        # k-gram length (chars)
+_WIN_W = 4        # winnowing window (k-grams)
+_WIN_P = 1_000_000_007
+_WIN_POWS = [pow(256, _WIN_K - 1 - i, _WIN_P) for i in range(_WIN_K)]
+
+
+def q_docs_winnowing(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every 8-char k-gram (polynomial mod-P — each
+    term ≤ codepoint·P < 2^63, BIGINT-safe on both engines), slide a
+    4-window over the hash sequence, and select each window's minimum
+    (tie → RIGHTMOST position, the winnowing rule that guarantees
+    density ≤ 2/(w+1)); fingerprints are the distinct selected
+    positions. Guarantees every shared substring ≥ k+w−1 chars shares a
+    fingerprint — the classic plagiarism/near-dup sketch. Pure per-doc
+    map (text never shuffles): per doc numpy does codepoints → sliding
+    polynomial dot → rightmost-argmin sweep. Output per doc:
+    (doc_id, n_kgrams, n_fingerprints, fp_hash_sum)."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    pows = np.array(_WIN_POWS, np.int64)
+
+    def fp(t: pa.Table) -> pa.Table:
+        out_id, out_k, out_f, out_s = [], [], [], []
+        ids = t["doc_id"].to_pylist()
+        for did, text in zip(ids, t["text"].to_pylist()):
+            codes = np.frombuffer((text or "").encode("utf-32-le"),
+                                  dtype=np.uint32).astype(np.int64)
+            nk = max(len(codes) - _WIN_K + 1, 0)
+            if nk == 0:
+                out_id.append(did), out_k.append(0)
+                out_f.append(0), out_s.append(0)
+                continue
+            kg = np.lib.stride_tricks.sliding_window_view(codes, _WIN_K)
+            h = (kg @ pows) % _WIN_P
+            if nk < _WIN_W:
+                out_id.append(did), out_k.append(nk)
+                out_f.append(0), out_s.append(0)
+                continue
+            wins = np.lib.stride_tricks.sliding_window_view(h, _WIN_W)
+            # rightmost min: argmin over the reversed window
+            idx = _WIN_W - 1 - np.argmin(wins[:, ::-1], axis=1)
+            sel = np.unique(np.arange(len(wins)) + idx)
+            out_id.append(did), out_k.append(int(nk))
+            out_f.append(int(len(sel))), out_s.append(int(h[sel].sum()))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "n_kgrams": pa.array(out_k, pa.int64()),
+                         "n_fingerprints": pa.array(out_f, pa.int64()),
+                         "fp_hash_sum": pa.array(out_s, pa.int64())})
+
+    return docs.map_batches(fp, batch_format="pyarrow")
+
+
+def O_DOCS_WINNOWING() -> str:
+    terms = " + ".join(
+        f"CAST(ascii(substr(text, CAST(pos + {i} AS INT), 1)) AS BIGINT)"
+        f" * {p}"
+        for i, p in enumerate(_WIN_POWS))
+    return f"""
+WITH kg AS (
+  SELECT doc_id, text,
+         CAST(unnest(range(1, greatest(len(text) - {_WIN_K - 1}, 0) + 1))
+              AS BIGINT) AS pos
+  FROM documents),
+h AS (SELECT doc_id, pos, ({terms}) % {_WIN_P} AS hv FROM kg),
+nk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kgrams
+       FROM h GROUP BY doc_id),
+win AS (SELECT h.doc_id, h.pos AS ws FROM h JOIN nk USING (doc_id)
+        WHERE h.pos <= nk.n_kgrams - {_WIN_W - 1}),
+wm AS (
+  SELECT w.doc_id, w.ws, h.pos, h.hv,
+         row_number() OVER (PARTITION BY w.doc_id, w.ws
+                            ORDER BY h.hv, h.pos DESC) AS rk
+  FROM win w JOIN h ON h.doc_id = w.doc_id
+                   AND h.pos BETWEEN w.ws AND w.ws + {_WIN_W - 1}),
+fp AS (SELECT DISTINCT doc_id, pos, hv FROM wm WHERE rk = 1),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+               CAST(sum(hv) AS BIGINT) AS fp_hash_sum
+        FROM fp GROUP BY doc_id)
+SELECT d.doc_id, coalesce(nk.n_kgrams, 0) AS n_kgrams,
+       coalesce(agg.n_fingerprints, 0) AS n_fingerprints,
+       coalesce(agg.fp_hash_sum, 0) AS fp_hash_sum
+FROM documents d LEFT JOIN nk ON d.doc_id = nk.doc_id
+LEFT JOIN agg ON d.doc_id = agg.doc_id"""
+
+
+_SAX_SEG = 7          # days per PAA segment
+_SAX_BREAKS = (-0.6745, 0.0, 0.6745)  # N(0,1) quartile breakpoints
+
+
+def _sax_nano(cnts: list) -> list:
+    """SAX symbolic aggregate approximation of an ordered count series:
+    z-normalize over the nseg·SEG prefix, average each SEG-day segment
+    (PAA), map to a 4-symbol alphabet at the N(0,1) quartile
+    breakpoints. ONE shared float kernel in series order ⇒ identical
+    doubles on both engines. Returns rows (seg_idx, paa_nano, symbol)."""
+    import math
+
+    nseg = len(cnts) // _SAX_SEG
+    if nseg == 0:
+        return []
+    n = nseg * _SAX_SEG
+    xs = [float(c) for c in cnts[:n]]
+    mean = sum(xs) / n
+    var = sum((x - mean) ** 2 for x in xs) / n
+    std = math.sqrt(var)
+    out = []
+    for s in range(nseg):
+        seg = xs[s * _SAX_SEG:(s + 1) * _SAX_SEG]
+        paa = sum(seg) / _SAX_SEG
+        z = 0.0 if std == 0.0 else (paa - mean) / std
+        sym = sum(1 for b in _SAX_BREAKS if z >= b)
+        zn = z * 1e9
+        paa_nano = int(math.floor(zn + 0.5)) if zn >= 0 \
+            else -int(math.floor(-zn + 0.5))
+        out.append((s, paa_nano, sym))
+    return out
+
+
+def q_events_sax(sf_dir: str):
+    """SAX symbolization of daily event volume — the discretization that
+    turns a numeric series into a motif-minable string (week-granular
+    symbols here), downstream of the same bounded daily groupby as
+    events_holt. Rows: (seg_idx, paa_nano, symbol) where paa_nano is the
+    z-scored weekly mean and symbol ∈ 0..3 at N(0,1) quartile breaks."""
+    ev = ops.read_table(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["ts"], pa.date32()).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    rows = (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("c", alias_name="c"))
+            .take_all())
+    rows.sort(key=lambda r: r["day"])
+    segs = _sax_nano([int(r["c"]) for r in rows])
+    return pa.table({
+        "seg_idx": pa.array([s for s, _, _ in segs], pa.int64()),
+        "paa_nano": pa.array([p for _, p, _ in segs], pa.int64()),
+        "symbol": pa.array([y for _, _, y in segs], pa.int64())})
+
+
+def O_EVENTS_SAX() -> str:
+    """VALUES recompute: DuckDB folds the ordered daily counts, the
+    shared kernel runs the identical float normalization."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) "
+        f"FROM read_parquet('{_SF001}/events.parquet') "
+        f"GROUP BY 1 ORDER BY 1").fetchall()
+    segs = _sax_nano([int(r[1]) for r in rows])
+    return _values_or_empty(
+        [f"({s}, {p}, {y})" for s, p, y in segs],
+        "SELECT CAST(seg_idx AS BIGINT) AS seg_idx, "
+        "CAST(paa_nano AS BIGINT) AS paa_nano, "
+        "CAST(symbol AS BIGINT) AS symbol",
+        "t(seg_idx, paa_nano, symbol)", "(0, 0, 0)")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -14523,6 +14768,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_bloom_fpr": q_docs_bloom_fpr,
     "embeddings_jl_distortion": q_embeddings_jl_distortion,
     "docs_length_auc": q_docs_length_auc,
+    "embeddings_knn_graph": q_embeddings_knn_graph,
+    "docs_winnowing": q_docs_winnowing,
+    "events_sax": q_events_sax,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -14877,4 +15125,7 @@ def oracles() -> dict[str, str]:
         "docs_bloom_fpr": O_DOCS_BLOOM_FPR(),
         "embeddings_jl_distortion": O_EMBEDDINGS_JL_DISTORTION,
         "docs_length_auc": O_DOCS_LENGTH_AUC,
+        "embeddings_knn_graph": O_EMBEDDINGS_KNN_GRAPH,
+        "docs_winnowing": O_DOCS_WINNOWING(),
+        "events_sax": O_EVENTS_SAX(),
     }
