@@ -14452,6 +14452,194 @@ def O_EVENTS_SAX() -> str:
         "t(seg_idx, paa_nano, symbol)", "(0, 0, 0)")
 
 
+def q_events_fano_burstiness(sf_dir: str):
+    """Per-type burstiness of daily arrivals via the Fano factor
+    (variance-to-mean ratio of daily counts; 1 = Poisson, >1 = bursty,
+    <1 = regular) — the dispersion diagnostic that decides whether a
+    rate-limiter or sampler can assume Poisson arrivals. All sufficient
+    statistics are exact int64 (n days, Σc, Σc²; n·Σc² ≥ (Σc)² by
+    Cauchy–Schwarz so the numerator is nonnegative) and the ratio is
+    nano-quantized through the shared exact division. Shape: per-batch
+    (type, day) combiner → one bounded groupby → per-type integer fold."""
+    ev = ops.read_table(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pa.table({"event_type": t["event_type"],
+                      "day": pc.cast(t["ts"], pa.date32())})
+        g = d.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "day", "c"])
+
+    daily = (ev.map_batches(partial, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Sum("c", alias_name="c")))
+
+    def per_type(g: pa.Table) -> pa.Table:
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n, s, s2 = len(c), int(c.sum()), int((c * c).sum())
+        fano = _div_nano(n * s2 - s * s, n * s) if s else 0
+        return pa.table({
+            "event_type": pa.array([g["event_type"][0].as_py()],
+                                   pa.string()),
+            "n_days": pa.array([n], pa.int64()),
+            "total": pa.array([s], pa.int64()),
+            "s2": pa.array([s2], pa.int64()),
+            "fano_nano": pa.array([fano], pa.int64())})
+
+    return daily.groupby("event_type").map_groups(per_type,
+                                                  batch_format="pyarrow")
+
+
+O_EVENTS_FANO = r"""
+WITH dc AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS s2
+  FROM dc GROUP BY event_type)
+SELECT event_type, n AS n_days, s AS total, s2,
+       CAST(coalesce(
+         (2 * (CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s)
+              * 1000000000 + CAST(n AS HUGEINT) * s)
+         // (2 * nullif(CAST(n AS HUGEINT) * s, 0)), 0) AS BIGINT)
+         AS fano_nano
+FROM s"""
+
+
+def q_pages_path_year_audit(sf_dir: str):
+    """Crawl-QA consistency audit per host: does the year embedded in the
+    URL path agree with the WARC capture timestamp? Reports per host the
+    capture count, distinct urls, path-vs-capture year mismatches, and
+    the path-year span — the sanity pass a crawl-scale ingest runs
+    before trusting url-derived dates for partitioning. Two-level
+    rollup so duplicate captures of one url crossing shard boundaries
+    count once in n_urls: per-batch (host, url) partials → one
+    (host, url) groupby → bounded per-host rollup."""
+    path = pages_src.ensure_pages(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["url", "warc_ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        url = t["url"]
+        host = pc.replace_substring_regex(
+            pc.replace_substring_regex(url, pattern=r"^[a-z]+://",
+                                       replacement=""),
+            pattern=r"/.*$", replacement="")
+        ex = pc.extract_regex(url, pattern=r"://[^/]+/(?P<y>\d{4})/")
+        py = pc.cast(pc.struct_field(ex, "y"), pa.int64())
+        cy = pc.cast(pc.year(t["warc_ts"]), pa.int64())
+        mism = pc.cast(
+            pc.and_(pc.is_valid(py), pc.not_equal(py, cy)), pa.int64())
+        d = pa.table({"host": host, "url": url, "py": py, "mism": mism})
+        g = d.group_by(["host", "url"]).aggregate(
+            [([], "count_all"), ("mism", "sum"), ("py", "min"),
+             ("py", "max")])
+        return g.rename_columns(["host", "url", "n", "mism", "pymin",
+                                 "pymax"])
+
+    per_url = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["host", "url"])
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("mism", alias_name="mism"),
+                          Min("pymin", alias_name="pymin"),
+                          Max("pymax", alias_name="pymax")))
+
+    def host_rollup(t: pa.Table) -> pa.Table:
+        g = t.group_by(["host"]).aggregate(
+            [("n", "sum"), ([], "count_all"), ("mism", "sum"),
+             ("pymin", "min"), ("pymax", "max")])
+        return g.rename_columns(["host", "n_pages", "n_urls",
+                                 "n_year_mismatch", "min_path_year",
+                                 "max_path_year"])
+
+    return (per_url.map_batches(host_rollup, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(Sum("n_pages", alias_name="n_pages"),
+                       Sum("n_urls", alias_name="n_urls"),
+                       Sum("n_year_mismatch", alias_name="n_year_mismatch"),
+                       Min("min_path_year", alias_name="min_path_year"),
+                       Max("max_path_year", alias_name="max_path_year")))
+
+
+O_PAGES_PATH_YEAR_AUDIT = lambda sf: f"""
+WITH raw AS (
+  SELECT * FROM read_parquet('{pages_src.pages_path_for(sf)}/*.parquet')),
+x AS (
+  SELECT regexp_replace(regexp_replace(url, '^[a-z]+://', ''),
+                        '/.*$', '') AS host,
+         url,
+         CAST(nullif(regexp_extract(url, '://[^/]+/(\\d{{4}})/', 1), '')
+              AS BIGINT) AS py,
+         CAST(year(warc_ts) AS BIGINT) AS cy
+  FROM raw)
+SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN py IS NOT NULL AND py <> cy THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_year_mismatch,
+       CAST(min(py) AS BIGINT) AS min_path_year,
+       CAST(max(py) AS BIGINT) AS max_path_year
+FROM x GROUP BY host"""
+
+
+def q_events_hourly_profile_cosine(sf_dir: str):
+    """Pairwise similarity of event types' hour-of-day activity profiles
+    — cos² of the 24-bin hourly count vectors, kept EXACT as the rational
+    (a·b)²/(‖a‖²‖b‖²) in arbitrary-precision ints (dot² at corpus scale
+    overflows int64; the driver fold and the oracle's HUGEINT math agree
+    bit-for-bit through the shared nano division). Shape: per-batch
+    (type, hour) combiner → one bounded groupby (types × 24 rows) →
+    driver pair fold. Rows: (type_a, type_b, dot, cos2_nano)."""
+    ev = ops.read_table(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pa.table({"event_type": t["event_type"],
+                      "h": pc.cast(pc.hour(t["ts"]), pa.int64())})
+        g = d.group_by(["event_type", "h"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "h", "c"])
+
+    rows = (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "h"])
+            .aggregate(Sum("c", alias_name="c"))
+            .take_all())  # bounded: |types| × 24
+    prof: dict = {}
+    for r in rows:
+        prof.setdefault(r["event_type"], [0] * 24)[int(r["h"])] = int(r["c"])
+    types = sorted(prof)
+    ta_o, tb_o, dot_o, cos_o = [], [], [], []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            a, b = prof[types[i]], prof[types[j]]
+            dot = sum(x * y for x, y in zip(a, b))
+            na2 = sum(x * x for x in a)
+            nb2 = sum(x * x for x in b)
+            cos2 = _div_nano(dot * dot, na2 * nb2) if na2 and nb2 else 0
+            ta_o.append(types[i]), tb_o.append(types[j])
+            dot_o.append(dot), cos_o.append(cos2)
+    return pa.table({"type_a": pa.array(ta_o, pa.string()),
+                     "type_b": pa.array(tb_o, pa.string()),
+                     "dot": pa.array(dot_o, pa.int64()),
+                     "cos2_nano": pa.array(cos_o, pa.int64())})
+
+
+O_EVENTS_HOURLY_COSINE = r"""
+WITH hc AS (
+  SELECT event_type AS t, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, hour(ts)),
+nrm AS (SELECT t, CAST(sum(c * c) AS BIGINT) AS n2 FROM hc GROUP BY t),
+pr AS (SELECT na.t AS ta, nb.t AS tb, na.n2 AS na2, nb.n2 AS nb2
+       FROM nrm na JOIN nrm nb ON na.t < nb.t),
+d AS (SELECT a.t AS ta, b.t AS tb, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+      FROM hc a JOIN hc b ON a.h = b.h AND a.t < b.t GROUP BY a.t, b.t)
+SELECT pr.ta AS type_a, pr.tb AS type_b,
+       coalesce(d.dot, 0) AS dot,
+       CAST(coalesce(
+         (2 * CAST(coalesce(d.dot, 0) AS HUGEINT) * coalesce(d.dot, 0)
+              * 1000000000 + CAST(pr.na2 AS HUGEINT) * pr.nb2)
+         // (2 * nullif(CAST(pr.na2 AS HUGEINT) * pr.nb2, 0)), 0)
+         AS BIGINT) AS cos2_nano
+FROM pr LEFT JOIN d ON d.ta = pr.ta AND d.tb = pr.tb"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -14771,6 +14959,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embeddings_knn_graph": q_embeddings_knn_graph,
     "docs_winnowing": q_docs_winnowing,
     "events_sax": q_events_sax,
+    "events_fano_burstiness": q_events_fano_burstiness,
+    "pages_path_year_audit": q_pages_path_year_audit,
+    "events_hourly_profile_cosine": q_events_hourly_profile_cosine,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -15128,4 +15319,7 @@ def oracles() -> dict[str, str]:
         "embeddings_knn_graph": O_EMBEDDINGS_KNN_GRAPH,
         "docs_winnowing": O_DOCS_WINNOWING(),
         "events_sax": O_EVENTS_SAX(),
+        "events_fano_burstiness": O_EVENTS_FANO,
+        "pages_path_year_audit": O_PAGES_PATH_YEAR_AUDIT(_SF001),
+        "events_hourly_profile_cosine": O_EVENTS_HOURLY_COSINE,
     }
