@@ -14640,6 +14640,277 @@ SELECT pr.ta AS type_a, pr.tb AS type_b,
 FROM pr LEFT JOIN d ON d.ta = pr.ta AND d.tb = pr.tb"""
 
 
+def q_kg_modularity(sf_dir: str):
+    """Weighted Newman modularity of the agency co-occurrence graph under
+    the LANGUAGE partition (each agency assigned its dominant mention
+    language, ties → lexicographically smallest): Q = w_in/m −
+    Σ_c (d_c/2m)², kept exact as the rational (4m·w_in − Σd_c²)/(4m²)
+    in arbitrary-precision ints — the 'do agencies co-occur within
+    language communities?' audit, and the quality functional community
+    detection optimizes, evaluated without floats. Both folds are
+    vocabulary-bounded (≤|vocab|² edge rows, ≤|vocab|·|langs| label
+    rows), so the driver reduce is O(1) in corpus size. One row:
+    (m_total, w_in, sum_dc2, q_nano)."""
+    m = _linked(sf_dir)
+
+    def lang_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["qid", "lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["qid", "lang", "n"])
+
+    lang_rows = (m.map_batches(lang_partial, batch_format="pyarrow")
+                 .groupby(["qid", "lang"]).aggregate(Sum("n", alias_name="n"))
+                 .take_all())  # ≤ |vocab| × |langs|
+    best: dict = {}
+    for r in lang_rows:
+        k = r["qid"]
+        cand = (-int(r["n"]), r["lang"])
+        if k not in best or cand < best[k]:
+            best[k] = cand
+    dom = {q: l for q, (_, l) in best.items()}
+
+    edge_rows = (kg.cooccurrence_edges(m)
+                 .groupby(["src_qid", "dst_qid"])
+                 .aggregate(Sum("weight", alias_name="w"))
+                 .take_all())  # ≤ C(|vocab|, 2)
+    m_total = w_in = 0
+    deg: dict = {}
+    for r in edge_rows:
+        s, d, w = r["src_qid"], r["dst_qid"], int(r["w"])
+        m_total += w
+        deg[s] = deg.get(s, 0) + w
+        deg[d] = deg.get(d, 0) + w
+        if dom.get(s) == dom.get(d):
+            w_in += w
+    dc: dict = {}
+    for q, dg in deg.items():
+        dc[dom[q]] = dc.get(dom[q], 0) + dg
+    sum_dc2 = sum(v * v for v in dc.values())
+    q_nano = _div_nano(4 * m_total * w_in - sum_dc2,
+                       4 * m_total * m_total) if m_total else 0
+    return pa.table({"m_total": pa.array([m_total], pa.int64()),
+                     "w_in": pa.array([w_in], pa.int64()),
+                     "sum_dc2": pa.array([sum_dc2], pa.int64()),
+                     "q_nano": pa.array([q_nano], pa.int64())})
+
+
+O_KG_MODULARITY = lambda sf: f"""WITH {_pages_cte(sf)},
+counts AS (
+  SELECT host, year, qid, count(*) AS n FROM sql_mentions
+  WHERE qid <> 'NIL' GROUP BY host, year, qid),
+e AS (
+  SELECT a.qid AS s, b.qid AS d, CAST(count(*) AS BIGINT) AS w
+  FROM counts a JOIN counts b
+    ON a.host = b.host AND a.year = b.year AND a.qid < b.qid
+  GROUP BY a.qid, b.qid),
+lc AS (
+  SELECT m.qid, p.lang, CAST(count(*) AS BIGINT) AS n
+  FROM sql_mentions m JOIN clean_pages p USING (url)
+  WHERE m.qid <> 'NIL' GROUP BY m.qid, p.lang),
+dom AS (
+  SELECT qid, lang FROM (
+    SELECT qid, lang,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY n DESC, lang) AS rk
+    FROM lc) WHERE rk = 1),
+deg AS (
+  SELECT q, CAST(sum(w) AS BIGINT) AS dg FROM (
+    SELECT s AS q, w FROM e UNION ALL SELECT d AS q, w FROM e)
+  GROUP BY q),
+comm AS (
+  SELECT dom.lang, CAST(sum(deg.dg) AS HUGEINT) AS dc
+  FROM deg JOIN dom ON dom.qid = deg.q GROUP BY dom.lang),
+tot AS (SELECT
+  CAST(coalesce((SELECT sum(w) FROM e), 0) AS BIGINT) AS m_total,
+  CAST(coalesce((SELECT sum(e.w) FROM e
+                 JOIN dom la ON la.qid = e.s
+                 JOIN dom lb ON lb.qid = e.d
+                 WHERE la.lang = lb.lang), 0) AS BIGINT) AS w_in,
+  CAST(coalesce((SELECT sum(dc * dc) FROM comm), 0) AS HUGEINT) AS dc2)
+SELECT m_total, w_in, CAST(dc2 AS BIGINT) AS sum_dc2,
+  CAST(CASE WHEN m_total = 0 THEN 0
+    WHEN 4 * CAST(m_total AS HUGEINT) * w_in - dc2 >= 0
+    THEN (2 * (4 * CAST(m_total AS HUGEINT) * w_in - dc2) * 1000000000
+          + 4 * CAST(m_total AS HUGEINT) * m_total)
+         // (2 * 4 * CAST(m_total AS HUGEINT) * m_total)
+    ELSE -((2 * (dc2 - 4 * CAST(m_total AS HUGEINT) * w_in) * 1000000000
+            + 4 * CAST(m_total AS HUGEINT) * m_total)
+           // (2 * 4 * CAST(m_total AS HUGEINT) * m_total))
+  END AS BIGINT) AS q_nano
+FROM tot"""
+
+
+def _decompose12_nano(cnts: list) -> list:
+    """Classical additive seasonal decomposition of an ordered monthly
+    series (moy, count): centered MA-12 trend (½-weighted ends), seasonal
+    index = mean detrended value per month-of-year, then re-centered so
+    the 12 indices sum to ~0. ONE shared float kernel in series order ⇒
+    identical doubles on both engines. Input rows are (moy 1-12, count)
+    for consecutive months; returns [(moy, n_obs, seasonal_nano)]."""
+    import math
+
+    n = len(cnts)
+    if n < 13:
+        return []
+    moys = [m for m, _ in cnts]
+    xs = [float(c) for _, c in cnts]
+    det: dict = {}
+    for t in range(6, n - 6):
+        s = 0.5 * xs[t - 6] + sum(xs[t - 5:t + 6]) + 0.5 * xs[t + 6]
+        det.setdefault(moys[t], []).append(xs[t] - s / 12.0)
+    raw = {m: sum(v) / len(v) for m, v in det.items()}
+    center = sum(raw.values()) / len(raw)
+
+    def q(v: float) -> int:
+        vn = v * 1e9
+        return int(math.floor(vn + 0.5)) if vn >= 0 \
+            else -int(math.floor(-vn + 0.5))
+
+    return [(m, len(det[m]), q(raw[m] - center)) for m in sorted(raw)]
+
+
+def q_orders_seasonal_decompose(sf_dir: str):
+    """Classical seasonal decomposition of monthly order volume — the
+    trend/seasonal split behind 'is December really bigger or is it
+    drift': centered MA-12 trend, per-month-of-year seasonal indices
+    (re-centered), via the shared float kernel over one bounded monthly
+    groupby. Rows: (moy, n_obs, seasonal_nano)."""
+    orders = ops.read_table(sf_dir, "orders", ["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["o_orderdate"], pa.date32())
+        key = pc.add(pc.multiply(pc.cast(pc.year(d), pa.int64()),
+                                 pa.scalar(12, pa.int64())),
+                     pc.cast(pc.month(d), pa.int64()))
+        g = pa.table({"mkey": key}).group_by(["mkey"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["mkey", "c"])
+
+    rows = (orders.map_batches(partial, batch_format="pyarrow")
+            .groupby("mkey").aggregate(Sum("c", alias_name="c"))
+            .take_all())
+    rows.sort(key=lambda r: r["mkey"])
+    series = [((int(r["mkey"]) - 1) % 12 + 1, int(r["c"])) for r in rows]
+    segs = _decompose12_nano(series)
+    return pa.table({
+        "moy": pa.array([m for m, _, _ in segs], pa.int64()),
+        "n_obs": pa.array([n for _, n, _ in segs], pa.int64()),
+        "seasonal_nano": pa.array([s for _, _, s in segs], pa.int64())})
+
+
+def O_ORDERS_SEASONAL_DECOMPOSE() -> str:
+    """VALUES recompute: DuckDB folds the ordered monthly counts, the
+    shared kernel runs the identical float decomposition."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mkey, "
+        f"CAST(count(*) AS BIGINT) "
+        f"FROM read_parquet('{_SF001}/orders.parquet') "
+        f"GROUP BY 1 ORDER BY 1").fetchall()
+    segs = _decompose12_nano([((int(r[0]) - 1) % 12 + 1, int(r[1]))
+                              for r in rows])
+    return _values_or_empty(
+        [f"({m}, {n}, {s})" for m, n, s in segs],
+        "SELECT CAST(moy AS BIGINT) AS moy, CAST(n_obs AS BIGINT) AS n_obs, "
+        "CAST(seasonal_nano AS BIGINT) AS seasonal_nano",
+        "t(moy, n_obs, seasonal_nano)", "(0, 0, 0)")
+
+
+def _stationary_nano(pairs: dict) -> list:
+    """Stationary distribution of the first-order type-transition chain:
+    row-normalize the transition counts (states with no outgoing mass →
+    uniform row, the standard dangling fix), then 200 synchronous power
+    iterations from uniform in sorted-state order. ONE shared float
+    kernel ⇒ identical doubles on both engines. Returns
+    [(state, pi_nano)] sorted by state."""
+    import math
+
+    states = sorted({s for p in pairs for s in p})
+    if not states:
+        return []
+    k = len(states)
+    idx = {s: i for i, s in enumerate(states)}
+    rows = [0] * k
+    for (a, _), n in sorted(pairs.items()):
+        rows[idx[a]] += n
+    P = [[0.0] * k for _ in range(k)]
+    for (a, b), n in sorted(pairs.items()):
+        P[idx[a]][idx[b]] = n / rows[idx[a]]
+    for i in range(k):
+        if rows[i] == 0:
+            P[i] = [1.0 / k] * k
+    x = [1.0 / k] * k
+    for _ in range(200):
+        x = [sum(x[i] * P[i][j] for i in range(k)) for j in range(k)]
+
+    def q(v: float) -> int:
+        vn = v * 1e9
+        return int(math.floor(vn + 0.5)) if vn >= 0 \
+            else -int(math.floor(-vn + 0.5))
+
+    return [(s, q(x[idx[s]])) for s in states]
+
+
+def q_events_markov_stationary(sf_dir: str):
+    """Long-run occupancy of the user-journey Markov chain — the
+    stationary distribution π of events_type_transitions' count matrix
+    (where a random surfer of the journey graph spends its time), via
+    the shared power-iteration kernel over the bounded |types|² count
+    table. Rows: (event_type, pi_nano)."""
+    ev = ops.read_table(sf_dir, "events",
+                        ["user_id", "ts", "event_id", "event_type"])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        et = et[np.lexsort((eid, ts))]
+        if len(et) < 2:
+            return pa.table({"prev_type": pa.array([], pa.string()),
+                             "next_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = pa.table({"prev_type": pa.array(et[:-1], pa.string()),
+                      "next_type": pa.array(et[1:], pa.string())})
+        c = t.group_by(["prev_type", "next_type"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"prev_type": c["prev_type"],
+                         "next_type": c["next_type"],
+                         "n": pc.cast(c["count_all"], pa.int64())})
+
+    rows = (ev.groupby("user_id").map_groups(pairs, batch_format="pyarrow")
+            .groupby(["prev_type", "next_type"])
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all())  # bounded: |types|²
+    counts = {(r["prev_type"], r["next_type"]): int(r["n"]) for r in rows}
+    pis = _stationary_nano(counts)
+    return pa.table({
+        "event_type": pa.array([s for s, _ in pis], pa.string()),
+        "pi_nano": pa.array([p for _, p in pis], pa.int64())})
+
+
+def O_EVENTS_MARKOV_STATIONARY() -> str:
+    """VALUES recompute: DuckDB re-derives the transition counts
+    (identical lag() semantics to O_EVENTS_TYPE_TRANSITIONS), the shared
+    kernel runs the identical power iteration."""
+    import duckdb
+
+    rows = duckdb.connect().execute(f"""
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM read_parquet('{_SF001}/events.parquet'))
+SELECT prev, event_type, CAST(count(*) AS BIGINT)
+FROM s WHERE prev IS NOT NULL GROUP BY 1, 2""").fetchall()
+    pis = _stationary_nano({(r[0], r[1]): int(r[2]) for r in rows})
+    return _values_or_empty(
+        [f"({_sq(s)}, {p})" for s, p in pis],
+        "SELECT CAST(event_type AS VARCHAR) AS event_type, "
+        "CAST(pi_nano AS BIGINT) AS pi_nano",
+        "t(event_type, pi_nano)", "('x', 0)")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -14962,6 +15233,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_fano_burstiness": q_events_fano_burstiness,
     "pages_path_year_audit": q_pages_path_year_audit,
     "events_hourly_profile_cosine": q_events_hourly_profile_cosine,
+    "kg_modularity": q_kg_modularity,
+    "orders_seasonal_decompose": q_orders_seasonal_decompose,
+    "events_markov_stationary": q_events_markov_stationary,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -15322,4 +15596,7 @@ def oracles() -> dict[str, str]:
         "events_fano_burstiness": O_EVENTS_FANO,
         "pages_path_year_audit": O_PAGES_PATH_YEAR_AUDIT(_SF001),
         "events_hourly_profile_cosine": O_EVENTS_HOURLY_COSINE,
+        "kg_modularity": O_KG_MODULARITY(_SF001),
+        "orders_seasonal_decompose": O_ORDERS_SEASONAL_DECOMPOSE(),
+        "events_markov_stationary": O_EVENTS_MARKOV_STATIONARY(),
     }
