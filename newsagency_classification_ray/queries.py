@@ -14911,6 +14911,224 @@ FROM s WHERE prev IS NOT NULL GROUP BY 1, 2""").fetchall()
         "t(event_type, pi_nano)", "('x', 0)")
 
 
+def q_kg_rich_club(sf_dir: str):
+    """Rich-club coefficient of the agency co-occurrence graph: for each
+    degree threshold k present, φ(k) = 2·E_k / (N_k·(N_k−1)) over the
+    subgraph of nodes with degree > k — 'do the hubs preferentially wire
+    to each other?', the connectivity companion to kg_assortativity.
+    Exact rational (counts only, shared nano division). The simple graph
+    (distinct neighbor pairs) is vocabulary-bounded, so the whole sweep
+    is a driver fold over ≤C(|vocab|,2) edges. Rows:
+    (k, n_nodes, e_in, phi_nano)."""
+    edges = (kg.cooccurrence_edges(_mentions(sf_dir))
+             .groupby(["src_qid", "dst_qid"])
+             .aggregate(Count(alias_name="_n"))
+             .take_all())  # ≤ C(|vocab|, 2)
+    pairs = [(r["src_qid"], r["dst_qid"]) for r in edges]
+    deg: dict = {}
+    for s, d in pairs:
+        deg[s] = deg.get(s, 0) + 1
+        deg[d] = deg.get(d, 0) + 1
+    out = []
+    for k in sorted(set(deg.values())):
+        nodes = [q for q, dg in deg.items() if dg > k]
+        nk = len(nodes)
+        ek = sum(1 for s, d in pairs if deg[s] > k and deg[d] > k)
+        phi = _div_nano(2 * ek, nk * (nk - 1)) if nk >= 2 else 0
+        out.append((k, nk, ek, phi))
+    return pa.table({
+        "k": pa.array([k for k, _, _, _ in out], pa.int64()),
+        "n_nodes": pa.array([n for _, n, _, _ in out], pa.int64()),
+        "e_in": pa.array([e for _, _, e, _ in out], pa.int64()),
+        "phi_nano": pa.array([p for _, _, _, p in out], pa.int64())})
+
+
+O_KG_RICH_CLUB = lambda sf: f"""WITH {_pages_cte(sf)},
+counts AS (
+  SELECT host, year, qid FROM sql_mentions
+  WHERE qid <> 'NIL' GROUP BY host, year, qid),
+e AS (
+  SELECT a.qid AS s, b.qid AS d
+  FROM counts a JOIN counts b
+    ON a.host = b.host AND a.year = b.year AND a.qid < b.qid
+  GROUP BY a.qid, b.qid),
+deg AS (
+  SELECT q, CAST(count(*) AS BIGINT) AS dg FROM (
+    SELECT s AS q FROM e UNION ALL SELECT d FROM e) GROUP BY q),
+ks AS (SELECT DISTINCT dg AS k FROM deg),
+rc AS (
+  SELECT k,
+         (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE dg > k) AS nk,
+         (SELECT CAST(count(*) AS BIGINT) FROM e
+          JOIN deg da ON da.q = e.s JOIN deg db ON db.q = e.d
+          WHERE da.dg > k AND db.dg > k) AS ek
+  FROM ks)
+SELECT k, nk AS n_nodes, ek AS e_in,
+       CAST(CASE WHEN nk >= 2 THEN
+         (2 * 2 * CAST(ek AS HUGEINT) * 1000000000 + nk * (nk - 1))
+         // (2 * CAST(nk AS HUGEINT) * (nk - 1))
+       ELSE 0 END AS BIGINT) AS phi_nano
+FROM rc"""
+
+
+_WILSON_Z = 1.96
+
+
+def _wilson_lo_nano(k: int, n: int, z: float = _WILSON_Z) -> int:
+    """Wilson score interval lower bound for k successes in n trials —
+    ONE shared float kernel so query and oracle produce identical
+    doubles. Returns the bound nano-quantized (0 for n == 0)."""
+    import math
+
+    if n == 0:
+        return 0
+    p = k / n
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = p + z2 / (2.0 * n)
+    rad = z * math.sqrt((p * (1.0 - p) + z2 / (4.0 * n)) / n)
+    lo = (center - rad) / denom
+    vn = lo * 1e9
+    return int(math.floor(vn + 0.5)) if vn >= 0 \
+        else -int(math.floor(-vn + 0.5))
+
+
+def q_kg_edge_wilson(sf_dir: str):
+    """Confidence-weighted co-occurrence edges: per agency pair, k =
+    (host, year) cells where BOTH appear, n = cells where EITHER appears
+    (union), and the Wilson 95% lower bound on k/n — the small-sample-
+    safe score an edge-pruning pass thresholds on instead of the raw
+    ratio (a 1/1 edge must not outrank a 40/50 edge). Counts come from
+    two vocabulary-bounded aggregates; the sqrt runs in the shared
+    kernel on the driver over ≤C(|vocab|,2) pairs. Rows:
+    (src_qid, dst_qid, k, n, wilson_lo_nano)."""
+    m = _linked(sf_dir)
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["qid", "host", "year"]).aggregate(
+            [([], "count_all")])
+        return g.select(["qid", "host", "year"])
+
+    cells = (m.map_batches(cell_partial, batch_format="pyarrow")
+             .groupby(["qid", "host", "year"])
+             .aggregate(Count(alias_name="_n")))
+    per_qid = {r["qid"]: int(r["n_cells"]) for r in
+               cells.groupby("qid").aggregate(
+                   Count(alias_name="n_cells")).take_all()}
+    pair_rows = (kg.cooccurrence_edges(m)
+                 .groupby(["src_qid", "dst_qid"])
+                 .aggregate(Sum("weight", alias_name="w"))
+                 .take_all())  # ≤ C(|vocab|, 2)
+    s_o, d_o, k_o, n_o, w_o = [], [], [], [], []
+    for r in sorted(pair_rows, key=lambda r: (r["src_qid"], r["dst_qid"])):
+        s, d, k = r["src_qid"], r["dst_qid"], int(r["w"])
+        n = per_qid[s] + per_qid[d] - k
+        s_o.append(s), d_o.append(d), k_o.append(k), n_o.append(n)
+        w_o.append(_wilson_lo_nano(k, n))
+    return pa.table({"src_qid": pa.array(s_o, pa.string()),
+                     "dst_qid": pa.array(d_o, pa.string()),
+                     "k": pa.array(k_o, pa.int64()),
+                     "n": pa.array(n_o, pa.int64()),
+                     "wilson_lo_nano": pa.array(w_o, pa.int64())})
+
+
+def O_KG_EDGE_WILSON() -> str:
+    """VALUES recompute: DuckDB re-derives the cell/pair counts, the
+    shared kernel computes the identical Wilson bound."""
+    import duckdb
+
+    rows = duckdb.connect().execute(f"""WITH {_pages_cte(_SF001)},
+cells AS (
+  SELECT qid, host, year FROM sql_mentions
+  WHERE qid <> 'NIL' GROUP BY qid, host, year),
+cq AS (SELECT qid, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY qid),
+w AS (
+  SELECT a.qid AS s, b.qid AS d, CAST(count(*) AS BIGINT) AS k
+  FROM cells a JOIN cells b
+    ON a.host = b.host AND a.year = b.year AND a.qid < b.qid
+  GROUP BY a.qid, b.qid)
+SELECT w.s, w.d, w.k, ca.c + cb.c - w.k AS n
+FROM w JOIN cq ca ON ca.qid = w.s JOIN cq cb ON cb.qid = w.d
+ORDER BY w.s, w.d""").fetchall()
+    vals = [f"({_sq(s)}, {_sq(d)}, {k}, {n}, {_wilson_lo_nano(k, n)})"
+            for s, d, k, n in rows]
+    return _values_or_empty(
+        vals,
+        "SELECT CAST(src_qid AS VARCHAR) AS src_qid, "
+        "CAST(dst_qid AS VARCHAR) AS dst_qid, CAST(k AS BIGINT) AS k, "
+        "CAST(n AS BIGINT) AS n, "
+        "CAST(wilson_lo_nano AS BIGINT) AS wilson_lo_nano",
+        "t(src_qid, dst_qid, k, n, wilson_lo_nano)", "('x', 'x', 0, 0, 0)")
+
+
+_TIER_CUTOFF = "1995-01-01"
+
+
+def _freq_tier(n: int) -> int:
+    """Order-count tier: 0 = none, 1 = 1–2, 2 = 3–5, 3 = 6+."""
+    return 0 if n == 0 else (1 if n <= 2 else (2 if n <= 5 else 3))
+
+
+def q_customer_tier_migration(sf_dir: str):
+    """Customer frequency-tier migration matrix: tier by order count
+    BEFORE the 1995-01-01 cutoff vs tier over the FULL horizon — the
+    cohort-transition table behind 'are light buyers graduating or
+    churning'. Shape: per-batch (custkey, early, total) combiners → one
+    custkey groupby → per-batch tier-pair partial counts → one bounded
+    (4×4) groupby. Rows: (tier_early, tier_full, n_customers)."""
+    orders = ops.read_table(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    cutoff = pa.scalar(pd.Timestamp(_TIER_CUTOFF), type=pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        early = pc.cast(pc.less(t["o_orderdate"], cutoff), pa.int64())
+        d = pa.table({"c": t["o_custkey"], "early": early,
+                      "one": pa.array(np.ones(len(t), np.int64))})
+        g = d.group_by(["c"]).aggregate([("early", "sum"), ("one", "sum")])
+        return g.rename_columns(["c", "early", "total"])
+
+    per_cust = (orders.map_batches(partial, batch_format="pyarrow")
+                .groupby("c").aggregate(Sum("early", alias_name="early"),
+                                        Sum("total", alias_name="total")))
+
+    def tiers(t: pa.Table) -> pa.Table:
+        e = t["early"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = t["total"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def tier(v: np.ndarray) -> np.ndarray:
+            return np.where(v == 0, 0,
+                            np.where(v <= 2, 1, np.where(v <= 5, 2, 3)))
+
+        d = pa.table({"tier_early": pa.array(tier(e), pa.int64()),
+                      "tier_full": pa.array(tier(f), pa.int64())})
+        g = d.group_by(["tier_early", "tier_full"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["tier_early", "tier_full", "n_customers"])
+
+    return (per_cust.map_batches(tiers, batch_format="pyarrow")
+            .groupby(["tier_early", "tier_full"])
+            .aggregate(Sum("n_customers", alias_name="n_customers")))
+
+
+O_CUSTOMER_TIER_MIGRATION = f"""
+WITH pc AS (
+  SELECT o_custkey,
+         CAST(sum(CASE WHEN o_orderdate < DATE '{_TIER_CUTOFF}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS early,
+         CAST(count(*) AS BIGINT) AS total
+  FROM orders GROUP BY o_custkey),
+t AS (
+  SELECT CASE WHEN early = 0 THEN 0 WHEN early <= 2 THEN 1
+              WHEN early <= 5 THEN 2 ELSE 3 END AS tier_early,
+         CASE WHEN total = 0 THEN 0 WHEN total <= 2 THEN 1
+              WHEN total <= 5 THEN 2 ELSE 3 END AS tier_full
+  FROM pc)
+SELECT CAST(tier_early AS BIGINT) AS tier_early,
+       CAST(tier_full AS BIGINT) AS tier_full,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM t GROUP BY tier_early, tier_full"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -15236,6 +15454,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_modularity": q_kg_modularity,
     "orders_seasonal_decompose": q_orders_seasonal_decompose,
     "events_markov_stationary": q_events_markov_stationary,
+    "kg_rich_club": q_kg_rich_club,
+    "kg_edge_wilson": q_kg_edge_wilson,
+    "customer_tier_migration": q_customer_tier_migration,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -15599,4 +15820,7 @@ def oracles() -> dict[str, str]:
         "kg_modularity": O_KG_MODULARITY(_SF001),
         "orders_seasonal_decompose": O_ORDERS_SEASONAL_DECOMPOSE(),
         "events_markov_stationary": O_EVENTS_MARKOV_STATIONARY(),
+        "kg_rich_club": O_KG_RICH_CLUB(_SF001),
+        "kg_edge_wilson": O_KG_EDGE_WILSON(),
+        "customer_tier_migration": O_CUSTOMER_TIER_MIGRATION,
     }
