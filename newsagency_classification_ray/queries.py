@@ -15129,6 +15129,200 @@ SELECT CAST(tier_early AS BIGINT) AS tier_early,
 FROM t GROUP BY tier_early, tier_full"""
 
 
+def q_lineitem_return_wilson(sf_dir: str):
+    """Per-supplier non-return rate with the Wilson 95% lower bound
+    (success = l_returnflag <> 'R') — supplier scorecards that don't
+    reward tiny-sample luck. Unlike kg_edge_wilson's vocabulary-bounded driver
+    fold, suppliers scale with the corpus, so the bound is computed
+    DISTRIBUTED: per-batch (supp, k, n) combiners → one supplier groupby
+    → an elementwise numpy kernel whose double-op order mirrors
+    _wilson_lo_nano exactly (every IEEE op correctly rounded ⇒ identical
+    doubles). Rows: (l_suppkey, k, n, wilson_lo_nano)."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_suppkey", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.cast(pc.not_equal(t["l_returnflag"], "R"), pa.int64())
+        d = pa.table({"s": pc.cast(t["l_suppkey"], pa.int64()), "k": ok,
+                      "one": pa.array(np.ones(len(t), np.int64))})
+        g = d.group_by(["s"]).aggregate([("k", "sum"), ("one", "sum")])
+        return g.rename_columns(["l_suppkey", "k", "n"])
+
+    per_supp = (li.map_batches(partial, batch_format="pyarrow")
+                .groupby("l_suppkey")
+                .aggregate(Sum("k", alias_name="k"),
+                           Sum("n", alias_name="n")))
+
+    def wilson(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        z = _WILSON_Z
+        z2 = z * z
+        p = k / n
+        denom = 1.0 + z2 / n
+        center = p + z2 / (2.0 * n)
+        rad = z * np.sqrt((p * (1.0 - p) + z2 / (4.0 * n)) / n)
+        lo = (center - rad) / denom
+        nano = np.floor(lo * 1e9 + 0.5).astype(np.int64)
+        return t.append_column("wilson_lo_nano", pa.array(nano, pa.int64()))
+
+    return per_supp.map_batches(wilson, batch_format="pyarrow")
+
+
+def O_LINEITEM_RETURN_WILSON() -> str:
+    """VALUES recompute: DuckDB derives per-supplier (k, n), the shared
+    scalar kernel computes the identical Wilson bound."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT CAST(l_suppkey AS BIGINT), "
+        f"CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 "
+        f"END) AS BIGINT), CAST(count(*) AS BIGINT) "
+        f"FROM read_parquet('{_SF001}/lineitem.parquet') "
+        f"GROUP BY 1 ORDER BY 1").fetchall()
+    vals = [f"({s}, {k}, {n}, {_wilson_lo_nano(int(k), int(n))})"
+            for s, k, n in rows]
+    return _values_or_empty(
+        vals,
+        "SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey, "
+        "CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n, "
+        "CAST(wilson_lo_nano AS BIGINT) AS wilson_lo_nano",
+        "t(l_suppkey, k, n, wilson_lo_nano)", "(0, 0, 0, 0)")
+
+
+def q_docs_sentence_dedup(sf_dir: str):
+    """C4-style duplicated-sentence share per source: split each doc on
+    sentence boundaries, call a sentence duplicated when it appears in
+    ≥2 DISTINCT docs, and report each source's share of duplicated
+    sentence occurrences — the signal behind C4's drop-repeated-
+    sentences rule, at the structural unit substring-window dedup
+    doesn't see. Text never enters the exchange: sentences are md5'd
+    per batch (32-byte keys), the hash groupby carries pre-aggregated
+    (h, doc, source, c) rows, and per-h groups emit per-source partials
+    (group size ∝ a sentence's distinct-doc spread; corpus-wide
+    boilerplate keys arrive pre-counted, one row per containing doc).
+    Rows: (source, n_sentences, n_dup, dup_share_nano)."""
+    import hashlib
+
+    docs = ops.read_table(sf_dir, "documents",
+                          ["doc_id", "source", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        sents = pc.split_pattern_regex(t["text"], pattern=r"\.\s+")
+        n = pc.list_value_length(sents).to_numpy(zero_copy_only=False)
+        rep = pa.array(np.repeat(np.arange(len(t)), n))
+        flat = pc.list_flatten(sents)
+        keep = pc.not_equal(flat, "")
+        d = pa.table({"doc_id": t["doc_id"].take(rep).filter(keep),
+                      "source": t["source"].take(rep).filter(keep),
+                      "sent": flat.filter(keep)})
+        h = pa.array([hashlib.md5(s.encode()).hexdigest()
+                      for s in d["sent"].to_pylist()], pa.string())
+        g = (d.drop_columns(["sent"]).append_column("h", h)
+             .group_by(["h", "doc_id", "source"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["h", "doc_id", "source", "c"])
+
+    occ = (docs.map_batches(explode, batch_format="pyarrow")
+           .groupby(["h", "doc_id", "source"])
+           .aggregate(Sum("c", alias_name="c")))
+
+    def per_hash(g: pa.Table) -> pa.Table:
+        ndocs = len(set(g["doc_id"].to_pylist()))
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = c if ndocs >= 2 else np.zeros(len(c), np.int64)
+        d = pa.table({"source": g["source"], "n": pa.array(c, pa.int64()),
+                      "dup": pa.array(dup, pa.int64())})
+        agg = d.group_by(["source"]).aggregate([("n", "sum"),
+                                                ("dup", "sum")])
+        return agg.rename_columns(["source", "n", "dup"])
+
+    sums = (occ.groupby("h").map_groups(per_hash, batch_format="pyarrow")
+            .groupby("source").aggregate(Sum("n", alias_name="n"),
+                                         Sum("dup", alias_name="dup"))
+            .take_all())  # bounded: |sources|
+    src_o, n_o, d_o, s_o = [], [], [], []
+    for r in sorted(sums, key=lambda r: r["source"]):
+        n, dup = int(r["n"]), int(r["dup"])
+        src_o.append(r["source"]), n_o.append(n), d_o.append(dup)
+        s_o.append(_div_nano(dup, n) if n else 0)
+    return pa.table({"source": pa.array(src_o, pa.string()),
+                     "n_sentences": pa.array(n_o, pa.int64()),
+                     "n_dup": pa.array(d_o, pa.int64()),
+                     "dup_share_nano": pa.array(s_o, pa.int64())})
+
+
+O_DOCS_SENTENCE_DEDUP = r"""
+WITH s0 AS (
+  SELECT source, doc_id, md5(sent) AS h
+  FROM documents, unnest(regexp_split_to_array(text, '\.\s+')) AS u(sent)
+  WHERE sent <> ''),
+nd AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM s0 GROUP BY h)
+SELECT source, CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup,
+       CAST(coalesce(
+         (2 * CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS HUGEINT)
+              * 1000000000 + count(*))
+         // (2 * nullif(CAST(count(*) AS HUGEINT), 0)), 0) AS BIGINT)
+         AS dup_share_nano
+FROM s0 JOIN nd USING (h) GROUP BY source"""
+
+
+def q_pages_coverage_density(sf_dir: str):
+    """Crawl-coverage completeness: how full is the (host × capture-year)
+    matrix that the flagship's co-occurrence stage keys on? Reports
+    distinct hosts, years, present cells, and density = cells /
+    (hosts·years) — the sparsity number that predicts co-occurrence
+    support before running the pipeline. Per-batch distinct partials →
+    one (host, year) groupby; the driver fold touches only the bounded
+    cell table. One row: (n_hosts, n_years, n_cells, density_nano)."""
+    path = pages_src.ensure_pages(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["url", "warc_ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            pc.replace_substring_regex(t["url"], pattern=r"^[a-z]+://",
+                                       replacement=""),
+            pattern=r"/.*$", replacement="")
+        d = pa.table({"host": host,
+                      "year": pc.cast(pc.year(t["warc_ts"]), pa.int64())})
+        g = d.group_by(["host", "year"]).aggregate([([], "count_all")])
+        return g.select(["host", "year"])
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["host", "year"]).aggregate(Count(alias_name="_n"))
+             .take_all())  # bounded: hosts × years
+    hosts = {r["host"] for r in cells}
+    years = {int(r["year"]) for r in cells}
+    nc = len(cells)
+    poss = len(hosts) * len(years)
+    return pa.table({
+        "n_hosts": pa.array([len(hosts)], pa.int64()),
+        "n_years": pa.array([len(years)], pa.int64()),
+        "n_cells": pa.array([nc], pa.int64()),
+        "density_nano": pa.array([_div_nano(nc, poss) if poss else 0],
+                                 pa.int64())})
+
+
+O_PAGES_COVERAGE_DENSITY = lambda sf: f"""
+WITH raw AS (
+  SELECT regexp_replace(regexp_replace(url, '^[a-z]+://', ''),
+                        '/.*$', '') AS host,
+         CAST(year(warc_ts) AS BIGINT) AS y
+  FROM read_parquet('{pages_src.pages_path_for(sf)}/*.parquet')),
+cells AS (SELECT host, y FROM raw GROUP BY host, y),
+t AS (SELECT
+  (SELECT CAST(count(DISTINCT host) AS BIGINT) FROM cells) AS n_hosts,
+  (SELECT CAST(count(DISTINCT y) AS BIGINT) FROM cells) AS n_years,
+  (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells)
+SELECT n_hosts, n_years, n_cells,
+       CAST(coalesce(
+         (2 * CAST(n_cells AS HUGEINT) * 1000000000 + n_hosts * n_years)
+         // (2 * nullif(CAST(n_hosts AS HUGEINT) * n_years, 0)), 0)
+         AS BIGINT) AS density_nano
+FROM t"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -15457,6 +15651,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_rich_club": q_kg_rich_club,
     "kg_edge_wilson": q_kg_edge_wilson,
     "customer_tier_migration": q_customer_tier_migration,
+    "lineitem_return_wilson": q_lineitem_return_wilson,
+    "docs_sentence_dedup": q_docs_sentence_dedup,
+    "pages_coverage_density": q_pages_coverage_density,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -15823,4 +16020,7 @@ def oracles() -> dict[str, str]:
         "kg_rich_club": O_KG_RICH_CLUB(_SF001),
         "kg_edge_wilson": O_KG_EDGE_WILSON(),
         "customer_tier_migration": O_CUSTOMER_TIER_MIGRATION,
+        "lineitem_return_wilson": O_LINEITEM_RETURN_WILSON(),
+        "docs_sentence_dedup": O_DOCS_SENTENCE_DEDUP,
+        "pages_coverage_density": O_PAGES_COVERAGE_DENSITY(_SF001),
     }
