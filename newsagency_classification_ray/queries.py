@@ -15323,6 +15323,187 @@ SELECT n_hosts, n_years, n_cells,
 FROM t"""
 
 
+def q_kg_nil_rate(sf_dir: str):
+    """Entity-linking health per (host, year): mention count, NIL count,
+    and the NIL share — the coverage dashboard that tells you WHERE the
+    alias vocabulary is failing before you ship a KG build (a host/era
+    with a spiking NIL rate means missing aliases, not missing news).
+    Fully distributed: per-batch (host, year) combiners → one bounded
+    groupby → elementwise integer nano division (no driver fold). Rows:
+    (host, year, n_mentions, n_nil, nil_share_nano)."""
+    m = _mentions(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        nil = pc.cast(pc.equal(t["qid"], "NIL"), pa.int64())
+        d = pa.table({"host": t["host"], "year": t["year"], "nil": nil,
+                      "one": pa.array(np.ones(len(t), np.int64))})
+        g = d.group_by(["host", "year"]).aggregate(
+            [("one", "sum"), ("nil", "sum")])
+        return g.rename_columns(["host", "year", "n_mentions", "n_nil"])
+
+    agg = (m.map_batches(partial, batch_format="pyarrow")
+           .groupby(["host", "year"])
+           .aggregate(Sum("n_mentions", alias_name="n_mentions"),
+                      Sum("n_nil", alias_name="n_nil")))
+
+    def share(t: pa.Table) -> pa.Table:
+        n = t["n_mentions"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nil = t["n_nil"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nano = (2 * nil * 10**9 + n) // (2 * n)  # n >= 1 by construction
+        t = t.set_column(t.schema.get_field_index("year"), "year",
+                         pc.cast(t["year"], pa.int64()))
+        return t.append_column("nil_share_nano", pa.array(nano, pa.int64()))
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
+O_KG_NIL_RATE = lambda sf: f"""WITH {_pages_cte(sf)}
+SELECT host, CAST(year AS BIGINT) AS year,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(sum(CASE WHEN qid = 'NIL' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nil,
+       CAST((2 * CAST(sum(CASE WHEN qid = 'NIL' THEN 1 ELSE 0 END)
+                      AS HUGEINT) * 1000000000 + count(*))
+            // (2 * CAST(count(*) AS HUGEINT)) AS BIGINT)
+         AS nil_share_nano
+FROM sql_mentions GROUP BY host, year"""
+
+
+_DUPINV_DAYS = 3
+_DUPINV_BAND = 10  # |Δprice| · 10 ≤ min(price): within 10%
+
+
+def q_orders_dup_invoices(sf_dir: str):
+    """Rule-based duplicate-transaction detection: pairs of orders by the
+    SAME customer, placed within 3 days, with totals within 10% of each
+    other (|Δcents|·10 ≤ min cents) — the deterministic blocking+rules
+    sibling of the probabilistic Fellegi–Sunter linker. Blocking key =
+    custkey (group sizes ∝ per-customer order count), within-group
+    sorted day sweep, all comparisons in exact cents. Rows:
+    (o_custkey, okey_a, okey_b, day_gap) with (a, b) in (day, key)
+    order."""
+    orders = ops.read_table(sf_dir, "orders",
+                            ["o_custkey", "o_orderkey", "o_orderdate",
+                             "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pa.array(
+            pc.cast(t["o_orderdate"], pa.date32())
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").astype(np.int64), pa.int64())
+        return pa.table({"c": pc.cast(t["o_custkey"], pa.int64()),
+                         "k": pc.cast(t["o_orderkey"], pa.int64()),
+                         "day": day, "cents": _cents(t["o_totalprice"])})
+
+    def sweep(g: pa.Table) -> pa.Table:
+        day = g["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = g["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ct = g["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((key, day))
+        day, key, ct = day[order], key[order], ct[order]
+        ca, kb, gp = [], [], []
+        for i in range(len(day)):
+            j = i + 1
+            while j < len(day) and day[j] - day[i] <= _DUPINV_DAYS:
+                if (abs(int(ct[i]) - int(ct[j])) * _DUPINV_BAND
+                        <= min(int(ct[i]), int(ct[j]))):
+                    ca.append(int(key[i])), kb.append(int(key[j]))
+                    gp.append(int(day[j] - day[i]))
+                j += 1
+        cust = g["c"][0].as_py() if len(g) else 0
+        return pa.table({"o_custkey": pa.array([cust] * len(ca), pa.int64()),
+                         "okey_a": pa.array(ca, pa.int64()),
+                         "okey_b": pa.array(kb, pa.int64()),
+                         "day_gap": pa.array(gp, pa.int64())})
+
+    out = (orders.map_batches(prep, batch_format="pyarrow")
+           .groupby("c").map_groups(sweep, batch_format="pyarrow")
+           .materialize())
+    if out.count() == 0:
+        return pa.table({"o_custkey": pa.array([], pa.int64()),
+                         "okey_a": pa.array([], pa.int64()),
+                         "okey_b": pa.array([], pa.int64()),
+                         "day_gap": pa.array([], pa.int64())})
+    return out
+
+
+O_ORDERS_DUP_INVOICES = f"""
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS c, CAST(o_orderkey AS BIGINT) AS k,
+         CAST(o_orderdate AS DATE) AS d,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS ct
+  FROM orders)
+SELECT a.c AS o_custkey, a.k AS okey_a, b.k AS okey_b,
+       CAST(date_diff('day', a.d, b.d) AS BIGINT) AS day_gap
+FROM o a JOIN o b
+  ON a.c = b.c AND a.k <> b.k
+ AND (a.d < b.d OR (a.d = b.d AND a.k < b.k))
+ AND date_diff('day', a.d, b.d) <= {_DUPINV_DAYS}
+ AND abs(a.ct - b.ct) * {_DUPINV_BAND} <= least(a.ct, b.ct)"""
+
+
+def q_pages_text_html_agreement(sf_dir: str):
+    """The north-star byte-identity invariant as a queryable metric: for
+    pages carrying BOTH a text column and html, does the engine's html
+    extractor reproduce the text byte-for-byte? Per host: html-bearing
+    captures, both-bearing captures, and byte-equal agreements — the
+    monitoring view a 10¹²-doc ingest would alert on (a host drifting
+    from 100% means its markup broke the extractor, BEFORE mentions
+    silently degrade). Pure map + one bounded host groupby. Rows:
+    (host, n_html, n_both, n_agree)."""
+    from .functions.html import extract_text
+
+    path = pages_src.ensure_pages(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["url", "html", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            pc.replace_substring_regex(t["url"], pattern=r"^[a-z]+://",
+                                       replacement=""),
+            pattern=r"/.*$", replacement="")
+        html = t["html"].to_pylist()
+        text = t["text"].to_pylist()
+        n_html = np.array([h is not None for h in html], np.int64)
+        n_both = np.array([h is not None and x is not None
+                           for h, x in zip(html, text)], np.int64)
+        agree = np.array([
+            1 if (h is not None and x is not None
+                  and extract_text(h) == x) else 0
+            for h, x in zip(html, text)], np.int64)
+        d = pa.table({"host": host, "n_html": pa.array(n_html),
+                      "n_both": pa.array(n_both),
+                      "n_agree": pa.array(agree)})
+        g = d.group_by(["host"]).aggregate(
+            [("n_html", "sum"), ("n_both", "sum"), ("n_agree", "sum")])
+        return g.rename_columns(["host", "n_html", "n_both", "n_agree"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(Sum("n_html", alias_name="n_html"),
+                       Sum("n_both", alias_name="n_both"),
+                       Sum("n_agree", alias_name="n_agree")))
+
+
+O_PAGES_TEXT_HTML_AGREEMENT = lambda sf: f"""
+WITH raw AS (
+  SELECT regexp_replace(regexp_replace(url, '^[a-z]+://', ''),
+                        '/.*$', '') AS host,
+         html, text,
+         regexp_replace(replace(regexp_extract(decode(html),
+           '<body>(.*)</body>', 1), '</p><p>', chr(10)),
+           '<[^>]+>', '', 'g') AS extracted
+  FROM read_parquet('{pages_src.pages_path_for(sf)}/*.parquet'))
+SELECT host,
+       CAST(sum(CASE WHEN html IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_html,
+       CAST(sum(CASE WHEN html IS NOT NULL AND text IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(sum(CASE WHEN html IS NOT NULL AND text IS NOT NULL
+                     AND extracted = text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree
+FROM raw GROUP BY host"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -15654,6 +15835,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_return_wilson": q_lineitem_return_wilson,
     "docs_sentence_dedup": q_docs_sentence_dedup,
     "pages_coverage_density": q_pages_coverage_density,
+    "kg_nil_rate": q_kg_nil_rate,
+    "orders_dup_invoices": q_orders_dup_invoices,
+    "pages_text_html_agreement": q_pages_text_html_agreement,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -16023,4 +16207,7 @@ def oracles() -> dict[str, str]:
         "lineitem_return_wilson": O_LINEITEM_RETURN_WILSON(),
         "docs_sentence_dedup": O_DOCS_SENTENCE_DEDUP,
         "pages_coverage_density": O_PAGES_COVERAGE_DENSITY(_SF001),
+        "kg_nil_rate": O_KG_NIL_RATE(_SF001),
+        "orders_dup_invoices": O_ORDERS_DUP_INVOICES,
+        "pages_text_html_agreement": O_PAGES_TEXT_HTML_AGREEMENT(_SF001),
     }
