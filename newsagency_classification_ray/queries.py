@@ -15504,6 +15504,210 @@ SELECT host,
 FROM raw GROUP BY host"""
 
 
+def q_events_stickiness(sf_dir: str):
+    """Monthly DAU/MAU stickiness — the engagement ratio product teams
+    steer by: per month, Σ daily-active-users / (n_days · monthly-active
+    -users), all from exact distinct counts. Shape: ONE distinct
+    (day, user) dedup feeds both branches (per-day counts → month
+    rollup; a second (month, user) dedup → MAU), every exchange carries
+    combiner-compacted keys, and the final join runs on the bounded
+    month table. Rows: (month, n_days, dau_sum, mau,
+    stickiness_nano)."""
+    ev = ops.read_table(sf_dir, "events", ["ts", "user_id"])
+
+    def du_partial(t: pa.Table) -> pa.Table:
+        d = pa.table({"day": pc.cast(t["ts"], pa.date32()),
+                      "user_id": pc.cast(t["user_id"], pa.int64())})
+        g = d.group_by(["day", "user_id"]).aggregate([([], "count_all")])
+        return g.select(["day", "user_id"])
+
+    du = (ev.map_batches(du_partial, batch_format="pyarrow")
+          .groupby(["day", "user_id"]).aggregate(Count(alias_name="_n"))
+          .materialize())
+
+    def mon_of(day_col: pa.ChunkedArray) -> pa.Array:
+        return pc.add(pc.multiply(pc.cast(pc.year(day_col), pa.int64()),
+                                  pa.scalar(100, pa.int64())),
+                      pc.cast(pc.month(day_col), pa.int64()))
+
+    def dau_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"day": t["day"]}).group_by(["day"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["day", "c"])
+
+    dau = (du.map_batches(dau_partial, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("c", alias_name="c")))
+
+    def md_partial(t: pa.Table) -> pa.Table:
+        d = pa.table({"mon": mon_of(t["day"]), "c": t["c"],
+                      "one": pa.array(np.ones(len(t), np.int64))})
+        g = d.group_by(["mon"]).aggregate([("one", "sum"), ("c", "sum")])
+        return g.rename_columns(["mon", "n_days", "dau_sum"])
+
+    md = {int(r["mon"]): (int(r["n_days"]), int(r["dau_sum"]))
+          for r in dau.map_batches(md_partial, batch_format="pyarrow")
+          .groupby("mon").aggregate(Sum("n_days", alias_name="n_days"),
+                                    Sum("dau_sum", alias_name="dau_sum"))
+          .take_all()}  # bounded: months
+
+    def mu_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"mon": mon_of(t["day"]), "user_id": t["user_id"]}) \
+            .group_by(["mon", "user_id"]).aggregate([([], "count_all")])
+        return g.select(["mon", "user_id"])
+
+    mau = {int(r["mon"]): int(r["mau"]) for r in
+           du.map_batches(mu_partial, batch_format="pyarrow")
+           .groupby(["mon", "user_id"]).aggregate(Count(alias_name="_n"))
+           .groupby("mon").aggregate(Count(alias_name="mau"))
+           .take_all()}  # bounded: months
+    mons = sorted(md)
+    return pa.table({
+        "month": pa.array(mons, pa.int64()),
+        "n_days": pa.array([md[m][0] for m in mons], pa.int64()),
+        "dau_sum": pa.array([md[m][1] for m in mons], pa.int64()),
+        "mau": pa.array([mau[m] for m in mons], pa.int64()),
+        "stickiness_nano": pa.array(
+            [_div_nano(md[m][1], md[m][0] * mau[m]) for m in mons],
+            pa.int64())})
+
+
+O_EVENTS_STICKINESS = r"""
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+dau AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM du GROUP BY d),
+md AS (SELECT CAST(year(d) * 100 + month(d) AS BIGINT) AS mon,
+              CAST(count(*) AS BIGINT) AS n_days,
+              CAST(sum(c) AS BIGINT) AS dau_sum
+       FROM dau GROUP BY 1),
+mau AS (SELECT CAST(year(d) * 100 + month(d) AS BIGINT) AS mon,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        FROM du GROUP BY 1)
+SELECT md.mon AS month, md.n_days, md.dau_sum, mau.mau,
+       CAST((2 * CAST(md.dau_sum AS HUGEINT) * 1000000000
+             + md.n_days * mau.mau)
+            // (2 * CAST(md.n_days AS HUGEINT) * mau.mau) AS BIGINT)
+         AS stickiness_nano
+FROM md JOIN mau ON md.mon = mau.mon"""
+
+
+_HILL_K = 50
+
+
+def _hill_nano(xs: list, k: int = _HILL_K) -> tuple[int, int, int]:
+    """Hill tail-index estimator over the top-(k+1) order statistics of a
+    positive sample: H = (1/k)·Σ ln(x_(i)/x_(k+1)); tail index α = 1/H.
+    ONE shared float kernel over the DESC-sorted top values ⇒ identical
+    doubles on both engines. Returns (k_used, hill_nano, alpha_nano);
+    zeros when fewer than 2 positive values."""
+    import math
+
+    k = min(k, len(xs) - 1)
+    if k < 1:
+        return 0, 0, 0
+    xk = xs[k]
+    h = sum(math.log(xs[i] / xk) for i in range(k)) / k
+
+    def q(v: float) -> int:
+        vn = v * 1e9
+        return int(math.floor(vn + 0.5)) if vn >= 0 \
+            else -int(math.floor(-vn + 0.5))
+
+    return k, q(h), (q(1.0 / h) if h > 0 else 0)
+
+
+def q_events_hill_tail(sf_dir: str):
+    """Hill estimator of the value distribution's heavy-tail index — the
+    number that says whether top-k caps / reservoir sizes can assume
+    finite variance (α ≤ 2 ⇒ they can't). Per-block top-(k+1) combiners
+    (value DESC, event_id ASC — a deterministic total order on doubles)
+    reduce to O(blocks·k) candidate rows; the shared log kernel runs on
+    the driver. One row: (n_pos, k_used, hill_nano, alpha_nano)."""
+    ev = ops.read_table(sf_dir, "events", ["event_id", "value"])
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = v > 0
+        v, eid = v[pos], eid[pos]
+        sel = np.lexsort((eid, -v))[:_HILL_K + 1]
+        return pa.table({"value": pa.array(v[sel], pa.float64()),
+                         "event_id": pa.array(eid[sel], pa.int64()),
+                         "n_pos": pa.array(
+                             np.r_[np.int64(pos.sum()),
+                                   np.zeros(max(len(sel) - 1, 0),
+                                            np.int64)], pa.int64())})
+
+    cand = ev.map_batches(topk_partial, batch_format="pyarrow").take_all()
+    n_pos = sum(int(r["n_pos"]) for r in cand)
+    cand.sort(key=lambda r: (-r["value"], r["event_id"]))
+    xs = [float(r["value"]) for r in cand[:_HILL_K + 1]]
+    k, h, a = _hill_nano(xs)
+    return pa.table({"n_pos": pa.array([n_pos], pa.int64()),
+                     "k_used": pa.array([k], pa.int64()),
+                     "hill_nano": pa.array([h], pa.int64()),
+                     "alpha_nano": pa.array([a], pa.int64())})
+
+
+def O_EVENTS_HILL_TAIL() -> str:
+    """VALUES recompute: DuckDB pulls the identically-ordered top values,
+    the shared kernel runs the identical log fold."""
+    import duckdb
+
+    con = duckdb.connect()
+    n_pos = con.execute(
+        f"SELECT count(*) FROM read_parquet('{_SF001}/events.parquet') "
+        f"WHERE value > 0").fetchone()[0]
+    rows = con.execute(
+        f"SELECT value FROM read_parquet('{_SF001}/events.parquet') "
+        f"WHERE value > 0 ORDER BY value DESC, event_id "
+        f"LIMIT {_HILL_K + 1}").fetchall()
+    k, h, a = _hill_nano([float(r[0]) for r in rows])
+    return _values_or_empty(
+        [f"({int(n_pos)}, {k}, {h}, {a})"],
+        "SELECT CAST(n_pos AS BIGINT) AS n_pos, "
+        "CAST(k_used AS BIGINT) AS k_used, "
+        "CAST(hill_nano AS BIGINT) AS hill_nano, "
+        "CAST(alpha_nano AS BIGINT) AS alpha_nano",
+        "t(n_pos, k_used, hill_nano, alpha_nano)", "(0, 0, 0, 0)")
+
+
+def q_pages_shard_balance(sf_dir: str):
+    """Metadata-only input-shard balance audit: per parquet shard, row
+    count and row-group count read from the FOOTER alone (no data pages
+    touched) — the scan-planning pass that spots skewed shards and
+    single-row-group files (no intra-file parallelism) before a
+    10¹²-doc job wastes a cluster on them. Footer reads are distributed
+    as a Dataset over the file list. Rows: (file, n_rows,
+    n_row_groups)."""
+    import os
+
+    path = pages_src.ensure_pages(sf_dir)
+    files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    ds = ray.data.from_items([{"file": f, "dir": path} for f in files])
+
+    def footer(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        names, rows, rgs = [], [], []
+        for f, d in zip(batch["file"].to_pylist(),
+                        batch["dir"].to_pylist()):
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            names.append(f)
+            rows.append(md.num_rows)
+            rgs.append(md.num_row_groups)
+        return pa.table({"file": pa.array(names, pa.string()),
+                         "n_rows": pa.array(rows, pa.int64()),
+                         "n_row_groups": pa.array(rgs, pa.int64())})
+
+    return ds.map_batches(footer, batch_format="pyarrow")
+
+
+O_PAGES_SHARD_BALANCE = lambda sf: f"""
+SELECT regexp_replace(file_name, '^.*/', '') AS file,
+       CAST(num_rows AS BIGINT) AS n_rows,
+       CAST(num_row_groups AS BIGINT) AS n_row_groups
+FROM parquet_file_metadata('{pages_src.pages_path_for(sf)}/*.parquet')"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -15838,6 +16042,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_nil_rate": q_kg_nil_rate,
     "orders_dup_invoices": q_orders_dup_invoices,
     "pages_text_html_agreement": q_pages_text_html_agreement,
+    "events_stickiness": q_events_stickiness,
+    "events_hill_tail": q_events_hill_tail,
+    "pages_shard_balance": q_pages_shard_balance,
     # (green in r1-r3 driver rows)
     "kg_nodes_agency": q_kg_nodes_agency,
     "kg_mentions": q_kg_mentions,
@@ -16210,4 +16417,7 @@ def oracles() -> dict[str, str]:
         "kg_nil_rate": O_KG_NIL_RATE(_SF001),
         "orders_dup_invoices": O_ORDERS_DUP_INVOICES,
         "pages_text_html_agreement": O_PAGES_TEXT_HTML_AGREEMENT(_SF001),
+        "events_stickiness": O_EVENTS_STICKINESS,
+        "events_hill_tail": O_EVENTS_HILL_TAIL(),
+        "pages_shard_balance": O_PAGES_SHARD_BALANCE(_SF001),
     }
