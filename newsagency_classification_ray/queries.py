@@ -15708,6 +15708,347 @@ SELECT regexp_replace(file_name, '^.*/', '') AS file,
 FROM parquet_file_metadata('{pages_src.pages_path_for(sf)}/*.parquet')"""
 
 
+_BURST_FACTOR = 2  # bursty host: peak hourly rate > factor × mean hourly rate
+
+
+def q_pages_host_politeness(sf_dir: str):
+    """Per-host crawl-politeness audit — the rate profile a recrawl
+    scheduler needs before it assigns per-host fetch budgets: for every
+    host, total fetches, active (host, hour) cells, the peak single-hour
+    burst, the mean per-active-hour rate, and a burstiness flag
+    (peak > 2× mean, decided by exact integer cross-multiply so no
+    engine can disagree on the boundary). Shape: per-batch (host, hour)
+    combiners → ONE bounded groupby on (host, hour), then per-host
+    partials → a second tiny groupby; no row-level data ever shuffles.
+    Rows: (host, n_fetches, n_active_hours, peak_hourly,
+    mean_hourly_nano, bursty)."""
+    path = pages_src.ensure_pages(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["url", "warc_ts"])
+
+    def hh_partial(t: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            pc.replace_substring_regex(t["url"], pattern=r"^[a-z]+://",
+                                       replacement=""),
+            pattern=r"/.*$", replacement="")
+        d = pa.table({"host": host,
+                      "hr": pc.floor_temporal(t["warc_ts"], unit="hour")})
+        g = d.group_by(["host", "hr"]).aggregate([([], "count_all")])
+        return g.rename_columns(["host", "hr", "c"])
+
+    hh = (ds.map_batches(hh_partial, batch_format="pyarrow")
+          .groupby(["host", "hr"]).aggregate(Sum("c", alias_name="c")))
+
+    def host_partial(t: pa.Table) -> pa.Table:
+        d = pa.table({"host": t["host"], "c": t["c"],
+                      "one": pa.array(np.ones(len(t), np.int64))})
+        g = d.group_by(["host"]).aggregate(
+            [("c", "sum"), ("one", "sum"), ("c", "max")])
+        return g.rename_columns(
+            ["host", "n_fetches", "n_active_hours", "peak_hourly"])
+
+    rows = (hh.map_batches(host_partial, batch_format="pyarrow")
+            .groupby("host").aggregate(
+                Sum("n_fetches", alias_name="n_fetches"),
+                Sum("n_active_hours", alias_name="n_active_hours"),
+                Max("peak_hourly", alias_name="peak_hourly"))
+            .take_all())  # bounded: hosts
+    rows.sort(key=lambda r: r["host"])
+    return pa.table({
+        "host": pa.array([r["host"] for r in rows], pa.string()),
+        "n_fetches": pa.array([int(r["n_fetches"]) for r in rows],
+                              pa.int64()),
+        "n_active_hours": pa.array([int(r["n_active_hours"]) for r in rows],
+                                   pa.int64()),
+        "peak_hourly": pa.array([int(r["peak_hourly"]) for r in rows],
+                                pa.int64()),
+        "mean_hourly_nano": pa.array(
+            [_div_nano(int(r["n_fetches"]), int(r["n_active_hours"]))
+             for r in rows], pa.int64()),
+        "bursty": pa.array(
+            [1 if int(r["peak_hourly"]) * int(r["n_active_hours"])
+             > _BURST_FACTOR * int(r["n_fetches"]) else 0
+             for r in rows], pa.int64())})
+
+
+O_PAGES_HOST_POLITENESS = lambda sf: f"""
+WITH raw AS (
+  SELECT regexp_replace(regexp_replace(url, '^[a-z]+://', ''),
+                        '/.*$', '') AS host,
+         date_trunc('hour', warc_ts) AS hr
+  FROM read_parquet('{pages_src.pages_path_for(sf)}/*.parquet')),
+hh AS (SELECT host, hr, CAST(count(*) AS BIGINT) AS c
+       FROM raw GROUP BY host, hr)
+SELECT host,
+       CAST(sum(c) AS BIGINT) AS n_fetches,
+       CAST(count(*) AS BIGINT) AS n_active_hours,
+       CAST(max(c) AS BIGINT) AS peak_hourly,
+       CAST((2 * CAST(sum(c) AS HUGEINT) * 1000000000 + count(*))
+            // (2 * CAST(count(*) AS HUGEINT)) AS BIGINT)
+         AS mean_hourly_nano,
+       CAST(CASE WHEN max(c) * count(*) > {_BURST_FACTOR} * sum(c)
+                 THEN 1 ELSE 0 END AS BIGINT) AS bursty
+FROM hh GROUP BY host"""
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / k-minimum-values) distinct sketches — the mergeable
+# distinct estimator whose SET ALGEBRA (union / intersection) HLL lacks.
+# Hash: uint64 wrapping multiply-add (bijective for odd A ⇒ distinct hashes
+# == distinct keys EXACTLY), stored order-preservingly as signed int64 via
+# the h − 2^63 shift; DuckDB reconstructs every value with HUGEINT math, so
+# the oracle recomputes the sketch itself, not just the exact side.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_A = 11400714819323198485   # odd (splitmix64 increment) ⇒ bijection
+_KMV_B = 9650029242287828579
+_U64 = 1 << 64
+_I63 = 1 << 63
+
+
+def _kmv_keys_signed(user_id: np.ndarray, day: np.ndarray) -> np.ndarray:
+    """(user, epoch-day) → order-preserving signed-int64 KMV hash."""
+    key = (user_id.astype(np.int64) << np.int64(20)) + day.astype(np.int64)
+    with np.errstate(over="ignore"):
+        h = key.astype(np.uint64) * np.uint64(_KMV_A) + np.uint64(_KMV_B)
+    return (h ^ np.uint64(_I63)).view(np.int64)
+
+
+def _kmv_est(n_exact: int, kth_signed: int | None) -> int:
+    """(k−1)/U_(k) bottom-k estimator in exact integer math; exact count
+    when the whole set fits in the sketch (kth order statistic absent)."""
+    if kth_signed is None:
+        return n_exact
+    return ((_KMV_K - 1) * _U64) // max(kth_signed + _I63, 1)
+
+
+def _kmv_sql_s() -> str:
+    """SQL fragment: the identical signed KMV hash of (user_id, day)."""
+    return (f"CAST(((CAST(user_id * 1048576 + "
+            f"CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) "
+            f"AS HUGEINT) * {_KMV_A} + {_KMV_B}) "
+            f"% CAST({_U64} AS HUGEINT) + CAST({_U64} AS HUGEINT)) "
+            f"% CAST({_U64} AS HUGEINT) - {_I63} AS BIGINT)")
+
+
+def q_events_kmv_distinct(sf_dir: str):
+    """KMV bottom-k distinct sketch per event type with MEASURED error —
+    the audit that sizes sketch-k before replacing exact distinct-user-day
+    counts at 10¹²-row scale (sibling of events_hll_error / bloom_fpr,
+    but mergeable set algebra — see events_kmv_setops). Key = (user_id,
+    epoch-day); the hash is a uint64 bijection, so ONE (type, hash)
+    dedup feeds both the exact count and the sketch. Per-block bottom-k
+    combiners reduce the estimator input to O(blocks·k·types) rows.
+    Rows: (event_type, n_exact, n_est, err_nano)."""
+    ev = ops.read_table(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def dpart(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32()),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        s = _kmv_keys_signed(user, day)
+        d = pa.table({"event_type": t["event_type"],
+                      "s": pa.array(s, pa.int64())})
+        g = d.group_by(["event_type", "s"]).aggregate([([], "count_all")])
+        return g.select(["event_type", "s"])
+
+    d = (ev.map_batches(dpart, batch_format="pyarrow")
+         .groupby(["event_type", "s"]).aggregate(Count(alias_name="_n"))
+         .materialize())
+
+    def cnt_part(t: pa.Table) -> pa.Table:
+        g = pa.table({"event_type": t["event_type"]}) \
+            .group_by(["event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "c"])
+
+    exact = {r["event_type"]: int(r["c"]) for r in
+             d.map_batches(cnt_part, batch_format="pyarrow")
+             .groupby("event_type").aggregate(Sum("c", alias_name="c"))
+             .take_all()}  # bounded: event types
+
+    def bk_part(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.zeros(len(s), dtype=bool)
+        for ty in np.unique(et):
+            m = np.flatnonzero(et == ty)
+            keep[m[np.argsort(s[m], kind="stable")[:_KMV_K]]] = True
+        return pa.table({"event_type": pa.array(et[keep]),
+                         "s": pa.array(s[keep], pa.int64())})
+
+    cand: dict[str, list[int]] = {}
+    for r in d.map_batches(bk_part, batch_format="pyarrow").take_all():
+        cand.setdefault(r["event_type"], []).append(int(r["s"]))
+    types = sorted(exact)
+    out_e, out_est, out_err = [], [], []
+    for ty in types:
+        n = exact[ty]
+        ss = sorted(cand.get(ty, []))
+        kth = ss[_KMV_K - 1] if len(ss) >= _KMV_K else None
+        est = _kmv_est(n, kth)
+        out_e.append(n)
+        out_est.append(est)
+        out_err.append(_div_nano(abs(est - n), n))
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "n_exact": pa.array(out_e, pa.int64()),
+                     "n_est": pa.array(out_est, pa.int64()),
+                     "err_nano": pa.array(out_err, pa.int64())})
+
+
+def O_EVENTS_KMV_DISTINCT() -> str:
+    return f"""
+WITH d AS (SELECT DISTINCT event_type, {_kmv_sql_s()} AS s FROM events),
+ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+       FROM d GROUP BY 1),
+kth AS (SELECT event_type, s FROM (
+          SELECT event_type, s,
+                 row_number() OVER (PARTITION BY event_type ORDER BY s) AS r
+          FROM d) WHERE r = {_KMV_K}),
+est AS (SELECT ex.event_type, ex.n_exact,
+               CASE WHEN kth.s IS NULL THEN CAST(ex.n_exact AS HUGEINT)
+                    ELSE ({_KMV_K - 1} * CAST({_U64} AS HUGEINT))
+                         // GREATEST(CAST(kth.s AS HUGEINT) + {_I63}, 1)
+               END AS e
+        FROM ex LEFT JOIN kth ON ex.event_type = kth.event_type)
+SELECT event_type, n_exact, CAST(e AS BIGINT) AS n_est,
+       CAST((2 * ABS(e - n_exact) * 1000000000 + n_exact)
+            // (2 * CAST(n_exact AS HUGEINT)) AS BIGINT) AS err_nano
+FROM est"""
+
+
+def q_events_kmv_setops(sf_dir: str):
+    """KMV sketch-merge SET ALGEBRA — union and intersection distinct
+    estimates between the 'view' and 'purchase' (user, day) activity
+    sets, with exact counterparts measured side-by-side. This is the
+    operation HLL cannot do (no intersection) and the reason bottom-k
+    sketches run the audience-overlap questions at scale: merge = k
+    smallest of the two sketches' union; τ = its kth value;
+    |A∪B|^ = (k−1)·2⁶⁴/τ; |A∩B|^ = ρ·|A∪B|^/k where ρ counts merged
+    members ≤ τ present in BOTH input sketches — all exact integer math
+    the DuckDB oracle replays value-for-value. One row: (n_a, n_b,
+    union_exact, union_est, inter_exact, inter_est, jaccard_est_nano)."""
+    ev = ops.read_table(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def dpart(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"],
+                     value_set=pa.array(["view", "purchase"]))
+        t = t.filter(m)
+        day = pc.cast(pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32()),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        s = _kmv_keys_signed(user, day)
+        d = pa.table({"event_type": t["event_type"],
+                      "s": pa.array(s, pa.int64())})
+        g = d.group_by(["event_type", "s"]).aggregate([([], "count_all")])
+        return g.select(["event_type", "s"])
+
+    d = (ev.map_batches(dpart, batch_format="pyarrow")
+         .groupby(["event_type", "s"]).aggregate(Count(alias_name="_n"))
+         .materialize())
+
+    # exact n_a / n_b / union / intersection from ONE (s)-keyed pass over
+    # the deduped pairs: per-block partial flags → groupby(s) → counters
+    def flag_part(t: pa.Table) -> pa.Table:
+        is_a = pc.equal(t["event_type"], "view")
+        return pa.table({
+            "s": t["s"],
+            "a": pc.cast(is_a, pa.int64()),
+            "b": pc.cast(pc.invert(is_a), pa.int64())})
+
+    def fold_part(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "na": pa.array([int(a.sum())], pa.int64()),
+            "nb": pa.array([int(b.sum())], pa.int64()),
+            "nu": pa.array([len(t)], pa.int64()),
+            "ni": pa.array([int(((a > 0) & (b > 0)).sum())], pa.int64())})
+
+    agg = (d.map_batches(flag_part, batch_format="pyarrow")
+           .groupby("s").aggregate(Sum("a", alias_name="a"),
+                                   Sum("b", alias_name="b"))
+           .map_batches(fold_part, batch_format="pyarrow")
+           .aggregate(Sum("na", alias_name="na"), Sum("nb", alias_name="nb"),
+                      Sum("nu", alias_name="nu"), Sum("ni", alias_name="ni")))
+    na, nb = int(agg["na"] or 0), int(agg["nb"] or 0)
+    nu, ni = int(agg["nu"] or 0), int(agg["ni"] or 0)
+
+    def bk_part(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.zeros(len(s), dtype=bool)
+        for ty in np.unique(et):
+            m = np.flatnonzero(et == ty)
+            keep[m[np.argsort(s[m], kind="stable")[:_KMV_K]]] = True
+        return pa.table({"event_type": pa.array(et[keep]),
+                         "s": pa.array(s[keep], pa.int64())})
+
+    sk: dict[str, list[int]] = {"view": [], "purchase": []}
+    for r in d.map_batches(bk_part, batch_format="pyarrow").take_all():
+        sk[r["event_type"]].append(int(r["s"]))
+    sa = set(sorted(sk["view"])[:_KMV_K])
+    sb = set(sorted(sk["purchase"])[:_KMV_K])
+    merged = sorted(sa | sb)
+    if len(merged) >= _KMV_K:
+        tau = merged[_KMV_K - 1]
+        u_est = _kmv_est(nu, tau)
+        rho = sum(1 for s in merged[:_KMV_K] if s in sa and s in sb)
+        i_est = (rho * u_est) // _KMV_K
+    else:
+        u_est, i_est = nu, ni
+    jac = _div_nano(i_est, u_est) if u_est else 0
+    return pa.table({"n_a": pa.array([na], pa.int64()),
+                     "n_b": pa.array([nb], pa.int64()),
+                     "union_exact": pa.array([nu], pa.int64()),
+                     "union_est": pa.array([u_est], pa.int64()),
+                     "inter_exact": pa.array([ni], pa.int64()),
+                     "inter_est": pa.array([i_est], pa.int64()),
+                     "jaccard_est_nano": pa.array([jac], pa.int64())})
+
+
+def O_EVENTS_KMV_SETOPS() -> str:
+    return f"""
+WITH d AS (SELECT DISTINCT event_type, {_kmv_sql_s()} AS s
+           FROM events WHERE event_type IN ('view', 'purchase')),
+a AS (SELECT s FROM d WHERE event_type = 'view'),
+b AS (SELECT s FROM d WHERE event_type = 'purchase'),
+sa AS (SELECT s FROM (SELECT s, row_number() OVER (ORDER BY s) AS r FROM a)
+       WHERE r <= {_KMV_K}),
+sb AS (SELECT s FROM (SELECT s, row_number() OVER (ORDER BY s) AS r FROM b)
+       WHERE r <= {_KMV_K}),
+m AS (SELECT s, row_number() OVER (ORDER BY s) AS r
+      FROM (SELECT s FROM sa UNION SELECT s FROM sb)),
+tau AS (SELECT s FROM m WHERE r = {_KMV_K}),
+ex AS (SELECT (SELECT count(*) FROM a) AS na, (SELECT count(*) FROM b) AS nb,
+              (SELECT count(DISTINCT s) FROM d) AS nu,
+              (SELECT count(*) FROM (SELECT s FROM a INTERSECT
+                                     SELECT s FROM b)) AS ni),
+ue AS (SELECT CASE
+         WHEN (SELECT count(*) FROM tau) = 0
+           THEN (SELECT CAST(nu AS HUGEINT) FROM ex)
+         ELSE ({_KMV_K - 1} * CAST({_U64} AS HUGEINT))
+              // GREATEST((SELECT CAST(s AS HUGEINT) FROM tau) + {_I63}, 1)
+       END AS e),
+ie AS (SELECT CASE
+         WHEN (SELECT count(*) FROM tau) = 0
+           THEN (SELECT CAST(ni AS HUGEINT) FROM ex)
+         ELSE ((SELECT count(*) FROM sa
+                WHERE s IN (SELECT s FROM sb)
+                  AND s <= (SELECT s FROM tau))
+               * (SELECT e FROM ue)) // {_KMV_K}
+       END AS e)
+SELECT CAST(ex.na AS BIGINT) AS n_a, CAST(ex.nb AS BIGINT) AS n_b,
+       CAST(ex.nu AS BIGINT) AS union_exact,
+       CAST((SELECT e FROM ue) AS BIGINT) AS union_est,
+       CAST(ex.ni AS BIGINT) AS inter_exact,
+       CAST((SELECT e FROM ie) AS BIGINT) AS inter_est,
+       CAST(coalesce((2 * (SELECT e FROM ie) * 1000000000
+                      + (SELECT e FROM ue))
+                     // nullif(2 * (SELECT e FROM ue), 0), 0) AS BIGINT)
+         AS jaccard_est_nano
+FROM ex"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -16092,6 +16433,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_dups": q_embedding_dups,
     "lsh_ann_topk": q_lsh_ann_topk,
     "docs_langid": q_docs_langid,
+    "pages_host_politeness": q_pages_host_politeness,
+    "events_kmv_distinct": q_events_kmv_distinct,
+    "events_kmv_setops": q_events_kmv_setops,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -16420,4 +16764,7 @@ def oracles() -> dict[str, str]:
         "events_stickiness": O_EVENTS_STICKINESS,
         "events_hill_tail": O_EVENTS_HILL_TAIL(),
         "pages_shard_balance": O_PAGES_SHARD_BALANCE(_SF001),
+        "pages_host_politeness": O_PAGES_HOST_POLITENESS(_SF001),
+        "events_kmv_distinct": O_EVENTS_KMV_DISTINCT(),
+        "events_kmv_setops": O_EVENTS_KMV_SETOPS(),
     }
