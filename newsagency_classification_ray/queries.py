@@ -16049,6 +16049,312 @@ SELECT CAST(ex.na AS BIGINT) AS n_a, CAST(ex.nb AS BIGINT) AS n_b,
 FROM ex"""
 
 
+# ---------------------------------------------------------------------------
+# Gear content-defined chunking (CDC) — byte-level dedup below the document
+# granularity (the FastCDC/LBFS family): chunk boundaries follow CONTENT, so
+# a shared span dedups even when its containing documents differ elsewhere.
+# The rolling Gear hash h_i = Σ_{k<64} gear[b_{i−k}]·2^k only ever sees the
+# last 64 bytes, so it is computed boundary-free with 64 vectorized
+# shift-adds per block (no per-byte Python), then cuts are picked by a scan
+# over the sparse candidate set (~1/(mask+1) of positions).
+# ---------------------------------------------------------------------------
+
+_CDC_MIN, _CDC_MASK, _CDC_MAX = 16, 0x1F, 256   # ≈32-byte average chunks
+_CDC_GEAR = ((np.arange(256, dtype=np.uint64) + np.uint64(1))
+             * np.uint64(9650029242287828579))  # odd multiplier table
+
+
+def _cdc_cuts(data: bytes) -> list[int]:
+    """Chunk END offsets (exclusive) for one byte string — the shared
+    kernel both the Ray stage and the DuckDB-side recompute run."""
+    n = len(data)
+    if n == 0:
+        return []
+    b = np.frombuffer(data, np.uint8)
+    g = _CDC_GEAR[b]
+    h = np.zeros(n, np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(min(64, n)):
+            h[k:] += g[:n - k] << np.uint64(k)
+    idx = np.flatnonzero((h & np.uint64(_CDC_MASK)) == 0)
+    cuts, start = [], 0
+    while start < n:
+        end = min(start + _CDC_MAX, n)
+        j = int(np.searchsorted(idx, start + _CDC_MIN - 1))
+        cut = int(idx[j]) + 1 if j < len(idx) and int(idx[j]) < end else end
+        cuts.append(cut)
+        start = cut
+    return cuts
+
+
+def _cdc_chunk_rows(text: str | None) -> list[tuple[int, int]]:
+    """(signed-int64 chunk fingerprint, chunk bytes) per CDC chunk."""
+    import hashlib
+
+    if not text:
+        return []
+    data = text.encode("utf-8")
+    out, start = [], 0
+    for cut in _cdc_cuts(data):
+        hid = int.from_bytes(hashlib.md5(data[start:cut]).digest()[:8],
+                             "big") - _I63
+        out.append((hid, cut - start))
+        start = cut
+    return out
+
+
+def q_docs_cdc_chunks(sf_dir: str):
+    """Content-defined-chunking dedup audit — the byte-level dedup a
+    100-TB curation run uses below document granularity: Gear-CDC
+    chunks (avg 32 B, min 16, max 256), md5-fingerprinted; globally a
+    chunk seen twice is storage the corpus repeats. Shape: per-block
+    chunking emits only (fingerprint, occ, bytes) partials pre-combined
+    per block, ONE bounded-key groupby merges them, per-block dup-byte
+    partial sums reduce to one row; chunk text itself never shuffles.
+    One row: (n_docs, n_chunks, n_distinct, total_bytes, dup_bytes,
+    dup_ratio_nano)."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def cpart(t: pa.Table) -> pa.Table:
+        agg: dict[int, list[int]] = {}
+        for txt in t["text"].to_pylist():
+            for hid, nb in _cdc_chunk_rows(txt):
+                e = agg.setdefault(hid, [0, nb])
+                e[0] += 1
+        hs = sorted(agg)
+        return pa.table({
+            "h": pa.array(hs, pa.int64()),
+            "occ": pa.array([agg[h][0] for h in hs], pa.int64()),
+            "nb": pa.array([agg[h][1] for h in hs], pa.int64())})
+
+    merged = (docs.map_batches(cpart, batch_format="pyarrow")
+              .groupby("h").aggregate(Sum("occ", alias_name="occ"),
+                                      Max("nb", alias_name="nb")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        occ = t["occ"].to_numpy(zero_copy_only=False)
+        nb = t["nb"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_chunks": pa.array([int(occ.sum())], pa.int64()),
+            "n_distinct": pa.array([len(t)], pa.int64()),
+            "total_bytes": pa.array([int((occ * nb).sum())], pa.int64()),
+            "dup_bytes": pa.array([int(((occ - 1) * nb).sum())],
+                                  pa.int64())})
+
+    agg = merged.map_batches(fold, batch_format="pyarrow").aggregate(
+        Sum("n_chunks", alias_name="n_chunks"),
+        Sum("n_distinct", alias_name="n_distinct"),
+        Sum("total_bytes", alias_name="total_bytes"),
+        Sum("dup_bytes", alias_name="dup_bytes"))
+    nc = int(agg["n_chunks"] or 0)
+    nd = int(agg["n_distinct"] or 0)
+    tb = int(agg["total_bytes"] or 0)
+    db = int(agg["dup_bytes"] or 0)
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_chunks": pa.array([nc], pa.int64()),
+        "n_distinct": pa.array([nd], pa.int64()),
+        "total_bytes": pa.array([tb], pa.int64()),
+        "dup_bytes": pa.array([db], pa.int64()),
+        "dup_ratio_nano": pa.array([_div_nano(db, tb) if tb else 0],
+                                   pa.int64())})
+
+
+def O_DOCS_CDC_CHUNKS() -> str:
+    """Recompute: DuckDB supplies the rows, the shared Gear-CDC kernel
+    (_cdc_chunk_rows) re-chunks them driver-side — same fingerprints,
+    same integer fold (precedent: O_MINHASH_PAIRS' pure recompute)."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT text FROM read_parquet('{_SF001}/documents.parquet')"
+    ).fetchall()
+    agg: dict[int, list[int]] = {}
+    for (txt,) in rows:
+        for hid, nb in _cdc_chunk_rows(txt):
+            e = agg.setdefault(hid, [0, nb])
+            e[0] += 1
+    nc = sum(v[0] for v in agg.values())
+    nd = len(agg)
+    tb = sum(v[0] * v[1] for v in agg.values())
+    db = sum((v[0] - 1) * v[1] for v in agg.values())
+    ratio = _div_nano(db, tb) if tb else 0
+    return _values_or_empty(
+        [f"({len(rows)}, {nc}, {nd}, {tb}, {db}, {ratio})"],
+        "SELECT CAST(n_docs AS BIGINT) AS n_docs, "
+        "CAST(n_chunks AS BIGINT) AS n_chunks, "
+        "CAST(n_distinct AS BIGINT) AS n_distinct, "
+        "CAST(total_bytes AS BIGINT) AS total_bytes, "
+        "CAST(dup_bytes AS BIGINT) AS dup_bytes, "
+        "CAST(dup_ratio_nano AS BIGINT) AS dup_ratio_nano",
+        "t(n_docs, n_chunks, n_distinct, total_bytes, dup_bytes, "
+        "dup_ratio_nano)", "(0, 0, 0, 0, 0, 0)")
+
+
+def _welch_nano(n1: int, s1: int, q1: int, n2: int, s2: int, q2: int
+                ) -> tuple[int, int]:
+    """Welch's unequal-variance t-test from integer sufficient statistics,
+    in EXACT rational arithmetic: t² and the Welch–Satterthwaite df are
+    both ratios of integers, so the nano-quantized outputs are engine-
+    independent by construction. Returns (t2_nano, df_nano); zeros when
+    either group has n<2 or the pooled standard error is zero."""
+    from fractions import Fraction as F
+
+    if n1 < 2 or n2 < 2:
+        return 0, 0
+    v1 = F(q1 * n1 - s1 * s1, n1 * (n1 - 1))
+    v2 = F(q2 * n2 - s2 * s2, n2 * (n2 - 1))
+    se2 = v1 / n1 + v2 / n2
+    if se2 <= 0:
+        return 0, 0
+    md = F(s1, n1) - F(s2, n2)
+    t2 = md * md / se2
+    df = se2 * se2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    return (_div_nano(t2.numerator, t2.denominator),
+            _div_nano(df.numerator, df.denominator))
+
+
+def q_lineitem_welch(sf_dir: str):
+    """Welch's t between returned ('R') and non-returned ('N') line
+    quantities — the unequal-variance two-sample test (lineitem_anova's
+    sibling for exactly two groups, no homoscedasticity assumption).
+    Per-block combiners fold to ≤2 (flag, n, Σq, Σq²) int64 partials
+    (q ≤ 50 keeps Σq² far inside int64 per block; the merged sums are
+    Python bigints), one bounded groupby, exact rational kernel on the
+    driver. One row: (n_r, n_n, t2_nano, df_nano)."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_returnflag"],
+                              value_set=pa.array(["R", "N"])))
+        q = pc.cast(t["l_quantity"], pa.int64())
+        g = pa.table({"flag": t["l_returnflag"], "s": q,
+                      "qq": pc.multiply(q, q)}) \
+            .group_by("flag").aggregate([("s", "sum"), ("qq", "sum"),
+                                         ([], "count_all")])
+        return pa.table({"flag": g["flag"],
+                         "n": pc.cast(g["count_all"], pa.int64()),
+                         "s": pc.cast(g["s_sum"], pa.int64()),
+                         "qq": pc.cast(g["qq_sum"], pa.int64())})
+
+    rows = {r["flag"]: (int(r["n"]), int(r["s"]), int(r["qq"])) for r in
+            li.map_batches(partial, batch_format="pyarrow")
+            .groupby("flag").aggregate(Sum("n", alias_name="n"),
+                                       Sum("s", alias_name="s"),
+                                       Sum("qq", alias_name="qq"))
+            .take_all()}  # ≤ 2 rows
+    a = rows.get("R", (0, 0, 0))
+    b = rows.get("N", (0, 0, 0))
+    t2, df = _welch_nano(a[0], a[1], a[2], b[0], b[1], b[2])
+    return pa.table({"n_r": pa.array([a[0]], pa.int64()),
+                     "n_n": pa.array([b[0]], pa.int64()),
+                     "t2_nano": pa.array([t2], pa.int64()),
+                     "df_nano": pa.array([df], pa.int64())})
+
+
+def O_LINEITEM_WELCH() -> str:
+    """VALUES recompute: DuckDB folds the identical integer sufficient
+    statistics, the shared exact-rational kernel finishes."""
+    import duckdb
+
+    rows = duckdb.connect().execute(f"""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT),
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT),
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT)
+        FROM read_parquet('{_SF001}/lineitem.parquet')
+        WHERE l_returnflag IN ('R', 'N')
+        GROUP BY 1""").fetchall()
+    d = {r[0]: (int(r[1]), int(r[2]), int(r[3])) for r in rows}
+    a = d.get("R", (0, 0, 0))
+    b = d.get("N", (0, 0, 0))
+    t2, df = _welch_nano(a[0], a[1], a[2], b[0], b[1], b[2])
+    return _values_or_empty(
+        [f"({a[0]}, {b[0]}, {t2}, {df})"],
+        "SELECT CAST(n_r AS BIGINT) AS n_r, CAST(n_n AS BIGINT) AS n_n, "
+        "CAST(t2_nano AS BIGINT) AS t2_nano, "
+        "CAST(df_nano AS BIGINT) AS df_nano",
+        "t(n_r, n_n, t2_nano, df_nano)", "(0, 0, 0, 0)")
+
+
+_PG_PERIODS = list(range(2, 15))  # candidate periods (days), incl. weekly 7
+
+
+def _periodogram_nano(xs: list[int]) -> list[tuple[int, int]]:
+    """Normalized DFT power at each candidate period over a mean-removed
+    series: P(p) = (Re² + Im²) / (n · Σ(x−μ)²) ∈ [0, 1]. ONE shared
+    float kernel with a fixed left-to-right fold order ⇒ identical
+    doubles on both engines (holtwinters precedent). Returns
+    [(period, power_nano)]."""
+    import math
+
+    n = len(xs)
+    out = []
+    if n < 3:
+        return [(p, 0) for p in _PG_PERIODS]
+    mu = sum(xs) / n
+    den = n * sum((x - mu) ** 2 for x in xs)
+    for p in _PG_PERIODS:
+        if den <= 0:
+            out.append((p, 0))
+            continue
+        w = 2.0 * math.pi / p
+        re = sum((x - mu) * math.cos(w * i) for i, x in enumerate(xs))
+        im = sum((x - mu) * math.sin(w * i) for i, x in enumerate(xs))
+        v = (re * re + im * im) / den
+        vn = v * 1e9
+        out.append((p, int(math.floor(vn + 0.5))))
+    return out
+
+
+def q_events_periodogram(sf_dir: str):
+    """Seasonality detector: normalized DFT power of the daily event
+    count at candidate periods 2–14 days (the spectral sibling of
+    events_daily_acf / orders_seasonal_decompose — it FINDS the period
+    the others assume). Per-block day-count combiners → one bounded
+    day groupby → shared kernel over the ordered bounded series.
+    Rows: (period, power_nano, is_top) with the smallest-period
+    tie-break on is_top."""
+    ev = ops.read_table(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"day": pc.cast(t["ts"], pa.date32())}) \
+            .group_by(["day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "c"])
+
+    rows = (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("c", alias_name="c"))
+            .take_all())  # bounded: days
+    rows.sort(key=lambda r: r["day"])
+    pw = _periodogram_nano([int(r["c"]) for r in rows])
+    top = max(pw, key=lambda t: (t[1], -t[0]))[0] if pw else 0
+    return pa.table({
+        "period": pa.array([p for p, _ in pw], pa.int64()),
+        "power_nano": pa.array([v for _, v in pw], pa.int64()),
+        "is_top": pa.array([1 if p == top else 0 for p, _ in pw],
+                           pa.int64())})
+
+
+def O_EVENTS_PERIODOGRAM() -> str:
+    """VALUES recompute: DuckDB supplies the ordered daily counts, the
+    shared kernel runs the identical float fold."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) "
+        f"FROM read_parquet('{_SF001}/events.parquet') "
+        f"GROUP BY 1 ORDER BY 1").fetchall()
+    pw = _periodogram_nano([int(r[1]) for r in rows])
+    top = max(pw, key=lambda t: (t[1], -t[0]))[0] if pw else 0
+    return _values_or_empty(
+        [f"({p}, {v}, {1 if p == top else 0})" for p, v in pw],
+        "SELECT CAST(period AS BIGINT) AS period, "
+        "CAST(power_nano AS BIGINT) AS power_nano, "
+        "CAST(is_top AS BIGINT) AS is_top",
+        "t(period, power_nano, is_top)", "(0, 0, 0)")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -16436,6 +16742,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pages_host_politeness": q_pages_host_politeness,
     "events_kmv_distinct": q_events_kmv_distinct,
     "events_kmv_setops": q_events_kmv_setops,
+    "docs_cdc_chunks": q_docs_cdc_chunks,
+    "lineitem_welch": q_lineitem_welch,
+    "events_periodogram": q_events_periodogram,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -16767,4 +17076,7 @@ def oracles() -> dict[str, str]:
         "pages_host_politeness": O_PAGES_HOST_POLITENESS(_SF001),
         "events_kmv_distinct": O_EVENTS_KMV_DISTINCT(),
         "events_kmv_setops": O_EVENTS_KMV_SETOPS(),
+        "docs_cdc_chunks": O_DOCS_CDC_CHUNKS(),
+        "lineitem_welch": O_LINEITEM_WELCH(),
+        "events_periodogram": O_EVENTS_PERIODOGRAM(),
     }
