@@ -5345,3 +5345,71 @@ def gazetteer_counts_automaton(
         concurrency=concurrency, batch_format="pyarrow")
         .groupby("phrase").aggregate(Sum("n_docs", alias_name="n_docs"),
                                      Sum("n_hits", alias_name="n_hits")))
+
+
+def rle_run_stats(
+    ds: Dataset,
+    part_col: str,
+    key_col: str,
+    bucket_bits: int = 16,
+) -> Dataset:
+    """Distributed gaps-and-islands: per ``part_col`` value, the number of
+    rows and of maximal CONSECUTIVE-``key_col`` runs (islands) — the
+    run-length statistic that sizes RLE/roaring bitmap indexes and
+    clustered-write layouts.
+
+    Scale shape: the classic ``key - row_number()`` window needs a total
+    sort per partition value (a giant group per part). Instead each key
+    decides "am I a run start?" LOCALLY inside a hash bucket of the key
+    space (bucket = key >> bucket_bits): a key k starts a run iff k-1 is
+    absent, and k-1 lives in the same bucket unless k sits on a bucket
+    boundary — so boundary keys also emit a GHOST row carrying k into the
+    bucket of k+1, making every membership test bucket-local. One
+    (part, bucket)-keyed exchange of (key, cnt, is_real) triples, ghost
+    rows ≤ one per boundary key; no per-part giant group, no global sort.
+    Duplicate keys within a part count toward n but never open a run.
+    Returns (part_col, n, n_runs).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t[part_col]
+        k = pc.cast(t[key_col], pa.int64()).to_numpy(zero_copy_only=False)
+        b = k >> bucket_bits
+        bn = (k + 1) >> bucket_bits
+        cross = bn != b
+        d = pa.table({
+            part_col: pa.concat_arrays(
+                [p.combine_chunks(), p.filter(pa.array(cross)).combine_chunks()]),
+            "bucket": pa.array(np.concatenate([b, bn[cross]]), pa.int64()),
+            "key": pa.array(np.concatenate([k, k[cross]]), pa.int64()),
+            "real": pa.array(np.concatenate(
+                [np.ones(len(k), np.int64), np.zeros(int(cross.sum()),
+                                                     np.int64)]), pa.int64()),
+        })
+        # block-level combiner: collapse duplicate (part, bucket, key)
+        g = d.group_by([part_col, "bucket", "key"]).aggregate(
+            [("real", "sum")])
+        return g.rename_columns([part_col, "bucket", "key", "cnt_real"])
+
+    def count_runs(g: pa.Table) -> pa.Table:
+        part = g[part_col][0].as_py()
+        k = g["key"].to_numpy(zero_copy_only=False)
+        cr = g["cnt_real"].to_numpy(zero_copy_only=False)
+        # merge duplicates across blocks
+        uk, inv = np.unique(k, return_inverse=True)
+        creal = np.zeros(len(uk), np.int64)
+        np.add.at(creal, inv, cr)
+        real = creal > 0
+        present = set(uk.tolist())
+        starts = int(sum(1 for key in uk[real].tolist()
+                         if key - 1 not in present))
+        return pa.table({part_col: pa.array([part]),
+                         "n": pa.array([int(creal.sum())], pa.int64()),
+                         "n_runs": pa.array([starts], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([part_col, "bucket"])
+            .map_groups(count_runs, batch_format="pyarrow")
+            .groupby(part_col).aggregate(Sum("n", alias_name="n"),
+                                         Sum("n_runs", alias_name="n_runs")))

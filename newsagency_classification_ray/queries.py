@@ -16355,6 +16355,224 @@ def O_EVENTS_PERIODOGRAM() -> str:
         "t(period, power_nano, is_top)", "(0, 0, 0)")
 
 
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_TOPK = 8, 16, 3, 10
+
+
+def q_embeddings_pq_recall(sf_dir: str):
+    """Product-quantization ANN with MEASURED recall — the memory side of
+    billion-scale search: 64-d float vectors compress to 8 codebook
+    bytes (32×), queries run through int64 ADC lookup tables, and
+    recall@10 vs the exact cosine top-k (brute_force_topk) is reported
+    per query. Codebooks come from the deterministic per-subspace
+    kmeans_fit (rounded rounds ⇒ pure-recompute oracle is exact); codes
+    are computed per block so raw vectors never re-enter the exchange;
+    the LUT micro-quantization makes every approximate distance an exact
+    integer — no float rank flips anywhere. Rows: (query_id, n_hits,
+    recall_nano).
+
+    Expected values on THIS corpus are low (~0.3 mean): the synthetic
+    embeddings are near-isotropic, so exact top-10 cosine neighbors are
+    barely separated and 8×16 PQ cells can't preserve their order (a
+    probe of 8×256 codes still only reaches ~0.54). That is the honest
+    measurement this audit exists to surface — same contract as
+    docs_bloom_fpr / events_hll_error: the oracle certifies the
+    computation, the number certifies the configuration."""
+    emb = ops.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.map_batches(
+        lambda t: t.filter(pc.is_in(pc.cast(t["vec_id"], pa.int64()),
+                                    value_set=pa.array(_ANN_QUERY_IDS,
+                                                       type=pa.int64()))),
+        batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qvecs = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in qrows]
+    cb = sim.pq_fit(emb, m_sub=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    pq_sets = sim.pq_adc_topk(emb, cb, qvecs, qids, k_top=_PQ_TOPK)
+    exact: dict[int, set[int]] = {q: set() for q in qids}
+    for r in sim.brute_force_topk(emb, qvecs, qids,
+                                  k=_PQ_TOPK).take_all():
+        exact[int(r["query_id"])].add(int(r["vec_id"]))
+    hits = {q: len(set(pq_sets[q]) & exact[q]) for q in qids}
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "n_hits": pa.array([hits[q] for q in qids], pa.int64()),
+        "recall_nano": pa.array([_div_nano(hits[q], _PQ_TOPK)
+                                 for q in qids], pa.int64())})
+
+
+def O_EMBEDDINGS_PQ_RECALL() -> str:
+    """Pure driver-side recompute (kmeans/minhash precedent): the same
+    deterministic per-subspace Lloyd fit, the SHARED encode/LUT kernels
+    (sim.pq_encode_codes / sim._pq_lut_micro), and the brute-force
+    exact-set kernel, frozen into VALUES."""
+    t = _read_parquet_cols(_SF001, "embeddings", ["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    bounds = sim._subspace_bounds(m.shape[1], _PQ_M)
+
+    def assign(mm, cc):
+        return (-2.0 * (mm @ cc.T) + (cc * cc).sum(axis=1)).argmin(axis=1)
+
+    cbs = []
+    for lo, hi in bounds:
+        sub = mn[:, lo:hi]
+        c = np.round(sub[np.isin(ids, np.arange(_PQ_K))], 6)
+        for _ in range(_PQ_ITERS):
+            a = assign(sub, c)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, sub)
+            counts = np.bincount(a, minlength=_PQ_K)
+            ne = counts > 0
+            c = c.copy()
+            c[ne] = np.round(sums[ne] / counts[ne, None], 6)
+        cbs.append(c)
+    cb = np.stack(cbs)
+    qmask = np.isin(ids, np.asarray(_ANN_QUERY_IDS))
+    qids = ids[qmask].tolist()
+    qn = mn[qmask]
+    codes = sim.pq_encode_codes(mn, cb, bounds)
+    lut = sim._pq_lut_micro(qn, cb, bounds)
+    rows = []
+    for j, qid in enumerate(qids):
+        ad = lut[j, np.arange(_PQ_M)[None, :], codes].sum(axis=1)
+        mask = ids != qid
+        sid, sad = ids[mask], ad[mask]
+        idx = np.lexsort((sid, sad))[:_PQ_TOPK]
+        pq_set = set(sid[idx].tolist())
+        col = (mn @ qn[j]).copy()
+        col[ids == qid] = -np.inf
+        eidx = np.lexsort((ids, -col))[:_PQ_TOPK]
+        ex_set = set(ids[eidx].tolist())
+        h = len(pq_set & ex_set)
+        rows.append(f"({qid}, {h}, {_div_nano(h, _PQ_TOPK)})")
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(query_id AS BIGINT) AS query_id, "
+        "CAST(n_hits AS BIGINT) AS n_hits, "
+        "CAST(recall_nano AS BIGINT) AS recall_nano",
+        "t(query_id, n_hits, recall_nano)", "(0, 0, 0)")
+
+
+_JS_M, _JS_T = 65536, 4096   # correlated key-sampling rate t/m = 1/16
+
+
+def q_orders_join_sample_est(sf_dir: str):
+    """Join-cardinality estimation by CORRELATED key sampling — the
+    query-optimizer primitive (sibling of events_cm_join_size's
+    sketch): sample BOTH sides by the same hash predicate on the join
+    key (hash(key) mod m < t), join only the samples, scale by m/t.
+    Same-key sampling keeps matching rows together, so the estimator is
+    unbiased for any key distribution — uniform row sampling is not.
+    The exact join size is measured side-by-side via per-block (key,
+    cnt) combiners joined against the unique order keys (ids-only
+    exchange). One row: (n_orders_sample, n_lineitem_sample,
+    sample_pairs, est_pairs, exact_pairs, err_nano)."""
+    orders = ops.read_table(sf_dir, "orders", ["o_orderkey"])
+    li = ops.read_table(sf_dir, "lineitem", ["l_orderkey"])
+
+    def sampled(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            with np.errstate(over="ignore"):
+                h = k.astype(np.uint64) * np.uint64(_KMV_A) \
+                    + np.uint64(_KMV_B)
+            return t.filter(pa.array((h % np.uint64(_JS_M))
+                                     < np.uint64(_JS_T)))
+        return fn
+
+    so = orders.map_batches(sampled("o_orderkey"),
+                            batch_format="pyarrow").materialize()
+    sl = li.map_batches(sampled("l_orderkey"),
+                        batch_format="pyarrow").materialize()
+    n_so, n_sl = so.count(), sl.count()
+    sample_pairs = 0 if (n_so == 0 or n_sl == 0) else ops.hash_join(
+        sl, so, on=("l_orderkey",), right_on=("o_orderkey",)).count()
+    est = sample_pairs * (_JS_M // _JS_T)
+
+    def cnt_part(t: pa.Table) -> pa.Table:
+        g = pa.table({"k": t["l_orderkey"]}).group_by(["k"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["k", "c"])
+
+    lk = (li.map_batches(cnt_part, batch_format="pyarrow")
+          .groupby("k").aggregate(Sum("c", alias_name="c")))
+    joined = ops.hash_join(lk, orders, on=("k",), right_on=("o_orderkey",))
+    exact = int(joined.aggregate(Sum("c", alias_name="c"))["c"] or 0)
+    err = _div_nano(abs(est - exact), exact) if exact else 0
+    return pa.table({
+        "n_orders_sample": pa.array([n_so], pa.int64()),
+        "n_lineitem_sample": pa.array([n_sl], pa.int64()),
+        "sample_pairs": pa.array([sample_pairs], pa.int64()),
+        "est_pairs": pa.array([est], pa.int64()),
+        "exact_pairs": pa.array([exact], pa.int64()),
+        "err_nano": pa.array([err], pa.int64())})
+
+
+def O_ORDERS_JOIN_SAMPLE_EST() -> str:
+    pred = (f"((CAST({{k}} AS HUGEINT) * {_KMV_A} + {_KMV_B}) "
+            f"% CAST({_U64} AS HUGEINT)) % {_JS_M} < {_JS_T}")
+    return f"""
+WITH so AS (SELECT o_orderkey FROM orders
+            WHERE {pred.format(k='o_orderkey')}),
+sl AS (SELECT l_orderkey FROM lineitem
+       WHERE {pred.format(k='l_orderkey')}),
+sp AS (SELECT CAST(count(*) AS BIGINT) AS c
+       FROM sl JOIN so ON sl.l_orderkey = so.o_orderkey),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS c
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM so) AS n_orders_sample,
+       (SELECT CAST(count(*) AS BIGINT) FROM sl) AS n_lineitem_sample,
+       sp.c AS sample_pairs,
+       sp.c * {_JS_M // _JS_T} AS est_pairs,
+       ex.c AS exact_pairs,
+       CAST(coalesce((2 * ABS(CAST(sp.c * {_JS_M // _JS_T} AS HUGEINT)
+                              - ex.c) * 1000000000 + ex.c)
+                     // nullif(2 * CAST(ex.c AS HUGEINT), 0), 0) AS BIGINT)
+         AS err_nano
+FROM sp, ex"""
+
+
+def q_orders_rle_runs(sf_dir: str):
+    """Consecutive-key run-length (gaps-and-islands) profile per order
+    status — the statistic that sizes RLE / roaring-bitmap indexes and
+    predicts clustered-scan locality. Scale shape: ops.rle_run_stats
+    decides run starts INSIDE hash buckets of the key space (boundary
+    keys emit one ghost row into the next bucket) — no per-status giant
+    group, no global sort, unlike the SQL lag() window the oracle uses.
+    Rows: (o_orderstatus, n, n_runs, avg_run_len_nano)."""
+    ds = ops.read_table(sf_dir, "orders", ["o_orderstatus", "o_orderkey"])
+    rows = ops.rle_run_stats(ds, "o_orderstatus", "o_orderkey").take_all()
+    rows.sort(key=lambda r: r["o_orderstatus"])
+    return pa.table({
+        "o_orderstatus": pa.array([r["o_orderstatus"] for r in rows],
+                                  pa.string()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        "n_runs": pa.array([int(r["n_runs"]) for r in rows], pa.int64()),
+        "avg_run_len_nano": pa.array(
+            [_div_nano(int(r["n"]), int(r["n_runs"])) for r in rows],
+            pa.int64())})
+
+
+O_ORDERS_RLE_RUNS = """
+WITH s AS (SELECT o_orderstatus, o_orderkey AS k,
+                  lag(o_orderkey) OVER (PARTITION BY o_orderstatus
+                                        ORDER BY o_orderkey) AS pk
+           FROM orders)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN pk IS NULL OR k <> pk + 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_runs,
+       CAST((2 * CAST(count(*) AS HUGEINT) * 1000000000
+             + sum(CASE WHEN pk IS NULL OR k <> pk + 1 THEN 1 ELSE 0 END))
+            // (2 * CAST(sum(CASE WHEN pk IS NULL OR k <> pk + 1
+                                  THEN 1 ELSE 0 END) AS HUGEINT))
+            AS BIGINT) AS avg_run_len_nano
+FROM s GROUP BY o_orderstatus"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -16745,6 +16963,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "lineitem_welch": q_lineitem_welch,
     "events_periodogram": q_events_periodogram,
+    "embeddings_pq_recall": q_embeddings_pq_recall,
+    "orders_join_sample_est": q_orders_join_sample_est,
+    "orders_rle_runs": q_orders_rle_runs,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -17079,4 +17300,7 @@ def oracles() -> dict[str, str]:
         "docs_cdc_chunks": O_DOCS_CDC_CHUNKS(),
         "lineitem_welch": O_LINEITEM_WELCH(),
         "events_periodogram": O_EVENTS_PERIODOGRAM(),
+        "embeddings_pq_recall": O_EMBEDDINGS_PQ_RECALL(),
+        "orders_join_sample_est": O_ORDERS_JOIN_SAMPLE_EST(),
+        "orders_rle_runs": O_ORDERS_RLE_RUNS,
     }

@@ -655,3 +655,132 @@ def pca_project(
         return pa.table(cols)
 
     return embeddings.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory side of billion-scale ANN: store
+# 8-bit codebook indices instead of floats (here 64·f32 → m_sub bytes, 32×),
+# answer queries through per-query lookup tables (ADC). Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 (public method).
+# ---------------------------------------------------------------------------
+
+
+def _subspace_bounds(dim: int, m_sub: int) -> list[tuple[int, int]]:
+    step = dim // m_sub
+    return [(s * step, dim if s == m_sub - 1 else (s + 1) * step)
+            for s in range(m_sub)]
+
+
+def pq_fit(
+    embeddings: Dataset,
+    m_sub: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+    normalize: bool = True,
+) -> np.ndarray:
+    """Fit per-subspace codebooks by running the deterministic
+    :func:`kmeans_fit` loop once per subspace over a SLICED view of the
+    vectors (normalized first when ``normalize`` — squared-L2 over unit
+    vectors ranks identically to cosine, so PQ recall is measured against
+    :func:`brute_force_topk`'s exact cosine sets). Returns the
+    (m_sub, k, d_sub) codebook tensor, rounded like kmeans centroids so
+    the pure-recompute oracle is exact. Subspaces fit sequentially —
+    m_sub bounded passes; at 10⁹ vectors each pass is the same
+    per-block-partials regime kmeans_fit documents."""
+    dim = len(embeddings.take(1)[0]["embedding"])
+    bounds = _subspace_bounds(dim, m_sub)
+    cbs = []
+    for lo, hi in bounds:
+
+        def slice_sub(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            m = _batch_matrix(t, dtype=np.float64)
+            if normalize:
+                m = _normalize(m)
+            return pa.table({
+                id_col: pa.array(
+                    t[id_col].to_numpy(zero_copy_only=False), pa.int64()),
+                "embedding": pa.array(m[:, lo:hi].tolist(),
+                                      type=pa.list_(pa.float64()))})
+
+        sliced = embeddings.map_batches(slice_sub, batch_format="pyarrow")
+        cbs.append(kmeans_fit(sliced, k=k, iters=iters, id_col=id_col,
+                              round_decimals=round_decimals))
+    return np.stack(cbs)
+
+
+def _pq_lut_micro(qvecs: np.ndarray, codebooks: np.ndarray,
+                  bounds: list[tuple[int, int]]) -> np.ndarray:
+    """(nq, m_sub, k) int64 lookup table of micro-quantized squared
+    distances query-subvector → codeword. Quantizing BEFORE the ADC sum
+    makes every approximate distance an exact int64, so ranking can never
+    differ across engines or block shapes."""
+    nq, m_sub, k = len(qvecs), codebooks.shape[0], codebooks.shape[1]
+    lut = np.empty((nq, m_sub, k), np.int64)
+    for s, (lo, hi) in enumerate(bounds):
+        d2 = ((qvecs[:, None, lo:hi] - codebooks[s][None, :, :]) ** 2) \
+            .sum(axis=2)
+        lut[:, s, :] = np.floor(d2 * 1e6 + 0.5).astype(np.int64)
+    return lut
+
+
+def pq_encode_codes(m: np.ndarray, codebooks: np.ndarray,
+                    bounds: list[tuple[int, int]]) -> np.ndarray:
+    """(rows, m_sub) uint8 codes: per-subspace argmin squared distance,
+    ties to the lowest codeword index (numpy argmin first-hit)."""
+    codes = np.empty((len(m), codebooks.shape[0]), np.uint8)
+    for s, (lo, hi) in enumerate(bounds):
+        d2 = ((m[:, None, lo:hi] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_adc_topk(
+    embeddings: Dataset,
+    codebooks: np.ndarray,
+    query_vecs: np.ndarray,
+    query_ids: list[int],
+    k_top: int = 10,
+    id_col: str = "vec_id",
+    normalize: bool = True,
+) -> dict[int, list[int]]:
+    """Asymmetric-distance (ADC) top-k per query over PQ codes: the
+    codebooks + int64 LUT broadcast once, every block encodes its rows
+    (vectors never leave as floats — at scale the codes would be the
+    stored table) and emits its local top-k, the bounded
+    O(blocks·nq·k_top) candidate set merges on the driver. Self-matches
+    excluded. Returns {query_id: [vec_id…]} sorted by (adist, vec_id)."""
+    dim = query_vecs.shape[1]
+    bounds = _subspace_bounds(dim, codebooks.shape[0])
+    qn = _normalize(np.asarray(query_vecs, np.float64)) if normalize \
+        else np.asarray(query_vecs, np.float64)
+    lut = _pq_lut_micro(qn, codebooks, bounds)
+    ref = ray.put((codebooks, lut, list(query_ids), bounds))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        cb, lu, qids, bds = ray.get(ref)
+        m = _batch_matrix(t, dtype=np.float64)
+        if normalize:
+            m = _normalize(m)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = pq_encode_codes(m, cb, bds)
+        out_q, out_v, out_d = [], [], []
+        for j, qid in enumerate(qids):
+            ad = lu[j, np.arange(cb.shape[0])[None, :], codes].sum(axis=1)
+            mask = ids != qid
+            sid, sad = ids[mask], ad[mask]
+            kk = min(k_top, len(sid))
+            idx = np.lexsort((sid, sad))[:kk]
+            out_q.extend([qid] * kk)
+            out_v.extend(sid[idx].tolist())
+            out_d.extend(sad[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "adist": pa.array(out_d, pa.int64())})
+
+    cand: dict[int, list[tuple[int, int]]] = {int(q): [] for q in query_ids}
+    for r in embeddings.map_batches(local_topk,
+                                    batch_format="pyarrow").take_all():
+        cand[int(r["query_id"])].append((int(r["adist"]), int(r["vec_id"])))
+    return {q: [v for _, v in sorted(c)[:k_top]] for q, c in cand.items()}
