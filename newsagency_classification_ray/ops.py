@@ -5413,3 +5413,135 @@ def rle_run_stats(
             .map_groups(count_runs, batch_format="pyarrow")
             .groupby(part_col).aggregate(Sum("n", alias_name="n"),
                                          Sum("n_runs", alias_name="n_runs")))
+
+
+def merge_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: str | None = None,
+    num_partitions: int | None = None,
+    num_buckets: int = 4096,
+) -> Dataset:
+    """Range-partitioned sort-merge INNER join over a NUMERIC key — the
+    hash join's (ops.hash_join) classical alternative, kept because its
+    output arrives CLUSTERED by join-key range (downstream key-ordered
+    stages — island scans, range writes, further merge joins — get their
+    clustering for free, which a hash join destroys).
+
+    Scale shape: one histogram-partial pass over the LEFT key (per-block
+    bucket counts over the key range — the bounded-driver-state trick of
+    quantiles_histogram) picks ~equi-depth range cut points; both sides
+    map to a partition id by one vectorized searchsorted against the
+    broadcast cuts; a tagged UNION co-groups the two sides in ONE
+    exchange keyed on the partition id; inside each group both sides
+    sort by key and a fully vectorized searchsorted/repeat/cumsum merge
+    expands the matches (no per-row Python anywhere). Each range
+    partition must fit a worker (the documented NTILE-style bound);
+    equi-depth cuts on the left make left-side skew a non-event, while a
+    single hot KEY still lands in one partition (use skew_join when a
+    hot probe key is possible). Non-key column names must be disjoint.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    right_on = right_on or on
+    ls_, rs_ = left.schema(), right.schema()
+    lcols, rcols = list(ls_.names), list(rs_.names)
+    overlap = (set(lcols) - {on}) & (set(rcols) - {right_on})
+    if overlap:
+        raise ValueError(f"merge_join: overlapping non-key columns {overlap}")
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()  # pandas object columns
+
+    types: dict[str, pa.DataType] = {}
+    for nme, typ in zip(ls_.names, ls_.types):
+        types[nme] = _pa_type(typ)
+    for nme, typ in zip(rs_.names, rs_.types):
+        types[nme] = _pa_type(typ)
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+    out_cols = list(all_cols)
+    if num_partitions is None:
+        num_partitions = _join_parts()
+
+    b = left.select_columns([on]).aggregate(
+        Min(on, alias_name="lo"), Max(on, alias_name="hi"))
+    if b["lo"] is None:
+        return ray.data.from_arrow(
+            pa.table({c: pa.array([], type=types[c]) for c in out_cols}))
+    lo, hi = float(b["lo"]), float(b["hi"])
+    width = (hi - lo) / num_buckets or 1.0
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t[on].to_numpy(zero_copy_only=False).astype(np.float64)
+        bi = np.minimum(((v - lo) / width).astype(np.int64), num_buckets - 1)
+        g = pa.table({"b": pa.array(np.maximum(bi, 0), pa.int64())}) \
+            .group_by("b").aggregate([([], "count_all")])
+        return g.rename_columns(["b", "cnt"])
+
+    hb = (left.map_batches(hist, batch_format="pyarrow")
+          .groupby("b").aggregate(Sum("cnt", alias_name="cnt"))
+          .take_all())  # ≤ num_buckets rows — bounded driver state
+    counts = np.zeros(num_buckets, np.int64)
+    for r in hb:
+        counts[int(r["b"])] = int(r["cnt"])
+    cum = counts.cumsum()
+    n = int(cum[-1])
+    targets = [n * j // num_partitions for j in range(1, num_partitions)]
+    cut_buckets = sorted({int(np.searchsorted(cum, t, side="right"))
+                          for t in targets} - {num_buckets})
+    cuts = np.array([lo + (bi + 1) * width for bi in cut_buckets],
+                    np.float64)
+
+    def tag(src_cols: list[str], key: str, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            v = t[key].to_numpy(zero_copy_only=False).astype(np.float64)
+            part = np.searchsorted(cuts, v, side="right")
+            cols = {c: t[c] for c in src_cols}
+            for c in all_cols:
+                if c not in cols:
+                    cols[c] = pa.nulls(len(t), type=types[c])
+            cols["_mj_part"] = pa.array(part, pa.int64())
+            cols["_mj_side"] = pa.array(
+                np.full(len(t), side, np.int8), pa.int8())
+            return pa.table(cols).select(all_cols + ["_mj_part", "_mj_side"])
+        return fn
+
+    tagged = left.map_batches(tag(lcols, on, 0),
+                              batch_format="pyarrow").union(
+        right.map_batches(tag(rcols, right_on, 1), batch_format="pyarrow"))
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = g["_mj_side"].to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0)).select(lcols)
+        rt = g.filter(pa.array(side == 1)).select(rcols)
+        if len(lt) == 0 or len(rt) == 0:
+            return pa.table({c: pa.array([], type=types[c])
+                             for c in out_cols})
+        lk = lt[on].to_numpy(zero_copy_only=False)
+        rk = rt[right_on].to_numpy(zero_copy_only=False)
+        lo_i = np.argsort(lk, kind="stable")
+        ro_i = np.argsort(rk, kind="stable")
+        lt, rt = lt.take(lo_i), rt.take(ro_i)
+        lk, rk = lk[lo_i], rk[ro_i]
+        a = np.searchsorted(rk, lk, side="left")
+        bnd = np.searchsorted(rk, lk, side="right")
+        cnt = bnd - a
+        li = np.repeat(np.arange(len(lk)), cnt)
+        total = int(cnt.sum())
+        starts = np.repeat(a, cnt)
+        offs = np.arange(total) - np.repeat(cnt.cumsum() - cnt, cnt)
+        ri = starts + offs
+        lj, rj = lt.take(li), rt.take(ri)
+        cols = {c: lj[c] for c in lcols}
+        for c in rcols:
+            if c not in cols:
+                cols[c] = rj[c]
+        return pa.table(cols).select(out_cols)
+
+    return tagged.groupby("_mj_part").map_groups(
+        merge, batch_format="pyarrow")

@@ -16573,6 +16573,175 @@ SELECT o_orderstatus,
 FROM s GROUP BY o_orderstatus"""
 
 
+def q_orders_lineitem_merge_join(sf_dir: str):
+    """Revenue by order priority through ops.merge_join — the range-
+    partitioned SORT-MERGE alternative to the hash join powering
+    orders_lineitem_join: equi-depth cuts from a histogram pass on the
+    lineitem key, ONE tagged-union exchange co-groups both sides, a
+    vectorized searchsorted/repeat merge inside each range partition.
+    Joined rows reduce through per-batch (priority, n, revenue)
+    combiners to a 5-row table, so nothing wide survives the join.
+    Rows: (o_orderpriority, n_items, revenue_e4)."""
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = ops.read_table(sf_dir, "orders",
+                            ["o_orderkey", "o_orderpriority"])
+    j = ops.merge_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def part(t: pa.Table) -> pa.Table:
+        rev = pc.cast(pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            10_000)), pa.int64())
+        g = pa.table({"o_orderpriority": t["o_orderpriority"],
+                      "rev": rev}) \
+            .group_by("o_orderpriority").aggregate(
+                [("rev", "sum"), ([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "revenue_e4",
+                                 "n_items"])
+
+    return (j.map_batches(part, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("n_items", alias_name="n_items"),
+                       Sum("revenue_e4", alias_name="revenue_e4")))
+
+
+O_ORDERS_LINEITEM_MERGE_JOIN = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount))
+                           * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority"""
+
+
+_GSETS = [("l_returnflag", "l_linestatus"), ("l_returnflag",),
+          ("l_linestatus",), ()]
+
+
+def q_lineitem_grouping_sets(sf_dir: str):
+    """Explicit GROUPING SETS ((flag,status),(flag),(status),()) — the
+    general form rollup/cube specialize (lineitem_rollup /
+    lineitem_cube's sibling; BI layers emit arbitrary set lists). ONE
+    distributed pass computes the finest (flag, status) cells via
+    per-block combiners; every coarser set folds from those ≤ 10 cells
+    on the driver in exact ints — no second scan, no re-shuffle. Rows:
+    (l_returnflag, l_linestatus, grouping_id, n, qty_sum)."""
+    li = ops.read_table(sf_dir, "lineitem",
+                        ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def part(t: pa.Table) -> pa.Table:
+        g = pa.table({"f": t["l_returnflag"], "s": t["l_linestatus"],
+                      "q": pc.cast(t["l_quantity"], pa.int64())}) \
+            .group_by(["f", "s"]).aggregate([("q", "sum"),
+                                             ([], "count_all")])
+        return g.rename_columns(["f", "s", "qty_sum", "n"])
+
+    cells = (li.map_batches(part, batch_format="pyarrow")
+             .groupby(["f", "s"]).aggregate(Sum("qty_sum",
+                                                alias_name="qty_sum"),
+                                            Sum("n", alias_name="n"))
+             .take_all())  # bounded: flag × status cells
+    out: list[tuple] = []
+    for gs in _GSETS:
+        gid = (0 if "l_returnflag" in gs else 2) \
+            + (0 if "l_linestatus" in gs else 1)
+        agg: dict[tuple, list[int]] = {}
+        for c in cells:
+            key = (c["f"] if "l_returnflag" in gs else None,
+                   c["s"] if "l_linestatus" in gs else None)
+            e = agg.setdefault(key, [0, 0])
+            e[0] += int(c["n"])
+            e[1] += int(c["qty_sum"])
+        for (f, s), (n, q) in agg.items():
+            out.append((f, s, gid, n, q))
+    out.sort(key=lambda r: (r[2], r[0] or "", r[1] or ""))
+    return pa.table({
+        "l_returnflag": pa.array([r[0] for r in out], pa.string()),
+        "l_linestatus": pa.array([r[1] for r in out], pa.string()),
+        "grouping_id": pa.array([r[2] for r in out], pa.int64()),
+        "n": pa.array([r[3] for r in out], pa.int64()),
+        "qty_sum": pa.array([r[4] for r in out], pa.int64())})
+
+
+O_LINEITEM_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS grouping_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                        (l_linestatus), ())"""
+
+
+def q_pages_markup_yield(sf_dir: str):
+    """HTML→text extraction yield per language — the crawl-economics
+    number (how many stored bytes survive boilerplate stripping) that
+    budgets a 10¹²-page extract stage. For every html-carrying page the
+    SAME four vectorized Arrow kernels the SQL oracle mirrors 1:1
+    (body regex → paragraph separator → tag strip → utf8_length) give
+    extracted text length; per-block (lang, pages, html_chars,
+    text_chars) combiners → one bounded groupby. Rows: (lang, n_html,
+    html_chars, text_chars, yield_nano)."""
+    path = pages_src.ensure_pages(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["lang", "html"])
+
+    def part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["html"]))
+        h = pc.cast(t["html"], pa.string())
+        body = pc.replace_substring_regex(
+            h, pattern=r"(?s)^.*<body>(.*)</body>.*$", replacement=r"\1")
+        body = pc.replace_substring(body, pattern="</p><p>",
+                                    replacement="\n")
+        txt = pc.replace_substring_regex(body, pattern=r"<[^>]+>",
+                                         replacement="")
+        d = pa.table({"lang": t["lang"],
+                      "hc": pc.cast(pc.utf8_length(h), pa.int64()),
+                      "tc": pc.cast(pc.utf8_length(txt), pa.int64())})
+        g = d.group_by(["lang"]).aggregate(
+            [("hc", "sum"), ("tc", "sum"), ([], "count_all")])
+        return g.rename_columns(["lang", "html_chars", "text_chars",
+                                 "n_html"])
+
+    rows = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("lang").aggregate(
+                Sum("n_html", alias_name="n_html"),
+                Sum("html_chars", alias_name="html_chars"),
+                Sum("text_chars", alias_name="text_chars"))
+            .take_all())  # bounded: langs
+    rows.sort(key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "n_html": pa.array([int(r["n_html"]) for r in rows], pa.int64()),
+        "html_chars": pa.array([int(r["html_chars"]) for r in rows],
+                               pa.int64()),
+        "text_chars": pa.array([int(r["text_chars"]) for r in rows],
+                               pa.int64()),
+        "yield_nano": pa.array(
+            [_div_nano(int(r["text_chars"]), int(r["html_chars"]))
+             for r in rows], pa.int64())})
+
+
+O_PAGES_MARKUP_YIELD = lambda sf: f"""
+WITH raw AS (
+  SELECT lang, decode(html) AS h,
+         regexp_replace(regexp_replace(regexp_extract(decode(html),
+           '<body>(.*)</body>', 1), '</p><p>', chr(10), 'g'),
+           '<[^>]+>', '', 'g') AS txt
+  FROM read_parquet('{pages_src.pages_path_for(sf)}/*.parquet')
+  WHERE html IS NOT NULL)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_html,
+       CAST(sum(length(h)) AS BIGINT) AS html_chars,
+       CAST(sum(length(txt)) AS BIGINT) AS text_chars,
+       CAST((2 * CAST(sum(length(txt)) AS HUGEINT) * 1000000000
+             + sum(length(h)))
+            // (2 * CAST(sum(length(h)) AS HUGEINT)) AS BIGINT)
+         AS yield_nano
+FROM raw GROUP BY lang"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -16966,6 +17135,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embeddings_pq_recall": q_embeddings_pq_recall,
     "orders_join_sample_est": q_orders_join_sample_est,
     "orders_rle_runs": q_orders_rle_runs,
+    "orders_lineitem_merge_join": q_orders_lineitem_merge_join,
+    "lineitem_grouping_sets": q_lineitem_grouping_sets,
+    "pages_markup_yield": q_pages_markup_yield,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -17303,4 +17475,7 @@ def oracles() -> dict[str, str]:
         "embeddings_pq_recall": O_EMBEDDINGS_PQ_RECALL(),
         "orders_join_sample_est": O_ORDERS_JOIN_SAMPLE_EST(),
         "orders_rle_runs": O_ORDERS_RLE_RUNS,
+        "orders_lineitem_merge_join": O_ORDERS_LINEITEM_MERGE_JOIN,
+        "lineitem_grouping_sets": O_LINEITEM_GROUPING_SETS,
+        "pages_markup_yield": O_PAGES_MARKUP_YIELD(_SF001),
     }
