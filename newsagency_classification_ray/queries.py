@@ -16742,6 +16742,249 @@ SELECT lang,
 FROM raw GROUP BY lang"""
 
 
+def _template_patterns() -> dict[str, str]:
+    """Capture-group regexes for the two UNAMBIGUOUS mention templates the
+    generator injects (sources/pages.py _mention_sentence); everything
+    else alias-shaped is the parenthetical/body form, computed as
+    total − dateline − attribution so the three kinds partition the
+    mention census exactly."""
+    alts = "|".join(a for a, _, _ in _gen_alias_rows())
+    return {
+        "dateline": rf"[A-Z]+, [0-9]+ \(({alts})\)",
+        "attribution": rf"Selon une depeche de ({alts}),",
+        "_total": rf"\b({alts})\b",
+    }
+
+
+def _template_page_counts(t: pa.Table) -> pa.Table:
+    """Per-(url, kind, canonical) mention-template counts for one batch of
+    RAW pages — shared kernel: language gate + byte-identical text
+    coalesce (stages.extract), truncation-page exclusion, then THREE
+    vectorized findall passes (pandas str kernel; Arrow has no
+    extract_all). Emits count rows only — no text enters the exchange."""
+    from .stages import extract as ex
+
+    t = ex.filter_pages(t)
+    t = ex.extract_text_batch(t)
+    t = t.filter(pc.invert(pc.match_substring(t["url"], "/long-")))
+    if len(t) == 0:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "kind": pa.array([], pa.string()),
+                         "canonical": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    txt = t["text"].to_pandas()
+    urls = np.asarray(t["url"].to_pylist())
+    alias_to_canon = {a: c for a, c, _ in _gen_alias_rows()}
+    pats = _template_patterns()
+    per_kind: dict[str, dict[tuple[str, str], int]] = {}
+    for kind, pat in pats.items():
+        found = txt.str.findall(pat)
+        agg: dict[tuple[str, str], int] = {}
+        for u, hits in zip(urls, found):
+            for a in hits:
+                key = (u, alias_to_canon[a])
+                agg[key] = agg.get(key, 0) + 1
+        per_kind[kind] = agg
+    rows: list[tuple[str, str, str, int]] = []
+    keys = set(per_kind["_total"])
+    for (u, c) in sorted(keys):
+        dl = per_kind["dateline"].get((u, c), 0)
+        at = per_kind["attribution"].get((u, c), 0)
+        tot = per_kind["_total"][(u, c)]
+        for kind, n in (("dateline", dl), ("attribution", at),
+                        ("parenthetical", tot - dl - at)):
+            if n > 0:
+                rows.append((u, kind, c, n))
+    return pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "kind": pa.array([r[1] for r in rows], pa.string()),
+        "canonical": pa.array([r[2] for r in rows], pa.string()),
+        "cnt": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def q_kg_mention_templates(sf_dir: str):
+    """Relation-pattern census: how does each agency get cited — wire
+    dateline ('LONDRES, 12 (Reuters).'), prose attribution ('Selon une
+    depeche de Havas, …'), or parenthetical credit? The distribution a
+    relation-extraction stage needs before choosing patterns, and the
+    per-template support KG edge-confidence modelling feeds on. Shape:
+    per-block census rows (counts only, never text) → duplicate-url
+    collapse via Max on (url, kind, canonical) (exact duplicate pages
+    carry identical counts) → per-block partial sums → one bounded
+    (canonical, kind) groupby. Rows: (canonical, kind, n)."""
+    path = pages_src.ensure_pages(sf_dir)
+    ds = ray.data.read_parquet(path,
+                               columns=["url", "lang", "html", "text"])
+    per_url = (ds.map_batches(_template_page_counts, batch_format="pyarrow")
+               .groupby(["url", "kind", "canonical"])
+               .aggregate(Max("cnt", alias_name="cnt")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.table({"canonical": t["canonical"], "kind": t["kind"],
+                      "cnt": t["cnt"]}) \
+            .group_by(["canonical", "kind"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["canonical", "kind", "n"])
+
+    return (per_url.map_batches(fold, batch_format="pyarrow")
+            .groupby(["canonical", "kind"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def O_KG_MENTION_TEMPLATES(sf: str) -> str:
+    pats = _template_patterns()
+    return f"""WITH {_pages_cte(sf)},
+dl AS (SELECT alias_map.canonical, CAST(count(*) AS BIGINT) AS n
+       FROM clean_pages p,
+            unnest(regexp_extract_all(p.text,
+              '{pats["dateline"]}', 1)) AS u(alias)
+       JOIN {_alias_values_sql()} ON u.alias = alias_map.alias
+       GROUP BY 1),
+att AS (SELECT alias_map.canonical, CAST(count(*) AS BIGINT) AS n
+        FROM clean_pages p,
+             unnest(regexp_extract_all(p.text,
+               '{pats["attribution"]}', 1)) AS u(alias)
+        JOIN {_alias_values_sql()} ON u.alias = alias_map.alias
+        GROUP BY 1),
+tot AS (SELECT alias_map.canonical, CAST(count(*) AS BIGINT) AS n
+        FROM clean_pages p,
+             unnest(regexp_extract_all(p.text,
+               '{pats["_total"]}', 1)) AS u(alias)
+        JOIN {_alias_values_sql()} ON u.alias = alias_map.alias
+        GROUP BY 1),
+uni AS (
+  SELECT 'dateline' AS kind, canonical, n FROM dl
+  UNION ALL SELECT 'attribution', canonical, n FROM att
+  UNION ALL
+  SELECT 'parenthetical', tot.canonical,
+         tot.n - coalesce(dl.n, 0) - coalesce(att.n, 0)
+  FROM tot LEFT JOIN dl ON tot.canonical = dl.canonical
+           LEFT JOIN att ON tot.canonical = att.canonical)
+SELECT canonical, kind, CAST(n AS BIGINT) AS n FROM uni WHERE n > 0"""
+
+
+def q_pages_dateline_cities(sf_dir: str):
+    """Wire-dateline origin census — which cities file agency dispatches,
+    per language: the geographic marginal of the dateline template
+    (kg_mention_templates' sibling; a geocoding/linking stage would key
+    on exactly these strings). Same no-text-in-exchange shape: per-block
+    (lang, city) combiners → one bounded groupby. Rows: (lang, city,
+    n)."""
+    from .stages import extract as ex
+
+    path = pages_src.ensure_pages(sf_dir)
+    ds = ray.data.read_parquet(path,
+                               columns=["url", "lang", "html", "text"])
+    alts = "|".join(a for a, _, _ in _gen_alias_rows())
+    pat = rf"([A-Z]+), [0-9]+ \((?:{alts})\)"
+
+    def census(t: pa.Table) -> pa.Table:
+        t = ex.filter_pages(t)
+        t = ex.extract_text_batch(t)
+        t = t.filter(pc.invert(pc.match_substring(t["url"], "/long-")))
+        if len(t) == 0:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "lang": pa.array([], pa.string()),
+                             "city": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        txt = t["text"].to_pandas()
+        urls = t["url"].to_pylist()
+        langs = t["lang"].to_pylist()
+        agg: dict[tuple[str, str, str], int] = {}
+        for u, lg, hits in zip(urls, langs, txt.str.findall(pat)):
+            for city in hits:
+                key = (u, lg, city)
+                agg[key] = agg.get(key, 0) + 1
+        ks = sorted(agg)
+        return pa.table({
+            "url": pa.array([k[0] for k in ks], pa.string()),
+            "lang": pa.array([k[1] for k in ks], pa.string()),
+            "city": pa.array([k[2] for k in ks], pa.string()),
+            "cnt": pa.array([agg[k] for k in ks], pa.int64())})
+
+    per_url = (ds.map_batches(census, batch_format="pyarrow")
+               .groupby(["url", "lang", "city"])
+               .aggregate(Max("cnt", alias_name="cnt")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.table({"lang": t["lang"], "city": t["city"],
+                      "cnt": t["cnt"]}) \
+            .group_by(["lang", "city"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["lang", "city", "n"])
+
+    return (per_url.map_batches(fold, batch_format="pyarrow")
+            .groupby(["lang", "city"]).aggregate(Sum("n", alias_name="n")))
+
+
+def O_PAGES_DATELINE_CITIES(sf: str) -> str:
+    alts = "|".join(a for a, _, _ in _gen_alias_rows())
+    return f"""WITH {_pages_cte(sf)}
+SELECT p.lang, u.city, CAST(count(*) AS BIGINT) AS n
+FROM clean_pages p,
+     unnest(regexp_extract_all(p.text,
+       '([A-Z]+), [0-9]+ \\((?:{alts})\\)', 1)) AS u(city)
+GROUP BY 1, 2"""
+
+
+def q_events_error_wilson(sf_dir: str):
+    """Per-day error-rate SLA scorecard with a Wilson lower bound — the
+    alert signal that stays honest on low-traffic days (a raw 1/3 error
+    share alarms; its Wilson floor doesn't): per day, events, errors,
+    rate, and the 95% Wilson lower bound from the SHARED exact kernel
+    behind kg_edge_wilson / lineitem_return_wilson. Per-block (day,
+    errors, total) combiners → one bounded day groupby → driver kernel.
+    Rows: (day, n_events, n_errors, rate_nano, wilson_lo_nano)."""
+    ev = ops.read_table(sf_dir, "events", ["ts", "event_type"])
+
+    def part(t: pa.Table) -> pa.Table:
+        d = pa.table({
+            "day": pc.floor_temporal(t["ts"], unit="day"),
+            "e": pc.cast(pc.equal(t["event_type"], "error"), pa.int64()),
+            "one": pa.array(np.ones(len(t), np.int64))})
+        g = d.group_by(["day"]).aggregate([("e", "sum"), ("one", "sum")])
+        return g.rename_columns(["day", "n_errors", "n_events"])
+
+    rows = (ev.map_batches(part, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("n_errors", alias_name="n_errors"),
+                                      Sum("n_events", alias_name="n_events"))
+            .take_all())  # bounded: days
+    rows.sort(key=lambda r: r["day"])
+    days = [r["day"] for r in rows]
+    ks = [int(r["n_errors"]) for r in rows]
+    ns = [int(r["n_events"]) for r in rows]
+    return pa.table({
+        "day": pa.array(days, pa.timestamp("us")),
+        "n_events": pa.array(ns, pa.int64()),
+        "n_errors": pa.array(ks, pa.int64()),
+        "rate_nano": pa.array([_div_nano(k, n) for k, n in zip(ks, ns)],
+                              pa.int64()),
+        "wilson_lo_nano": pa.array([_wilson_lo_nano(k, n)
+                                    for k, n in zip(ks, ns)], pa.int64())})
+
+
+def O_EVENTS_ERROR_WILSON() -> str:
+    """VALUES recompute: DuckDB folds the per-day counters, the shared
+    Wilson kernel finishes (kg_edge_wilson precedent)."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT date_trunc('day', ts), "
+        f"CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+        f"AS BIGINT), CAST(count(*) AS BIGINT) "
+        f"FROM read_parquet('{_SF001}/events.parquet') "
+        f"GROUP BY 1 ORDER BY 1").fetchall()
+    vals = [f"(TIMESTAMP '{d}', {n}, {k}, {_div_nano(k, n)}, "
+            f"{_wilson_lo_nano(k, n)})" for d, k, n in rows]
+    return _values_or_empty(
+        vals,
+        "SELECT CAST(day AS TIMESTAMP) AS day, "
+        "CAST(n_events AS BIGINT) AS n_events, "
+        "CAST(n_errors AS BIGINT) AS n_errors, "
+        "CAST(rate_nano AS BIGINT) AS rate_nano, "
+        "CAST(wilson_lo_nano AS BIGINT) AS wilson_lo_nano",
+        "t(day, n_events, n_errors, rate_nano, wilson_lo_nano)",
+        "(TIMESTAMP '1970-01-01', 0, 0, 0, 0)")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -17138,6 +17381,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_lineitem_merge_join": q_orders_lineitem_merge_join,
     "lineitem_grouping_sets": q_lineitem_grouping_sets,
     "pages_markup_yield": q_pages_markup_yield,
+    "kg_mention_templates": q_kg_mention_templates,
+    "pages_dateline_cities": q_pages_dateline_cities,
+    "events_error_wilson": q_events_error_wilson,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -17478,4 +17724,7 @@ def oracles() -> dict[str, str]:
         "orders_lineitem_merge_join": O_ORDERS_LINEITEM_MERGE_JOIN,
         "lineitem_grouping_sets": O_LINEITEM_GROUPING_SETS,
         "pages_markup_yield": O_PAGES_MARKUP_YIELD(_SF001),
+        "kg_mention_templates": O_KG_MENTION_TEMPLATES(_SF001),
+        "pages_dateline_cities": O_PAGES_DATELINE_CITIES(_SF001),
+        "events_error_wilson": O_EVENTS_ERROR_WILSON(),
     }
