@@ -16985,6 +16985,180 @@ def O_EVENTS_ERROR_WILSON() -> str:
         "(TIMESTAMP '1970-01-01', 0, 0, 0, 0)")
 
 
+def _jsonl_pages_dir(sf_dir: str) -> str:
+    """Deterministic JSONL export of the pages corpus' (url, lang)
+    projection (cached, atomic publish like ensure_pages) — the crawl
+    world's OTHER interchange format; written DISTRIBUTED via Ray's JSON
+    datasink so the source plumbing, not a driver loop, produces it."""
+    import os
+    import shutil
+
+    src = pages_src.ensure_pages(sf_dir)
+    out = src + "_jsonl"
+    if os.path.isdir(out) and os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    ray.data.read_parquet(src, columns=["url", "lang"]).write_json(tmp)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("")
+    os.replace(tmp, out)
+    return out
+
+
+def q_pages_jsonl_source(sf_dir: str):
+    """JSONL source support (SURVEY §2.1 sibling of the parquet/TSV
+    readers — the reference's own content items were JSONL): the pages
+    corpus round-trips through a distributed ray.data.write_json →
+    read_json cycle, and the language census over the JSONL shards must
+    equal the parquet one. Schema inference + shard-parallel reads are
+    the machinery under test; DuckDB's independent read_json is the
+    oracle. Rows: (lang, n)."""
+    jdir = _jsonl_pages_dir(sf_dir)
+    ds = ray.data.read_json(jdir, file_extensions=["json"])
+
+    def part(t: pa.Table) -> pa.Table:
+        g = pa.table({"lang": t["lang"]}).group_by(["lang"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["lang", "n"])
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("lang").aggregate(Sum("n", alias_name="n")))
+
+
+def O_PAGES_JSONL_SOURCE(sf: str) -> str:
+    return f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n
+FROM read_json('{pages_src.pages_path_for(sf)}_jsonl/*.json')
+GROUP BY lang"""
+
+
+def q_kg_entity_discovery(sf_dir: str):
+    """Entity-discovery curve: per capture year, how many agency QIDs
+    appear for the FIRST time, and the cumulative vocabulary size — the
+    saturation signal that says when a KG's entity inventory stops
+    growing (and whether a crawl extension would still add nodes).
+    Per-block (qid, min-year) partials → one bounded qid groupby → tiny
+    year rollup + driver cumsum over the bounded year list. Rows:
+    (year, n_new, cum_entities)."""
+    m = _linked(sf_dir)
+
+    def part(t: pa.Table) -> pa.Table:
+        g = pa.table({"qid": t["qid"],
+                      "year": pc.cast(t["year"], pa.int64())}) \
+            .group_by(["qid"]).aggregate([("year", "min")])
+        return g.rename_columns(["qid", "year"])
+
+    first = (m.map_batches(part, batch_format="pyarrow")
+             .groupby("qid").aggregate(Min("year", alias_name="year")))
+
+    def per_year(t: pa.Table) -> pa.Table:
+        g = pa.table({"year": t["year"]}).group_by(["year"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["year", "n_new"])
+
+    rows = (first.map_batches(per_year, batch_format="pyarrow")
+            .groupby("year").aggregate(Sum("n_new", alias_name="n_new"))
+            .take_all())  # bounded: years
+    rows.sort(key=lambda r: int(r["year"]))
+    years = [int(r["year"]) for r in rows]
+    news = [int(r["n_new"]) for r in rows]
+    cums = np.cumsum(news).tolist()
+    return pa.table({"year": pa.array(years, pa.int64()),
+                     "n_new": pa.array(news, pa.int64()),
+                     "cum_entities": pa.array(cums, pa.int64())})
+
+
+def O_KG_ENTITY_DISCOVERY(sf: str) -> str:
+    return f"""WITH {_pages_cte(sf)},
+first AS (SELECT qid, min(year) AS year FROM sql_mentions
+          WHERE qid <> 'NIL' GROUP BY qid),
+per_year AS (SELECT year, CAST(count(*) AS BIGINT) AS n_new
+             FROM first GROUP BY year)
+SELECT CAST(year AS BIGINT) AS year, n_new,
+       CAST(sum(n_new) OVER (ORDER BY year) AS BIGINT) AS cum_entities
+FROM per_year"""
+
+
+_CHURN_DAYS = 30
+
+
+def q_events_churn_cohorts(sf_dir: str):
+    """Churn snapshot by signup cohort: per first-event month, users and
+    the share whose LAST activity is more than 30 days before the
+    corpus horizon — the cohort-level complement of events_retention
+    (which tracks comebacks, not final silence). One (user → min/max
+    ts) combiner groupby; the horizon is a scalar aggregate; cohort
+    counters fold per block into a bounded month groupby. Rows:
+    (cohort_month, n_users, n_churned, churn_nano)."""
+    ev = ops.read_table(sf_dir, "events", ["ts", "user_id"])
+    horizon = ev.aggregate(Max("ts", alias_name="m"))["m"]
+    href = pa.scalar(horizon, pa.timestamp("us"))
+
+    def part(t: pa.Table) -> pa.Table:
+        g = pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                      "ts": t["ts"]}) \
+            .group_by(["user_id"]).aggregate([("ts", "min"), ("ts", "max")])
+        return g.rename_columns(["user_id", "first_ts", "last_ts"])
+
+    per_user = (ev.map_batches(part, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Min("first_ts", alias_name="first_ts"),
+                           Max("last_ts", alias_name="last_ts")))
+
+    def cohorts(t: pa.Table) -> pa.Table:
+        f = t["first_ts"]
+        mon = pc.add(pc.multiply(pc.cast(pc.year(f), pa.int64()),
+                                 pa.scalar(100, pa.int64())),
+                     pc.cast(pc.month(f), pa.int64()))
+        gap_us = pc.subtract(pc.cast(href, pa.int64()),
+                             pc.cast(t["last_ts"], pa.int64()))
+        churned = pc.cast(
+            pc.greater(gap_us,
+                       pa.scalar(_CHURN_DAYS * 86_400_000_000, pa.int64())),
+            pa.int64())
+        g = pa.table({"cohort_month": mon, "churned": churned,
+                      "one": pa.array(np.ones(len(t), np.int64))}) \
+            .group_by(["cohort_month"]).aggregate(
+                [("one", "sum"), ("churned", "sum")])
+        return g.rename_columns(["cohort_month", "n_users", "n_churned"])
+
+    rows = (per_user.map_batches(cohorts, batch_format="pyarrow")
+            .groupby("cohort_month")
+            .aggregate(Sum("n_users", alias_name="n_users"),
+                       Sum("n_churned", alias_name="n_churned"))
+            .take_all())  # bounded: months
+    rows.sort(key=lambda r: int(r["cohort_month"]))
+    return pa.table({
+        "cohort_month": pa.array([int(r["cohort_month"]) for r in rows],
+                                 pa.int64()),
+        "n_users": pa.array([int(r["n_users"]) for r in rows], pa.int64()),
+        "n_churned": pa.array([int(r["n_churned"]) for r in rows],
+                              pa.int64()),
+        "churn_nano": pa.array(
+            [_div_nano(int(r["n_churned"]), int(r["n_users"]))
+             for r in rows], pa.int64())})
+
+
+O_EVENTS_CHURN_COHORTS = f"""
+WITH u AS (SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+           FROM events GROUP BY user_id),
+h AS (SELECT max(ts) AS horizon FROM events)
+SELECT CAST(year(first_ts) * 100 + month(first_ts) AS BIGINT)
+         AS cohort_month,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN epoch_us(horizon) - epoch_us(last_ts)
+                          > {_CHURN_DAYS} * 86400000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+       CAST((2 * CAST(sum(CASE WHEN epoch_us(horizon) - epoch_us(last_ts)
+                                    > {_CHURN_DAYS} * 86400000000
+                               THEN 1 ELSE 0 END) AS HUGEINT)
+             * 1000000000 + count(*))
+            // (2 * CAST(count(*) AS HUGEINT)) AS BIGINT) AS churn_nano
+FROM u, h GROUP BY 1"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -17384,6 +17558,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_mention_templates": q_kg_mention_templates,
     "pages_dateline_cities": q_pages_dateline_cities,
     "events_error_wilson": q_events_error_wilson,
+    "pages_jsonl_source": q_pages_jsonl_source,
+    "kg_entity_discovery": q_kg_entity_discovery,
+    "events_churn_cohorts": q_events_churn_cohorts,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -17727,4 +17904,7 @@ def oracles() -> dict[str, str]:
         "kg_mention_templates": O_KG_MENTION_TEMPLATES(_SF001),
         "pages_dateline_cities": O_PAGES_DATELINE_CITIES(_SF001),
         "events_error_wilson": O_EVENTS_ERROR_WILSON(),
+        "pages_jsonl_source": O_PAGES_JSONL_SOURCE(_SF001),
+        "kg_entity_discovery": O_KG_ENTITY_DISCOVERY(_SF001),
+        "events_churn_cohorts": O_EVENTS_CHURN_COHORTS,
     }
