@@ -17159,6 +17159,229 @@ SELECT CAST(year(first_ts) * 100 + month(first_ts) AS BIGINT)
 FROM u, h GROUP BY 1"""
 
 
+_SRM_CRIT_NANO = 3_841_000_000  # chi²(1dof, 95%) ≈ 3.841, nano-quantized
+
+
+def q_events_ab_srm(sf_dir: str):
+    """A/B assignment + sample-ratio-mismatch (SRM) guardrail — the
+    experiment-platform invariant: users split 50/50 by a deterministic
+    hash; a skewed split means corrupted assignment and invalidates any
+    downstream metric. With two arms the goodness-of-fit chi² collapses
+    to (n_a−n_b)²/n — EXACT integer arithmetic end to end, flag at the
+    nano-quantized 95% critical value. One (user → arm) dedup feeds the
+    user counters; per-block combiners feed the event counters. One row:
+    (n_users_a, n_users_b, n_events_a, n_events_b, srm_chi2_nano,
+    srm_flag)."""
+    ev = ops.read_table(sf_dir, "events", ["user_id"])
+
+    def arm_of(u: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = u.astype(np.uint64) * np.uint64(_KMV_A) + np.uint64(_KMV_B)
+        return (h & np.uint64(1)).astype(np.int64)
+
+    def upart(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arm = arm_of(u)
+        g = pa.table({"user_id": pa.array(u, pa.int64()),
+                      "arm": pa.array(arm, pa.int64())}) \
+            .group_by(["user_id", "arm"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "arm", "c"])
+
+    per_user = (ev.map_batches(upart, batch_format="pyarrow")
+                .groupby(["user_id", "arm"])
+                .aggregate(Sum("c", alias_name="c")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        arm = t["arm"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ua": pa.array([int((arm == 0).sum())], pa.int64()),
+            "ub": pa.array([int((arm == 1).sum())], pa.int64()),
+            "ea": pa.array([int(c[arm == 0].sum())], pa.int64()),
+            "eb": pa.array([int(c[arm == 1].sum())], pa.int64())})
+
+    agg = per_user.map_batches(fold, batch_format="pyarrow").aggregate(
+        Sum("ua", alias_name="ua"), Sum("ub", alias_name="ub"),
+        Sum("ea", alias_name="ea"), Sum("eb", alias_name="eb"))
+    ua, ub = int(agg["ua"] or 0), int(agg["ub"] or 0)
+    ea, eb = int(agg["ea"] or 0), int(agg["eb"] or 0)
+    n = ua + ub
+    chi2 = _div_nano((ua - ub) ** 2, n) if n else 0
+    return pa.table({
+        "n_users_a": pa.array([ua], pa.int64()),
+        "n_users_b": pa.array([ub], pa.int64()),
+        "n_events_a": pa.array([ea], pa.int64()),
+        "n_events_b": pa.array([eb], pa.int64()),
+        "srm_chi2_nano": pa.array([chi2], pa.int64()),
+        "srm_flag": pa.array([1 if chi2 > _SRM_CRIT_NANO else 0],
+                             pa.int64())})
+
+
+def O_EVENTS_AB_SRM() -> str:
+    arm = (f"CAST(((CAST(user_id AS HUGEINT) * {_KMV_A} + {_KMV_B}) "
+           f"% CAST({_U64} AS HUGEINT) + CAST({_U64} AS HUGEINT)) "
+           f"% CAST({_U64} AS HUGEINT) % 2 AS BIGINT)")
+    return f"""
+WITH e AS (SELECT user_id, {arm} AS arm FROM events),
+u AS (SELECT user_id, arm, CAST(count(*) AS BIGINT) AS c
+      FROM e GROUP BY 1, 2),
+s AS (SELECT
+  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ua,
+  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ub,
+  CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS ea,
+  CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS eb
+  FROM u)
+SELECT ua AS n_users_a, ub AS n_users_b, ea AS n_events_a,
+       eb AS n_events_b,
+       CAST(coalesce((2 * CAST((ua - ub) * (ua - ub) AS HUGEINT)
+                      * 1000000000 + (ua + ub))
+                     // nullif(2 * CAST(ua + ub AS HUGEINT), 0), 0)
+            AS BIGINT) AS srm_chi2_nano,
+       CAST(CASE WHEN coalesce((2 * CAST((ua - ub) * (ua - ub) AS HUGEINT)
+                                * 1000000000 + (ua + ub))
+                               // nullif(2 * CAST(ua + ub AS HUGEINT), 0),
+                               0) > {_SRM_CRIT_NANO}
+                 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM s"""
+
+
+def q_orders_schema_audit(sf_dir: str):
+    """Footer-only schema/physical-layout audit of the orders table —
+    the schema-registry conformance check a 10¹²-row ingest runs before
+    trusting a new drop: per column, parquet physical type, total null
+    count and compressed bytes, all from row-group metadata (zero data
+    pages read; pages_shard_balance's column-level sibling). The footer
+    reads distribute as a Dataset over the file list. Rows: (col_name,
+    physical_type, null_count, compressed_bytes)."""
+    import os
+
+    ds = ray.data.from_items(
+        [{"path": os.path.join(sf_dir, "orders.parquet")}])
+
+    def footer(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        cols: dict[str, list] = {}
+        for p in batch["path"].to_pylist():
+            md = pq.ParquetFile(p).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    e = cols.setdefault(
+                        c.path_in_schema, [c.physical_type, 0, 0])
+                    e[1] += int(c.statistics.null_count or 0) \
+                        if c.statistics is not None else 0
+                    e[2] += int(c.total_compressed_size)
+        names = sorted(cols)
+        return pa.table({
+            "col_name": pa.array(names, pa.string()),
+            "physical_type": pa.array([cols[n][0] for n in names],
+                                      pa.string()),
+            "null_count": pa.array([cols[n][1] for n in names], pa.int64()),
+            "compressed_bytes": pa.array([cols[n][2] for n in names],
+                                         pa.int64())})
+
+    return ds.map_batches(footer, batch_format="pyarrow")
+
+
+def O_ORDERS_SCHEMA_AUDIT() -> str:
+    return f"""
+SELECT path_in_schema AS col_name,
+       CAST(type AS VARCHAR) AS physical_type,
+       CAST(sum(coalesce(stats_null_count, 0)) AS BIGINT) AS null_count,
+       CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes
+FROM parquet_metadata('{_SF001}/orders.parquet')
+GROUP BY 1, 2"""
+
+
+def _kleinberg_states(xs: list[int]) -> list[int]:
+    """Kleinberg two-state burst detection (Kleinberg, KDD 2002) over a
+    count series: Viterbi on {base rate μ, burst rate 2μ} Poisson states
+    with transition cost γ=1.0 for ENTERING the burst state. ONE shared
+    float kernel, fixed left-to-right fold and prefer-state-0 tie-break
+    ⇒ identical paths on both engines. Returns the per-day state list
+    (0 = base, 1 = burst)."""
+    import math
+
+    n = len(xs)
+    if n == 0:
+        return []
+    mu = sum(xs) / n
+    if mu <= 0:
+        return [0] * n
+    rates = (mu, 2.0 * mu)
+    gamma = 1.0
+
+    def emit(s: int, x: int) -> float:
+        return -(x * math.log(rates[s]) - rates[s] - math.lgamma(x + 1))
+
+    cost = [emit(0, xs[0]), emit(1, xs[0]) + gamma]
+    back: list[tuple[int, int]] = []
+    for x in xs[1:]:
+        c00, c10 = cost[0], cost[1]
+        # into state 0: from 0 free, from 1 free (leaving a burst is free)
+        p0 = 0 if c00 <= c10 else 1
+        n0 = min(c00, c10) + emit(0, x)
+        # into state 1: entering from 0 pays gamma
+        e0, e1 = c00 + gamma, c10
+        p1 = 0 if e0 < e1 else 1
+        n1 = min(e0, e1) + emit(1, x)
+        back.append((p0, p1))
+        cost = [n0, n1]
+    s = 0 if cost[0] <= cost[1] else 1
+    out = [s]
+    for p0, p1 in reversed(back):
+        s = p0 if s == 0 else p1
+        out.append(s)
+    return out[::-1]
+
+
+def q_events_kleinberg_bursts(sf_dir: str):
+    """Burst detection on the daily event stream (Kleinberg's two-state
+    automaton — the principled version of threshold alerts, robust to
+    single-day spikes because entering the burst state costs γ).
+    Per-block day-count combiners → one bounded day groupby → shared
+    Viterbi kernel on the driver. Rows: (day, n, burst)."""
+    ev = ops.read_table(sf_dir, "events", ["ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        g = pa.table({"day": pc.floor_temporal(t["ts"], unit="day")}) \
+            .group_by(["day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "c"])
+
+    rows = (ev.map_batches(part, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("c", alias_name="c"))
+            .take_all())  # bounded: days
+    rows.sort(key=lambda r: r["day"])
+    xs = [int(r["c"]) for r in rows]
+    st = _kleinberg_states(xs)
+    return pa.table({
+        "day": pa.array([r["day"] for r in rows], pa.timestamp("us")),
+        "n": pa.array(xs, pa.int64()),
+        "burst": pa.array(st, pa.int64())})
+
+
+def O_EVENTS_KLEINBERG_BURSTS() -> str:
+    """VALUES recompute: DuckDB supplies the ordered daily counts, the
+    shared Viterbi kernel replays the identical path."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT date_trunc('day', ts), CAST(count(*) AS BIGINT) "
+        f"FROM read_parquet('{_SF001}/events.parquet') "
+        f"GROUP BY 1 ORDER BY 1").fetchall()
+    xs = [int(r[1]) for r in rows]
+    st = _kleinberg_states(xs)
+    vals = [f"(TIMESTAMP '{d}', {x}, {s})"
+            for (d, _), x, s in zip(rows, xs, st)]
+    return _values_or_empty(
+        vals,
+        "SELECT CAST(day AS TIMESTAMP) AS day, CAST(n AS BIGINT) AS n, "
+        "CAST(burst AS BIGINT) AS burst",
+        "t(day, n, burst)", "(TIMESTAMP '1970-01-01', 0, 0)")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -17561,6 +17784,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pages_jsonl_source": q_pages_jsonl_source,
     "kg_entity_discovery": q_kg_entity_discovery,
     "events_churn_cohorts": q_events_churn_cohorts,
+    "events_ab_srm": q_events_ab_srm,
+    "orders_schema_audit": q_orders_schema_audit,
+    "events_kleinberg_bursts": q_events_kleinberg_bursts,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -17907,4 +18133,7 @@ def oracles() -> dict[str, str]:
         "pages_jsonl_source": O_PAGES_JSONL_SOURCE(_SF001),
         "kg_entity_discovery": O_KG_ENTITY_DISCOVERY(_SF001),
         "events_churn_cohorts": O_EVENTS_CHURN_COHORTS,
+        "events_ab_srm": O_EVENTS_AB_SRM(),
+        "orders_schema_audit": O_ORDERS_SCHEMA_AUDIT(),
+        "events_kleinberg_bursts": O_EVENTS_KLEINBERG_BURSTS(),
     }
