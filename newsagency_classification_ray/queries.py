@@ -17382,6 +17382,297 @@ def O_EVENTS_KLEINBERG_BURSTS() -> str:
         "t(day, n, burst)", "(TIMESTAMP '1970-01-01', 0, 0)")
 
 
+def _csv_docs_dir(sf_dir: str) -> str:
+    """Deterministic CSV export of the documents metadata projection
+    (cached, atomic publish — _jsonl_pages_dir's CSV sibling), written
+    DISTRIBUTED via Ray's CSV datasink."""
+    import os
+    import shutil
+
+    out = os.path.join("/tmp/nacr_csv",
+                       "docs_" + os.path.basename(os.path.normpath(sf_dir)))
+    if os.path.isdir(out) and os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs("/tmp/nacr_csv", exist_ok=True)
+    ops.read_table(sf_dir, "documents",
+                   ["doc_id", "lang", "source", "n_chars"]).write_csv(tmp)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("")
+    os.replace(tmp, out)
+    return out
+
+
+def q_docs_csv_roundtrip(sf_dir: str):
+    """CSV sink + source support (the JSONL round-trip's tabular sibling;
+    together with parquet/TSV/JSONL this closes the interchange-format
+    matrix a reference user needs): the documents metadata projection
+    round-trips through distributed ray.data.write_csv → read_csv, and
+    the per-source census over the CSV shards must match DuckDB's
+    independent read_csv of the same files. Header inference + type
+    re-inference are the machinery under test. Rows: (source, n_docs,
+    chars_sum)."""
+    cdir = _csv_docs_dir(sf_dir)
+    ds = ray.data.read_csv(cdir, file_extensions=["csv"])
+
+    def part(t: pa.Table) -> pa.Table:
+        g = pa.table({"source": t["source"],
+                      "nc": pc.cast(t["n_chars"], pa.int64())}) \
+            .group_by(["source"]).aggregate([("nc", "sum"),
+                                             ([], "count_all")])
+        return g.rename_columns(["source", "chars_sum", "n_docs"])
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("source").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                         Sum("chars_sum",
+                                             alias_name="chars_sum")))
+
+
+def O_DOCS_CSV_ROUNDTRIP(sf: str) -> str:
+    import os
+
+    out = os.path.join("/tmp/nacr_csv",
+                       "docs_" + os.path.basename(os.path.normpath(sf)))
+    return f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM read_csv('{out}/*.csv', header = true)
+GROUP BY source"""
+
+
+def _fiedler_parts(edges: list[tuple[str, str, int]]
+                   ) -> tuple[list[tuple[str, int, int]], int]:
+    """Fiedler (second-smallest Laplacian eigenvector) bipartition of a
+    weighted undirected graph — the spectral min-cut heuristic, with
+    λ₂ (algebraic connectivity) as the graph-robustness scalar. SHARED
+    kernel: numpy eigh over the bounded gathered matrix, vector
+    micro-quantized BEFORE sign reads, orientation pinned by the first
+    nonzero component of the lexicographically-sorted node order.
+    Returns ([(node, side, fiedler_nano)...], lambda2_nano)."""
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    k = len(nodes)
+    if k < 2:
+        return ([(n, 0, 0) for n in nodes], 0)
+    idx = {n: i for i, n in enumerate(nodes)}
+    w = np.zeros((k, k), np.float64)
+    for a, b, wt in edges:
+        w[idx[a], idx[b]] += wt
+        w[idx[b], idx[a]] += wt
+    lap = np.diag(w.sum(axis=1)) - w
+    vals, vecs = np.linalg.eigh(lap)
+    f = vecs[:, 1]
+    fq = np.floor(np.abs(f) * 1e6 + 0.5).astype(np.int64) \
+        * np.where(f >= 0, 1, -1)
+    nz = np.flatnonzero(fq != 0)
+    if len(nz) and fq[nz[0]] < 0:
+        fq = -fq
+    lam2 = int(np.floor(abs(vals[1]) * 1e9 + 0.5))
+    return ([(n, int(fq[i] > 0), int(fq[i]) * 1000)  # micro → nano
+             for i, n in enumerate(nodes)], lam2)
+
+
+def _cooc_edges_agg(sf_dir: str) -> list[tuple[str, str, int]]:
+    """Year-collapsed co-occurrence edge list (src, dst, Σweight) from the
+    distributed kg.cooccurrence_edges — bounded by the agency vocabulary
+    squared."""
+    e = kg.cooccurrence_edges(_mentions(sf_dir))
+
+    def part(t: pa.Table) -> pa.Table:
+        g = pa.table({"src_qid": t["src_qid"], "dst_qid": t["dst_qid"],
+                      "w": pc.cast(t["weight"], pa.int64())}) \
+            .group_by(["src_qid", "dst_qid"]).aggregate([("w", "sum")])
+        return g.rename_columns(["src_qid", "dst_qid", "w"])
+
+    rows = (e.map_batches(part, batch_format="pyarrow")
+            .groupby(["src_qid", "dst_qid"])
+            .aggregate(Sum("w", alias_name="w"))
+            .take_all())  # bounded: agency pairs
+    return [(r["src_qid"], r["dst_qid"], int(r["w"])) for r in rows]
+
+
+def q_kg_fiedler(sf_dir: str):
+    """Spectral bipartition of the agency co-occurrence graph: Fiedler-
+    vector signs give the two-way min-cut-ish community split, λ₂ says
+    how hard the wire-service network is to disconnect (the spectral
+    complement of kg_bridges / kg_cutpoints, and the 2-cluster
+    counterpart of kg_communities). Edges aggregate distributed; the
+    ≤|vocabulary|² matrix gathers once; the shared eigh kernel runs on
+    the driver. Rows: (qid, side, fiedler_nano, lambda2_nano)."""
+    parts, lam2 = _fiedler_parts(_cooc_edges_agg(sf_dir))
+    parts.sort()
+    return pa.table({
+        "qid": pa.array([p[0] for p in parts], pa.string()),
+        "side": pa.array([p[1] for p in parts], pa.int64()),
+        "fiedler_nano": pa.array([p[2] for p in parts], pa.int64()),
+        "lambda2_nano": pa.array([lam2] * len(parts), pa.int64())})
+
+
+def O_KG_FIEDLER(sf: str) -> str:
+    """Recompute: DuckDB rebuilds the identical year-collapsed edge list
+    through the sql_mentions CTE, the shared eigh kernel finishes."""
+    import duckdb
+
+    sql = f"""WITH {_pages_cte(sf)},
+counts AS (SELECT host, year, qid, count(*) AS n FROM sql_mentions
+           WHERE qid <> 'NIL' GROUP BY host, year, qid)
+SELECT a.qid, b.qid, CAST(count(*) AS BIGINT)
+FROM counts a JOIN counts b
+  ON a.host = b.host AND a.year = b.year AND a.qid < b.qid
+GROUP BY a.qid, b.qid"""
+    edges = [(r[0], r[1], int(r[2]))
+             for r in duckdb.connect().execute(sql).fetchall()]
+    parts, lam2 = _fiedler_parts(edges)
+    parts.sort()
+    vals = [f"({_sq(q)}, {s}, {fn}, {lam2})" for q, s, fn in parts]
+    return _values_or_empty(
+        vals,
+        "SELECT CAST(qid AS VARCHAR) AS qid, CAST(side AS BIGINT) AS side, "
+        "CAST(fiedler_nano AS BIGINT) AS fiedler_nano, "
+        "CAST(lambda2_nano AS BIGINT) AS lambda2_nano",
+        "t(qid, side, fiedler_nano, lambda2_nano)", "('x', 0, 0, 0)")
+
+
+def _heaps_fit_nano(pts: list[tuple[int, int]]) -> tuple[int, int, int]:
+    """Heaps-law fit V = K·nᵝ by OLS on (log n, log V): returns
+    (beta_nano, logk_nano, r2_nano). Shared float kernel, fixed fold
+    order (holtwinters precedent)."""
+    import math
+
+    pts = [(n, v) for n, v in pts if n > 0 and v > 0]
+    m = len(pts)
+    if m < 2:
+        return 0, 0, 0
+    xs = [math.log(n) for n, _ in pts]
+    ys = [math.log(v) for _, v in pts]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    det = m * sxx - sx * sx
+    if det == 0:
+        return 0, 0, 0
+    beta = (m * sxy - sx * sy) / det
+    logk = (sy - beta * sx) / m
+    den = (m * syy - sy * sy) * det
+    r2 = ((m * sxy - sx * sy) ** 2 / den) if den > 0 else 0.0
+
+    def q(v: float) -> int:
+        vn = v * 1e9
+        return int(math.floor(vn + 0.5)) if vn >= 0 \
+            else -int(math.floor(-vn + 0.5))
+
+    return q(beta), q(logk), q(r2)
+
+
+def q_docs_heaps_exponent(sf_dir: str):
+    """Heaps-law exponent of the BIGRAM vocabulary (the synthetic
+    unigram lexicon saturates in one bucket; bigrams stay sub-saturated
+    — same rationale as docs_vocab_growth): fits V ≈ K·nᵝ, the
+    scaling-law number that predicts tokenizer vocabulary saturation at
+    100× the corpus. Two bounded
+    reductions — per-bucket token counts and per-bucket first-seen
+    unigrams (vocabulary-scale combiner exchange) — then the shared
+    log-log OLS kernel over the bounded cumulative curve. One row:
+    (n_buckets, beta_nano, logk_nano, r2_nano)."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_part(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"], pattern=r"\s+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        bucket = ids[parents][keep] // 4
+        g = pa.table({"bucket": pa.array(bucket, pa.int64())}) \
+            .group_by(["bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["bucket", "n_tokens"])
+
+    tok = (docs.map_batches(tok_part, batch_format="pyarrow")
+           .groupby("bucket").aggregate(Sum("n_tokens",
+                                            alias_name="n_tokens")))
+
+    def big_part(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"], pattern=r"\s+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        if len(flat) < 2:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int64())})
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        left, right = flat.slice(0, len(flat) - 1), flat.slice(1)
+        keep = pc.and_(pa.array(parents[1:] == parents[:-1]),
+                       pc.and_(pc.not_equal(left, ""),
+                               pc.not_equal(right, "")))
+        tbl = pa.table({
+            "tok": pc.binary_join_element_wise(left, right, " "),
+            "bucket": pa.array(ids[parents[:-1]] // 4, pa.int64())
+        }).filter(keep)
+        g = tbl.group_by("tok").aggregate([("bucket", "min")])
+        return g.rename_columns(["tok", "bucket"])
+
+    first = (docs.map_batches(big_part, batch_format="pyarrow")
+             .groupby("tok").aggregate(Min("bucket", alias_name="bucket")))
+    nv = {int(r["bucket"]): int(r["n_new"]) for r in
+          first.map_batches(
+              lambda t: pa.table({"bucket": t["bucket"]}),
+              batch_format="pyarrow")
+          .groupby("bucket").aggregate(Count(alias_name="n_new"))
+          .take_all()}  # bounded: buckets
+    nt = {int(r["bucket"]): int(r["n_tokens"]) for r in tok.take_all()}
+    buckets = sorted(nt)
+    pts, ctok, cvoc = [], 0, 0
+    for b in buckets:
+        ctok += nt.get(b, 0)
+        cvoc += nv.get(b, 0)
+        pts.append((ctok, cvoc))
+    beta, logk, r2 = _heaps_fit_nano(pts)
+    return pa.table({"n_buckets": pa.array([len(buckets)], pa.int64()),
+                     "beta_nano": pa.array([beta], pa.int64()),
+                     "logk_nano": pa.array([logk], pa.int64()),
+                     "r2_nano": pa.array([r2], pa.int64())})
+
+
+def O_DOCS_HEAPS_EXPONENT() -> str:
+    """VALUES recompute: DuckDB rebuilds the identical cumulative
+    (tokens, vocabulary) curve, the shared log-log OLS kernel fits."""
+    import duckdb
+
+    con = duckdb.connect()
+    nt = dict(con.execute(rf"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS a
+           FROM read_parquet('{_SF001}/documents.parquet')),
+tk AS (SELECT doc_id // 4 AS bucket, t.a[r.i] AS tok
+       FROM t, unnest(generate_series(1, len(t.a))) AS r(i)
+       WHERE t.a[r.i] <> '')
+SELECT bucket, CAST(count(*) AS BIGINT) FROM tk GROUP BY 1""").fetchall())
+    nv = dict(con.execute(rf"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS a
+           FROM read_parquet('{_SF001}/documents.parquet')),
+bg AS (SELECT doc_id // 4 AS bucket, t.a[r.i] || ' ' || t.a[r.i + 1] AS tok
+       FROM t, unnest(generate_series(1, len(t.a) - 1)) AS r(i)
+       WHERE t.a[r.i] <> '' AND t.a[r.i + 1] <> ''),
+f AS (SELECT tok, min(bucket) AS bucket FROM bg GROUP BY 1)
+SELECT bucket, CAST(count(*) AS BIGINT) FROM f GROUP BY 1""").fetchall())
+    buckets = sorted(nt)
+    pts, ctok, cvoc = [], 0, 0
+    for b in buckets:
+        ctok += nt.get(b, 0)
+        cvoc += nv.get(b, 0)
+        pts.append((ctok, cvoc))
+    beta, logk, r2 = _heaps_fit_nano(pts)
+    return _values_or_empty(
+        [f"({len(buckets)}, {beta}, {logk}, {r2})"],
+        "SELECT CAST(n_buckets AS BIGINT) AS n_buckets, "
+        "CAST(beta_nano AS BIGINT) AS beta_nano, "
+        "CAST(logk_nano AS BIGINT) AS logk_nano, "
+        "CAST(r2_nano AS BIGINT) AS r2_nano",
+        "t(n_buckets, beta_nano, logk_nano, r2_nano)", "(0, 0, 0, 0)")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -17787,6 +18078,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_ab_srm": q_events_ab_srm,
     "orders_schema_audit": q_orders_schema_audit,
     "events_kleinberg_bursts": q_events_kleinberg_bursts,
+    "docs_csv_roundtrip": q_docs_csv_roundtrip,
+    "kg_fiedler": q_kg_fiedler,
+    "docs_heaps_exponent": q_docs_heaps_exponent,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -18136,4 +18430,7 @@ def oracles() -> dict[str, str]:
         "events_ab_srm": O_EVENTS_AB_SRM(),
         "orders_schema_audit": O_ORDERS_SCHEMA_AUDIT(),
         "events_kleinberg_bursts": O_EVENTS_KLEINBERG_BURSTS(),
+        "docs_csv_roundtrip": O_DOCS_CSV_ROUNDTRIP(_SF001),
+        "kg_fiedler": O_KG_FIEDLER(_SF001),
+        "docs_heaps_exponent": O_DOCS_HEAPS_EXPONENT(),
     }
