@@ -17673,6 +17673,290 @@ SELECT bucket, CAST(count(*) AS BIGINT) FROM f GROUP BY 1""").fetchall())
         "t(n_buckets, beta_nano, logk_nano, r2_nano)", "(0, 0, 0, 0)")
 
 
+_SWEEP_CONFIGS = [(32, 2), (16, 4), (8, 8)]   # (bands, rows_per_band), b·r=64
+_SWEEP_JACC = 0.5                              # sig-jaccard dup threshold
+_SWEEP_SIG_LIMIT = 2_000_000                   # driver sig-gather bound
+
+
+def q_docs_minhash_band_sweep(sf_dir: str):
+    """LSH band-configuration calibration sweep — the tuning table behind
+    minhash_pairs' fixed (16, 4) choice: ONE signature pass (actor-pool
+    MinHashStage, the same 64 perms), then per config (32×2 / 16×4 /
+    8×8) an ids-only band-key exchange yields candidate pairs, and the
+    64-perm signature-agreement estimator labels true dups (≥0.5).
+    More bands ⇒ more candidates, lower precision — this measures that
+    curve on the actual corpus. Signatures for the verify step gather
+    once under a documented bound (above it, minhash_pairs' distributed
+    join-back is the path — this is the calibration audit, not the
+    production dedup). Rows: (bands, rows_per_band, n_candidates,
+    n_est_dups, precision_nano)."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    sigs = docs.map_batches(dd.MinHashStage, batch_format="pyarrow",
+                            batch_size=1024, concurrency=(1, 4),
+                            num_cpus=1).materialize()
+    n_docs = sigs.count()
+    if n_docs > _SWEEP_SIG_LIMIT:
+        raise ValueError(
+            f"band sweep sig-gather bound exceeded ({n_docs} docs): run "
+            f"minhash_pairs' distributed verify per config instead")
+    sig_map: dict[int, np.ndarray] = {}
+    for b in sigs.iter_batches(batch_format="pyarrow", batch_size=None):
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        for i, blob in zip(ids, b["sig"].to_pylist()):
+            sig_map[int(i)] = np.frombuffer(blob, dtype="<u4")
+    out_rows = []
+    for bands, rpb in _SWEEP_CONFIGS:
+
+        def band_part(t: pa.Table, bands=bands, rpb=rpb) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            outb, outk, outd = [], [], []
+            for i, blob in zip(ids, t["sig"].to_pylist()):
+                s = np.frombuffer(blob, dtype="<u4")
+                for bi in range(bands):
+                    outb.append(bi)
+                    outk.append(s[bi * rpb:(bi + 1) * rpb].tobytes())
+                    outd.append(int(i))
+            return pa.table({"band": pa.array(outb, pa.int64()),
+                             "key": pa.array(outk, pa.binary()),
+                             "doc_id": pa.array(outd, pa.int64())})
+
+        def pairs(g: pa.Table) -> pa.Table:
+            d = sorted(set(g["doc_id"].to_pylist()))
+            a_o, b_o = [], []
+            for x in range(len(d)):
+                for y in range(x + 1, len(d)):
+                    a_o.append(d[x])
+                    b_o.append(d[y])
+            return pa.table({"doc_a": pa.array(a_o, pa.int64()),
+                             "doc_b": pa.array(b_o, pa.int64())})
+
+        cand = (sigs.map_batches(band_part, batch_format="pyarrow")
+                .groupby(["band", "key"])
+                .map_groups(pairs, batch_format="pyarrow")
+                .groupby(["doc_a", "doc_b"])
+                .aggregate(Count(alias_name="_n"))
+                .take_all())
+        n_cand = len(cand)
+        n_dup = 0
+        for r in cand:
+            sa, sb = sig_map[int(r["doc_a"])], sig_map[int(r["doc_b"])]
+            if int((sa == sb).sum()) * 2 >= int(len(sa) * 2 * _SWEEP_JACC):
+                n_dup += 1
+        out_rows.append((bands, rpb, n_cand, n_dup,
+                         _div_nano(n_dup, n_cand) if n_cand else 0))
+    return pa.table({
+        "bands": pa.array([r[0] for r in out_rows], pa.int64()),
+        "rows_per_band": pa.array([r[1] for r in out_rows], pa.int64()),
+        "n_candidates": pa.array([r[2] for r in out_rows], pa.int64()),
+        "n_est_dups": pa.array([r[3] for r in out_rows], pa.int64()),
+        "precision_nano": pa.array([r[4] for r in out_rows], pa.int64())})
+
+
+def O_DOCS_MINHASH_BAND_SWEEP() -> str:
+    """Pure recompute (O_MINHASH_PAIRS precedent): same signatures, dict
+    banding, same agreement estimator."""
+    from itertools import combinations
+
+    t = _read_parquet_cols(_SF001, "documents", ["doc_id", "text"])
+    st = dd.MinHashStage()
+    sigs = {int(i): st.signature(x or "").astype("<u4")
+            for i, x in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist())}
+    vals = []
+    for bands, rpb in _SWEEP_CONFIGS:
+        buckets: dict[tuple, list[int]] = {}
+        for i, s in sigs.items():
+            for bi in range(bands):
+                buckets.setdefault(
+                    (bi, s[bi * rpb:(bi + 1) * rpb].tobytes()),
+                    []).append(i)
+        cand = set()
+        for v in buckets.values():
+            if len(v) > 1:
+                cand.update(combinations(sorted(v), 2))
+        n_dup = 0
+        for a, b in cand:
+            if int((sigs[a] == sigs[b]).sum()) * 2 \
+                    >= int(len(sigs[a]) * 2 * _SWEEP_JACC):
+                n_dup += 1
+        vals.append(f"({bands}, {rpb}, {len(cand)}, {n_dup}, "
+                    f"{_div_nano(n_dup, len(cand)) if cand else 0})")
+    return _values_or_empty(
+        vals,
+        "SELECT CAST(bands AS BIGINT) AS bands, "
+        "CAST(rows_per_band AS BIGINT) AS rows_per_band, "
+        "CAST(n_candidates AS BIGINT) AS n_candidates, "
+        "CAST(n_est_dups AS BIGINT) AS n_est_dups, "
+        "CAST(precision_nano AS BIGINT) AS precision_nano",
+        "t(bands, rows_per_band, n_candidates, n_est_dups, precision_nano)",
+        "(0, 0, 0, 0, 0)")
+
+
+def _pearson_resid_nano(cells: list, rm: dict, cm: dict, big: int
+                        ) -> list[int]:
+    """Pearson standardized residuals (O−E)/√E per contingency cell —
+    shared float kernel over exact integer marginals."""
+    import math
+
+    out = []
+    for r, c, n in cells:
+        e = rm[r] * cm[c] / big
+        z = (n - e) / math.sqrt(e) if e > 0 else 0.0
+        zn = z * 1e9
+        out.append(int(math.floor(zn + 0.5)) if zn >= 0
+                   else -int(math.floor(-zn + 0.5)))
+    return out
+
+
+def q_pages_host_lang_residuals(sf_dir: str):
+    """Which crawl host over-indexes which language — Pearson
+    standardized residuals of the host × lang contingency (the
+    cell-level drill-down of orders_chi2's scalar): |z| > 2 cells are
+    the skews a per-host language router must know about. Per-block
+    (host, lang) combiners → one bounded groupby → shared residual
+    kernel over exact integer marginals. Rows: (host, lang, n,
+    z_nano)."""
+    path = pages_src.ensure_pages(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["url", "lang"])
+
+    def part(t: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            pc.replace_substring_regex(t["url"], pattern=r"^[a-z]+://",
+                                       replacement=""),
+            pattern=r"/.*$", replacement="")
+        g = pa.table({"host": host, "lang": t["lang"]}) \
+            .group_by(["host", "lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["host", "lang", "n"])
+
+    rows = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby(["host", "lang"]).aggregate(Sum("n", alias_name="n"))
+            .take_all())  # bounded: hosts × langs
+    cells = sorted((r["host"], r["lang"], int(r["n"])) for r in rows)
+    rm: dict = {}
+    cm: dict = {}
+    big = 0
+    for h, lg, n in cells:
+        rm[h] = rm.get(h, 0) + n
+        cm[lg] = cm.get(lg, 0) + n
+        big += n
+    zs = _pearson_resid_nano(cells, rm, cm, big) if big else []
+    return pa.table({
+        "host": pa.array([c[0] for c in cells], pa.string()),
+        "lang": pa.array([c[1] for c in cells], pa.string()),
+        "n": pa.array([c[2] for c in cells], pa.int64()),
+        "z_nano": pa.array(zs, pa.int64())})
+
+
+def O_PAGES_HOST_LANG_RESIDUALS(sf: str) -> str:
+    """Recompute: DuckDB folds the contingency, the shared residual
+    kernel finishes."""
+    import duckdb
+
+    rows = duckdb.connect().execute(f"""
+        SELECT regexp_replace(regexp_replace(url, '^[a-z]+://', ''),
+                              '/.*$', '') AS host, lang,
+               CAST(count(*) AS BIGINT)
+        FROM read_parquet('{pages_src.pages_path_for(sf)}/*.parquet')
+        GROUP BY 1, 2""").fetchall()
+    cells = sorted((r[0], r[1], int(r[2])) for r in rows)
+    rm: dict = {}
+    cm: dict = {}
+    big = 0
+    for h, lg, n in cells:
+        rm[h] = rm.get(h, 0) + n
+        cm[lg] = cm.get(lg, 0) + n
+        big += n
+    zs = _pearson_resid_nano(cells, rm, cm, big) if big else []
+    vals = [f"({_sq(h)}, {_sq(lg)}, {n}, {z})"
+            for (h, lg, n), z in zip(cells, zs)]
+    return _values_or_empty(
+        vals,
+        "SELECT CAST(host AS VARCHAR) AS host, "
+        "CAST(lang AS VARCHAR) AS lang, CAST(n AS BIGINT) AS n, "
+        "CAST(z_nano AS BIGINT) AS z_nano",
+        "t(host, lang, n, z_nano)", "('x', 'x', 0, 0)")
+
+
+def q_pages_dup_consistency(sf_dir: str):
+    """Duplicate-snapshot consistency audit: for every url captured more
+    than once, all rows must agree on the content fingerprint
+    (warc_ts, lang, text length, html length) — disagreement means the
+    'exact duplicate' assumption the url-dedup stages rely on is
+    violated upstream. Per-block distinct-fingerprint combiners → one
+    (url)-keyed groupby of fingerprints, counts fold per block. One
+    row: (n_dup_urls, n_dup_rows, n_inconsistent_urls)."""
+    path = pages_src.ensure_pages(sf_dir)
+    ds = ray.data.read_parquet(path,
+                               columns=["url", "warc_ts", "lang",
+                                        "text", "html"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        d = pa.table({
+            "url": t["url"],
+            "ts": pc.cast(t["warc_ts"], pa.int64()),
+            "lang": t["lang"],
+            "tl": pc.fill_null(pc.utf8_length(
+                pc.cast(t["text"], pa.string())), -1),
+            "hl": pc.fill_null(pc.binary_length(t["html"]), -1)})
+        g = d.group_by(["url", "ts", "lang", "tl", "hl"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["url", "ts", "lang", "tl", "hl", "c"])
+
+    fps = (ds.map_batches(fp, batch_format="pyarrow")
+           .groupby(["url", "ts", "lang", "tl", "hl"])
+           .aggregate(Sum("c", alias_name="c")))
+
+    def per_url(t: pa.Table) -> pa.Table:
+        g = pa.table({"url": t["url"], "c": t["c"],
+                      "one": pa.array(np.ones(len(t), np.int64))}) \
+            .group_by(["url"]).aggregate([("c", "sum"), ("one", "sum")])
+        return g.rename_columns(["url", "rows", "fps"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        rows_ = t["rows"].to_numpy(zero_copy_only=False)
+        fps_ = t["fps"].to_numpy(zero_copy_only=False)
+        dup = rows_ > 1
+        return pa.table({
+            "n_dup_urls": pa.array([int(dup.sum())], pa.int64()),
+            "n_dup_rows": pa.array([int(rows_[dup].sum())], pa.int64()),
+            "n_inconsistent_urls": pa.array(
+                [int((dup & (fps_ > 1)).sum())], pa.int64())})
+
+    agg = (fps.map_batches(per_url, batch_format="pyarrow")
+           .groupby("url").aggregate(Sum("rows", alias_name="rows"),
+                                     Sum("fps", alias_name="fps"))
+           .map_batches(fold, batch_format="pyarrow")
+           .aggregate(Sum("n_dup_urls", alias_name="n_dup_urls"),
+                      Sum("n_dup_rows", alias_name="n_dup_rows"),
+                      Sum("n_inconsistent_urls",
+                          alias_name="n_inconsistent_urls")))
+    return pa.table({
+        "n_dup_urls": pa.array([int(agg["n_dup_urls"] or 0)], pa.int64()),
+        "n_dup_rows": pa.array([int(agg["n_dup_rows"] or 0)], pa.int64()),
+        "n_inconsistent_urls": pa.array(
+            [int(agg["n_inconsistent_urls"] or 0)], pa.int64())})
+
+
+O_PAGES_DUP_CONSISTENCY = lambda sf: f"""
+WITH fp AS (
+  SELECT url, epoch_us(warc_ts) AS ts, lang,
+         coalesce(length(text), -1) AS tl,
+         coalesce(octet_length(html), -1) AS hl,
+         CAST(count(*) AS BIGINT) AS c
+  FROM read_parquet('{pages_src.pages_path_for(sf)}/*.parquet')
+  GROUP BY 1, 2, 3, 4, 5),
+u AS (SELECT url, CAST(sum(c) AS BIGINT) AS rows_,
+             CAST(count(*) AS BIGINT) AS fps
+      FROM fp GROUP BY url)
+SELECT CAST(sum(CASE WHEN rows_ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_urls,
+       CAST(sum(CASE WHEN rows_ > 1 THEN rows_ ELSE 0 END) AS BIGINT)
+         AS n_dup_rows,
+       CAST(sum(CASE WHEN rows_ > 1 AND fps > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_inconsistent_urls
+FROM u"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -18081,6 +18365,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_csv_roundtrip": q_docs_csv_roundtrip,
     "kg_fiedler": q_kg_fiedler,
     "docs_heaps_exponent": q_docs_heaps_exponent,
+    "docs_minhash_band_sweep": q_docs_minhash_band_sweep,
+    "pages_host_lang_residuals": q_pages_host_lang_residuals,
+    "pages_dup_consistency": q_pages_dup_consistency,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -18433,4 +18720,7 @@ def oracles() -> dict[str, str]:
         "docs_csv_roundtrip": O_DOCS_CSV_ROUNDTRIP(_SF001),
         "kg_fiedler": O_KG_FIEDLER(_SF001),
         "docs_heaps_exponent": O_DOCS_HEAPS_EXPONENT(),
+        "docs_minhash_band_sweep": O_DOCS_MINHASH_BAND_SWEEP(),
+        "pages_host_lang_residuals": O_PAGES_HOST_LANG_RESIDUALS(_SF001),
+        "pages_dup_consistency": O_PAGES_DUP_CONSISTENCY(_SF001),
     }
