@@ -17957,6 +17957,260 @@ SELECT CAST(sum(CASE WHEN rows_ > 1 THEN 1 ELSE 0 END) AS BIGINT)
 FROM u"""
 
 
+# --------------------------------------------------------------------------
+# Hodges-Lehmann pseudo-median via histogram Walsh-average convolution
+# --------------------------------------------------------------------------
+
+_HL_MAX_SUPPORT = 4096  # driver convolution bound: distinct values per group
+
+
+def q_lineitem_hodges_lehmann(sf_dir: str):
+    """Per-returnflag Hodges-Lehmann pseudo-median of l_quantity — the
+    median of all Walsh averages (y_i + y_j)/2 over i<=j pairs — computed
+    EXACTLY from the value histogram: quantity has bounded integer support
+    (TPC-H: 1..50), so each block emits (flag, qty, n) partials, one small
+    groupby sums them, and the O(support^2) pair-count convolution runs on
+    the driver over <= _HL_MAX_SUPPORT distinct values per group (asserted;
+    the naive pairwise form is O(n^2) rows and never materializes).
+    hl_nano uses _div_nano so both engines round identically. Columns:
+    (l_returnflag, n, hl_nano)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        q = pc.cast(t["l_quantity"], pa.int64())
+        g = pa.table({"f": t["l_returnflag"], "v": q}).group_by(
+            ["f", "v"]).aggregate([("v", "count")])
+        return pa.table({"l_returnflag": g["f"], "v": g["v"],
+                         "n": pc.cast(g["v_count"], pa.int64())})
+
+    hist = (ops.read_table(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby(["l_returnflag", "v"])
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all())  # bounded: groups x <=_HL_MAX_SUPPORT values
+    byf: dict[str, dict[int, int]] = {}
+    for r in hist:
+        byf.setdefault(r["l_returnflag"], {})[int(r["v"])] = int(r["n"])
+    flags, ns, hls = [], [], []
+    for f in sorted(byf):
+        cnts = byf[f]
+        if len(cnts) > _HL_MAX_SUPPORT:
+            raise ValueError(
+                f"HL support bound exceeded ({len(cnts)} distinct values); "
+                f"quantize the value column or raise _HL_MAX_SUPPORT")
+        n = sum(cnts.values())
+        # Walsh-sum multiset: pairs i<j contribute c_u*c_v at sum u+v;
+        # i==j contributes c_v*(c_v+1)/2 at sum 2v (i<=j convention).
+        sums: dict[int, int] = {}
+        vals = sorted(cnts)
+        for a_i, u in enumerate(vals):
+            cu = cnts[u]
+            sums[2 * u] = sums.get(2 * u, 0) + cu * (cu + 1) // 2
+            for v in vals[a_i + 1:]:
+                sums[u + v] = sums.get(u + v, 0) + cu * cnts[v]
+        m = n * (n + 1) // 2
+        r1, r2 = (m + 1) // 2, m // 2 + 1
+        s1 = s2 = None
+        cu_acc = 0
+        for s in sorted(sums):
+            cu_acc += sums[s]
+            if s1 is None and cu_acc >= r1:
+                s1 = s
+            if s2 is None and cu_acc >= r2:
+                s2 = s
+                break
+        flags.append(f)
+        ns.append(n)
+        hls.append(_div_nano(s1 + s2, 4))
+    return pa.table({"l_returnflag": pa.array(flags, pa.string()),
+                     "n": pa.array(ns, pa.int64()),
+                     "hl_nano": pa.array(hls, pa.int64())})
+
+
+O_LINEITEM_HODGES_LEHMANN = """
+WITH h AS (SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS v,
+                  CAST(count(*) AS HUGEINT) AS c
+           FROM lineitem GROUP BY 1, 2),
+w AS (SELECT a.f, a.v + b.v AS s,
+             CASE WHEN a.v < b.v THEN a.c * b.c
+                  ELSE (a.c * (a.c + 1)) // 2 END AS pc_
+      FROM h a JOIN h b ON a.f = b.f AND a.v <= b.v),
+ws AS (SELECT f, s, sum(pc_) AS pc_ FROM w GROUP BY 1, 2),
+tot AS (SELECT f, sum(pc_) AS m FROM ws GROUP BY 1),
+nn AS (SELECT f, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+cum AS (SELECT f, s, sum(pc_) OVER (PARTITION BY f ORDER BY s) AS cu
+        FROM ws),
+mid AS (SELECT c.f, nn.n,
+               min(CASE WHEN cu >= (t.m + 1) // 2 THEN s END) AS s1,
+               min(CASE WHEN cu >= t.m // 2 + 1 THEN s END) AS s2
+        FROM cum c JOIN tot t USING (f) JOIN nn USING (f)
+        GROUP BY c.f, nn.n)
+SELECT f AS l_returnflag, n,
+       CAST((CAST(s1 + s2 AS HUGEINT) * 2000000000 + 4) // 8 AS BIGINT)
+         AS hl_nano
+FROM mid ORDER BY f"""
+
+
+# --------------------------------------------------------------------------
+# Chao1 species-richness estimate + Good-Turing unseen mass
+# --------------------------------------------------------------------------
+
+
+def q_events_chao1_richness(sf_dir: str):
+    """Per-event-type user-richness audit: exact distinct users D, the
+    frequency-of-frequency singleton/doubleton counts f1/f2, the
+    bias-corrected Chao1 estimate D + f1(f1-1)/(2(f2+1)) of TOTAL users
+    (seen + unseen), and the Good-Turing unseen-probability mass f1/N —
+    the capture-recapture coverage diagnostics a crawl/dedup pipeline uses
+    to decide whether more data still adds new entities. Two keyed
+    exchanges: groupby (type, user) -> per-user event count k, then
+    groupby (type, k) -> freq-of-freq (bounded: types x distinct
+    multiplicities). All ratios nano-quantized in exact integer math."""
+    per_user = (ops.read_table(sf_dir, "events", ["event_type", "user_id"])
+                .groupby(["event_type", "user_id"])
+                .aggregate(Count(alias_name="k")))
+
+    def drop_user(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "k": pc.cast(t["k"], pa.int64())})
+
+    fof = (per_user.map_batches(drop_user, batch_format="pyarrow")
+           .groupby(["event_type", "k"])
+           .aggregate(Count(alias_name="n_users"))
+           .take_all())  # bounded: types x distinct multiplicities
+    agg: dict[str, list[int]] = {}
+    for r in fof:
+        d, f1, f2, n = agg.setdefault(r["event_type"], [0, 0, 0, 0])
+        k, nu = int(r["k"]), int(r["n_users"])
+        agg[r["event_type"]] = [d + nu, f1 + (nu if k == 1 else 0),
+                                f2 + (nu if k == 2 else 0), n + k * nu]
+    types = sorted(agg)
+    cols: dict[str, list[int]] = {c: [] for c in
+                                  ("n_users", "f1", "f2", "chao1_nano",
+                                   "p0_nano")}
+    for t_ in types:
+        d, f1, f2, n = agg[t_]
+        cols["n_users"].append(d)
+        cols["f1"].append(f1)
+        cols["f2"].append(f2)
+        cols["chao1_nano"].append(
+            d * 10**9 + _div_nano(f1 * (f1 - 1), 2 * (f2 + 1)))
+        cols["p0_nano"].append(_div_nano(f1, n) if n else 0)
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     **{c: pa.array(v, pa.int64())
+                        for c, v in cols.items()}})
+
+
+O_EVENTS_CHAO1 = """
+WITH pu AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS k
+            FROM events GROUP BY 1, 2),
+ag AS (SELECT event_type,
+              CAST(count(*) AS HUGEINT) AS d,
+              CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS f1,
+              CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS HUGEINT) AS f2,
+              CAST(sum(k) AS HUGEINT) AS n
+       FROM pu GROUP BY 1)
+SELECT event_type,
+       CAST(d AS BIGINT) AS n_users, CAST(f1 AS BIGINT) AS f1,
+       CAST(f2 AS BIGINT) AS f2,
+       CAST(d * 1000000000
+            + (2 * f1 * (f1 - 1) * 1000000000 + 2 * (f2 + 1))
+              // (4 * (f2 + 1)) AS BIGINT) AS chao1_nano,
+       CAST((2 * f1 * 1000000000 + n) // (2 * n) AS BIGINT) AS p0_nano
+FROM ag ORDER BY event_type"""
+
+
+# --------------------------------------------------------------------------
+# AR(1) fit on the zero-filled daily order-count series
+# --------------------------------------------------------------------------
+
+
+def _sql_div_nano(num: str, den: str) -> str:
+    """SQL expression for _div_nano(num, den) with den > 0: round half
+    away from zero in exact HUGEINT arithmetic (matches the Python
+    kernel bit-for-bit)."""
+    return (f"CASE WHEN ({num}) >= 0 "
+            f"THEN (2 * ({num}) * 1000000000 + ({den})) // (2 * ({den})) "
+            f"ELSE -((2 * -({num}) * 1000000000 + ({den})) "
+            f"// (2 * ({den}))) END")
+
+
+def q_orders_ar1_forecast(sf_dir: str):
+    """AR(1) fit y_t = c + phi * y_{t-1} on the ZERO-FILLED daily
+    order-count series, in exact integer sufficient statistics: each block
+    emits (epoch_day, count) partials, one small groupby sums them, the
+    driver zero-fills the calendar span (bounded by the date range — the
+    events_daily_acf precedent) and reduces the lag pairs to integer sums
+    (n, Sx, Sy, Sxx, Sxy, Syy). phi/c/r2 are ratios of integer
+    determinants rounded with _div_nano; sse_naive = sum (y_t - y_{t-1})^2
+    is the random-walk baseline an AR report is read against. Columns:
+    (n_days, phi_nano, c_nano, r2_nano, sse_naive)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(
+            pc.cast(t["o_orderdate"], pa.int64()), 86_400_000_000)),
+            pa.int64())
+        g = pa.table({"day": day}).group_by("day").aggregate(
+            [("day", "count")])
+        return pa.table({"day": g["day"],
+                         "y": pc.cast(g["day_count"], pa.int64())})
+
+    daily = (ops.read_table(sf_dir, "orders", ["o_orderdate"])
+             .map_batches(partials, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("y", alias_name="y"))
+             .take_all())  # bounded: one row per calendar day in span
+    counts = {int(r["day"]): int(r["y"]) for r in daily}
+    lo, hi = min(counts), max(counts)
+    ys = [counts.get(d, 0) for d in range(lo, hi + 1)]
+    n = len(ys) - 1
+    sx = sum(ys[:-1])
+    sy = sum(ys[1:])
+    sxx = sum(v * v for v in ys[:-1])
+    syy = sum(v * v for v in ys[1:])
+    sxy = sum(a * b for a, b in zip(ys[:-1], ys[1:]))
+    sse_naive = sum((b - a) * (b - a) for a, b in zip(ys[:-1], ys[1:]))
+    d1 = n * sxx - sx * sx
+    num_b = n * sxy - sx * sy
+    phi = _div_nano(num_b, d1) if d1 else 0
+    c = _div_nano(sy * d1 - num_b * sx, n * d1) if d1 else 0
+    d2 = n * syy - sy * sy
+    r2 = _div_nano(num_b * num_b, d1 * d2) if d1 and d2 else 0
+    return pa.table({"n_days": pa.array([n + 1], pa.int64()),
+                     "phi_nano": pa.array([phi], pa.int64()),
+                     "c_nano": pa.array([c], pa.int64()),
+                     "r2_nano": pa.array([r2], pa.int64()),
+                     "sse_naive": pa.array([sse_naive], pa.int64())})
+
+
+O_ORDERS_AR1 = f"""
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+                  CAST(count(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+span AS (SELECT min(dt) AS lo, max(dt) AS hi FROM d),
+cal AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+          AS dt FROM span),
+s AS (SELECT c.dt, coalesce(d.y, 0) AS y FROM cal c LEFT JOIN d USING (dt)),
+l AS (SELECT y, lag(y) OVER (ORDER BY dt) AS x FROM s),
+p AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(y * y) AS HUGEINT) AS syy,
+             CAST(sum((y - x) * (y - x)) AS BIGINT) AS sse_naive
+      FROM l WHERE x IS NOT NULL)
+SELECT CAST(n + 1 AS BIGINT) AS n_days,
+       CAST({_sql_div_nano('n * sxy - sx * sy', 'n * sxx - sx * sx')}
+            AS BIGINT) AS phi_nano,
+       CAST({_sql_div_nano(
+           'sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx',
+           'n * (n * sxx - sx * sx)')} AS BIGINT) AS c_nano,
+       CAST({_sql_div_nano(
+           '(n * sxy - sx * sy) * (n * sxy - sx * sy)',
+           '(n * sxx - sx * sx) * (n * syy - sy * sy)')} AS BIGINT)
+         AS r2_nano,
+       sse_naive
+FROM p"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -18368,6 +18622,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_minhash_band_sweep": q_docs_minhash_band_sweep,
     "pages_host_lang_residuals": q_pages_host_lang_residuals,
     "pages_dup_consistency": q_pages_dup_consistency,
+    "lineitem_hodges_lehmann": q_lineitem_hodges_lehmann,
+    "events_chao1_richness": q_events_chao1_richness,
+    "orders_ar1_forecast": q_orders_ar1_forecast,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -18723,4 +18980,7 @@ def oracles() -> dict[str, str]:
         "docs_minhash_band_sweep": O_DOCS_MINHASH_BAND_SWEEP(),
         "pages_host_lang_residuals": O_PAGES_HOST_LANG_RESIDUALS(_SF001),
         "pages_dup_consistency": O_PAGES_DUP_CONSISTENCY(_SF001),
+        "lineitem_hodges_lehmann": O_LINEITEM_HODGES_LEHMANN,
+        "events_chao1_richness": O_EVENTS_CHAO1,
+        "orders_ar1_forecast": O_ORDERS_AR1,
     }
