@@ -18211,6 +18211,163 @@ SELECT CAST(n + 1 AS BIGINT) AS n_days,
 FROM p"""
 
 
+# --------------------------------------------------------------------------
+# Sorted-neighborhood record linkage over part names
+# --------------------------------------------------------------------------
+
+_SNM_WINDOW, _SNM_MIN_SIM = 5, 0.9
+
+
+def q_part_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood ER over part names: sort by (p_name,
+    p_partkey), slide a 5-row window, Jaro-Winkler >= 0.9 — the
+    sort-based blocking strategy that catches near-matches whose hash
+    blocking key (brand, in part_jw_names) differs. ops.snm_pairs:
+    distributed rank assignment + bucket-local ghost rows, candidates
+    exactly n x (window-1)."""
+    part = ops.read_table(sf_dir, "part", ["p_partkey", "p_name"])
+    return ops.snm_pairs(part, ["p_name"], "p_partkey", "p_name",
+                         window=_SNM_WINDOW, min_sim=_SNM_MIN_SIM) \
+        .sort(["id_a", "id_b"])
+
+
+O_PART_SNM_PAIRS = f"""
+WITH r AS (SELECT p_partkey AS id, p_name AS nm,
+                  row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+           FROM part)
+SELECT a.id AS id_a, b.id AS id_b,
+       jaro_winkler_similarity(a.nm, b.nm) AS jw
+FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {_SNM_WINDOW - 1}
+WHERE jaro_winkler_similarity(a.nm, b.nm) >= {_SNM_MIN_SIM}"""
+
+
+# --------------------------------------------------------------------------
+# k-anonymity generalization-lattice sweep over page quasi-identifiers
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+def q_pages_kanon_lattice(sf_dir: str):
+    """k-anonymity audit of the pages table over the quasi-identifier
+    lattice (host, year, lang) -> (tld, year, lang) -> (tld, decade,
+    lang) -> (tld, decade): per generalization level, the equivalence-
+    class census (n_classes, k_min, rows in classes below k=5) — the
+    release-risk sweep a curation pipeline runs to pick the least-general
+    level that still anonymizes. ONE exchange: a groupby at the finest
+    level (bounded: hosts x years x langs), coarser levels re-aggregated
+    from that census on the driver."""
+    path = pages_src.ensure_pages(sf_dir)
+    pages = ray.data.read_parquet(path, columns=["url", "warc_ts", "lang"])
+
+    def qi(t: pa.Table) -> pa.Table:
+        url = t["url"]
+        host = pc.replace_substring_regex(
+            url, r"^https://([^/]+)/.*$", r"\1")
+        tld = pc.replace_substring_regex(host, r"^.*\.([a-z]+)$", r"\1")
+        yr = pc.year(t["warc_ts"])
+        g = pa.table({
+            "host": host, "tld": tld,
+            "year": pc.cast(yr, pa.int64()),
+            "decade": pc.cast(
+                pc.multiply(pc.divide(yr, 10), 10), pa.int64()),
+            "lang": t["lang"]}).group_by(
+            ["host", "tld", "year", "decade", "lang"]).aggregate(
+            [("lang", "count")])
+        return g.rename_columns(
+            ["host", "tld", "year", "decade", "lang", "n"]).set_column(
+            5, "n", pc.cast(g["lang_count"], pa.int64()))
+
+    fine = (pages.map_batches(qi, batch_format="pyarrow")
+            .groupby(["host", "tld", "year", "decade", "lang"])
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all())  # bounded: hosts x years x langs classes
+    levels = {
+        "host_year_lang": lambda r: (r["host"], r["year"], r["lang"]),
+        "tld_year_lang": lambda r: (r["tld"], r["year"], r["lang"]),
+        "tld_decade_lang": lambda r: (r["tld"], r["decade"], r["lang"]),
+        "tld_decade": lambda r: (r["tld"], r["decade"]),
+    }
+    names, ncls, kmin, below = [], [], [], []
+    for name, keyf in levels.items():
+        cls: dict[tuple, int] = {}
+        for r in fine:
+            k = keyf(r)
+            cls[k] = cls.get(k, 0) + int(r["n"])
+        names.append(name)
+        ncls.append(len(cls))
+        kmin.append(min(cls.values()))
+        below.append(sum(v for v in cls.values() if v < _KANON_K))
+    return pa.table({"level": pa.array(names, pa.string()),
+                     "n_classes": pa.array(ncls, pa.int64()),
+                     "k_min": pa.array(kmin, pa.int64()),
+                     "rows_below_k": pa.array(below, pa.int64())})
+
+
+def O_PAGES_KANON_LATTICE(sf: str) -> str:
+    glob = f"{pages_src.pages_path_for(sf)}/*.parquet"
+    base = f"""
+p AS (SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+             regexp_extract(url, '^https://[^/]*\\.([a-z]+)/', 1) AS tld,
+             CAST(year(warc_ts) AS BIGINT) AS year,
+             CAST((year(warc_ts) // 10) * 10 AS BIGINT) AS decade,
+             lang
+      FROM read_parquet('{glob}'))"""
+    lvl = []
+    for name, cols in [("host_year_lang", "host, year, lang"),
+                       ("tld_year_lang", "tld, year, lang"),
+                       ("tld_decade_lang", "tld, decade, lang"),
+                       ("tld_decade", "tld, decade")]:
+        lvl.append(f"""
+SELECT '{name}' AS level, CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(n) AS BIGINT) AS k_min,
+       CAST(coalesce(sum(CASE WHEN n < {_KANON_K} THEN n END), 0)
+            AS BIGINT) AS rows_below_k
+FROM (SELECT count(*) AS n FROM p GROUP BY {cols})""")
+    return "WITH " + base + (" UNION ALL ".join(lvl))
+
+
+# --------------------------------------------------------------------------
+# Per-document longest repeated token window
+# --------------------------------------------------------------------------
+
+
+def q_docs_max_repeat(sf_dir: str):
+    """Histogram of the per-document longest repeated token-window length
+    (textstats.max_repeat_len: exact binary search over np.unique'd
+    windows — no hashing) — the self-repetition depth census that
+    complements the CORPUS-level fixed-n window dedup
+    (docs_substring_dups): 0 = all tokens distinct, large = looped
+    boilerplate. Pure map + one bounded groupby (distinct lengths)."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        out = [ts.max_repeat_len((s or "").split())
+               for s in t["text"].to_pylist()]
+        return pa.table({"max_repeat_len": pa.array(out, pa.int64())})
+
+    return (docs.map_batches(per_doc, batch_format="pyarrow")
+            .groupby("max_repeat_len")
+            .aggregate(Count(alias_name="n_docs"))
+            .sort("max_repeat_len"))
+
+
+def O_DOCS_MAX_REPEAT() -> str:
+    """Pure recompute with the SAME shared kernel (MinHashStage-oracle
+    precedent): per-doc max_repeat_len histogram as a VALUES table."""
+    t = _read_parquet_cols(_SF001, "documents", ["text"])
+    hist: dict[int, int] = {}
+    for s in t["text"].to_pylist():
+        m = ts.max_repeat_len((s or "").split())
+        hist[m] = hist.get(m, 0) + 1
+    rows = [f"({k}, {v})" for k, v in sorted(hist.items())]
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(max_repeat_len AS BIGINT) AS max_repeat_len, "
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "t(max_repeat_len, n_docs)", "(0, 0)")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -18625,6 +18782,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_hodges_lehmann": q_lineitem_hodges_lehmann,
     "events_chao1_richness": q_events_chao1_richness,
     "orders_ar1_forecast": q_orders_ar1_forecast,
+    "part_snm_pairs": q_part_snm_pairs,
+    "pages_kanon_lattice": q_pages_kanon_lattice,
+    "docs_max_repeat": q_docs_max_repeat,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -18983,4 +19143,7 @@ def oracles() -> dict[str, str]:
         "lineitem_hodges_lehmann": O_LINEITEM_HODGES_LEHMANN,
         "events_chao1_richness": O_EVENTS_CHAO1,
         "orders_ar1_forecast": O_ORDERS_AR1,
+        "part_snm_pairs": O_PART_SNM_PAIRS,
+        "pages_kanon_lattice": O_PAGES_KANON_LATTICE(_SF001),
+        "docs_max_repeat": O_DOCS_MAX_REPEAT(),
     }

@@ -442,3 +442,38 @@ def bpe_learn(docs: Dataset, n_merges: int = 4, *, cap: int = 4096) -> pa.Table:
         "left": pa.array([r[1] for r in rows], pa.string()),
         "right": pa.array([r[2] for r in rows], pa.string()),
         "n": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def max_repeat_len(tokens: list[str] | np.ndarray) -> int:
+    """Length (in tokens) of the longest token window that occurs at least
+    twice within ONE document — the per-document self-repetition depth
+    (contrast the corpus-level fixed-n window dedup in stages.dedup):
+    0 = all tokens distinct, large = copy-pasted / boilerplate-looped doc.
+
+    Exact, via binary search on the window length (monotone: any repeat of
+    length L contains a repeat of L-1) with an ``np.unique`` check over the
+    raw int-coded windows — no hashing, so no collision caveat; O(n log n)
+    windows checked per probe. Shared by the Ray stage AND the DuckDB
+    VALUES-oracle recompute so both engines run the identical kernel.
+    """
+    _, ids = np.unique(np.asarray(tokens, dtype=object), return_inverse=True)
+    n = len(ids)
+    if n < 2:
+        return 0
+    ids = ids.astype(np.int64)
+
+    def has_repeat(length: int) -> bool:
+        w = np.lib.stride_tricks.sliding_window_view(ids, length)
+        w = np.ascontiguousarray(w).view([("", np.int64)] * length).ravel()
+        return len(np.unique(w)) < len(w)
+
+    lo, hi = 0, n - 1  # invariant: repeat exists at lo, none above hi
+    if not has_repeat(1):
+        return 0
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if has_repeat(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
