@@ -5632,3 +5632,59 @@ def snm_pairs(
 
     return (ranked.map_batches(to_buckets, batch_format="pyarrow")
             .groupby("_bkt").map_groups(pairs, batch_format="pyarrow"))
+
+
+def quantile_sketch_samples(
+    ds: Dataset,
+    value_col: str,
+    key_col: str,
+    eps: float = 0.02,
+    nblocks: int = 64,
+) -> list[tuple[int, int]]:
+    """Mergeable deterministic quantile sketch: partition rows into
+    ``nblocks`` LOGICAL blocks by a hash of ``key_col`` (so the summary is
+    independent of physical block boundaries — the determinism contract
+    every oracle-checked sketch here follows), sort each block once, and
+    keep every ``k_b``-th order statistic (k_b = max(1, floor(2 eps n_b)))
+    plus the block max, each carrying the weight = number of rows it
+    covers. The merged weighted sample has O(nblocks / eps) entries and
+    its cumulative weight at a kept value equals that value's EXACT rank
+    within its block — so a quantile read off the merged summary has rank
+    error at most sum_b (k_b - 1) <= 2 eps n. Returns the merged,
+    value-sorted (value, weight) list (driver-side, bounded)."""
+
+    def per_block(g: pa.Table) -> pa.Table:
+        v = np.sort(g[value_col].to_numpy(zero_copy_only=False))
+        n_b = len(v)
+        k_b = max(1, int(2 * eps * n_b))
+        idx = np.arange(k_b - 1, n_b, k_b)
+        if len(idx) == 0 or idx[-1] != n_b - 1:
+            idx = np.append(idx, n_b - 1)
+        w = np.diff(np.concatenate([[-1], idx]))
+        return pa.table({"v": pa.array(v[idx], pa.int64()),
+                         "w": pa.array(w, pa.int64())})
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((keys * np.uint64(2654435761)) % np.uint64(2**32)) \
+            % np.uint64(nblocks)
+        return pa.table({"_qb": pa.array(b.astype(np.int64), pa.int64()),
+                         value_col: t[value_col]})
+
+    rows = (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("_qb").map_groups(per_block, batch_format="pyarrow")
+            .take_all())  # bounded: O(nblocks / eps) samples
+    merged: dict[int, int] = {}
+    for r in rows:
+        merged[int(r["v"])] = merged.get(int(r["v"]), 0) + int(r["w"])
+    return sorted(merged.items())
+
+
+def quantile_from_samples(samples: list[tuple[int, int]], rank: int) -> int:
+    """Smallest sample value whose cumulative weight reaches ``rank``."""
+    acc = 0
+    for v, w in samples:
+        acc += w
+        if acc >= rank:
+            return v
+    return samples[-1][0] if samples else 0

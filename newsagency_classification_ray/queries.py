@@ -18368,6 +18368,312 @@ def O_DOCS_MAX_REPEAT() -> str:
         "t(max_repeat_len, n_docs)", "(0, 0)")
 
 
+# --------------------------------------------------------------------------
+# Kruskal-Wallis rank test across returnflag groups
+# --------------------------------------------------------------------------
+
+
+def _div_round(num: int, den: int) -> int:
+    """round(num / den) half away from zero in exact integer math
+    (the un-scaled sibling of _div_nano; den > 0)."""
+    s = -1 if num < 0 else 1
+    num = abs(num)
+    return s * ((2 * num + den) // (2 * den))
+
+
+def _sql_div_round(num: str, den: str) -> str:
+    """SQL for _div_round (den > 0), HUGEINT-safe."""
+    return (f"CASE WHEN ({num}) >= 0 "
+            f"THEN (2 * ({num}) + ({den})) // (2 * ({den})) "
+            f"ELSE -((2 * -({num}) + ({den})) // (2 * ({den}))) END")
+
+
+def q_lineitem_kruskal_wallis(sf_dir: str):
+    """Kruskal-Wallis H test of l_quantity across the three returnflag
+    groups — the k-sample extension of the Mann-Whitney machinery: ranks
+    come EXACTLY from the bounded value histogram (integer 2x-midranks
+    from cumulative counts, no per-row rank assignment or global sort),
+    per-group rank sums reduce to integer sufficient statistics, and H
+    plus its tie-corrected variant are nano-quantized with the engine's
+    quantize-before-sum discipline (each group's 3*R2^2/n_f term rounds
+    BEFORE the sum, identically in SQL). One bounded exchange. Columns:
+    (n, df, h_nano, hc_nano)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = pa.table({"f": t["l_returnflag"],
+                      "v": pc.cast(t["l_quantity"], pa.int64())}).group_by(
+            ["f", "v"]).aggregate([("v", "count")])
+        return pa.table({"f": g["f"], "v": g["v"],
+                         "c": pc.cast(g["v_count"], pa.int64())})
+
+    hist = (ops.read_table(sf_dir, "lineitem",
+                           ["l_returnflag", "l_quantity"])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby(["f", "v"]).aggregate(Sum("c", alias_name="c"))
+            .take_all())  # bounded: groups x value support
+    tv: dict[int, int] = {}
+    for r in hist:
+        tv[int(r["v"])] = tv.get(int(r["v"]), 0) + int(r["c"])
+    n = sum(tv.values())
+    mr2: dict[int, int] = {}
+    cum = 0
+    for v in sorted(tv):
+        mr2[v] = 2 * cum + tv[v] + 1  # 2 x midrank (integer)
+        cum += tv[v]
+    grp: dict[str, list[int]] = {}
+    for r in hist:
+        nf, r2 = grp.setdefault(r["f"], [0, 0])
+        grp[r["f"]] = [nf + int(r["c"]),
+                       r2 + int(r["c"]) * mr2[int(r["v"])]]
+    d = n * (n + 1)
+    t_sum = sum(_div_nano(3 * r2 * r2, nf) for nf, r2 in grp.values())
+    h_nano = _div_round(t_sum, d) - 3 * (n + 1) * 10**9
+    c_den = n**3 - n
+    c_num = c_den - sum(t**3 - t for t in tv.values())
+    hc_nano = _div_round(h_nano * c_den, c_num) if c_num else 0
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "df": pa.array([len(grp) - 1], pa.int64()),
+                     "h_nano": pa.array([h_nano], pa.int64()),
+                     "hc_nano": pa.array([hc_nano], pa.int64())})
+
+
+O_LINEITEM_KRUSKAL_WALLIS = f"""
+WITH h AS (SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS v,
+                  CAST(count(*) AS HUGEINT) AS c
+           FROM lineitem GROUP BY 1, 2),
+tv AS (SELECT v, sum(c) AS t FROM h GROUP BY 1),
+mr AS (SELECT v, t, 2 * (sum(t) OVER (ORDER BY v) - t) + t + 1 AS mr2
+       FROM tv),
+rf AS (SELECT f, sum(c) AS n_f, sum(c * mr.mr2) AS r2
+       FROM h JOIN mr USING (v) GROUP BY 1),
+gl AS (SELECT sum(n_f) AS n, CAST(count(*) AS BIGINT) AS k FROM rf),
+terms AS (SELECT sum({_sql_div_nano('3 * r2 * r2', 'n_f')}) AS t FROM rf),
+tie AS (SELECT sum(t * t * t - t) AS tt FROM tv),
+hh AS (SELECT CAST(n AS BIGINT) AS n, k - 1 AS df,
+              {_sql_div_round('t', 'n * (n + 1)')}
+                - 3 * (n + 1) * 1000000000 AS h_nano,
+              n * n * n - n AS c_den, n * n * n - n - tt AS c_num
+       FROM gl, terms, tie)
+SELECT n, df, CAST(h_nano AS BIGINT) AS h_nano,
+       CAST({_sql_div_round('h_nano * c_den', 'c_num')} AS BIGINT)
+         AS hc_nano
+FROM hh"""
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile sketch with measured rank error
+# --------------------------------------------------------------------------
+
+_QSK_EPS, _QSK_NBLOCKS = 0.02, 64
+_QSK_PROBS = [(1, 2), (9, 10), (99, 100)]  # exact fractions
+
+
+def q_lineitem_quantile_sketch(sf_dir: str):
+    """Deterministic mergeable quantile sketch over l_extendedprice cents
+    (ops.quantile_sketch_samples: hash-keyed logical blocks -> per-block
+    every-k-th order statistic with covering weights -> O(nblocks/eps)
+    driver merge) read at p50/p90/p99, then ONE distributed counting pass
+    measures each estimate's TRUE rank band — the streaming-quantile
+    accuracy audit (rank_err <= 2 eps by construction; the test pins it).
+    Columns: (p_pct, est_cents, rank_target, n_lt, n_le,
+    rank_err_nano)."""
+
+    def keyed(t: pa.Table) -> pa.Table:
+        key = pc.add(pc.multiply(pc.cast(t["l_orderkey"], pa.int64()), 8),
+                     pc.cast(t["l_linenumber"], pa.int64()))
+        return pa.table({"k": key, "cents": _cents(t["l_extendedprice"])})
+
+    ds = (ops.read_table(sf_dir, "lineitem",
+                         ["l_orderkey", "l_linenumber", "l_extendedprice"])
+          .map_batches(keyed, batch_format="pyarrow")).materialize()
+    n = ds.count()
+    samples = ops.quantile_sketch_samples(
+        ds, "cents", "k", eps=_QSK_EPS, nblocks=_QSK_NBLOCKS)
+    ranks = [(num * n + den - 1) // den for num, den in _QSK_PROBS]
+    ests = [ops.quantile_from_samples(samples, r) for r in ranks]
+    est_arr = pa.array(ests, pa.int64())
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        c = t["cents"]
+        rows = {"p_idx": pa.array(range(len(ests)), pa.int64()),
+                "n_lt": pa.array(
+                    [pc.sum(pc.less(c, e)).as_py() or 0
+                     for e in est_arr], pa.int64()),
+                "n_le": pa.array(
+                    [pc.sum(pc.less_equal(c, e)).as_py() or 0
+                     for e in est_arr], pa.int64())}
+        return pa.table(rows)
+
+    bands = (ds.map_batches(count_partials, batch_format="pyarrow")
+             .groupby("p_idx")
+             .aggregate(Sum("n_lt", alias_name="n_lt"),
+                        Sum("n_le", alias_name="n_le"))
+             .take_all())  # 3 rows
+    bands.sort(key=lambda r: r["p_idx"])
+    errs = []
+    for (num, den), r, b in zip(_QSK_PROBS, ranks, bands):
+        lo, hi = int(b["n_lt"]) + 1, int(b["n_le"])
+        err = max(0, lo - r, r - hi)
+        errs.append(_div_nano(err, n))
+    return pa.table({
+        "p_pct": pa.array([100 * a // b for a, b in _QSK_PROBS], pa.int64()),
+        "est_cents": est_arr,
+        "rank_target": pa.array(ranks, pa.int64()),
+        "n_lt": pa.array([int(b["n_lt"]) for b in bands], pa.int64()),
+        "n_le": pa.array([int(b["n_le"]) for b in bands], pa.int64()),
+        "rank_err_nano": pa.array(errs, pa.int64())})
+
+
+def O_LINEITEM_QUANTILE_SKETCH() -> str:
+    """Sketch estimates recomputed with the SAME deterministic kernel
+    (hash-keyed logical blocks are physical-layout-independent), rank
+    bands + error measured by GENUINE SQL counts against the table."""
+    t = _read_parquet_cols(
+        _SF001, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    keys = (t["l_orderkey"].to_numpy(zero_copy_only=False) * 8
+            + t["l_linenumber"].to_numpy(zero_copy_only=False)
+            ).astype(np.uint64)
+    cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+    blocks = ((keys * np.uint64(2654435761)) % np.uint64(2**32)) \
+        % np.uint64(_QSK_NBLOCKS)
+    merged: dict[int, int] = {}
+    for b in range(_QSK_NBLOCKS):
+        v = np.sort(cents[blocks == b])
+        n_b = len(v)
+        if n_b == 0:
+            continue
+        k_b = max(1, int(2 * _QSK_EPS * n_b))
+        idx = np.arange(k_b - 1, n_b, k_b)
+        if len(idx) == 0 or idx[-1] != n_b - 1:
+            idx = np.append(idx, n_b - 1)
+        w = np.diff(np.concatenate([[-1], idx]))
+        for vv, ww in zip(v[idx], w):
+            merged[int(vv)] = merged.get(int(vv), 0) + int(ww)
+    samples = sorted(merged.items())
+    n = len(cents)
+    rows = []
+    for num, den in _QSK_PROBS:
+        r = (num * n + den - 1) // den
+        est = ops.quantile_from_samples(samples, r)
+        rows.append(f"({100 * num // den}, {est}, {r})")
+    return f"""
+WITH v(p_pct, est_cents, rank_target) AS (VALUES {', '.join(rows)}),
+c AS (SELECT p_pct, est_cents, rank_target,
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+   WHERE CAST(round(l_extendedprice * 100) AS BIGINT) < est_cents) AS n_lt,
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+   WHERE CAST(round(l_extendedprice * 100) AS BIGINT) <= est_cents) AS n_le
+  FROM v)
+SELECT CAST(p_pct AS BIGINT) AS p_pct, CAST(est_cents AS BIGINT) AS est_cents,
+       CAST(rank_target AS BIGINT) AS rank_target, n_lt, n_le,
+       CAST({_sql_div_nano(
+           'greatest(0, n_lt + 1 - rank_target, rank_target - n_le)',
+           str(len(cents)))} AS BIGINT) AS rank_err_nano
+FROM c"""
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction over documents
+# --------------------------------------------------------------------------
+
+_RAKE_TOPK = 20
+
+
+def q_docs_rake_topk(sf_dir: str):
+    """RAKE keyword extraction: candidate phrases are stopword-delimited
+    token runs (retrieval.rake_phrases — the shared kernel), word scores
+    are degree/frequency over phrase co-occurrence, phrase scores the
+    integer-nano sum of member word scores; top-20 phrases by (score,
+    phrase). Two streaming passes over text: pass 1 reduces to the
+    bounded (word, freq, deg) vocabulary via per-batch partials + one
+    groupby, whose scores broadcast; pass 2 scores phrase occurrences,
+    one groupby dedups phrases, a per-block local top-k combiner bounds
+    the final sort to O(blocks x k). Columns: (phrase, score_nano,
+    n_occurrences)."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def word_partials(t: pa.Table) -> pa.Table:
+        freq: dict[str, int] = {}
+        deg: dict[str, int] = {}
+        for s in t["text"].to_pylist():
+            for ph in rt.rake_phrases(s):
+                for w in ph:
+                    freq[w] = freq.get(w, 0) + 1
+                    deg[w] = deg.get(w, 0) + len(ph)
+        words = sorted(freq)
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "freq": pa.array([freq[w] for w in words],
+                                          pa.int64()),
+                         "deg": pa.array([deg[w] for w in words],
+                                         pa.int64())})
+
+    vocab = (docs.map_batches(word_partials, batch_format="pyarrow")
+             .groupby("word")
+             .aggregate(Sum("freq", alias_name="freq"),
+                        Sum("deg", alias_name="deg"))
+             .take_all())  # bounded: corpus vocabulary
+    scores = {r["word"]: _div_nano(int(r["deg"]), int(r["freq"]))
+              for r in vocab}
+    ref = ray.put(scores)
+
+    def phrase_rows(t: pa.Table) -> pa.Table:
+        sc = ray.get(ref)
+        phs, vals = [], []
+        for s in t["text"].to_pylist():
+            for ph in rt.rake_phrases(s):
+                phs.append(" ".join(ph))
+                vals.append(sum(sc[w] for w in ph))
+        return pa.table({"phrase": pa.array(phs, pa.string()),
+                         "score_nano": pa.array(vals, pa.int64())})
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("score_nano", "descending"),
+                                            ("phrase", "ascending")])
+        return t.take(idx[:_RAKE_TOPK])
+
+    return (docs.map_batches(phrase_rows, batch_format="pyarrow")
+            .groupby("phrase")
+            .aggregate(Count(alias_name="n_occurrences"),
+                       Max("score_nano", alias_name="score_nano"))
+            .map_batches(local_topk, batch_format="pyarrow")
+            .sort(["score_nano", "phrase"], descending=[True, False])
+            .limit(_RAKE_TOPK)
+            .map_batches(lambda t: t.select(
+                ["phrase", "score_nano", "n_occurrences"]),
+                batch_format="pyarrow"))
+
+
+def O_DOCS_RAKE_TOPK() -> str:
+    """Pure recompute with the shared rake_phrases kernel (exact integer
+    scores make the top-k engine-exact up to the explicit tie-break)."""
+    t = _read_parquet_cols(_SF001, "documents", ["text"])
+    freq: dict[str, int] = {}
+    deg: dict[str, int] = {}
+    all_phrases: list[list[str]] = []
+    for s in t["text"].to_pylist():
+        for ph in rt.rake_phrases(s):
+            all_phrases.append(ph)
+            for w in ph:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0) + len(ph)
+    sc = {w: _div_nano(deg[w], freq[w]) for w in freq}
+    agg: dict[str, list[int]] = {}
+    for ph in all_phrases:
+        key = " ".join(ph)
+        val = sum(sc[w] for w in ph)
+        cur = agg.setdefault(key, [val, 0])
+        cur[1] += 1
+    top = sorted(agg.items(), key=lambda kv: (-kv[1][0], kv[0]))[:_RAKE_TOPK]
+    rows = [f"({_sq(k)}, {v[0]}, {v[1]})" for k, v in top]
+    return _values_or_empty(
+        rows,
+        "SELECT phrase, CAST(score_nano AS BIGINT) AS score_nano, "
+        "CAST(n_occurrences AS BIGINT) AS n_occurrences",
+        "t(phrase, score_nano, n_occurrences)", "('', 0, 0)")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -18785,6 +19091,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "part_snm_pairs": q_part_snm_pairs,
     "pages_kanon_lattice": q_pages_kanon_lattice,
     "docs_max_repeat": q_docs_max_repeat,
+    "lineitem_kruskal_wallis": q_lineitem_kruskal_wallis,
+    "lineitem_quantile_sketch": q_lineitem_quantile_sketch,
+    "docs_rake_topk": q_docs_rake_topk,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -19146,4 +19455,7 @@ def oracles() -> dict[str, str]:
         "part_snm_pairs": O_PART_SNM_PAIRS,
         "pages_kanon_lattice": O_PAGES_KANON_LATTICE(_SF001),
         "docs_max_repeat": O_DOCS_MAX_REPEAT(),
+        "lineitem_kruskal_wallis": O_LINEITEM_KRUSKAL_WALLIS,
+        "lineitem_quantile_sketch": O_LINEITEM_QUANTILE_SKETCH(),
+        "docs_rake_topk": O_DOCS_RAKE_TOPK(),
     }

@@ -266,3 +266,35 @@ def bm25_topk(
 
     local = docs.map_batches(local_topk, batch_format="pyarrow")
     return _reduce_score_topk(local, k, id_col)
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction
+# --------------------------------------------------------------------------
+
+RAKE_STOPWORDS = frozenset(
+    w for prof in ("en", "fr", "de", "es")
+    for w in __import__(
+        "newsagency_classification_ray.stages.textstats",
+        fromlist=["_STOPWORDS"])._STOPWORDS[prof])
+
+_RAKE_TOKEN_RE = __import__("re").compile(r"[a-z0-9]+")
+
+
+def rake_phrases(text: str) -> list[list[str]]:
+    """RAKE candidate phrases: maximal runs of non-stopword tokens
+    (lowercased ``[a-z0-9]+``), split at stopwords. Shared by the Ray
+    stages AND the oracle recompute — deterministic tokenization is the
+    cross-engine contract."""
+    phrases: list[list[str]] = []
+    cur: list[str] = []
+    for tok in _RAKE_TOKEN_RE.findall((text or "").lower()):
+        if tok in RAKE_STOPWORDS:
+            if cur:
+                phrases.append(cur)
+                cur = []
+        else:
+            cur.append(tok)
+    if cur:
+        phrases.append(cur)
+    return phrases
