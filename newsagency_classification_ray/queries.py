@@ -18674,6 +18674,294 @@ def O_DOCS_RAKE_TOPK() -> str:
         "t(phrase, score_nano, n_occurrences)", "('', 0, 0)")
 
 
+# --------------------------------------------------------------------------
+# Leave-one-out 1-NN label accuracy over embeddings
+# --------------------------------------------------------------------------
+
+
+def q_embeddings_loo_accuracy(sf_dir: str):
+    """Leave-one-out 1-nearest-neighbor classification accuracy per label
+    — the label-coherence audit of the embedding space (is the labeling
+    learnable from geometry at all?): every vector's nearest OTHER vector
+    by quantized-L2 (micro-quantized components, exact int64 distances,
+    deterministic (d2, neighbor_id) tie-break) votes its label; accuracy =
+    share of agreeing votes per label. Same broadcast regime as
+    embeddings_knn_graph (raises past _KNN_BCAST_LIMIT; the scale path is
+    IVF bucketing); per-block matmul against the ray.put matrix, per-block
+    partial (label, n, n_correct) combiners, one tiny groupby. Columns:
+    (label, n, n_correct, acc_nano)."""
+    emb = ops.read_table(sf_dir, "embeddings",
+                         ["vec_id", "embedding", "label"])
+    n = emb.count()
+    if n > _KNN_BCAST_LIMIT:
+        raise ValueError(
+            f"loo_accuracy broadcast bound exceeded ({n} vectors): route "
+            f"through IVF buckets as in ivf_ann_topk")
+    rows = emb.take_all()  # bounded by _KNN_BCAST_LIMIT, documented above
+    rows.sort(key=lambda r: int(r["vec_id"]))
+    ids = np.array([int(r["vec_id"]) for r in rows], np.int64)
+    labels = np.array([int(r["label"]) for r in rows], np.int64)
+    m = np.array([[_q6(x) for x in r["embedding"]] for r in rows], np.int64)
+    norms = (m * m).sum(axis=1)
+    ref = ray.put((ids, labels, m, norms))
+
+    def partials(t: pa.Table) -> pa.Table:
+        g_ids, g_labels, g_m, g_norms = ray.get(ref)
+        q = np.array([[_q6(x) for x in v]
+                      for v in t["embedding"].to_pylist()], np.int64)
+        qn = (q * q).sum(axis=1)
+        d2 = qn[:, None] + g_norms[None, :] - 2 * (q @ g_m.T)
+        # exclude self by (d2, neighbor_id) lexicographic argmin over others
+        self_mask = t["vec_id"].to_numpy(zero_copy_only=False)[:, None] \
+            == g_ids[None, :]
+        d2 = np.where(self_mask, np.iinfo(np.int64).max, d2)
+        order = np.lexsort((g_ids[None, :].repeat(len(q), 0), d2), axis=1)
+        nn = order[:, 0]
+        correct = g_labels[nn] == t["label"].to_numpy(zero_copy_only=False)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        out_l, out_n, out_c = [], [], []
+        for lv in np.unique(lab):
+            sel = lab == lv
+            out_l.append(int(lv))
+            out_n.append(int(sel.sum()))
+            out_c.append(int(correct[sel].sum()))
+        return pa.table({"label": pa.array(out_l, pa.int64()),
+                         "n": pa.array(out_n, pa.int64()),
+                         "n_correct": pa.array(out_c, pa.int64())})
+
+    agg = (emb.map_batches(partials, batch_format="pyarrow")
+           .groupby("label")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_correct", alias_name="n_correct"))
+           .take_all())
+    agg.sort(key=lambda r: int(r["label"]))
+    return pa.table({
+        "label": pa.array([int(r["label"]) for r in agg], pa.int64()),
+        "n": pa.array([int(r["n"]) for r in agg], pa.int64()),
+        "n_correct": pa.array([int(r["n_correct"]) for r in agg],
+                              pa.int64()),
+        "acc_nano": pa.array(
+            [_div_nano(int(r["n_correct"]), int(r["n"])) for r in agg],
+            pa.int64())})
+
+
+def O_EMBEDDINGS_LOO_ACCURACY() -> str:
+    """Pure recompute: identical micro-quantized integer distances and
+    tie-break (VALUES; the geometry is not SQL-expressible)."""
+    t = _read_parquet_cols(_SF001, "embeddings",
+                           ["vec_id", "embedding", "label"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    labels = t["label"].to_numpy(zero_copy_only=False).astype(
+        np.int64)[order]
+    m = np.array([[_q6(x) for x in v] for v in t["embedding"].to_pylist()],
+                 np.int64)[order]
+    norms = (m * m).sum(axis=1)
+    d2 = norms[:, None] + norms[None, :] - 2 * (m @ m.T)
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    nn = np.lexsort((np.broadcast_to(ids, d2.shape), d2), axis=1)[:, 0]
+    correct = labels[nn] == labels
+    rows = []
+    for lv in np.unique(labels):
+        sel = labels == lv
+        n, c = int(sel.sum()), int(correct[sel].sum())
+        rows.append(f"({int(lv)}, {n}, {c}, {_div_nano(c, n)})")
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n, "
+        "CAST(n_correct AS BIGINT) AS n_correct, "
+        "CAST(acc_nano AS BIGINT) AS acc_nano",
+        "t(label, n, n_correct, acc_nano)", "(0, 0, 0, 0)")
+
+
+# --------------------------------------------------------------------------
+# Temporal link-prediction backtest on the co-occurrence graph
+# --------------------------------------------------------------------------
+
+_LINKBT_CUTOFF = 1970
+
+
+def q_kg_link_backtest(sf_dir: str):
+    """Temporal link-prediction BACKTEST on the agency co-occurrence
+    graph: build the graph from years <= 1970 only, score every
+    non-edge candidate pair with the Resource-Allocation index
+    (sum over common neighbors z of 1/deg(z) — the exact-rational sibling
+    of Adamic-Adar, nano-quantized per neighbor before summing), label a
+    candidate positive when the pair first co-occurs AFTER the cutoff,
+    and report the exact tie-corrected midrank AUC — the evaluation loop
+    that validates co-occurrence edges as a link predictor before anyone
+    ships kg_adamic_adar scores. Edge lists are agency-vocabulary-bounded
+    (<= |QID vocab|^2 pairs); the expensive part — mention extraction —
+    is the shared distributed pipeline. Columns: (cutoff_year,
+    n_train_edges, n_candidates, n_pos, auc_nano)."""
+    edges = kg.cooccurrence_edges(_mentions(sf_dir)) \
+        .select_columns(["src_qid", "dst_qid", "year"]).take_all()
+    train: set[tuple[str, str]] = set()
+    test: set[tuple[str, str]] = set()
+    for r in edges:  # bounded: qid-vocab^2 x years
+        pair = (r["src_qid"], r["dst_qid"])
+        (train if int(r["year"]) <= _LINKBT_CUTOFF else test).add(pair)
+    nodes = sorted({q for p in train for q in p})
+    deg: dict[str, int] = {}
+    nbr: dict[str, set[str]] = {}
+    for a, b in train:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    scored: list[tuple[int, int]] = []  # (score_nano, is_pos)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) in train:
+                continue
+            s = sum(_div_nano(1, deg[z])
+                    for z in nbr.get(a, set()) & nbr.get(b, set()))
+            scored.append((s, 1 if (a, b) in test else 0))
+    n_pos = sum(p for _, p in scored)
+    n_neg = len(scored) - n_pos
+    # exact tie-corrected AUC from 2x midranks
+    from collections import Counter
+
+    cnt = Counter(s for s, _ in scored)
+    mr2: dict[int, int] = {}
+    cum = 0
+    for s in sorted(cnt):
+        mr2[s] = 2 * cum + cnt[s] + 1
+        cum += cnt[s]
+    r2 = sum(mr2[s] for s, p in scored if p)
+    auc = _div_nano(r2 - n_pos * (n_pos + 1), 2 * n_pos * n_neg) \
+        if n_pos and n_neg else 0
+    return pa.table({
+        "cutoff_year": pa.array([_LINKBT_CUTOFF], pa.int64()),
+        "n_train_edges": pa.array([len(train)], pa.int64()),
+        "n_candidates": pa.array([len(scored)], pa.int64()),
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "auc_nano": pa.array([auc], pa.int64())})
+
+
+O_KG_LINK_BACKTEST = lambda sf: f"""WITH {_pages_cte(sf)},
+counts AS (SELECT host, year, qid FROM sql_mentions
+           WHERE qid <> 'NIL' GROUP BY 1, 2, 3),
+pairs AS (SELECT a.qid AS qa, b.qid AS qb, a.year AS yr
+          FROM counts a JOIN counts b
+            ON a.host = b.host AND a.year = b.year AND a.qid < b.qid
+          GROUP BY 1, 2, 3),
+train_e AS (SELECT DISTINCT qa, qb FROM pairs
+            WHERE yr <= {_LINKBT_CUTOFF}),
+test_e AS (SELECT DISTINCT qa, qb FROM pairs WHERE yr > {_LINKBT_CUTOFF}),
+nodes AS (SELECT DISTINCT q FROM
+          (SELECT qa AS q FROM train_e UNION SELECT qb FROM train_e)),
+deg AS (SELECT q, CAST(count(*) AS HUGEINT) AS d FROM
+        (SELECT qa AS q FROM train_e UNION ALL SELECT qb FROM train_e)
+        GROUP BY 1),
+cand AS (SELECT a.q AS qa, b.q AS qb FROM nodes a JOIN nodes b ON a.q < b.q
+         WHERE NOT EXISTS (SELECT 1 FROM train_e e
+                           WHERE e.qa = a.q AND e.qb = b.q)),
+nbr AS (SELECT qa AS q, qb AS z FROM train_e
+        UNION ALL SELECT qb, qa FROM train_e),
+ra0 AS (SELECT c.qa, c.qb, (2 * 1000000000 + d.d) // (2 * d.d) AS term
+        FROM cand c JOIN nbr x ON x.q = c.qa
+        JOIN nbr y ON y.q = c.qb AND y.z = x.z
+        JOIN deg d ON d.q = x.z),
+ra AS (SELECT qa, qb, sum(term) AS s FROM ra0 GROUP BY 1, 2),
+scored AS (SELECT c.qa, c.qb, coalesce(r.s, 0) AS s,
+                  CASE WHEN t.qa IS NOT NULL THEN 1 ELSE 0 END AS pos
+           FROM cand c LEFT JOIN ra r ON r.qa = c.qa AND r.qb = c.qb
+           LEFT JOIN test_e t ON t.qa = c.qa AND t.qb = c.qb),
+rk AS (SELECT pos, 2 * (rank() OVER (ORDER BY s) - 1)
+                   + count(*) OVER (PARTITION BY s) + 1 AS mr2
+       FROM scored),
+agg AS (SELECT CAST(sum(pos) AS HUGEINT) AS np_,
+               CAST(sum(1 - pos) AS HUGEINT) AS nn_,
+               CAST(sum(CASE WHEN pos = 1 THEN mr2 END) AS HUGEINT) AS r2
+        FROM rk)
+SELECT CAST({_LINKBT_CUTOFF} AS BIGINT) AS cutoff_year,
+       (SELECT CAST(count(*) AS BIGINT) FROM train_e) AS n_train_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM scored) AS n_candidates,
+       CAST(np_ AS BIGINT) AS n_pos,
+       CAST(CASE WHEN np_ > 0 AND nn_ > 0 THEN
+         {_sql_div_nano('r2 - np_ * (np_ + 1)', '2 * np_ * nn_')}
+         ELSE 0 END AS BIGINT) AS auc_nano
+FROM agg"""
+
+
+# --------------------------------------------------------------------------
+# Per-host capture-gap dispersion (CV^2 regime census)
+# --------------------------------------------------------------------------
+
+
+def q_pages_gap_cv(sf_dir: str):
+    """Per-host inter-capture dispersion: sort each host's capture
+    timestamps (quantized to whole minutes BEFORE differencing — the
+    cross-engine quantization contract), take consecutive gaps, and
+    report CV^2 = n * sum(g^2) / (sum g)^2 - 1 in exact integer nano —
+    the burstiness-regime census (CV^2 ~ 0 metronome, ~ 1 Poisson, > 1
+    bursty) a recrawl scheduler reads next to the hourly-rate politeness
+    audit. One keyed exchange; in-group vectorized diff; gap sums carried
+    as Python ints (gap^2 sums can exceed int64 at century spans).
+    Columns: (host, n_gaps, sum_gap_min, cv2_nano, regime)."""
+    path = pages_src.ensure_pages(sf_dir)
+    pages = ray.data.read_parquet(path, columns=["url", "warc_ts"])
+
+    def host_min(t: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            t["url"], r"^https://([^/]+)/.*$", r"\1")
+        mins = pc.cast(pc.floor(pc.divide(
+            pc.cast(t["warc_ts"], pa.int64()), 60_000_000)), pa.int64())
+        return pa.table({"host": host, "tmin": mins})
+
+    def per_host(g: pa.Table) -> pa.Table:
+        ts = np.sort(g["tmin"].to_numpy(zero_copy_only=False))
+        if len(ts) < 2:
+            return pa.table({"host": pa.array([], pa.string()),
+                             "n_gaps": pa.array([], pa.int64()),
+                             "sum_gap_min": pa.array([], pa.int64()),
+                             "cv2_nano": pa.array([], pa.int64()),
+                             "regime": pa.array([], pa.string())})
+        gaps = np.diff(ts)
+        n = len(gaps)
+        sg = int(gaps.sum())
+        sg2 = int((gaps.astype(object) ** 2).sum())  # exact bigints
+        cv2 = _div_nano(n * sg2, sg * sg) - 10**9 if sg else 0
+        regime = ("regular" if cv2 < 500_000_000
+                  else "bursty" if cv2 > 2_000_000_000 else "poisson")
+        return pa.table({"host": g["host"].slice(0, 1),
+                         "n_gaps": pa.array([n], pa.int64()),
+                         "sum_gap_min": pa.array([sg], pa.int64()),
+                         "cv2_nano": pa.array([cv2], pa.int64()),
+                         "regime": pa.array([regime], pa.string())})
+
+    return (pages.map_batches(host_min, batch_format="pyarrow")
+            .groupby("host").map_groups(per_host, batch_format="pyarrow")
+            .sort("host"))
+
+
+def O_PAGES_GAP_CV(sf: str) -> str:
+    glob = f"{pages_src.pages_path_for(sf)}/*.parquet"
+    return f"""
+WITH p AS (SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                  epoch_us(warc_ts) // 60000000 AS tmin
+           FROM read_parquet('{glob}')),
+l AS (SELECT host, tmin - lag(tmin) OVER
+        (PARTITION BY host ORDER BY tmin) AS g FROM p),
+s AS (SELECT host, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(g) AS HUGEINT) AS sg,
+             CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sg2
+      FROM l WHERE g IS NOT NULL GROUP BY 1),
+c AS (SELECT host, n, sg,
+             CASE WHEN sg > 0 THEN
+               {_sql_div_nano('n * sg2', 'sg * sg')} - 1000000000
+             ELSE 0 END AS cv2
+      FROM s)
+SELECT host, CAST(n AS BIGINT) AS n_gaps, CAST(sg AS BIGINT) AS sum_gap_min,
+       CAST(cv2 AS BIGINT) AS cv2_nano,
+       CASE WHEN cv2 < 500000000 THEN 'regular'
+            WHEN cv2 > 2000000000 THEN 'bursty'
+            ELSE 'poisson' END AS regime
+FROM c ORDER BY host"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -19094,6 +19382,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_kruskal_wallis": q_lineitem_kruskal_wallis,
     "lineitem_quantile_sketch": q_lineitem_quantile_sketch,
     "docs_rake_topk": q_docs_rake_topk,
+    "embeddings_loo_accuracy": q_embeddings_loo_accuracy,
+    "kg_link_backtest": q_kg_link_backtest,
+    "pages_gap_cv": q_pages_gap_cv,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -19458,4 +19749,7 @@ def oracles() -> dict[str, str]:
         "lineitem_kruskal_wallis": O_LINEITEM_KRUSKAL_WALLIS,
         "lineitem_quantile_sketch": O_LINEITEM_QUANTILE_SKETCH(),
         "docs_rake_topk": O_DOCS_RAKE_TOPK(),
+        "embeddings_loo_accuracy": O_EMBEDDINGS_LOO_ACCURACY(),
+        "kg_link_backtest": O_KG_LINK_BACKTEST(_SF001),
+        "pages_gap_cv": O_PAGES_GAP_CV(_SF001),
     }
