@@ -5688,3 +5688,24 @@ def quantile_from_samples(samples: list[tuple[int, int]], rank: int) -> int:
         if acc >= rank:
             return v
     return samples[-1][0] if samples else 0
+
+
+def huffman_total_bits(counts: list[int]) -> int:
+    """Total encoded size (bits) of an optimal prefix (Huffman) code for
+    the given symbol counts — sum(w_i * depth_i). Every optimal tree has
+    the SAME total cost, so the result is deterministic regardless of
+    tie-breaking (the property that makes it oracle-checkable). A single
+    symbol costs 0 bits (depth 0); empty input costs 0."""
+    import heapq
+
+    h = [int(c) for c in counts if c > 0]
+    if len(h) < 2:
+        return 0
+    heapq.heapify(h)
+    total = 0
+    while len(h) > 1:
+        a = heapq.heappop(h)
+        b = heapq.heappop(h)
+        total += a + b
+        heapq.heappush(h, a + b)
+    return total

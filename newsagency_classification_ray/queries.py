@@ -18962,6 +18962,272 @@ SELECT host, CAST(n AS BIGINT) AS n_gaps, CAST(sg AS BIGINT) AS sum_gap_min,
 FROM c ORDER BY host"""
 
 
+# --------------------------------------------------------------------------
+# Huffman compression-cost estimator per source
+# --------------------------------------------------------------------------
+
+
+def q_docs_huffman_cost(sf_dir: str):
+    """Per-source dictionary-compression cost estimate: the total bits of
+    an optimal token-level prefix code (ops.huffman_total_bits — every
+    optimal Huffman tree has the same total cost, so the number is
+    tie-break-free) vs the fixed-width baseline n_tokens *
+    ceil(log2(vocab)) — the compressibility audit that ranks sources by
+    token-distribution skew before anyone picks a corpus encoding.
+    Shape: per-batch (source, token, n) combiners -> ONE bounded groupby
+    on the vocabulary -> per-source map_groups runs the Huffman reduce
+    inside the cluster (never on the driver). Columns: (source,
+    n_tokens, vocab_size, huffman_bits, fixed_bits)."""
+    docs = ops.read_table(sf_dir, "documents", ["source", "text"])
+
+    def tok_partials(t: pa.Table) -> pa.Table:
+        cnt: dict[tuple[str, str], int] = {}
+        for src, s in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            for w in (s or "").split():
+                cnt[(src, w)] = cnt.get((src, w), 0) + 1
+        ks = sorted(cnt)
+        return pa.table({
+            "source": pa.array([k[0] for k in ks], pa.string()),
+            "token": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([cnt[k] for k in ks], pa.int64())})
+
+    def per_source(g: pa.Table) -> pa.Table:
+        ns = g["n"].to_numpy(zero_copy_only=False)
+        n_tok = int(ns.sum())
+        vocab = len(ns)
+        hb = ops.huffman_total_bits(ns.tolist())
+        fixed = n_tok * max(vocab - 1, 0).bit_length()
+        return pa.table({
+            "source": g["source"].slice(0, 1),
+            "n_tokens": pa.array([n_tok], pa.int64()),
+            "vocab_size": pa.array([vocab], pa.int64()),
+            "huffman_bits": pa.array([hb], pa.int64()),
+            "fixed_bits": pa.array([fixed], pa.int64())})
+
+    return (docs.map_batches(tok_partials, batch_format="pyarrow")
+            .groupby(["source", "token"])
+            .aggregate(Sum("n", alias_name="n"))
+            .groupby("source")
+            .map_groups(per_source, batch_format="pyarrow")
+            .sort("source"))
+
+
+def O_DOCS_HUFFMAN_COST() -> str:
+    """Pure recompute with the shared Huffman kernel (optimal-cost
+    uniqueness makes it engine-exact)."""
+    t = _read_parquet_cols(_SF001, "documents", ["source", "text"])
+    cnt: dict[str, dict[str, int]] = {}
+    for src, s in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        d = cnt.setdefault(src, {})
+        for w in (s or "").split():
+            d[w] = d.get(w, 0) + 1
+    rows = []
+    for src in sorted(cnt):
+        ns = list(cnt[src].values())
+        n_tok, vocab = sum(ns), len(ns)
+        hb = ops.huffman_total_bits(ns)
+        fixed = n_tok * max(vocab - 1, 0).bit_length()
+        rows.append(f"({_sq(src)}, {n_tok}, {vocab}, {hb}, {fixed})")
+    return _values_or_empty(
+        rows,
+        "SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(vocab_size AS BIGINT) AS vocab_size, "
+        "CAST(huffman_bits AS BIGINT) AS huffman_bits, "
+        "CAST(fixed_bits AS BIGINT) AS fixed_bits",
+        "t(source, n_tokens, vocab_size, huffman_bits, fixed_bits)",
+        "('', 0, 0, 0, 0)")
+
+
+# --------------------------------------------------------------------------
+# Tukey median polish of the (returnflag x linestatus) quantity table
+# --------------------------------------------------------------------------
+
+_POLISH_SWEEPS = 2
+
+
+def _median_polish(cells: dict[tuple[str, str], Any]):
+    """Tukey median polish over a small two-way table of exact Fractions:
+    _POLISH_SWEEPS rounds of (subtract row medians into row effects, then
+    column medians into column effects). Deterministic exact-rational
+    math — the shared kernel for the Ray query AND the VALUES oracle.
+    Returns (grand, row_eff, col_eff, residuals) as Fractions."""
+    from fractions import Fraction
+    from statistics import median
+
+    rows_ = sorted({k[0] for k in cells})
+    cols_ = sorted({k[1] for k in cells})
+    r = {k: Fraction(v) for k, v in cells.items()}
+    grand = Fraction(0)
+    re_ = {x: Fraction(0) for x in rows_}
+    ce = {y: Fraction(0) for y in cols_}
+    for _ in range(_POLISH_SWEEPS):
+        for x in rows_:
+            med = median([r[(x, y)] for y in cols_])
+            re_[x] += med
+            for y in cols_:
+                r[(x, y)] -= med
+        for y in cols_:
+            med = median([r[(x, y)] for x in rows_])
+            ce[y] += med
+            for x in rows_:
+                r[(x, y)] -= med
+        gmed = median(list(re_.values()))
+        grand += gmed
+        for x in rows_:
+            re_[x] -= gmed
+        gmed = median(list(ce.values()))
+        grand += gmed
+        for y in cols_:
+            ce[y] -= gmed
+    return grand, re_, ce, r
+
+
+def _polish_rows(cells: dict[tuple[str, str], Any]):
+    grand, re_, ce, r = _median_polish(cells)
+    out = [("grand", "", "", grand)]
+    out += [("row", x, "", v) for x, v in sorted(re_.items())]
+    out += [("col", "", y, v) for y, v in sorted(ce.items())]
+    out += [("residual", x, y, r[(x, y)])
+            for x, y in sorted(r)]
+    return [(c, a, b, _div_nano(v.numerator, v.denominator))
+            for c, a, b, v in out]
+
+
+def q_lineitem_median_polish(sf_dir: str):
+    """Tukey median polish of the (returnflag x linestatus) lower-median
+    quantity table: the robust additive decomposition grand + row + col +
+    residual (exact Fractions, fixed 2 sweeps — the shared
+    _median_polish kernel), where each cell's starting value is the exact
+    2x-median of l_quantity from the bounded value histogram (ONE small
+    exchange; no raw row ever leaves its block). Columns: (component,
+    l_returnflag, l_linestatus, value_nano)."""
+    from fractions import Fraction
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = pa.table({"f": t["l_returnflag"], "s": t["l_linestatus"],
+                      "v": pc.cast(t["l_quantity"], pa.int64())}).group_by(
+            ["f", "s", "v"]).aggregate([("v", "count")])
+        return pa.table({"f": g["f"], "s": g["s"], "v": g["v"],
+                         "c": pc.cast(g["v_count"], pa.int64())})
+
+    hist = (ops.read_table(sf_dir, "lineitem",
+                           ["l_returnflag", "l_linestatus", "l_quantity"])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby(["f", "s", "v"]).aggregate(Sum("c", alias_name="c"))
+            .take_all())  # bounded: cells x value support
+    bycell: dict[tuple[str, str], dict[int, int]] = {}
+    for r in hist:
+        bycell.setdefault((r["f"], r["s"]), {})[int(r["v"])] = int(r["c"])
+    cells: dict[tuple[str, str], Fraction] = {}
+    for k, cnts in bycell.items():
+        n = sum(cnts.values())
+        r1, r2 = (n + 1) // 2, n // 2 + 1
+        cum, m1, m2 = 0, None, None
+        for v in sorted(cnts):
+            cum += cnts[v]
+            if m1 is None and cum >= r1:
+                m1 = v
+            if m2 is None and cum >= r2:
+                m2 = v
+                break
+        cells[k] = Fraction(m1 + m2, 2)
+    rows = _polish_rows(cells)
+    return pa.table({
+        "component": pa.array([r[0] for r in rows], pa.string()),
+        "l_returnflag": pa.array([r[1] for r in rows], pa.string()),
+        "l_linestatus": pa.array([r[2] for r in rows], pa.string()),
+        "value_nano": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def O_LINEITEM_MEDIAN_POLISH() -> str:
+    """Pure recompute: exact cell medians from the parquet histogram, then
+    the SAME _median_polish kernel (VALUES; iterated exact-rational
+    medians are not SQL-expressible)."""
+    from fractions import Fraction
+
+    t = _read_parquet_cols(
+        _SF001, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity"]).to_pandas()
+    t["q"] = t.l_quantity.astype(int)
+    cells: dict[tuple[str, str], Fraction] = {}
+    for (f, s), grp in t.groupby(["l_returnflag", "l_linestatus"]):
+        vs = sorted(grp.q)
+        n = len(vs)
+        cells[(f, s)] = Fraction(vs[(n + 1) // 2 - 1] + vs[n // 2], 2)
+    rows = [f"({_sq(c)}, {_sq(a)}, {_sq(b)}, {v})"
+            for c, a, b, v in _polish_rows(cells)]
+    return _values_or_empty(
+        rows,
+        "SELECT component, l_returnflag, l_linestatus, "
+        "CAST(value_nano AS BIGINT) AS value_nano",
+        "t(component, l_returnflag, l_linestatus, value_nano)",
+        "('', '', '', 0)")
+
+
+# --------------------------------------------------------------------------
+# Per-file physical-sortedness audit
+# --------------------------------------------------------------------------
+
+
+def q_pages_file_clustering(sf_dir: str):
+    """Physical-layout clustering audit: how sorted is each pages shard
+    file on warc_ts IN FILE ORDER — the zone-map-effectiveness precursor
+    (a file that is internally sorted prunes; a shuffled one does not;
+    see orders_zonemap_prune for the downstream effect). One Ray task
+    per FILE (from_items over the shard list — file granularity is the
+    natural parallel unit for footer/order audits), each reading only
+    the timestamp column and counting adjacent descents. Columns:
+    (file, n_rows, n_desc, sortedness_nano)."""
+    import glob as _g
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    path = pages_src.ensure_pages(sf_dir)
+    files = sorted(_g.glob(f"{path}/*.parquet"))
+
+    def audit(batch: dict) -> pa.Table:
+        out = {"file": [], "n_rows": [], "n_desc": [], "sortedness_nano": []}
+        for f in batch["path"]:
+            ts = _pq.read_table(f, columns=["warc_ts"])["warc_ts"] \
+                .to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+                .astype(np.int64)
+            n = len(ts)
+            desc = int((np.diff(ts) < 0).sum()) if n > 1 else 0
+            out["file"].append(_os.path.basename(f))
+            out["n_rows"].append(n)
+            out["n_desc"].append(desc)
+            out["sortedness_nano"].append(
+                _div_nano(n - 1 - desc, n - 1) if n > 1 else 10**9)
+        return pa.table({"file": pa.array(out["file"], pa.string()),
+                         "n_rows": pa.array(out["n_rows"], pa.int64()),
+                         "n_desc": pa.array(out["n_desc"], pa.int64()),
+                         "sortedness_nano": pa.array(
+                             out["sortedness_nano"], pa.int64())})
+
+    return (ray.data.from_items([{"path": f} for f in files])
+            .map_batches(audit, batch_format="pandas", batch_size=1)
+            .sort("file"))
+
+
+def O_PAGES_FILE_CLUSTERING(sf: str) -> str:
+    glob = f"{pages_src.pages_path_for(sf)}/*.parquet"
+    return f"""
+WITH p AS (SELECT regexp_extract(filename, '([^/]+)$', 1) AS f,
+                  file_row_number AS rn, epoch_us(warc_ts) AS ts
+           FROM read_parquet('{glob}', filename = true,
+                             file_row_number = true)),
+l AS (SELECT f, CASE WHEN ts < lag(ts) OVER
+        (PARTITION BY f ORDER BY rn) THEN 1 ELSE 0 END AS d FROM p),
+s AS (SELECT f, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS HUGEINT) AS nd FROM l GROUP BY 1)
+SELECT f AS file, n AS n_rows, CAST(nd AS BIGINT) AS n_desc,
+       CAST(CASE WHEN n > 1 THEN
+         {_sql_div_nano('n - 1 - nd', 'n - 1')}
+         ELSE 1000000000 END AS BIGINT) AS sortedness_nano
+FROM s ORDER BY f"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -19385,6 +19651,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embeddings_loo_accuracy": q_embeddings_loo_accuracy,
     "kg_link_backtest": q_kg_link_backtest,
     "pages_gap_cv": q_pages_gap_cv,
+    "docs_huffman_cost": q_docs_huffman_cost,
+    "lineitem_median_polish": q_lineitem_median_polish,
+    "pages_file_clustering": q_pages_file_clustering,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -19752,4 +20021,7 @@ def oracles() -> dict[str, str]:
         "embeddings_loo_accuracy": O_EMBEDDINGS_LOO_ACCURACY(),
         "kg_link_backtest": O_KG_LINK_BACKTEST(_SF001),
         "pages_gap_cv": O_PAGES_GAP_CV(_SF001),
+        "docs_huffman_cost": O_DOCS_HUFFMAN_COST(),
+        "lineitem_median_polish": O_LINEITEM_MEDIAN_POLISH(),
+        "pages_file_clustering": O_PAGES_FILE_CLUSTERING(_SF001),
     }
