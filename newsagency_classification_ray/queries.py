@@ -19228,6 +19228,270 @@ SELECT f AS file, n AS n_rows, CAST(nd AS BIGINT) AS n_desc,
 FROM s ORDER BY f"""
 
 
+# --------------------------------------------------------------------------
+# U-shape (position-based) multi-touch attribution
+# --------------------------------------------------------------------------
+
+
+def q_events_ushape_attribution(sf_dir: str):
+    """Position-based (40/20/40 U-shape) multi-touch attribution: for
+    every user with a purchase, the touchpoint path is all events
+    STRICTLY BEFORE the first purchase, ordered by (ts, event_id); the
+    first and last touch get 0.4 credit each, the middles share 0.2
+    evenly (len-1 path gets 1.0, len-2 splits 0.5/0.5) — the
+    position-weighted complement to events_attribution's first-touch
+    model. Credits are nano-quantized PER TOUCH before summing (the
+    quantize-before-sum discipline), so both engines add identical
+    integers. One shuffle on user_id; per-group vectorized credit
+    assignment emits per-type partials. Columns: (event_type, n_touches,
+    credit_nano)."""
+    ev = ops.read_table(sf_dir, "events",
+                        ["user_id", "ts", "event_id", "event_type"])
+
+    def credit(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        types = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        is_p = types == "purchase"
+        if not is_p.any():
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n_touches": pa.array([], pa.int64()),
+                             "credit_nano": pa.array([], pa.int64())})
+        pts = ts[is_p].min()
+        sel = ts < pts
+        if not sel.any():
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n_touches": pa.array([], pa.int64()),
+                             "credit_nano": pa.array([], pa.int64())})
+        order = np.lexsort((eid[sel], ts[sel]))
+        path = types[sel][order]
+        n = len(path)
+        if n == 1:
+            cr = np.array([10**9], np.int64)
+        elif n == 2:
+            cr = np.array([5 * 10**8] * 2, np.int64)
+        else:
+            mid = _div_nano(1, 5 * (n - 2))
+            cr = np.full(n, mid, np.int64)
+            cr[0] = cr[-1] = 4 * 10**8
+        out: dict[str, list[int]] = {}
+        for t_, c in zip(path, cr):
+            a = out.setdefault(t_, [0, 0])
+            a[0] += 1
+            a[1] += int(c)
+        ks = sorted(out)
+        return pa.table({
+            "event_type": pa.array(ks, pa.string()),
+            "n_touches": pa.array([out[k][0] for k in ks], pa.int64()),
+            "credit_nano": pa.array([out[k][1] for k in ks], pa.int64())})
+
+    return (ev.groupby("user_id").map_groups(credit, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n_touches", alias_name="n_touches"),
+                       Sum("credit_nano", alias_name="credit_nano"))
+            .sort("event_type"))
+
+
+O_EVENTS_USHAPE_ATTRIBUTION = f"""
+WITH fp AS (SELECT user_id, min(ts) AS pts FROM events
+            WHERE event_type = 'purchase' GROUP BY 1),
+path AS (SELECT e.user_id, e.event_type,
+                row_number() OVER (PARTITION BY e.user_id
+                                   ORDER BY e.ts, e.event_id) AS rn,
+                count(*) OVER (PARTITION BY e.user_id) AS n
+         FROM events e JOIN fp USING (user_id) WHERE e.ts < fp.pts),
+cr AS (SELECT event_type,
+              CASE WHEN n = 1 THEN 1000000000
+                   WHEN n = 2 THEN 500000000
+                   WHEN rn = 1 OR rn = n THEN 400000000
+                   ELSE {_sql_div_nano('1', '5 * (n - 2)')} END AS c
+       FROM path)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(c) AS BIGINT) AS credit_nano
+FROM cr GROUP BY 1 ORDER BY 1"""
+
+
+# --------------------------------------------------------------------------
+# Neyman-optimal stratified sampling allocation
+# --------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+
+def _isqrt_alloc(weights: dict[str, int], budget: int) -> dict[str, int]:
+    """Largest-remainder apportionment of ``budget`` by integer weights
+    (ties broken by key asc) — the shared kernel for both engines."""
+    tot = sum(weights.values())
+    if tot == 0:
+        return {k: 0 for k in weights}
+    base = {k: budget * w // tot for k, w in weights.items()}
+    rem = budget - sum(base.values())
+    order = sorted(weights,
+                   key=lambda k: (-(budget * weights[k] % tot), k))
+    for k in order[:rem]:
+        base[k] += 1
+    return base
+
+
+def q_docs_neyman_allocation(sf_dir: str):
+    """Neyman-optimal stratified sample allocation over sources: per
+    stratum h, the optimal share is proportional to N_h * S_h =
+    sqrt(N_h * sum(y^2) - (sum y)^2) (y = n_chars), which is an INTEGER
+    sqrt of integer sufficient statistics — so the whole design (weights,
+    largest-remainder apportionment of a 1000-row budget, and the
+    proportional-allocation baseline) is exact and engine-identical.
+    Distributed shape: per-block (source, n, sum_y, sum_y2) combiners ->
+    one bounded groupby -> O(strata) driver apportionment. Columns:
+    (source, n, weight, neyman_alloc, prop_alloc)."""
+    import math
+
+    docs = ops.read_table(sf_dir, "documents", ["source", "n_chars"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        y = pc.cast(t["n_chars"], pa.int64())
+        g = pa.table({"source": t["source"], "y": y,
+                      "y2": pc.multiply(y, y)}).group_by("source") \
+            .aggregate([("y", "count"), ("y", "sum"), ("y2", "sum")])
+        return pa.table({"source": g["source"],
+                         "n": pc.cast(g["y_count"], pa.int64()),
+                         "sy": g["y_sum"], "sy2": g["y2_sum"]})
+
+    agg = (docs.map_batches(partials, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sy2", alias_name="sy2"))
+           .take_all())  # bounded: one row per stratum
+    stats = {r["source"]: (int(r["n"]), int(r["sy"]), int(r["sy2"]))
+             for r in agg}
+    w_ney = {s: math.isqrt(max(0, n * sy2 - sy * sy))
+             for s, (n, sy, sy2) in stats.items()}
+    w_prop = {s: n for s, (n, _, _) in stats.items()}
+    a_ney = _isqrt_alloc(w_ney, _NEYMAN_BUDGET)
+    a_prop = _isqrt_alloc(w_prop, _NEYMAN_BUDGET)
+    srcs = sorted(stats)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n": pa.array([stats[s][0] for s in srcs], pa.int64()),
+        "weight": pa.array([w_ney[s] for s in srcs], pa.int64()),
+        "neyman_alloc": pa.array([a_ney[s] for s in srcs], pa.int64()),
+        "prop_alloc": pa.array([a_prop[s] for s in srcs], pa.int64())})
+
+
+def O_DOCS_NEYMAN_ALLOCATION() -> str:
+    """Pure recompute (integer sqrt + largest remainder are not safely
+    SQL-expressible — float sqrt can be off-by-one at boundaries)."""
+    import math
+
+    t = _read_parquet_cols(_SF001, "documents",
+                           ["source", "n_chars"]).to_pandas()
+    stats = {}
+    for s, grp in t.groupby("source"):
+        y = grp.n_chars.astype(int)
+        stats[s] = (len(y), int(y.sum()), int((y.astype(object) ** 2).sum()))
+    w_ney = {s: math.isqrt(max(0, n * sy2 - sy * sy))
+             for s, (n, sy, sy2) in stats.items()}
+    w_prop = {s: n for s, (n, _, _) in stats.items()}
+    a_ney = _isqrt_alloc(w_ney, _NEYMAN_BUDGET)
+    a_prop = _isqrt_alloc(w_prop, _NEYMAN_BUDGET)
+    rows = [f"({_sq(s)}, {stats[s][0]}, {w_ney[s]}, {a_ney[s]}, "
+            f"{a_prop[s]})" for s in sorted(stats)]
+    return _values_or_empty(
+        rows,
+        "SELECT source, CAST(n AS BIGINT) AS n, "
+        "CAST(weight AS BIGINT) AS weight, "
+        "CAST(neyman_alloc AS BIGINT) AS neyman_alloc, "
+        "CAST(prop_alloc AS BIGINT) AS prop_alloc",
+        "t(source, n, weight, neyman_alloc, prop_alloc)",
+        "('', 0, 0, 0, 0)")
+
+
+# --------------------------------------------------------------------------
+# Edge-weight threshold sweep of co-occurrence connectivity
+# --------------------------------------------------------------------------
+
+_CC_THRESHOLDS = [1, 2, 4]
+
+
+def q_kg_threshold_components(sf_dir: str):
+    """Connectivity-vs-pruning sweep of the agency co-occurrence graph:
+    aggregate pair weights across years (one bounded groupby — pairs are
+    qid-vocabulary-bounded), then for each weight threshold t report the
+    active-node count, component count and giant-component size of the
+    subgraph with weight >= t — the percolation curve that tells the
+    edge-pruning stage (kg_edge_weight_hist) how much cutting the graph
+    can take before it shatters. Columns: (threshold, n_nodes,
+    n_components, giant_size)."""
+    pairs = (kg.cooccurrence_edges(_mentions(sf_dir))
+             .select_columns(["src_qid", "dst_qid", "weight"])
+             .groupby(["src_qid", "dst_qid"])
+             .aggregate(Sum("weight", alias_name="w"))
+             .take_all())  # bounded: qid-vocab^2 pairs
+    rows = []
+    for t_ in _CC_THRESHOLDS:
+        edges = [(r["src_qid"], r["dst_qid"]) for r in pairs
+                 if int(r["w"]) >= t_]
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        sizes: dict[str, int] = {}
+        for x in parent:
+            sizes[find(x)] = sizes.get(find(x), 0) + 1
+        rows.append((t_, len(parent), len(sizes),
+                     max(sizes.values()) if sizes else 0))
+    return pa.table({
+        "threshold": pa.array([r[0] for r in rows], pa.int64()),
+        "n_nodes": pa.array([r[1] for r in rows], pa.int64()),
+        "n_components": pa.array([r[2] for r in rows], pa.int64()),
+        "giant_size": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def O_KG_THRESHOLD_COMPONENTS(sf: str) -> str:
+    """Genuine SQL: per threshold, transitive closure by recursive CTE
+    over the (tiny, vocabulary-bounded) thresholded edge set, component
+    label = min reachable node."""
+    parts = []
+    for t_ in _CC_THRESHOLDS:
+        parts.append(f"""
+SELECT CAST({t_} AS BIGINT) AS threshold,
+       CAST(coalesce(count(*), 0) AS BIGINT) AS n_nodes,
+       CAST(coalesce(count(DISTINCT lbl), 0) AS BIGINT) AS n_components,
+       CAST(coalesce(max(cnt), 0) AS BIGINT) AS giant_size
+FROM (SELECT node, lbl, count(*) OVER (PARTITION BY lbl) AS cnt
+      FROM (SELECT node, min(r) AS lbl FROM (
+        WITH RECURSIVE
+        ew AS (SELECT a.qid AS qa, b.qid AS qb, count(*) AS w
+               FROM counts a JOIN counts b
+                 ON a.host = b.host AND a.year = b.year AND a.qid < b.qid
+               GROUP BY 1, 2),
+        et AS (SELECT qa, qb FROM ew WHERE w >= {t_}),
+        und AS (SELECT qa AS u, qb AS v FROM et
+                UNION ALL SELECT qb, qa FROM et),
+        reach(node, r) AS (
+          SELECT u, u FROM und
+          UNION
+          SELECT und.u, reach.r FROM und JOIN reach ON reach.node = und.v)
+        SELECT node, r FROM reach) GROUP BY node))""")
+    cte = _pages_cte(sf)
+    counts = ("counts AS (SELECT host, year, qid FROM sql_mentions "
+              "WHERE qid <> 'NIL' GROUP BY 1, 2, 3)")
+    return (f"WITH {cte}, {counts}\n"
+            + "\nUNION ALL\n".join(parts)
+            + "\nORDER BY threshold")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -19654,6 +19918,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_huffman_cost": q_docs_huffman_cost,
     "lineitem_median_polish": q_lineitem_median_polish,
     "pages_file_clustering": q_pages_file_clustering,
+    "events_ushape_attribution": q_events_ushape_attribution,
+    "docs_neyman_allocation": q_docs_neyman_allocation,
+    "kg_threshold_components": q_kg_threshold_components,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -20024,4 +20291,7 @@ def oracles() -> dict[str, str]:
         "docs_huffman_cost": O_DOCS_HUFFMAN_COST(),
         "lineitem_median_polish": O_LINEITEM_MEDIAN_POLISH(),
         "pages_file_clustering": O_PAGES_FILE_CLUSTERING(_SF001),
+        "events_ushape_attribution": O_EVENTS_USHAPE_ATTRIBUTION,
+        "docs_neyman_allocation": O_DOCS_NEYMAN_ALLOCATION(),
+        "kg_threshold_components": O_KG_THRESHOLD_COMPONENTS(_SF001),
     }
