@@ -19492,6 +19492,261 @@ FROM (SELECT node, lbl, count(*) OVER (PARTITION BY lbl) AS cnt
             + "\nORDER BY threshold")
 
 
+# --------------------------------------------------------------------------
+# CUPED variance-reduction estimate
+# --------------------------------------------------------------------------
+
+
+def q_events_cuped(sf_dir: str):
+    """CUPED pre-experiment covariate adjustment audit: split the event
+    stream at the midpoint calendar day, fold each user's value to
+    pre-period X and post-period Y (exact cents; absent period = 0), and
+    report theta = cov(X,Y)/var(X) plus the achievable variance
+    reduction rho^2 — the first number an experimentation platform
+    computes before trusting a CUPED-adjusted A/B readout. Distributed
+    shape: one groupby on user_id with per-block (user, pre, post)
+    partials, then O(users) integer sufficient statistics (n, Sx, Sy,
+    Sxx, Sxy, Syy) reduced via a second tiny pass — ratios of integer
+    determinants, nano-rounded identically in SQL. Columns: (n_users,
+    cutoff_day, theta_nano, var_reduction_nano)."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(
+            pc.cast(t["ts"], pa.int64()), 86_400_000_000)), pa.int64())
+        return pa.table({"user_id": t["user_id"], "day": day,
+                         "cents": _cents(t["value"])})
+
+    folded = ev.map_batches(fold, batch_format="pyarrow").materialize()
+    lo = folded.min("day")
+    hi = folded.max("day")
+    cutoff = (int(lo) + int(hi) + 1) // 2
+
+    def split(t: pa.Table) -> pa.Table:
+        pre = pc.if_else(pc.less(t["day"], cutoff), t["cents"], 0)
+        post = pc.if_else(pc.less(t["day"], cutoff), 0, t["cents"])
+        return pa.table({"user_id": t["user_id"], "x": pre, "y": post})
+
+    per_user = (folded.map_batches(split, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Sum("x", alias_name="x"),
+                           Sum("y", alias_name="y")))
+
+    def stats(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False).astype(object)
+        y = t["y"].to_numpy(zero_copy_only=False).astype(object)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(sum(x))], pa.int64()),
+            "sy": pa.array([int(sum(y))], pa.int64()),
+            "sxx": pa.array([int(sum(x * x))], pa.int64()),
+            "sxy": pa.array([int(sum(x * y))], pa.int64()),
+            "syy": pa.array([int(sum(y * y))], pa.int64())})
+
+    agg = (per_user.map_batches(stats, batch_format="pyarrow")
+           .sum(["n", "sx", "sy", "sxx", "sxy", "syy"]))
+    n, sx, sy = int(agg["sum(n)"]), int(agg["sum(sx)"]), int(agg["sum(sy)"])
+    sxx, sxy, syy = (int(agg["sum(sxx)"]), int(agg["sum(sxy)"]),
+                     int(agg["sum(syy)"]))
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    theta = _div_nano(cov, dx) if dx else 0
+    vr = _div_nano(cov * cov, dx * dy) if dx and dy else 0
+    return pa.table({"n_users": pa.array([n], pa.int64()),
+                     "cutoff_day": pa.array([cutoff], pa.int64()),
+                     "theta_nano": pa.array([theta], pa.int64()),
+                     "var_reduction_nano": pa.array([vr], pa.int64())})
+
+
+O_EVENTS_CUPED = f"""
+WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+co AS (SELECT (min(day) + max(day) + 1) // 2 AS c FROM d),
+pu AS (SELECT user_id,
+              CAST(sum(CASE WHEN day < co.c THEN cents ELSE 0 END)
+                   AS HUGEINT) AS x,
+              CAST(sum(CASE WHEN day >= co.c THEN cents ELSE 0 END)
+                   AS HUGEINT) AS y
+       FROM d, co GROUP BY user_id),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM pu)
+SELECT CAST(n AS BIGINT) AS n_users,
+       (SELECT CAST(c AS BIGINT) FROM co) AS cutoff_day,
+       CAST(CASE WHEN n * sxx - sx * sx <> 0 THEN
+         {_sql_div_nano('n * sxy - sx * sy', 'n * sxx - sx * sx')}
+         ELSE 0 END AS BIGINT) AS theta_nano,
+       CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <> 0 THEN
+         {_sql_div_nano('(n * sxy - sx * sy) * (n * sxy - sx * sy)',
+                        '(n * sxx - sx * sx) * (n * syy - sy * sy)')}
+         ELSE 0 END AS BIGINT) AS var_reduction_nano
+FROM s"""
+
+
+# --------------------------------------------------------------------------
+# Positional-index phrase search
+# --------------------------------------------------------------------------
+
+_PHRASE_QUERY = ("hash", "join")
+
+
+def q_docs_phrase_search(sf_dir: str):
+    """Exact phrase search via positional postings: per document, the
+    token positions of each query term are intersected with the
+    adjacency constraint (pos_{i+1} = pos_i + 1) — the positional-index
+    algorithm under every phrase-capable search engine, here run as a
+    streaming map (the postings never materialize corpus-wide; only
+    matching (doc_id, n_matches) rows leave the block). The corpus is
+    single-space tokenized, so the count provably equals the SQL padded
+    substring count the oracle runs. Columns: (doc_id, n_matches)."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text"])
+    terms = _PHRASE_QUERY
+
+    def find(t: pa.Table) -> pa.Table:
+        out_id, out_n = [], []
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = (s or "").split(" ")
+            pos = None
+            for k, term in enumerate(terms):
+                p = np.asarray([j for j, w in enumerate(toks) if w == term],
+                               np.int64) - k
+                pos = p if pos is None else np.intersect1d(pos, p)
+                if len(pos) == 0:
+                    break
+            if pos is not None and len(pos):
+                out_id.append(int(i))
+                out_n.append(int(len(pos)))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "n_matches": pa.array(out_n, pa.int64())})
+
+    return docs.map_batches(find, batch_format="pyarrow").sort("doc_id")
+
+
+O_DOCS_PHRASE_SEARCH = f"""
+WITH p AS (SELECT doc_id, ' ' || text || ' ' AS t FROM documents),
+m AS (SELECT doc_id,
+             (length(t) - length(replace(t, ' {' '.join(_PHRASE_QUERY)} ',
+                                         ''))) //
+             length(' {' '.join(_PHRASE_QUERY)} ') AS n_matches
+      FROM p)
+SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
+FROM m WHERE n_matches > 0 ORDER BY doc_id"""
+
+
+# --------------------------------------------------------------------------
+# Triplet-margin audit over labeled embeddings
+# --------------------------------------------------------------------------
+
+
+def q_embeddings_triplet_margin(sf_dir: str):
+    """Metric-learning triplet audit: for every anchor, d_pos = distance
+    to its nearest SAME-label vector, d_neg = nearest OTHER-label vector
+    (micro-quantized exact-int L2, (d2, id) tie-break); a 'hard' anchor
+    has d_neg <= d_pos (the zero-margin triplet violation). Per label:
+    n, n_hard, and the mean gap d_neg - d_pos in nano — the
+    margin-health readout before anyone trains a contrastive head on
+    these labels. Same broadcast regime + bound as embeddings_knn_graph.
+    Columns: (label, n, n_hard, mean_gap_nano)."""
+    emb = ops.read_table(sf_dir, "embeddings",
+                         ["vec_id", "embedding", "label"])
+    n = emb.count()
+    if n > _KNN_BCAST_LIMIT:
+        raise ValueError(
+            f"triplet audit broadcast bound exceeded ({n} vectors): route "
+            f"through IVF buckets as in ivf_ann_topk")
+    rows = emb.take_all()  # bounded by _KNN_BCAST_LIMIT
+    rows.sort(key=lambda r: int(r["vec_id"]))
+    ids = np.array([int(r["vec_id"]) for r in rows], np.int64)
+    labels = np.array([int(r["label"]) for r in rows], np.int64)
+    m = np.array([[_q6(x) for x in r["embedding"]] for r in rows], np.int64)
+    norms = (m * m).sum(axis=1)
+    ref = ray.put((ids, labels, m, norms))
+    big = np.iinfo(np.int64).max
+
+    def partials(t: pa.Table) -> pa.Table:
+        g_ids, g_labels, g_m, g_norms = ray.get(ref)
+        q = np.array([[_q6(x) for x in v]
+                      for v in t["embedding"].to_pylist()], np.int64)
+        qn = (q * q).sum(axis=1)
+        d2 = qn[:, None] + g_norms[None, :] - 2 * (q @ g_m.T)
+        self_mask = t["vec_id"].to_numpy(zero_copy_only=False)[:, None] \
+            == g_ids[None, :]
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        same = lab[:, None] == g_labels[None, :]
+        idm = np.broadcast_to(g_ids[None, :], d2.shape)
+        d_pos_m = np.where(self_mask | ~same, big, d2)
+        d_neg_m = np.where(same, big, d2)
+        ppos = np.lexsort((idm, d_pos_m), axis=1)[:, 0]
+        pneg = np.lexsort((idm, d_neg_m), axis=1)[:, 0]
+        dp = d_pos_m[np.arange(len(q)), ppos]
+        dn = d_neg_m[np.arange(len(q)), pneg]
+        out_l, out_n, out_h, out_g = [], [], [], []
+        for lv in np.unique(lab):
+            sel = lab == lv
+            out_l.append(int(lv))
+            out_n.append(int(sel.sum()))
+            out_h.append(int((dn[sel] <= dp[sel]).sum()))
+            out_g.append(int((dn[sel].astype(object)
+                              - dp[sel].astype(object)).sum()))
+        return pa.table({"label": pa.array(out_l, pa.int64()),
+                         "n": pa.array(out_n, pa.int64()),
+                         "n_hard": pa.array(out_h, pa.int64()),
+                         "gap_sum": pa.array(out_g, pa.int64())})
+
+    agg = (emb.map_batches(partials, batch_format="pyarrow")
+           .groupby("label")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_hard", alias_name="n_hard"),
+                      Sum("gap_sum", alias_name="gap_sum"))
+           .take_all())
+    agg.sort(key=lambda r: int(r["label"]))
+    return pa.table({
+        "label": pa.array([int(r["label"]) for r in agg], pa.int64()),
+        "n": pa.array([int(r["n"]) for r in agg], pa.int64()),
+        "n_hard": pa.array([int(r["n_hard"]) for r in agg], pa.int64()),
+        "mean_gap_q": pa.array(
+            [_div_round(int(r["gap_sum"]), int(r["n"])) for r in agg],
+            pa.int64())})
+
+
+def O_EMBEDDINGS_TRIPLET_MARGIN() -> str:
+    """Pure recompute: identical quantized distances and tie-breaks."""
+    t = _read_parquet_cols(_SF001, "embeddings",
+                           ["vec_id", "embedding", "label"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    labels = t["label"].to_numpy(zero_copy_only=False).astype(
+        np.int64)[order]
+    m = np.array([[_q6(x) for x in v] for v in t["embedding"].to_pylist()],
+                 np.int64)[order]
+    norms = (m * m).sum(axis=1)
+    d2 = norms[:, None] + norms[None, :] - 2 * (m @ m.T)
+    big = np.iinfo(np.int64).max
+    same = labels[:, None] == labels[None, :]
+    idm = np.broadcast_to(ids[None, :], d2.shape)
+    d_pos_m = np.where(same, d2, big)
+    np.fill_diagonal(d_pos_m, big)
+    d_neg_m = np.where(same, big, d2)
+    ppos = np.lexsort((idm, d_pos_m), axis=1)[:, 0]
+    pneg = np.lexsort((idm, d_neg_m), axis=1)[:, 0]
+    dp = d_pos_m[np.arange(len(ids)), ppos]
+    dn = d_neg_m[np.arange(len(ids)), pneg]
+    rows = []
+    for lv in np.unique(labels):
+        sel = labels == lv
+        n, h = int(sel.sum()), int((dn[sel] <= dp[sel]).sum())
+        g = int((dn[sel].astype(object) - dp[sel].astype(object)).sum())
+        rows.append(f"({int(lv)}, {n}, {h}, {_div_round(g, n)})")
+    return _values_or_empty(
+        rows,
+        "SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n, "
+        "CAST(n_hard AS BIGINT) AS n_hard, "
+        "CAST(mean_gap_q AS BIGINT) AS mean_gap_q",
+        "t(label, n, n_hard, mean_gap_q)", "(0, 0, 0, 0)")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -19921,6 +20176,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_ushape_attribution": q_events_ushape_attribution,
     "docs_neyman_allocation": q_docs_neyman_allocation,
     "kg_threshold_components": q_kg_threshold_components,
+    "events_cuped": q_events_cuped,
+    "docs_phrase_search": q_docs_phrase_search,
+    "embeddings_triplet_margin": q_embeddings_triplet_margin,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -20294,4 +20552,7 @@ def oracles() -> dict[str, str]:
         "events_ushape_attribution": O_EVENTS_USHAPE_ATTRIBUTION,
         "docs_neyman_allocation": O_DOCS_NEYMAN_ALLOCATION(),
         "kg_threshold_components": O_KG_THRESHOLD_COMPONENTS(_SF001),
+        "events_cuped": O_EVENTS_CUPED,
+        "docs_phrase_search": O_DOCS_PHRASE_SEARCH,
+        "embeddings_triplet_margin": O_EMBEDDINGS_TRIPLET_MARGIN(),
     }
