@@ -19747,6 +19747,235 @@ def O_EMBEDDINGS_TRIPLET_MARGIN() -> str:
         "t(label, n, n_hard, mean_gap_q)", "(0, 0, 0, 0)")
 
 
+# --------------------------------------------------------------------------
+# Time-RANGE window frame (INTERVAL 1 HOUR PRECEDING)
+# --------------------------------------------------------------------------
+
+
+def q_events_range_window(sf_dir: str):
+    """RANGE-frame windowed aggregate: per event, the sum of ``value``
+    cents over the SAME USER's events in the trailing hour (RANGE BETWEEN
+    INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) — the time-based frame
+    semantics (vs the ROWS frame of events_user_moving_sum): peers share
+    a frame by TIMESTAMP, so ties get identical sums regardless of
+    intra-tie order. One shuffle on user_id; in-group the frame is a
+    vectorized prefix-sum difference at searchsorted(ts - 1h) — O(n log
+    n) per group, never a per-row rescan. Columns: (event_id,
+    user_id, hour_sum_cents)."""
+    ev = ops.read_table(sf_dir, "events",
+                        ["user_id", "ts", "event_id", "value"])
+    hour = 3_600_000_000
+
+    def frame(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(g["value"], 100)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts_s, c_s, e_s = ts[order], cents[order], eid[order]
+        csum = np.concatenate([[0], np.cumsum(c_s)])
+        lo = np.searchsorted(ts_s, ts_s - hour, side="left")
+        # RANGE frame: peers (equal ts) all end at the LAST peer
+        hi = np.searchsorted(ts_s, ts_s, side="right")
+        sums = csum[hi] - csum[lo]
+        return pa.table({
+            "event_id": pa.array(e_s, pa.int64()),
+            "user_id": pa.concat_arrays(
+                [g["user_id"].combine_chunks().slice(0, 1)] * len(e_s))
+            if len(e_s) else g["user_id"].combine_chunks().slice(0, 0),
+            "hour_sum_cents": pa.array(sums, pa.int64())})
+
+    return (ev.groupby("user_id").map_groups(frame, batch_format="pyarrow")
+            .sort("event_id"))
+
+
+O_EVENTS_RANGE_WINDOW = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS hour_sum_cents
+FROM events ORDER BY event_id"""
+
+
+# --------------------------------------------------------------------------
+# Multi-source daily metrics spine
+# --------------------------------------------------------------------------
+
+
+def q_daily_metrics_spine(sf_dir: str):
+    """Cross-table daily metrics spine: one row per calendar day across
+    the UNION of the orders and events date ranges, carrying n_orders,
+    order revenue cents, n_events and event value cents with zero fill —
+    the warehouse 'metrics spine' that feeds every dashboard. NO join:
+    each source folds to (day, metric-column partials) via per-batch
+    combiners, the tagged partials UNION into one stream, and a single
+    groupby-sum assembles the spine (join-free multi-source merge); the
+    calendar fill is a bounded driver pass over the day span. Columns:
+    (day, n_orders, order_cents, n_events, event_cents)."""
+
+    def fold_orders(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(
+            pc.cast(t["o_orderdate"], pa.int64()), 86_400_000_000)),
+            pa.int64())
+        g = pa.table({"day": day,
+                      "order_cents": _cents(t["o_totalprice"])}) \
+            .group_by("day").aggregate([("order_cents", "sum"),
+                                        ("order_cents", "count")])
+        return pa.table({
+            "day": g["day"],
+            "n_orders": pc.cast(g["order_cents_count"], pa.int64()),
+            "order_cents": g["order_cents_sum"],
+            "n_events": pa.nulls(len(g), pa.int64()),
+            "event_cents": pa.nulls(len(g), pa.int64())})
+
+    def fold_events(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(
+            pc.cast(t["ts"], pa.int64()), 86_400_000_000)), pa.int64())
+        g = pa.table({"day": day, "event_cents": _cents(t["value"])}) \
+            .group_by("day").aggregate([("event_cents", "sum"),
+                                        ("event_cents", "count")])
+        return pa.table({
+            "day": g["day"],
+            "n_orders": pa.nulls(len(g), pa.int64()),
+            "order_cents": pa.nulls(len(g), pa.int64()),
+            "n_events": pc.cast(g["event_cents_count"], pa.int64()),
+            "event_cents": g["event_cents_sum"]})
+
+    o = ops.read_table(sf_dir, "orders", ["o_orderdate", "o_totalprice"]) \
+        .map_batches(fold_orders, batch_format="pyarrow")
+    e = ops.read_table(sf_dir, "events", ["ts", "value"]) \
+        .map_batches(fold_events, batch_format="pyarrow")
+    merged = (o.union(e).groupby("day")
+              .aggregate(Sum("n_orders", alias_name="n_orders"),
+                         Sum("order_cents", alias_name="order_cents"),
+                         Sum("n_events", alias_name="n_events"),
+                         Sum("event_cents", alias_name="event_cents"))
+              .take_all())  # bounded: one row per calendar day
+    have = {int(r["day"]): r for r in merged}
+    lo, hi = min(have), max(have)
+    days = list(range(lo, hi + 1))
+
+    def val(d: int, c: str) -> int:
+        r = have.get(d)
+        return int(r[c]) if r is not None and r[c] is not None else 0
+
+    return pa.table({
+        "day": pa.array(days, pa.int64()),
+        "n_orders": pa.array([val(d, "n_orders") for d in days], pa.int64()),
+        "order_cents": pa.array([val(d, "order_cents") for d in days],
+                                pa.int64()),
+        "n_events": pa.array([val(d, "n_events") for d in days], pa.int64()),
+        "event_cents": pa.array([val(d, "event_cents") for d in days],
+                                pa.int64())})
+
+
+O_DAILY_METRICS_SPINE = """
+WITH o AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS order_cents
+           FROM orders GROUP BY 1),
+e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS event_cents
+      FROM events GROUP BY 1),
+span AS (SELECT least((SELECT min(day) FROM o), (SELECT min(day) FROM e))
+           AS lo,
+         greatest((SELECT max(day) FROM o), (SELECT max(day) FROM e))
+           AS hi),
+cal AS (SELECT unnest(generate_series(lo, hi)) AS day FROM span)
+SELECT CAST(cal.day AS BIGINT) AS day,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(o.order_cents, 0) AS order_cents,
+       coalesce(e.n_events, 0) AS n_events,
+       coalesce(e.event_cents, 0) AS event_cents
+FROM cal LEFT JOIN o USING (day) LEFT JOIN e USING (day)
+ORDER BY day"""
+
+
+# --------------------------------------------------------------------------
+# Per-user bot-signal audit
+# --------------------------------------------------------------------------
+
+_BOT_PEAK_HOUR = 20       # events in one clock hour
+_BOT_RATE_PER_DAY = 40    # events per active day (x rate_den)
+
+
+def q_events_bot_scores(sf_dir: str):
+    """Per-user bot-signal audit — the multi-signal traffic-quality gate
+    (rate, burst, repetitiveness) every event pipeline runs before
+    analytics: n_events, active days, the peak single-clock-hour burst,
+    distinct event types, and two exact-integer flags (burst: peak hour
+    > 20; rate: n_events > 40 * active_days, decided by cross-multiply).
+    Shape: per-batch (user, day, hour, type) combiners -> one bounded
+    groupby per signal granularity -> per-user assembly; only sufficient
+    statistics cross the exchange. Columns: (user_id, n_events,
+    n_active_days, peak_hour, n_types, bursty, high_rate)."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        g = pa.table({
+            "user_id": t["user_id"],
+            "day": pc.cast(pc.floor(pc.divide(us, 86_400_000_000)),
+                           pa.int64()),
+            "hour": pc.cast(pc.floor(pc.divide(us, 3_600_000_000)),
+                            pa.int64()),
+            "event_type": t["event_type"]}).group_by(
+            ["user_id", "day", "hour", "event_type"]).aggregate(
+            [("day", "count")])
+        return g.rename_columns(
+            ["user_id", "day", "hour", "event_type", "n"]).set_column(
+            4, "n", pc.cast(g["day_count"], pa.int64()))
+
+    cell = (ev.map_batches(cells, batch_format="pyarrow")
+            .groupby(["user_id", "day", "hour", "event_type"])
+            .aggregate(Sum("n", alias_name="n"))).materialize()
+
+    def per_user(g: pa.Table) -> pa.Table:
+        n = int(pc.sum(g["n"]).as_py())
+        days = len(set(g["day"].to_pylist()))
+        hr = pa.table({"h": g["hour"], "n": g["n"]}).group_by("h") \
+            .aggregate([("n", "sum")])
+        peak = int(pc.max(hr["n_sum"]).as_py())
+        ntypes = len(set(g["event_type"].to_pylist()))
+        return pa.table({
+            "user_id": pc.cast(g["user_id"].slice(0, 1), pa.int64()),
+            "n_events": pa.array([n], pa.int64()),
+            "n_active_days": pa.array([days], pa.int64()),
+            "peak_hour": pa.array([peak], pa.int64()),
+            "n_types": pa.array([ntypes], pa.int64()),
+            "bursty": pa.array([peak > _BOT_PEAK_HOUR], pa.bool_()),
+            "high_rate": pa.array([n > _BOT_RATE_PER_DAY * days],
+                                  pa.bool_())})
+
+    return (cell.groupby("user_id")
+            .map_groups(per_user, batch_format="pyarrow")
+            .sort("user_id"))
+
+
+O_EVENTS_BOT_SCORES = f"""
+WITH c AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                  epoch_us(ts) // 3600000000 AS hour, event_type
+           FROM events),
+hr AS (SELECT user_id, hour, CAST(count(*) AS BIGINT) AS n
+       FROM c GROUP BY 1, 2),
+u AS (SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT day) AS BIGINT) AS n_active_days,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+      FROM c GROUP BY 1),
+pk AS (SELECT user_id, max(n) AS peak_hour FROM hr GROUP BY 1)
+SELECT u.user_id, n_events, n_active_days, CAST(peak_hour AS BIGINT)
+         AS peak_hour, n_types,
+       peak_hour > {_BOT_PEAK_HOUR} AS bursty,
+       n_events > {_BOT_RATE_PER_DAY} * n_active_days AS high_rate
+FROM u JOIN pk USING (user_id) ORDER BY u.user_id"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -20179,6 +20408,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_cuped": q_events_cuped,
     "docs_phrase_search": q_docs_phrase_search,
     "embeddings_triplet_margin": q_embeddings_triplet_margin,
+    "events_range_window": q_events_range_window,
+    "daily_metrics_spine": q_daily_metrics_spine,
+    "events_bot_scores": q_events_bot_scores,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -20555,4 +20787,7 @@ def oracles() -> dict[str, str]:
         "events_cuped": O_EVENTS_CUPED,
         "docs_phrase_search": O_DOCS_PHRASE_SEARCH,
         "embeddings_triplet_margin": O_EMBEDDINGS_TRIPLET_MARGIN(),
+        "events_range_window": O_EVENTS_RANGE_WINDOW,
+        "daily_metrics_spine": O_DAILY_METRICS_SPINE,
+        "events_bot_scores": O_EVENTS_BOT_SCORES,
     }
