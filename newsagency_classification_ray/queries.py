@@ -19976,6 +19976,239 @@ SELECT u.user_id, n_events, n_active_days, CAST(peak_hour AS BIGINT)
 FROM u JOIN pk USING (user_id) ORDER BY u.user_id"""
 
 
+# --------------------------------------------------------------------------
+# Order->ship lead-time quantiles per priority
+# --------------------------------------------------------------------------
+
+
+def q_lineitem_lead_time(sf_dir: str):
+    """Fulfilment lead-time distribution per order priority: join each
+    line item to its order (ops.hash_join — both sides fact-scaled, no
+    broadcast), fold to whole-day lead times (floor((ship - order) /
+    day), exact int64 micros math), and read p25/p50/p75 as LOWER
+    discrete quantiles (smallest value whose cumulative count reaches
+    ceil(p*n)) off the bounded per-(priority, days) histogram — plus the
+    exact nano mean. Columns: (o_orderpriority, n, p25_days, p50_days,
+    p75_days, mean_days_nano)."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    od = ops.read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = ops.hash_join(li, od, on=("l_orderkey",),
+                           right_on=("o_orderkey",))
+
+    def fold(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor(pc.divide(pc.subtract(
+            pc.cast(t["l_shipdate"], pa.int64()),
+            pc.cast(t["o_orderdate"], pa.int64())), 86_400_000_000)),
+            pa.int64())
+        g = pa.table({"p": t["o_orderpriority"], "d": d}).group_by(
+            ["p", "d"]).aggregate([("d", "count")])
+        return pa.table({"o_orderpriority": g["p"], "days": g["d"],
+                         "n": pc.cast(g["d_count"], pa.int64())})
+
+    hist = (joined.map_batches(fold, batch_format="pyarrow")
+            .groupby(["o_orderpriority", "days"])
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all())  # bounded: priorities x day support
+    byp: dict[str, dict[int, int]] = {}
+    for r in hist:
+        byp.setdefault(r["o_orderpriority"], {})[int(r["days"])] = \
+            int(r["n"])
+    out = {c: [] for c in ("o_orderpriority", "n", "p25_days", "p50_days",
+                           "p75_days", "mean_days_nano")}
+    for p in sorted(byp):
+        cnts = byp[p]
+        n = sum(cnts.values())
+        targets = [(n + 3) // 4, (n + 1) // 2, (3 * n + 3) // 4]
+        qs, cum, ti = [], 0, 0
+        total_days = 0
+        for v in sorted(cnts):
+            total_days += v * cnts[v]
+            cum += cnts[v]
+            while ti < 3 and cum >= targets[ti]:
+                qs.append(v)
+                ti += 1
+        out["o_orderpriority"].append(p)
+        out["n"].append(n)
+        out["p25_days"].append(qs[0])
+        out["p50_days"].append(qs[1])
+        out["p75_days"].append(qs[2])
+        out["mean_days_nano"].append(_div_nano(total_days, n))
+    return pa.table({
+        "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+        **{c: pa.array(out[c], pa.int64())
+           for c in ("n", "p25_days", "p50_days", "p75_days",
+                     "mean_days_nano")}})
+
+
+O_LINEITEM_LEAD_TIME = f"""
+WITH lt AS (SELECT o.o_orderpriority AS p,
+                   (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                     // 86400000000 AS d
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+h AS (SELECT p, d, CAST(count(*) AS BIGINT) AS c FROM lt GROUP BY 1, 2),
+tot AS (SELECT p, sum(c) AS n, sum(d * c) AS td FROM h GROUP BY 1),
+cum AS (SELECT p, d, sum(c) OVER (PARTITION BY p ORDER BY d) AS cu FROM h),
+q AS (SELECT c.p, t.n, t.td,
+             min(CASE WHEN cu >= (t.n + 3) // 4 THEN d END) AS p25,
+             min(CASE WHEN cu >= (t.n + 1) // 2 THEN d END) AS p50,
+             min(CASE WHEN cu >= (3 * t.n + 3) // 4 THEN d END) AS p75
+      FROM cum c JOIN tot t USING (p) GROUP BY c.p, t.n, t.td)
+SELECT p AS o_orderpriority, CAST(n AS BIGINT) AS n,
+       CAST(p25 AS BIGINT) AS p25_days, CAST(p50 AS BIGINT) AS p50_days,
+       CAST(p75 AS BIGINT) AS p75_days,
+       CAST({_sql_div_nano('td', 'n')} AS BIGINT) AS mean_days_nano
+FROM q ORDER BY p"""
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve
+# --------------------------------------------------------------------------
+
+
+def q_orders_ltv_curve(sf_dir: str):
+    """Cohort lifetime-value curve: customers cohorted by the calendar
+    month of their FIRST order (month index = year*12 + month - 1), then
+    per (cohort, months_since_first) the order count, revenue cents and
+    the RUNNING cumulative revenue — the LTV table under every payback
+    dashboard. Distributed shape: one groupby derives each customer's
+    cohort month from the orders themselves, ops.hash_join ships it back
+    to the fact table (customer-scaled, no broadcast), one bounded
+    groupby on (cohort, months_since), and the cumulative sweep runs on
+    the O(cohorts x months) driver table. Columns: (cohort_month,
+    months_since, n_orders, rev_cents, cum_rev_cents)."""
+    od = ops.read_table(sf_dir, "orders",
+                        ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"]
+        m = pc.add(pc.multiply(pc.cast(pc.year(ts), pa.int64()), 12),
+                   pc.cast(pc.subtract(pc.month(ts), 1), pa.int64()))
+        return pa.table({"o_custkey": t["o_custkey"], "m": m,
+                         "cents": _cents(t["o_totalprice"])})
+
+    folded = od.map_batches(fold, batch_format="pyarrow").materialize()
+    first = (folded.groupby("o_custkey")
+             .aggregate(Min("m", alias_name="cohort_month")))
+    joined = ops.hash_join(folded, first, on=("o_custkey",))
+
+    def cohortize(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "cohort_month": t["cohort_month"],
+            "months_since": pc.subtract(t["m"], t["cohort_month"]),
+            "cents": t["cents"]}).group_by(
+            ["cohort_month", "months_since"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({
+            "cohort_month": g["cohort_month"],
+            "months_since": g["months_since"],
+            "n_orders": pc.cast(g["cents_count"], pa.int64()),
+            "rev_cents": g["cents_sum"]})
+
+    agg = (joined.map_batches(cohortize, batch_format="pyarrow")
+           .groupby(["cohort_month", "months_since"])
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("rev_cents", alias_name="rev_cents"))
+           .take_all())  # bounded: cohorts x months cells
+    agg.sort(key=lambda r: (int(r["cohort_month"]),
+                            int(r["months_since"])))
+    cum: dict[int, int] = {}
+    rows = []
+    for r in agg:
+        c = int(r["cohort_month"])
+        cum[c] = cum.get(c, 0) + int(r["rev_cents"])
+        rows.append((c, int(r["months_since"]), int(r["n_orders"]),
+                     int(r["rev_cents"]), cum[c]))
+    return pa.table({
+        "cohort_month": pa.array([r[0] for r in rows], pa.int64()),
+        "months_since": pa.array([r[1] for r in rows], pa.int64()),
+        "n_orders": pa.array([r[2] for r in rows], pa.int64()),
+        "rev_cents": pa.array([r[3] for r in rows], pa.int64()),
+        "cum_rev_cents": pa.array([r[4] for r in rows], pa.int64())})
+
+
+O_ORDERS_LTV_CURVE = """
+WITH o AS (SELECT o_custkey,
+                  CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                       AS BIGINT) AS m,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+f AS (SELECT o_custkey, min(m) AS cohort_month FROM o GROUP BY 1),
+j AS (SELECT f.cohort_month, o.m - f.cohort_month AS months_since,
+             o.cents FROM o JOIN f USING (o_custkey)),
+g AS (SELECT cohort_month, months_since,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS rev_cents
+      FROM j GROUP BY 1, 2)
+SELECT cohort_month, months_since, n_orders, rev_cents,
+       CAST(sum(rev_cents) OVER (PARTITION BY cohort_month
+                                 ORDER BY months_since) AS BIGINT)
+         AS cum_rev_cents
+FROM g ORDER BY cohort_month, months_since"""
+
+
+# --------------------------------------------------------------------------
+# Moving-average type-token ratio per source
+# --------------------------------------------------------------------------
+
+
+def q_docs_mattr(sf_dir: str):
+    """MATTR lexical-diversity rollup per source: each document's
+    Moving-Average Type-Token Ratio (textstats.mattr_nano — mean distinct
+    count over 25-token sliding windows, two-pointer incremental, exact
+    nano; the length-robust alternative to the plain TTR in
+    source_vocab_stats) quantized per doc BEFORE aggregation, then a
+    bounded per-source (n_docs, mean/min/max) rollup. Columns: (source,
+    n_docs, mean_mattr_nano, min_mattr_nano, max_mattr_nano)."""
+    docs = ops.read_table(sf_dir, "documents", ["source", "text"])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        vals = [ts.mattr_nano((s or "").split())
+                for s in t["text"].to_pylist()]
+        return pa.table({"source": t["source"],
+                         "mattr": pa.array(vals, pa.int64())})
+
+    agg = (docs.map_batches(per_doc, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("mattr", alias_name="s"),
+                      Min("mattr", alias_name="min_mattr_nano"),
+                      Max("mattr", alias_name="max_mattr_nano"))
+           .take_all())
+    agg.sort(key=lambda r: r["source"])
+    return pa.table({
+        "source": pa.array([r["source"] for r in agg], pa.string()),
+        "n_docs": pa.array([int(r["n_docs"]) for r in agg], pa.int64()),
+        "mean_mattr_nano": pa.array(
+            [_div_round(int(r["s"]), int(r["n_docs"])) for r in agg],
+            pa.int64()),
+        "min_mattr_nano": pa.array(
+            [int(r["min_mattr_nano"]) for r in agg], pa.int64()),
+        "max_mattr_nano": pa.array(
+            [int(r["max_mattr_nano"]) for r in agg], pa.int64())})
+
+
+def O_DOCS_MATTR() -> str:
+    """Pure recompute with the shared two-pointer kernel."""
+    t = _read_parquet_cols(_SF001, "documents", ["source", "text"])
+    per: dict[str, list[int]] = {}
+    for src, s in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        per.setdefault(src, []).append(ts.mattr_nano((s or "").split()))
+    rows = []
+    for src in sorted(per):
+        v = per[src]
+        rows.append(f"({_sq(src)}, {len(v)}, "
+                    f"{_div_round(sum(v), len(v))}, {min(v)}, {max(v)})")
+    return _values_or_empty(
+        rows,
+        "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+        "CAST(mean_mattr_nano AS BIGINT) AS mean_mattr_nano, "
+        "CAST(min_mattr_nano AS BIGINT) AS min_mattr_nano, "
+        "CAST(max_mattr_nano AS BIGINT) AS max_mattr_nano",
+        "t(source, n_docs, mean_mattr_nano, min_mattr_nano, "
+        "max_mattr_nano)", "('', 0, 0, 0, 0)")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -20411,6 +20644,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_range_window": q_events_range_window,
     "daily_metrics_spine": q_daily_metrics_spine,
     "events_bot_scores": q_events_bot_scores,
+    "lineitem_lead_time": q_lineitem_lead_time,
+    "orders_ltv_curve": q_orders_ltv_curve,
+    "docs_mattr": q_docs_mattr,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -20790,4 +21026,7 @@ def oracles() -> dict[str, str]:
         "events_range_window": O_EVENTS_RANGE_WINDOW,
         "daily_metrics_spine": O_DAILY_METRICS_SPINE,
         "events_bot_scores": O_EVENTS_BOT_SCORES,
+        "lineitem_lead_time": O_LINEITEM_LEAD_TIME,
+        "orders_ltv_curve": O_ORDERS_LTV_CURVE,
+        "docs_mattr": O_DOCS_MATTR(),
     }

@@ -477,3 +477,39 @@ def max_repeat_len(tokens: list[str] | np.ndarray) -> int:
         else:
             hi = mid - 1
     return lo
+
+
+def mattr_nano(tokens: list[str], window: int = 25) -> int:
+    """Moving-Average Type-Token Ratio (Covington & McFall) in exact
+    integer nano: the mean distinct-token count over every length-
+    ``window`` sliding window, divided by the window length — the
+    length-robust lexical-diversity measure (plain TTR shrinks with doc
+    length). Docs shorter than the window fall back to whole-doc TTR.
+    Two-pointer incremental distinct maintenance: O(n), no per-window
+    rescan. Shared by the Ray stage and the oracle recompute."""
+    n = len(tokens)
+    if n == 0:
+        return 0
+    if n <= window:
+        return _div_nano_ts(len(set(tokens)), n)
+    from collections import Counter
+
+    cnt: Counter = Counter(tokens[:window])
+    distinct_sum = len(cnt)
+    for i in range(window, n):
+        cnt[tokens[i]] += 1
+        left = tokens[i - window]
+        cnt[left] -= 1
+        if cnt[left] == 0:
+            del cnt[left]
+        distinct_sum += len(cnt)
+    return _div_nano_ts(distinct_sum, window * (n - window + 1))
+
+
+def _div_nano_ts(num: int, den: int) -> int:
+    """round(num * 1e9 / den) half away from zero, exact ints (local copy
+    of queries._div_nano to keep the stage import-free of queries)."""
+    num *= 10**9
+    s = -1 if (num < 0) != (den < 0) else 1
+    num, den = abs(num), abs(den)
+    return s * ((2 * num + den) // (2 * den))
