@@ -20209,6 +20209,396 @@ def O_DOCS_MATTR() -> str:
         "max_mattr_nano)", "('', 0, 0, 0, 0)")
 
 
+# --------------------------------------------------------------------------
+# Exact Shapley-value channel attribution
+# --------------------------------------------------------------------------
+
+
+def q_events_shapley(sf_dir: str):
+    """Exact Shapley-value marketing attribution: the game-theoretic
+    credit split (the principled alternative to the positional 40/20/40
+    of events_ushape_attribution). Channels are the non-purchase event
+    types; each converted user's coalition is the set of channels they
+    touched strictly BEFORE their first purchase ((ts, event_id)
+    composite order); the coalition value v(S) counts converted users
+    whose touched set is contained in S. phi_i is the exact Shapley sum
+    over all coalitions, reported as the integer phi_kfact = phi_i * k!
+    (no division ever happens, so the hash cannot float-flip).
+
+    Distributed shape: one per-user ordered scan (map_groups) emits a
+    single int64 coalition BITMASK per converted user; one bounded
+    groupby folds masks to a histogram of at most 2^k rows (k = number
+    of channel types, a schema-bounded constant — asserted <= 20); the
+    subset-zeta transform and the k!-weighted marginal sums run on the
+    O(2^k) driver table. No step is corpus-sized. Columns: (channel,
+    n_users, phi_kfact); sum(phi_kfact) == k! * (v(full) - v(empty))."""
+    ev = ops.read_table(sf_dir, "events",
+                        ["user_id", "ts", "event_id", "event_type"])
+    types = sorted(r["event_type"] for r in
+                   ev.groupby("event_type")
+                   .aggregate(Count(alias_name="n")).take_all())
+    channels = [t for t in types if t != "purchase"]
+    k = len(channels)
+    if k > 20:
+        raise ValueError(
+            f"events_shapley: {k} channel types would need 2^{k} coalition "
+            f"cells; cap the channel vocabulary (e.g. top-20 by volume) "
+            f"before exact Shapley")
+    bit = {c: i for i, c in enumerate(channels)}
+    bref = ray.put(bit)
+
+    def coalition(g: pa.Table) -> pa.Table:
+        bm = ray.get(bref)
+        tsv = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        pur = et == "purchase"
+        if not pur.any():
+            return pa.table({"mask": pa.array([], pa.int64())})
+        pi = np.lexsort((eid[pur], tsv[pur]))[0]
+        pts, peid = tsv[pur][pi], eid[pur][pi]
+        before = (tsv < pts) | ((tsv == pts) & (eid < peid))
+        m = 0
+        for t in set(et[before & ~pur].tolist()):
+            m |= 1 << bm[t]
+        return pa.table({"mask": pa.array([m], pa.int64())})
+
+    hist = (ev.groupby("user_id").map_groups(coalition,
+                                             batch_format="pyarrow")
+            .groupby("mask").aggregate(Count(alias_name="n"))
+            .take_all())  # bounded: <= 2^k rows
+    h = {int(r["mask"]): int(r["n"]) for r in hist}
+    size = 1 << k
+    v = [0] * size
+    for m, n in h.items():
+        v[m] += n
+    for i in range(k):  # subset-zeta: v[S] = sum over masks contained in S
+        b = 1 << i
+        for s in range(size):
+            if s & b:
+                v[s] += v[s ^ b]
+    import math as _m
+
+    phi = [0] * k
+    n_users = [0] * k
+    for i in range(k):
+        b = 1 << i
+        for s in range(size):
+            if s & b:
+                continue
+            w = _m.factorial(bin(s).count("1")) \
+                * _m.factorial(k - 1 - bin(s).count("1"))
+            phi[i] += w * (v[s | b] - v[s])
+        n_users[i] = sum(n for m, n in h.items() if m & b)
+    return pa.table({
+        "channel": pa.array(channels, pa.string()),
+        "n_users": pa.array(n_users, pa.int64()),
+        "phi_kfact": pa.array(phi, pa.int64())})
+
+
+O_EVENTS_SHAPLEY = """
+WITH ch AS (
+  SELECT event_type AS channel,
+         CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS bit
+  FROM (SELECT DISTINCT event_type FROM events
+        WHERE event_type <> 'purchase')),
+kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ch),
+fp AS (
+  SELECT user_id, ts AS pts, event_id AS peid FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+tou AS (
+  SELECT DISTINCT e.user_id, c.bit
+  FROM events e JOIN fp USING (user_id)
+  JOIN ch c ON e.event_type = c.channel
+  WHERE e.ts < fp.pts OR (e.ts = fp.pts AND e.event_id < fp.peid)),
+mask AS (
+  SELECT fp.user_id,
+         CAST(coalesce(sum(CAST(1 AS BIGINT) << t.bit), 0) AS BIGINT) AS m
+  FROM fp LEFT JOIN tou t ON fp.user_id = t.user_id GROUP BY fp.user_id),
+h AS (SELECT m, CAST(count(*) AS BIGINT) AS cnt FROM mask GROUP BY m),
+subsets AS (
+  SELECT CAST(r.range AS BIGINT) AS s FROM range(0, 1 << 20) r
+  WHERE r.range < (1 << (SELECT k FROM kk))),
+v AS (
+  SELECT s.s, CAST(coalesce(sum(h.cnt), 0) AS BIGINT) AS v
+  FROM subsets s LEFT JOIN h ON (h.m & s.s) = h.m GROUP BY s.s),
+nu AS (
+  SELECT c.channel, CAST(count(t.user_id) AS BIGINT) AS n_users
+  FROM ch c LEFT JOIN tou t ON t.bit = c.bit GROUP BY c.channel),
+phi AS (
+  SELECT c.channel,
+         CAST(sum(CAST(factorial(CAST(bit_count(s.s) AS INTEGER))
+                       AS BIGINT)
+                  * CAST(factorial(CAST((SELECT k FROM kk) - 1
+                                        - bit_count(s.s) AS INTEGER))
+                         AS BIGINT)
+                  * (vi.v - vs.v)) AS BIGINT) AS phi_kfact
+  FROM ch c
+  JOIN subsets s ON (s.s & (CAST(1 AS BIGINT) << c.bit)) = 0
+  JOIN v vs ON vs.s = s.s
+  JOIN v vi ON vi.s = (s.s | (CAST(1 AS BIGINT) << c.bit))
+  GROUP BY c.channel)
+SELECT p.channel, nu.n_users, p.phi_kfact
+FROM phi p JOIN nu USING (channel) ORDER BY p.channel"""
+
+
+# --------------------------------------------------------------------------
+# Naive-Bayes language classifier confusion matrix
+# --------------------------------------------------------------------------
+
+
+def q_docs_nb_confusion(sf_dir: str):
+    """Learned language identification: a multinomial Naive-Bayes
+    classifier trained on the declared `lang` labels over hashed token
+    features (ts.nb_buckets — siphash mod 2^14, so the model is a FIXED
+    langs x 16384 int64 matrix at ANY corpus scale), then applied back
+    over the corpus; output is the (declared, predicted) confusion
+    matrix — the learned cross-check of the heuristic docs_langid /
+    docs_lang_confusion pair. All scoring runs in int64 NANO-LOG space
+    (ts.nb_nano_log_model): ln() is rounded once per MODEL CELL, so
+    per-doc scores are order-free exact-integer sums and the argmax can
+    never float-flip between engines.
+
+    Distributed shape: pass 1 folds per-batch sparse (lang, bucket)
+    count partials through one bounded groupby (<= langs x 16384 rows);
+    the dense model (~0.5 MB) broadcasts via ray.put; pass 2 scores each
+    batch fully vectorized (one concatenated hash per batch, per-lang
+    segment sums via cumsum differences — no per-token Python) and emits
+    bounded confusion partials. Tokens are whitespace-split, unmodified.
+    Columns: (lang_true, lang_pred, n_docs)."""
+    docs = ops.read_table(sf_dir, "documents", ["lang", "text"])
+    lc = (docs.groupby("lang").aggregate(Count(alias_name="n"))
+          .take_all())  # bounded: language inventory
+    langs = sorted(r["lang"] for r in lc)
+    doc_counts = np.array(
+        [next(int(r["n"]) for r in lc if r["lang"] == la) for la in langs],
+        np.int64)
+    lidx = {la: i for i, la in enumerate(langs)}
+    L, B = len(langs), ts._NB_BUCKETS
+    lref = ray.put(lidx)
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        li = ray.get(lref)
+        tok_lists = [(s or "").split() for s in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in tok_lists], np.int64)
+        th, _ = ts._lm_offsets(tok_lists)
+        buckets = (th % np.uint64(B)).astype(np.int64)
+        lrep = np.repeat(
+            np.array([li[la] for la in t["lang"].to_pylist()], np.int64),
+            lens)
+        cm = np.zeros((len(li), B), np.int64)
+        np.add.at(cm, (lrep, buckets), 1)
+        nz_l, nz_b = np.nonzero(cm)
+        return pa.table({"l": pa.array(nz_l, pa.int64()),
+                         "b": pa.array(nz_b, pa.int64()),
+                         "n": pa.array(cm[nz_l, nz_b], pa.int64())})
+
+    counts = (docs.map_batches(partial_counts, batch_format="pyarrow")
+              .groupby(["l", "b"]).aggregate(Sum("n", alias_name="n"))
+              .take_all())  # bounded: <= L * 2^14 rows
+    cm = np.zeros((L, B), np.int64)
+    for r in counts:
+        cm[int(r["l"]), int(r["b"])] = int(r["n"])
+    mref = ray.put(ts.nb_nano_log_model(cm, doc_counts))
+
+    def confuse(t: pa.Table) -> pa.Table:
+        li = ray.get(lref)
+        tn, nn, pn = ray.get(mref)
+        tok_lists = [(s or "").split() for s in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in tok_lists], np.int64)
+        th, _ = ts._lm_offsets(tok_lists)
+        buckets = (th % np.uint64(B)).astype(np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        scores = np.empty((len(li), len(tok_lists)), np.int64)
+        for l_i in range(len(li)):
+            cs = np.concatenate([[0], np.cumsum(tn[l_i][buckets])])
+            scores[l_i] = pn[l_i] + (cs[ends] - cs[starts]) - lens * nn[l_i]
+        pred = np.argmax(scores, axis=0)  # ties -> smallest lang index
+        true = np.array([li[la] for la in t["lang"].to_pylist()], np.int64)
+        conf = np.zeros((len(li), len(li)), np.int64)
+        np.add.at(conf, (true, pred), 1)
+        nz_t, nz_p = np.nonzero(conf)
+        return pa.table({"ti": pa.array(nz_t, pa.int64()),
+                         "pi": pa.array(nz_p, pa.int64()),
+                         "n_docs": pa.array(conf[nz_t, nz_p], pa.int64())})
+
+    agg = (docs.map_batches(confuse, batch_format="pyarrow")
+           .groupby(["ti", "pi"]).aggregate(Sum("n_docs",
+                                                alias_name="n_docs"))
+           .take_all())  # bounded: L x L cells
+    agg.sort(key=lambda r: (int(r["ti"]), int(r["pi"])))
+    return pa.table({
+        "lang_true": pa.array([langs[int(r["ti"])] for r in agg],
+                              pa.string()),
+        "lang_pred": pa.array([langs[int(r["pi"])] for r in agg],
+                              pa.string()),
+        "n_docs": pa.array([int(r["n_docs"]) for r in agg], pa.int64())})
+
+
+def O_DOCS_NB_CONFUSION() -> str:
+    """Brute recompute: dict-of-dicts training loop + per-doc kernel
+    scoring (ts.nb_predict_doc) — no distributed machinery shared."""
+    t = _read_parquet_cols(_SF001, "documents", ["lang", "text"])
+    langs_l = t["lang"].to_pylist()
+    texts = t["text"].to_pylist()
+    langs = sorted(set(langs_l))
+    li = {la: i for i, la in enumerate(langs)}
+    B = ts._NB_BUCKETS
+    cm = np.zeros((len(langs), B), np.int64)
+    dc = np.zeros(len(langs), np.int64)
+    for la, s in zip(langs_l, texts):
+        dc[li[la]] += 1
+        for b in ts.nb_buckets((s or "").split(), B):
+            cm[li[la], b] += 1
+    model = ts.nb_nano_log_model(cm, dc)
+    conf: dict[tuple[str, str], int] = {}
+    for la, s in zip(langs_l, texts):
+        p = langs[ts.nb_predict_doc((s or "").split(), *model)]
+        conf[(la, p)] = conf.get((la, p), 0) + 1
+    rows = [f"({_sq(a)}, {_sq(b)}, {n})"
+            for (a, b), n in sorted(conf.items())]
+    return _values_or_empty(
+        rows,
+        "SELECT lang_true, lang_pred, CAST(n_docs AS BIGINT) AS n_docs",
+        "t(lang_true, lang_pred, n_docs)", "('', '', 0)")
+
+
+# --------------------------------------------------------------------------
+# Maximal-marginal-relevance diversified top-k
+# --------------------------------------------------------------------------
+
+_MMR_POOL = 32   # candidate pool (top by query similarity)
+_MMR_K = 10      # diversified results returned
+
+
+def q_embeddings_mmr(sf_dir: str):
+    """MMR (maximal marginal relevance, Carbonell & Goldstein) diversified
+    retrieval: rank by lambda*sim(q,d) - (1-lambda)*max_{s in S} sim(d,s)
+    with lambda = 0.7, greedily for 10 steps over the top-32
+    query-similarity candidate pool. All similarities are exact-int64
+    dot products of micro-quantized components (_q6), and lambda enters
+    as the integer weights (7, 3) — the greedy argmax can never
+    float-flip. Query = the embedding with the smallest vec_id.
+
+    Distributed shape: the query vector broadcasts via ray.put; every
+    block computes its simq dots in one int64 matmul and keeps a LOCAL
+    top-32 (the brute_force_topk combiner shape), so the driver merge
+    sees O(blocks*32) rows; candidate vectors come back via one bounded
+    semi-join fetch; the 10-step greedy sweep runs on the 32x32 int64
+    pair-dot matrix. Columns: (rank, vec_id, simq, mmr_score)."""
+    emb = ops.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qid = int(emb.min("vec_id"))
+    qtab = emb.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], qid)),
+        batch_format="pyarrow").take_all()
+    q = np.array([_q6(x) for x in qtab[0]["embedding"]], np.int64)
+    qref = ray.put(q)
+
+    def local_top(t: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        m = np.array([[_q6(x) for x in v]
+                      for v in t["embedding"].to_pylist()], np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = m @ qv
+        keep = ids != qid
+        ids, s = ids[keep], s[keep]
+        sel = np.lexsort((ids, -s))[:_MMR_POOL]
+        return pa.table({"vec_id": pa.array(ids[sel], pa.int64()),
+                         "simq": pa.array(s[sel], pa.int64())})
+
+    part = emb.map_batches(local_top, batch_format="pyarrow").take_all()
+    part.sort(key=lambda r: (-int(r["simq"]), int(r["vec_id"])))
+    cand = part[:_MMR_POOL]
+    cand_ids = [int(r["vec_id"]) for r in cand]
+    simq = {int(r["vec_id"]): int(r["simq"]) for r in cand}
+    rows = ops.semi_join_filter(emb, "vec_id", cand_ids).take_all()
+    vecs = {int(r["vec_id"]): np.array([_q6(x) for x in r["embedding"]],
+                                       np.int64) for r in rows}
+    order = sorted(cand_ids)
+    mat = np.stack([vecs[i] for i in order])
+    pd_mat = mat @ mat.T  # 32x32 exact int64 pair dots
+    pos = {i: j for j, i in enumerate(order)}
+    selected: list[int] = []
+    out_r, out_v, out_s, out_m = [], [], [], []
+    remaining = set(cand_ids)
+    for step in range(1, min(_MMR_K, len(cand_ids)) + 1):
+        best = None
+        for i in sorted(remaining):
+            pen = max(int(pd_mat[pos[i], pos[s]]) for s in selected) \
+                if selected else 0
+            score = 7 * simq[i] - 3 * pen
+            if best is None or score > best[0]:
+                best = (score, i)
+        score, pick = best
+        selected.append(pick)
+        remaining.discard(pick)
+        out_r.append(step)
+        out_v.append(pick)
+        out_s.append(simq[pick])
+        out_m.append(score)
+    return pa.table({"rank": pa.array(out_r, pa.int64()),
+                     "vec_id": pa.array(out_v, pa.int64()),
+                     "simq": pa.array(out_s, pa.int64()),
+                     "mmr_score": pa.array(out_m, pa.int64())})
+
+
+def O_EMBEDDINGS_MMR() -> str:
+    """Unrolled 10-step greedy in plain SQL: each step's argmax is a
+    window-free ORDER BY ... LIMIT 1 over the remaining candidates with
+    the penalty read from the exact pair-dot table."""
+    qz = ("CAST(sign(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) "
+          "* floor(abs(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) "
+          "+ 0.5) AS BIGINT)")
+    sql = f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id, CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS i,
+         {qz} AS qv
+  FROM embeddings),
+qid AS (SELECT min(vec_id) AS qid FROM embeddings),
+qv AS (SELECT i, qv FROM ev WHERE vec_id = (SELECT qid FROM qid)),
+simq AS (
+  SELECT e.vec_id, CAST(sum(e.qv * q.qv) AS BIGINT) AS simq
+  FROM ev e JOIN qv q USING (i)
+  WHERE e.vec_id <> (SELECT qid FROM qid)
+  GROUP BY e.vec_id),
+cand AS MATERIALIZED (SELECT vec_id, simq FROM simq
+         ORDER BY simq DESC, vec_id LIMIT {_MMR_POOL}),
+pd AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(sum(ea.qv * eb.qv) AS BIGINT) AS d
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+  JOIN ev ea ON ea.vec_id = a.vec_id
+  JOIN ev eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+  GROUP BY a.vec_id, b.vec_id),
+sel1 AS MATERIALIZED (
+  SELECT vec_id, simq, CAST(1 AS BIGINT) AS rank,
+         CAST(7 * simq AS BIGINT) AS mmr_score
+  FROM cand ORDER BY simq DESC, vec_id LIMIT 1)"""
+    for i in range(2, _MMR_K + 1):
+        sql += f""",
+sc{i} AS (
+  SELECT c.vec_id, c.simq,
+         7 * c.simq - 3 * (SELECT max(d) FROM pd
+                           WHERE pd.va = c.vec_id AND pd.vb IN
+                                 (SELECT vec_id FROM sel{i - 1})) AS m
+  FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})),
+pk{i} AS (
+  SELECT vec_id, simq, CAST({i} AS BIGINT) AS rank,
+         CAST(m AS BIGINT) AS mmr_score
+  FROM sc{i} ORDER BY m DESC, vec_id LIMIT 1),
+sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1}
+                        UNION ALL SELECT * FROM pk{i})"""
+    sql += (f"\nSELECT rank, vec_id, simq, mmr_score FROM sel{_MMR_K} "
+            f"ORDER BY rank")
+    return sql
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -20647,6 +21037,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_lead_time": q_lineitem_lead_time,
     "orders_ltv_curve": q_orders_ltv_curve,
     "docs_mattr": q_docs_mattr,
+    "events_shapley": q_events_shapley,
+    "docs_nb_confusion": q_docs_nb_confusion,
+    "embeddings_mmr": q_embeddings_mmr,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -21029,4 +21422,7 @@ def oracles() -> dict[str, str]:
         "lineitem_lead_time": O_LINEITEM_LEAD_TIME,
         "orders_ltv_curve": O_ORDERS_LTV_CURVE,
         "docs_mattr": O_DOCS_MATTR(),
+        "events_shapley": O_EVENTS_SHAPLEY,
+        "docs_nb_confusion": O_DOCS_NB_CONFUSION(),
+        "embeddings_mmr": O_EMBEDDINGS_MMR(),
     }

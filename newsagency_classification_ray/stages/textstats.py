@@ -513,3 +513,54 @@ def _div_nano_ts(num: int, den: int) -> int:
     s = -1 if (num < 0) != (den < 0) else 1
     num, den = abs(num), abs(den)
     return s * ((2 * num + den) // (2 * den))
+
+# ------------------------------------------------- multinomial Naive Bayes
+
+_NB_BUCKETS = 1 << 14
+
+
+def nb_buckets(tokens: list[str], buckets: int = _NB_BUCKETS) -> np.ndarray:
+    """Hashed-feature bucket ids for one doc's whitespace tokens — the same
+    siphash + mod discipline as the n-gram LM model (``_lm_hash_tokens``),
+    so the NB model is a FIXED ``langs x buckets`` int64 matrix at any
+    corpus scale. Shared by the Ray stages and the oracle recompute."""
+    th = _lm_hash_tokens(tokens)
+    return (th % np.uint64(buckets)).astype(np.int64)
+
+
+def nb_nano_log_model(
+    count_mat: np.ndarray, doc_counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Laplace-smoothed multinomial-NB scoring tables in int64 NANO-LOGS.
+
+    ``token_nano[l, b] = round(ln(count[l, b] + 1) * 1e9)``,
+    ``norm_nano[l] = round(ln(total_l + buckets) * 1e9)``,
+    ``prior_nano[l] = round(ln(n_docs_l) * 1e9)``.
+
+    Rounding happens ONCE per model cell (model-sized work), so every
+    per-doc score ``prior + sum_t token[l, b_t] - n_tokens * norm[l]`` is
+    an order-free exact-int64 sum — the argmax can never float-flip
+    between the distributed pass and the oracle recompute."""
+    token_nano = np.round(np.log(count_mat + 1.0) * 1e9).astype(np.int64)
+    totals = count_mat.sum(axis=1)
+    norm_nano = np.round(
+        np.log(totals + count_mat.shape[1]).astype(np.float64) * 1e9
+    ).astype(np.int64)
+    prior_nano = np.round(
+        np.log(np.maximum(doc_counts, 1)).astype(np.float64) * 1e9
+    ).astype(np.int64)
+    return token_nano, norm_nano, prior_nano
+
+
+def nb_predict_doc(
+    tokens: list[str],
+    token_nano: np.ndarray,
+    norm_nano: np.ndarray,
+    prior_nano: np.ndarray,
+) -> int:
+    """Predicted lang INDEX for one doc (argmax nano-log score, ties to the
+    smallest index — lang lists are always sorted). Oracle-side kernel."""
+    b = nb_buckets(tokens, token_nano.shape[1])
+    scores = prior_nano + token_nano[:, b].sum(axis=1) \
+        - len(b) * norm_nano
+    return int(np.argmax(scores))
