@@ -20599,6 +20599,224 @@ sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1}
     return sql
 
 
+# --------------------------------------------------------------------------
+# Deterministic mixture resampling to a target domain mix
+# --------------------------------------------------------------------------
+
+
+def q_docs_mixture_resample(sf_dir: str):
+    """Training-data mixture resampling: downsample every over-represented
+    source so the kept corpus approaches a UNIFORM source mix (the data-
+    mixing step between curation and tokenization in LLM pipelines; the
+    deterministic sibling of docs_domain_cap, which clamps by absolute
+    count rather than by share). Per source s the acceptance ratio is
+    r_s = min(1, N / (S * n_s)); a doc survives iff its salted md5 draw
+    h = md5_number_lower('mix:' || doc_id) % 1e6 satisfies the EXACT
+    integer inequality h * S * n_s < N * 1e6 — evaluated on the Ray side
+    as h <= floor((N*1e6 - 1) / (S * n_s)), the same predicate with the
+    per-source threshold precomputed once in unbounded Python ints (no
+    overflow at any corpus size; the SQL side uses HUGEINT directly).
+
+    Distributed shape: one bounded per-source count groupby; the
+    |sources|-entry threshold dict broadcasts via ray.put; the keep pass
+    is a pure vectorized filter map — same shape as docs_split, stable
+    under any cluster size or block layout. Columns: (doc_id, source)."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "source"])
+    counts = (docs.groupby("source").aggregate(Count(alias_name="n"))
+              .take_all())  # bounded: source inventory
+    n_by = {r["source"]: int(r["n"]) for r in counts}
+    big_n, n_src = sum(n_by.values()), len(n_by)
+    thr = {s: (big_n * 1_000_000 - 1) // (n_src * n)
+           for s, n in n_by.items()}
+    tref = ray.put(thr)
+
+    def keep(t: pa.Table) -> pa.Table:
+        th = ray.get(tref)
+        h = cur._md5_bucket(
+            [f"mix:{i}" for i in t["doc_id"].to_pylist()], 1_000_000)
+        lim = np.array([th[s] for s in t["source"].to_pylist()], np.int64)
+        return t.filter(pa.array(h.astype(np.int64) <= lim))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+O_DOCS_MIXTURE_RESAMPLE = """
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(n) AS HUGEINT) AS N, CAST(count(*) AS HUGEINT) AS S
+      FROM c)
+SELECT d.doc_id, d.source
+FROM documents d JOIN c USING (source) CROSS JOIN t
+WHERE CAST(md5_number_lower('mix:' || CAST(d.doc_id AS VARCHAR)) % 1000000
+           AS HUGEINT) * t.S * CAST(c.n AS HUGEINT) < t.N * 1000000"""
+
+
+# --------------------------------------------------------------------------
+# KG mention density per host-year
+# --------------------------------------------------------------------------
+
+
+def q_kg_mention_density(sf_dir: str):
+    """Corpus-QA density grid: linked agency mentions per kilochar of
+    extracted text, per (host, year) — the KG-side yield metric that
+    flags hosts whose crawl is large but mention-sparse (boilerplate
+    farms) or suspiciously dense (listing pages). The pages side counts
+    EVERY gated page (language gate + byte-identical html coalesce +
+    url dedup), including truncation-affected '/long-' pages — they are
+    real corpus mass that yields zero mentions on both engines.
+
+    Distributed shape: the page payload never enters an exchange — a
+    pure map projects each page to (url, host, year, chars) FIRST, the
+    tiny projection dedups by url with the pipeline's sort+run-compare,
+    and both sides reduce to bounded (host, year) grids merged on the
+    driver. Columns: (host, year, n_pages, chars, n_mentions,
+    mentions_per_kchar_nano)."""
+    path = pages_src.ensure_pages(sf_dir)
+    pages = kg.read_pages(path)
+
+    def page_chars(t: pa.Table) -> pa.Table:
+        t = kg.filter_pages(t)
+        t = kg.extract_text_batch(t)
+        return pa.table({
+            "url": t["url"],
+            "host": kg.host_of_urls(pc.cast(t["url"], pa.string())),
+            "year": pc.cast(pc.year(t["warc_ts"]), pa.int64()),
+            "chars": pc.cast(pc.utf8_length(t["text"]), pa.int64())})
+
+    proj = pages.map_batches(page_chars, batch_format="pyarrow")
+    dedup = proj.sort("url").map_batches(
+        kg._drop_dup_runs("url"), batch_format="pyarrow", batch_size=None)
+    pagg = (dedup.groupby(["host", "year"])
+            .aggregate(Count(alias_name="n_pages"),
+                       Sum("chars", alias_name="chars"))
+            .take_all())  # bounded: host x year grid
+    magg = (_linked(sf_dir).map_batches(
+        lambda t: pa.table({"host": t["host"],
+                            "year": pc.cast(t["year"], pa.int64())}),
+        batch_format="pyarrow")
+        .groupby(["host", "year"]).aggregate(Count(alias_name="n"))
+        .take_all())
+    m = {(r["host"], int(r["year"])): int(r["n"]) for r in magg}
+    pagg.sort(key=lambda r: (r["host"], int(r["year"])))
+    hosts, years, npg, chars, nm, dens = [], [], [], [], [], []
+    for r in pagg:
+        key = (r["host"], int(r["year"]))
+        hosts.append(key[0])
+        years.append(key[1])
+        npg.append(int(r["n_pages"]))
+        chars.append(int(r["chars"]))
+        nm.append(m.get(key, 0))
+        dens.append(_div_nano(nm[-1] * 1000, chars[-1]))
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "year": pa.array(years, pa.int64()),
+        "n_pages": pa.array(npg, pa.int64()),
+        "chars": pa.array(chars, pa.int64()),
+        "n_mentions": pa.array(nm, pa.int64()),
+        "mentions_per_kchar_nano": pa.array(dens, pa.int64())})
+
+
+O_KG_MENTION_DENSITY = lambda sf: f"""WITH {_pages_cte(sf)},
+  all_pages AS (
+    SELECT url,
+           regexp_replace(regexp_replace(url, '^[a-z]+://', ''),
+                          '/.*$', '') AS host,
+           CAST(year(warc_ts) AS BIGINT) AS year,
+           CAST(length(text) AS BIGINT) AS chars
+    FROM dedup_pages
+    WHERE lang IN ('fr', 'de') AND text IS NOT NULL AND text <> ''),
+  pg AS (SELECT host, year, CAST(count(*) AS BIGINT) AS n_pages,
+                CAST(sum(chars) AS BIGINT) AS chars
+         FROM all_pages GROUP BY host, year),
+  mg AS (SELECT host, year, CAST(count(*) AS BIGINT) AS n_mentions
+         FROM sql_mentions WHERE qid <> 'NIL' GROUP BY host, year)
+SELECT pg.host, pg.year, pg.n_pages, pg.chars,
+       CAST(coalesce(mg.n_mentions, 0) AS BIGINT) AS n_mentions,
+       CAST({_sql_div_nano('coalesce(mg.n_mentions, 0) * 1000', 'pg.chars')}
+            AS BIGINT) AS mentions_per_kchar_nano
+FROM pg LEFT JOIN mg ON pg.host = mg.host AND pg.year = mg.year"""
+
+
+# --------------------------------------------------------------------------
+# Rolling-origin forecast backtest on daily order volume
+# --------------------------------------------------------------------------
+
+
+def q_orders_forecast_backtest(sf_dir: str):
+    """Forecast-accuracy backtest: one-step rolling-origin evaluation of
+    three deterministic forecasters on the daily order-count series —
+    naive (yesterday), seasonal-naive (same weekday last week, lag 7)
+    and the trailing-7-day mean (integer _div_round) — reporting each
+    forecaster's exact integer sum of absolute errors and nano MAE over
+    the common evaluation window (every day after the first 7). The
+    model-selection harness under every demand-forecast dashboard; the
+    evaluation twin of orders_ar1_forecast / events_holt, which fit one
+    model rather than scoring competitors on held-out steps.
+
+    Distributed shape: per-batch day-count folds -> one bounded groupby
+    (calendar-bounded day grid) -> the O(days) driver sweep; the fact
+    table never leaves its blocks. Columns: (forecaster, n_eval, sae,
+    mae_nano)."""
+    od = ops.read_table(sf_dir, "orders", ["o_orderdate"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor(pc.divide(
+            pc.cast(t["o_orderdate"], pa.int64()), 86_400_000_000)),
+            pa.int64())
+        g = pa.table({"d": d}).group_by("d").aggregate([([], "count_all")])
+        return pa.table({"d": g["d"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    days = (od.map_batches(fold, batch_format="pyarrow")
+            .groupby("d").aggregate(Sum("n", alias_name="n"))
+            .take_all())  # bounded: calendar days
+    days.sort(key=lambda r: int(r["d"]))
+    y = [int(r["n"]) for r in days]
+    res: dict[str, list[int]] = {
+        "naive": [0, 0], "seasonal_naive": [0, 0],
+        "trailing_mean7": [0, 0]}
+    for i in range(7, len(y)):
+        fc = {"naive": y[i - 1], "seasonal_naive": y[i - 7],
+              "trailing_mean7": _div_round(sum(y[i - 7:i]), 7)}
+        for kf, v in fc.items():
+            res[kf][0] += 1
+            res[kf][1] += abs(y[i] - v)
+    names = sorted(res)
+    return pa.table({
+        "forecaster": pa.array(names, pa.string()),
+        "n_eval": pa.array([res[k][0] for k in names], pa.int64()),
+        "sae": pa.array([res[k][1] for k in names], pa.int64()),
+        "mae_nano": pa.array(
+            [_div_nano(res[k][1], res[k][0]) if res[k][0] else 0
+             for k in names], pa.int64())})
+
+
+O_ORDERS_FORECAST_BACKTEST = f"""
+WITH daily AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+w AS (
+  SELECT d, n,
+         lag(n, 1) OVER (ORDER BY d) AS f_naive,
+         lag(n, 7) OVER (ORDER BY d) AS f_snaive,
+         sum(n) OVER (ORDER BY d
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s7,
+         row_number() OVER (ORDER BY d) AS rn
+  FROM daily),
+e AS (SELECT * FROM w WHERE rn > 7),
+u AS (
+  SELECT 'naive' AS forecaster, abs(n - f_naive) AS err FROM e
+  UNION ALL
+  SELECT 'seasonal_naive', abs(n - f_snaive) FROM e
+  UNION ALL
+  SELECT 'trailing_mean7', abs(n - ({_sql_div_round('s7', '7')})) FROM e)
+SELECT forecaster, CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(err) AS BIGINT) AS sae,
+       CAST({_sql_div_nano('sum(err)', 'count(*)')} AS BIGINT) AS mae_nano
+FROM u GROUP BY forecaster ORDER BY forecaster"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -21040,6 +21258,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_shapley": q_events_shapley,
     "docs_nb_confusion": q_docs_nb_confusion,
     "embeddings_mmr": q_embeddings_mmr,
+    "docs_mixture_resample": q_docs_mixture_resample,
+    "kg_mention_density": q_kg_mention_density,
+    "orders_forecast_backtest": q_orders_forecast_backtest,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -21425,4 +21646,7 @@ def oracles() -> dict[str, str]:
         "events_shapley": O_EVENTS_SHAPLEY,
         "docs_nb_confusion": O_DOCS_NB_CONFUSION(),
         "embeddings_mmr": O_EMBEDDINGS_MMR(),
+        "docs_mixture_resample": O_DOCS_MIXTURE_RESAMPLE,
+        "kg_mention_density": O_KG_MENTION_DENSITY(_SF001),
+        "orders_forecast_backtest": O_ORDERS_FORECAST_BACKTEST,
     }
