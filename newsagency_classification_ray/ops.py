@@ -3546,6 +3546,32 @@ def zorder16(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return zspread16(x) | (zspread16(y) << np.int64(1))
 
 
+def hilbert16(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """32-bit Hilbert-curve index of two 16-bit keys (the classic xy→d
+    walk, vectorized: 16 levels, pure int64 numpy per level — mirrored
+    bit-for-bit by the SQL oracle's unrolled 16-CTE chain). Hilbert keeps
+    ALL curve steps adjacent in the plane (Morton's Z jumps diagonally at
+    every power-of-two boundary), so min/max zone maps over Hilbert-
+    clustered files prune strictly better on box predicates."""
+    x = x.astype(np.int64) & np.int64(0xFFFF)
+    y = y.astype(np.int64) & np.int64(0xFFFF)
+    d = np.zeros(len(x), np.int64)
+    s = np.int64(1 << 15)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate the quadrant: when ry == 0, reflect (if rx) then swap
+        refl = ry == 0
+        xr = np.where(rx == 1, s - 1 - x, x)
+        yr = np.where(rx == 1, s - 1 - y, y)
+        x_new = np.where(refl, yr, x)
+        y_new = np.where(refl, xr, y)
+        x, y = x_new, y_new
+        s >>= 1
+    return d
+
+
 # --------------------------------------------------------------------------
 # Distributed rank analytics — row_number / NTILE assignment / percent_rank
 # over a GLOBAL order, without ever holding the ordered column on one

@@ -20817,6 +20817,278 @@ SELECT forecaster, CAST(count(*) AS BIGINT) AS n_eval,
 FROM u GROUP BY forecaster ORDER BY forecaster"""
 
 
+# --------------------------------------------------------------------------
+# CCNet-style perplexity-bucket split
+# --------------------------------------------------------------------------
+
+
+def q_docs_ccnet_buckets(sf_dir: str):
+    """CCNet-style quality bucketing: score every doc with the hashed
+    bigram LM (ts.ngram_lm_scores — int64 micro-log-prob `lm_m`, higher
+    = better fit to the reference-language model), cut the scored corpus
+    at the exact lower-quantile fences q25/q75, and label head (top
+    quartile), middle, tail — the head/middle/tail split CCNet keeps /
+    re-scores / drops. Fences come from ops.quantiles_histogram (the
+    sort-FREE two-pass exact-quantile path: no all-to-all at 100 TB);
+    bucket assignment + the per-bucket rollup are one broadcast-fence
+    map with per-batch combiners. Quartiles (exact binary fractions)
+    rather than CCNet's thirds so the rank index floor(q*(n-1)) is
+    float-exact on both engines at any n. Columns: (ppl_bucket, n_docs,
+    lm_m_min, lm_m_max)."""
+    docs = ops.read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+    scored = ts.ngram_lm_scores(docs, ref_lang="en").materialize()
+    fences = ops.quantiles_histogram(scored, "lm_m", [0.25, 0.75],
+                                     interpolation="lower")
+    f25, f75 = [int(v) for v in fences["value"].to_pylist()]
+    fref = ray.put((f25, f75))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        lo, hi = ray.get(fref)
+        v = t["lm_m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = np.where(v >= hi, "head",
+                       np.where(v >= lo, "middle", "tail"))
+        g = pa.table({"ppl_bucket": pa.array(lab.tolist(), pa.string()),
+                      "n_docs": pa.array(np.ones(len(v), np.int64)),
+                      "lm_m_min": pa.array(v, pa.int64()),
+                      "lm_m_max": pa.array(v, pa.int64())}).group_by(
+            ["ppl_bucket"]).aggregate(
+            [("n_docs", "sum"), ("lm_m_min", "min"), ("lm_m_max", "max")])
+        return g.rename_columns(
+            ["ppl_bucket", "n_docs", "lm_m_min", "lm_m_max"])
+
+    agg = (scored.map_batches(bucket, batch_format="pyarrow")
+           .groupby("ppl_bucket")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Min("lm_m_min", alias_name="lm_m_min"),
+                      Max("lm_m_max", alias_name="lm_m_max"))
+           .take_all())  # bounded: 3 buckets
+    agg.sort(key=lambda r: r["ppl_bucket"])
+    return pa.table({
+        "ppl_bucket": pa.array([r["ppl_bucket"] for r in agg], pa.string()),
+        "n_docs": pa.array([int(r["n_docs"]) for r in agg], pa.int64()),
+        "lm_m_min": pa.array([int(r["lm_m_min"]) for r in agg], pa.int64()),
+        "lm_m_max": pa.array([int(r["lm_m_max"]) for r in agg],
+                             pa.int64())})
+
+
+def O_DOCS_CCNET_BUCKETS() -> str:
+    """Per-doc scores recomputed by the pure driver loop (as in
+    O_DOCS_LM_SCORES); the fences + bucketing + rollup are INDEPENDENT
+    SQL over that VALUES table."""
+    t = _read_parquet_cols(_SF001, "documents", ["doc_id", "text", "lang"])
+    uni_c = np.zeros(1 << 16, dtype=np.int64)
+    bi_c = np.zeros(1 << 16, dtype=np.int64)
+    ts._lm_count_batch(
+        [(x or "").split() for x, lg in zip(t["text"].to_pylist(),
+                                            t["lang"].to_pylist())
+         if lg == "en"], uni_c, bi_c)
+    rows = []
+    for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        s = ts._lm_score_doc((x or "").split(), uni_c, bi_c)
+        if s is not None:
+            rows.append(f"({int(did)}, {int(round(s * 1e6))})")
+    if not rows:
+        return ("SELECT '' AS ppl_bucket, 0 AS n_docs, 0 AS lm_m_min, "
+                "0 AS lm_m_max WHERE 1 = 0")
+    return f"""
+WITH s AS (SELECT * FROM (VALUES {', '.join(rows)}) AS t(doc_id, lm_m)),
+r AS (SELECT lm_m, row_number() OVER (ORDER BY lm_m, doc_id) AS rn,
+             count(*) OVER () AS n FROM s),
+f AS (SELECT max(CASE WHEN rn = (n - 1) // 4 + 1 THEN lm_m END) AS f25,
+             max(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN lm_m END) AS f75
+      FROM r),
+b AS (SELECT CASE WHEN lm_m >= f.f75 THEN 'head'
+                  WHEN lm_m >= f.f25 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket, lm_m
+      FROM s, f)
+SELECT ppl_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(lm_m) AS BIGINT) AS lm_m_min,
+       CAST(max(lm_m) AS BIGINT) AS lm_m_max
+FROM b GROUP BY ppl_bucket ORDER BY ppl_bucket"""
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer-fertility audit per language
+# --------------------------------------------------------------------------
+
+
+def q_docs_bpe_fertility(sf_dir: str):
+    """Tokenizer fertility audit: learn the corpus BPE merge table
+    (ts.bpe_learn — the same 4-round certified procedure as
+    docs_bpe_learn), then apply the learned merges over the corpus and
+    report per-language token counts before/after plus the compression
+    ratio — the fertility dashboard that decides whether a tokenizer
+    under-serves a language (high fertility = more tokens per text =
+    worse). The merge list is a tiny broadcast; the apply pass is the
+    same vectorized run-parity merge kernel (ts._bpe_apply_merge) used
+    during learning, one streaming pass, per-batch (lang) combiners, one
+    bounded groupby. Columns: (lang, n_docs, toks_before, toks_after,
+    compression_nano = toks_after/toks_before)."""
+    docs = ops.read_table(sf_dir, "documents", ["lang", "text"])
+    mt = ts.bpe_learn(docs, n_merges=_BPE_LEARN_N)
+    merges = list(zip(mt["left"].to_pylist(), mt["right"].to_pylist()))
+    mref = ray.put(merges)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ms = ray.get(mref)
+        flat, par = ts._bpe_tokenize_batch(t)
+        before = np.bincount(par, minlength=len(t)).astype(np.int64)
+        for lft, rgt in ms:
+            flat, par = ts._bpe_apply_merge(flat, par, lft, rgt)
+        after = np.bincount(par, minlength=len(t)).astype(np.int64)
+        g = pa.table({"lang": t["lang"],
+                      "n_docs": pa.array(np.ones(len(t), np.int64)),
+                      "toks_before": pa.array(before, pa.int64()),
+                      "toks_after": pa.array(after, pa.int64())}).group_by(
+            ["lang"]).aggregate([("n_docs", "sum"), ("toks_before", "sum"),
+                                 ("toks_after", "sum")])
+        return g.rename_columns(["lang", "n_docs", "toks_before",
+                                 "toks_after"])
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("toks_before", alias_name="toks_before"),
+                      Sum("toks_after", alias_name="toks_after"))
+           .take_all())  # bounded: language inventory
+    agg.sort(key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in agg], pa.string()),
+        "n_docs": pa.array([int(r["n_docs"]) for r in agg], pa.int64()),
+        "toks_before": pa.array([int(r["toks_before"]) for r in agg],
+                                pa.int64()),
+        "toks_after": pa.array([int(r["toks_after"]) for r in agg],
+                               pa.int64()),
+        "compression_nano": pa.array(
+            [_div_nano(int(r["toks_after"]), int(r["toks_before"]))
+             if int(r["toks_before"]) else 0 for r in agg], pa.int64())})
+
+
+def O_DOCS_BPE_FERTILITY() -> str:
+    """Brute recompute: the O_DOCS_BPE_LEARN merge loop re-run from
+    scratch (plain Python lists), then per-lang before/after sums."""
+    import re as _re
+    from collections import Counter
+
+    t = _read_parquet_cols(_SF001, "documents", ["lang", "text"])
+    langs = t["lang"].to_pylist()
+    seqs = [[w for w in _re.split(r"\s+", x or "") if w]
+            for x in t["text"].to_pylist()]
+    before = [len(s) for s in seqs]
+    sep = "\x1f"
+    for _ in range(_BPE_LEARN_N):
+        c: Counter = Counter()
+        for s in seqs:
+            for a, b in zip(s, s[1:]):
+                c[a + sep + b] += 1
+        if not c:
+            break
+        item, n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        lft, rgt = item.split(sep, 1)
+        merged = lft + " " + rgt
+        new_seqs = []
+        for s in seqs:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lft and s[i + 1] == rgt:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new_seqs.append(out)
+        seqs = new_seqs
+    per: dict[str, list[int]] = {}
+    for lg, b, s in zip(langs, before, seqs):
+        e = per.setdefault(lg, [0, 0, 0])
+        e[0] += 1
+        e[1] += b
+        e[2] += len(s)
+    rows = [f"({_sq(lg)}, {v[0]}, {v[1]}, {v[2]}, "
+            f"{_div_nano(v[2], v[1]) if v[1] else 0})"
+            for lg, v in sorted(per.items())]
+    return _values_or_empty(
+        rows,
+        "SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, "
+        "CAST(toks_before AS BIGINT) AS toks_before, "
+        "CAST(toks_after AS BIGINT) AS toks_after, "
+        "CAST(compression_nano AS BIGINT) AS compression_nano",
+        "t(lang, n_docs, toks_before, toks_after, compression_nano)",
+        "('', 0, 0, 0, 0)")
+
+
+# --------------------------------------------------------------------------
+# Hilbert-curve layout manifest
+# --------------------------------------------------------------------------
+
+
+def q_lineitem_hilbert(sf_dir: str):
+    """Hilbert-curve layout manifest over (l_partkey, l_suppkey) — the
+    locality-superior sibling of lineitem_zorder (same bucket scheme:
+    top 10 curve bits = 1024 output files, per-bucket counts + curve
+    bounds), letting a lakehouse writer A/B the two space-filling curves
+    on real key distributions. Hilbert never jumps diagonally, so
+    zone-map ranges over its buckets are tighter on box predicates; the
+    cost is the 16-level rotate/reflect walk, here pure vectorized int64
+    numpy (ops.hilbert16) mirrored bit-for-bit by the oracle's unrolled
+    16-CTE chain. Per-batch combiner, one <=1024-key groupby."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = ops.hilbert16(
+            t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        g = pa.table({
+            "bucket": pa.array(d >> np.int64(22), pa.int64()),
+            "n": pa.array(np.ones(len(d), np.int64)),
+            "h_min": pa.array(d, pa.int64()),
+            "h_max": pa.array(d, pa.int64()),
+        }).group_by(["bucket"]).aggregate(
+            [("n", "sum"), ("h_min", "min"), ("h_max", "max")])
+        return pa.table({"bucket": g["bucket"], "n": g["n_sum"],
+                         "h_min": g["h_min_min"], "h_max": g["h_max_max"]})
+
+    return (li.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").aggregate(
+                Sum("n", alias_name="n"),
+                Min("h_min", alias_name="h_min"),
+                Max("h_max", alias_name="h_max"))
+            .map_batches(
+                lambda t: _i64(t, ["bucket", "n", "h_min", "h_max"]),
+                batch_format="pyarrow"))
+
+
+def O_LINEITEM_HILBERT() -> str:
+    """Unrolled 16-level Hilbert walk: each CTE applies one level of the
+    xy→d recurrence (quadrant digit + reflect/rotate) in BIGINT."""
+    sql = """
+WITH l0 AS (SELECT (l_partkey & 65535) AS x, (l_suppkey & 65535) AS y,
+                   CAST(0 AS BIGINT) AS d
+            FROM lineitem)"""
+    for i in range(16):
+        s = 1 << (15 - i)
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        sql += f""",
+l{i + 1} AS (
+  SELECT
+    CASE WHEN (y & {s}) = 0
+         THEN CASE WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END
+         ELSE x END AS x,
+    CASE WHEN (y & {s}) = 0
+         THEN CASE WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END
+         ELSE y END AS y,
+    d + {s * s} * xor(3 * {rx}, {ry}) AS d
+  FROM l{i})"""
+    sql += """
+SELECT CAST(d >> 22 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(d) AS BIGINT) AS h_min, CAST(max(d) AS BIGINT) AS h_max
+FROM l16 GROUP BY 1"""
+    return sql
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -21261,6 +21533,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_mixture_resample": q_docs_mixture_resample,
     "kg_mention_density": q_kg_mention_density,
     "orders_forecast_backtest": q_orders_forecast_backtest,
+    "docs_ccnet_buckets": q_docs_ccnet_buckets,
+    "docs_bpe_fertility": q_docs_bpe_fertility,
+    "lineitem_hilbert": q_lineitem_hilbert,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -21649,4 +21924,7 @@ def oracles() -> dict[str, str]:
         "docs_mixture_resample": O_DOCS_MIXTURE_RESAMPLE,
         "kg_mention_density": O_KG_MENTION_DENSITY(_SF001),
         "orders_forecast_backtest": O_ORDERS_FORECAST_BACKTEST,
+        "docs_ccnet_buckets": O_DOCS_CCNET_BUCKETS(),
+        "docs_bpe_fertility": O_DOCS_BPE_FERTILITY(),
+        "lineitem_hilbert": O_LINEITEM_HILBERT(),
     }
