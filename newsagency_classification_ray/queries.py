@@ -21089,6 +21089,349 @@ FROM l16 GROUP BY 1"""
     return sql
 
 
+# --------------------------------------------------------------------------
+# HLL sketch-algebra sliding-window WAU
+# --------------------------------------------------------------------------
+
+_WAU_HLL_P = 12
+
+
+def q_events_hll_wau(sf_dir: str):
+    """Approximate trailing-7-day WAU from DAILY HLL sketches — the
+    sketch-ALGEBRA answer to the windowed-DISTINCT problem: exact WAU
+    (events_wau) needs a ≤7× id-pair expansion because windowed distinct
+    doesn't decompose, but HLL registers union by elementwise max, so
+    ONE daily sketch per day serves every window containing that day —
+    zero expansion, O(days × 2^p) total exchange at any corpus size.
+    Reported next to the exact count so the error is measurable per day
+    (the windowed sibling of events_hll_error's per-type calibration).
+
+    Distributed shape: per-batch sparse (day, register, rank) partials
+    (splitmix64 + the HyperLogLog rank rule, vectorized) → one bounded
+    groupby-max (days × 4096 rows) → the O(days) driver slides the
+    7-day register union; the exact side reuses the events_wau
+    expansion. Columns: (day, wau_exact, wau_est)."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "ts"])
+    m = 1 << _WAU_HLL_P
+
+    def partials(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ops._splitmix64(uid).astype(np.uint64)
+        idx = (h >> np.uint64(64 - _WAU_HLL_P)).astype(np.int64)
+        rest = (h << np.uint64(_WAU_HLL_P)) \
+            | np.uint64(1 << (_WAU_HLL_P - 1))
+        rank = (64 - np.floor(np.log2(rest.astype(np.float64) + 1.0))) \
+            .astype(np.int64)
+        udays, dinv = np.unique(day, return_inverse=True)
+        regs = np.zeros((len(udays), m), np.int64)
+        np.maximum.at(regs, (dinv, idx), rank)
+        nz_d, nz_r = np.nonzero(regs)
+        return pa.table({"day_us": pa.array(udays[nz_d], pa.int64()),
+                         "reg": pa.array(nz_r, pa.int64()),
+                         "rank": pa.array(regs[nz_d, nz_r], pa.int64())})
+
+    rows = (ev.map_batches(partials, batch_format="pyarrow")
+            .groupby(["day_us", "reg"]).aggregate(Max("rank",
+                                                      alias_name="rank"))
+            .take_all())  # bounded: active days x 2^p registers
+    daily: dict[int, np.ndarray] = {}
+    for r in rows:
+        daily.setdefault(int(r["day_us"]),
+                         np.zeros(m, np.uint8))[int(r["reg"])] = \
+            int(r["rank"])
+    _DAY_US = 86_400_000_000
+    exact = {int(r["day"].timestamp() * 1e6) if hasattr(r["day"],
+                                                        "timestamp")
+             else int(r["day"]): int(r["wau"])
+             for r in q_events_wau(sf_dir).take_all()}
+    days = sorted(daily)
+    out_d, out_x, out_e = [], [], []
+    for d in days:
+        hll = ops.HyperLogLog(_WAU_HLL_P)
+        for back in range(7):
+            dd = d - back * _DAY_US
+            if dd in daily:
+                np.maximum(hll.registers, daily[dd], out=hll.registers)
+        out_d.append(d)
+        out_x.append(exact[d])
+        out_e.append(int(round(hll.estimate())))
+    return pa.table({
+        "day": pa.array(np.array(out_d, "datetime64[us]")),
+        "wau_exact": pa.array(out_x, pa.int64()),
+        "wau_est": pa.array(out_e, pa.int64())})
+
+
+def O_EVENTS_HLL_WAU() -> str:
+    """Exact windowed distinct in SQL; the estimate recomputed on the
+    driver with the same splitmix64+HLL register math (VALUES join)."""
+    t = _read_parquet_cols(_SF001, "events", ["user_id", "ts"])
+    uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    _DAY_US = 86_400_000_000
+    daily: dict[int, ops.HyperLogLog] = {}
+    for d in sorted(set(day.tolist())):
+        h = ops.HyperLogLog(_WAU_HLL_P)
+        h.add_hashes(ops._splitmix64(uid[day == d]))
+        daily[d] = h
+    rows = []
+    for d in sorted(daily):
+        u = ops.HyperLogLog(_WAU_HLL_P)
+        for back in range(7):
+            dd = d - back * _DAY_US
+            if dd in daily:
+                u.merge(daily[dd])
+        rows.append(f"(epoch_ms({d // 1000}), {int(round(u.estimate()))})")
+    return f"""
+WITH est(day, wau_est) AS (VALUES {', '.join(rows)}),
+ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+ex AS (SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau_exact
+       FROM days d JOIN ud u
+         ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+       GROUP BY d.day)
+SELECT ex.day, ex.wau_exact, CAST(est.wau_est AS BIGINT) AS wau_est
+FROM ex JOIN est ON ex.day = est.day"""
+
+
+# --------------------------------------------------------------------------
+# Zone-map pruning comparison: z-order vs Hilbert layout
+# --------------------------------------------------------------------------
+
+
+def q_lineitem_curve_prune(sf_dir: str):
+    """Layout A/B decision metric: under the SAME 1024-file bucketing,
+    how many files must a box predicate scan when the table is laid out
+    by z-order vs by Hilbert curve? Each layout's per-bucket zone map
+    (min/max of the two masked 16-bit keys) is intersected against a
+    deterministic diagonal workload of 8 boxes (box j spans the j-th
+    eighth of the observed x and y ranges — data-derived so the query is
+    meaningful at any scale); a file is touched when its zone rectangle
+    overlaps the box. Hilbert's everywhere-adjacent walk yields tighter
+    rectangles, so its touched count lower-bounds z-order's on diagonal
+    workloads. Per-batch zone-map combiners, one ≤2×1024-key groupby,
+    O(buckets × boxes) driver sweep. Columns: (layout, box_id,
+    n_buckets, n_touched)."""
+    li = ops.read_table(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def zones(t: pa.Table) -> pa.Table:
+        x = t["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) & np.int64(0xFFFF)
+        y = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) & np.int64(0xFFFF)
+        out = []
+        for layout, d in (("zorder", ops.zorder16(x, y)),
+                          ("hilbert", ops.hilbert16(x, y))):
+            g = pa.table({
+                "layout": pa.array([layout] * len(x), pa.string()),
+                "bucket": pa.array(d >> np.int64(22), pa.int64()),
+                "x_min": pa.array(x, pa.int64()),
+                "x_max": pa.array(x, pa.int64()),
+                "y_min": pa.array(y, pa.int64()),
+                "y_max": pa.array(y, pa.int64()),
+            }).group_by(["layout", "bucket"]).aggregate(
+                [("x_min", "min"), ("x_max", "max"),
+                 ("y_min", "min"), ("y_max", "max")])
+            out.append(g.rename_columns(
+                ["layout", "bucket", "x_min", "x_max", "y_min", "y_max"]))
+        return pa.concat_tables(out)
+
+    zm = (li.map_batches(zones, batch_format="pyarrow")
+          .groupby(["layout", "bucket"])
+          .aggregate(Min("x_min", alias_name="x_min"),
+                     Max("x_max", alias_name="x_max"),
+                     Min("y_min", alias_name="y_min"),
+                     Max("y_max", alias_name="y_max"))
+          .take_all())  # bounded: 2 layouts x <=1024 buckets
+    xm = max(int(r["x_max"]) for r in zm)
+    ym = max(int(r["y_max"]) for r in zm)
+    boxes = [(j * xm // 8, (j + 1) * xm // 8,
+              j * ym // 8, (j + 1) * ym // 8) for j in range(8)]
+    per = {"zorder": [], "hilbert": []}
+    for r in zm:
+        per[r["layout"]].append((int(r["x_min"]), int(r["x_max"]),
+                                 int(r["y_min"]), int(r["y_max"])))
+    out_l, out_b, out_n, out_t = [], [], [], []
+    for layout in sorted(per):
+        zs = per[layout]
+        for j, (xlo, xhi, ylo, yhi) in enumerate(boxes):
+            touched = sum(
+                1 for (x0, x1, y0, y1) in zs
+                if not (x1 < xlo or x0 > xhi or y1 < ylo or y0 > yhi))
+            out_l.append(layout)
+            out_b.append(j)
+            out_n.append(len(zs))
+            out_t.append(touched)
+    return pa.table({
+        "layout": pa.array(out_l, pa.string()),
+        "box_id": pa.array(out_b, pa.int64()),
+        "n_buckets": pa.array(out_n, pa.int64()),
+        "n_touched": pa.array(out_t, pa.int64())})
+
+
+def O_LINEITEM_CURVE_PRUNE() -> str:
+    zp = _sql_zspread16("x0")
+    zs = _sql_zspread16("y0")
+    hil = """
+hl0 AS (SELECT x0, y0, x0 AS x, y0 AS y, CAST(0 AS BIGINT) AS d
+        FROM base)"""
+    for i in range(16):
+        s = 1 << (15 - i)
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        hil += f""",
+hl{i + 1} AS (
+  SELECT x0, y0,
+    CASE WHEN (y & {s}) = 0
+         THEN CASE WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END
+         ELSE x END AS x,
+    CASE WHEN (y & {s}) = 0
+         THEN CASE WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END
+         ELSE y END AS y,
+    d + {s * s} * xor(3 * {rx}, {ry}) AS d
+  FROM hl{i})"""
+    return f"""
+WITH base AS (SELECT (l_partkey & 65535) AS x0, (l_suppkey & 65535) AS y0
+              FROM lineitem),
+mx AS (SELECT max(x0) AS xm, max(y0) AS ym FROM base),
+{hil},
+zones AS (
+  SELECT 'zorder' AS layout, (({zp} | ({zs} << 1)) >> 22) AS bucket,
+         min(x0) AS x_min, max(x0) AS x_max,
+         min(y0) AS y_min, max(y0) AS y_max
+  FROM base GROUP BY 2
+  UNION ALL
+  SELECT 'hilbert', (d >> 22), min(x0), max(x0), min(y0), max(y0)
+  FROM hl16 GROUP BY 2),
+boxes AS (
+  SELECT CAST(r.range AS BIGINT) AS box_id,
+         (r.range * xm) // 8 AS xlo, ((r.range + 1) * xm) // 8 AS xhi,
+         (r.range * ym) // 8 AS ylo, ((r.range + 1) * ym) // 8 AS yhi
+  FROM range(0, 8) r, mx)
+SELECT z.layout, b.box_id,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN z.x_max < b.xlo OR z.x_min > b.xhi
+                       OR z.y_max < b.ylo OR z.y_min > b.yhi
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_touched
+FROM zones z CROSS JOIN boxes b
+GROUP BY z.layout, b.box_id ORDER BY z.layout, b.box_id"""
+
+
+# --------------------------------------------------------------------------
+# Simpson's-paradox stratification audit
+# --------------------------------------------------------------------------
+
+
+def q_events_simpson(sf_dir: str):
+    """Simpson's-paradox guardrail: the purchase-share comparison between
+    the two deterministic A/B arms (the events_ab_srm hash split),
+    pooled AND stratified by day-of-week (epoch-day mod 7) — the audit
+    that catches a pooled metric whose sign reverses inside every
+    stratum (aggregation bias from uneven arm×stratum exposure). All
+    comparisons are EXACT integer cross-products
+    sign(a_purch·b_total − b_purch·a_total); no rate is ever divided.
+    Pure per-batch fold into the 7×2 contingency grid, one bounded
+    groupby, pooled row (stratum = -1) derived from the same cells.
+    Columns: (stratum, a_purch, a_total, b_purch, b_total, sign)."""
+    ev = ops.read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            arm = ((u.astype(np.uint64) * np.uint64(_KMV_A)
+                    + np.uint64(_KMV_B)) & np.uint64(1)).astype(np.int64)
+        day = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        strat = day % 7
+        purch = (np.asarray(t["event_type"].to_pylist(), dtype=object)
+                 == "purchase").astype(np.int64)
+        g = pa.table({"stratum": pa.array(strat, pa.int64()),
+                      "arm": pa.array(arm, pa.int64()),
+                      "purch": pa.array(purch, pa.int64()),
+                      "total": pa.array(np.ones(len(u), np.int64))}) \
+            .group_by(["stratum", "arm"]).aggregate(
+            [("purch", "sum"), ("total", "sum")])
+        return g.rename_columns(["stratum", "arm", "purch", "total"])
+
+    cells = (ev.map_batches(fold, batch_format="pyarrow")
+             .groupby(["stratum", "arm"])
+             .aggregate(Sum("purch", alias_name="purch"),
+                        Sum("total", alias_name="total"))
+             .take_all())  # bounded: 7 x 2 cells
+    grid: dict[int, dict[int, tuple[int, int]]] = {}
+    for r in cells:
+        grid.setdefault(int(r["stratum"]), {})[int(r["arm"])] = \
+            (int(r["purch"]), int(r["total"]))
+    rows = []
+    pooled = [0, 0, 0, 0]
+    for s in sorted(grid):
+        a = grid[s].get(0, (0, 0))
+        b = grid[s].get(1, (0, 0))
+        x, yv = a[0] * b[1], b[0] * a[1]
+        rows.append((s, a[0], a[1], b[0], b[1],
+                     1 if x > yv else (-1 if x < yv else 0)))
+        pooled[0] += a[0]
+        pooled[1] += a[1]
+        pooled[2] += b[0]
+        pooled[3] += b[1]
+    x, yv = pooled[0] * pooled[3], pooled[2] * pooled[1]
+    rows.append((-1, *pooled, 1 if x > yv else (-1 if x < yv else 0)))
+    rows.sort()
+    return pa.table({
+        "stratum": pa.array([r[0] for r in rows], pa.int64()),
+        "a_purch": pa.array([r[1] for r in rows], pa.int64()),
+        "a_total": pa.array([r[2] for r in rows], pa.int64()),
+        "b_purch": pa.array([r[3] for r in rows], pa.int64()),
+        "b_total": pa.array([r[4] for r in rows], pa.int64()),
+        "sign": pa.array([r[5] for r in rows], pa.int64())})
+
+
+def O_EVENTS_SIMPSON() -> str:
+    arm = (f"CAST(((CAST(user_id AS HUGEINT) * {_KMV_A} + {_KMV_B}) "
+           f"% CAST({_U64} AS HUGEINT) + CAST({_U64} AS HUGEINT)) "
+           f"% CAST({_U64} AS HUGEINT) % 2 AS BIGINT)")
+    return f"""
+WITH e AS (SELECT {arm} AS arm,
+                  CAST(epoch_us(ts) // 86400000000 % 7 AS BIGINT)
+                    AS stratum,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+           FROM events),
+g AS (SELECT stratum, arm, CAST(sum(p) AS BIGINT) AS purch,
+             CAST(count(*) AS BIGINT) AS total
+      FROM e GROUP BY 1, 2),
+s AS (
+  SELECT stratum,
+         CAST(coalesce(max(CASE WHEN arm = 0 THEN purch END), 0)
+              AS BIGINT) AS a_purch,
+         CAST(coalesce(max(CASE WHEN arm = 0 THEN total END), 0)
+              AS BIGINT) AS a_total,
+         CAST(coalesce(max(CASE WHEN arm = 1 THEN purch END), 0)
+              AS BIGINT) AS b_purch,
+         CAST(coalesce(max(CASE WHEN arm = 1 THEN total END), 0)
+              AS BIGINT) AS b_total
+  FROM g GROUP BY stratum
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT),
+         CAST(coalesce(sum(CASE WHEN arm = 0 THEN purch END), 0)
+              AS BIGINT),
+         CAST(coalesce(sum(CASE WHEN arm = 0 THEN total END), 0)
+              AS BIGINT),
+         CAST(coalesce(sum(CASE WHEN arm = 1 THEN purch END), 0)
+              AS BIGINT),
+         CAST(coalesce(sum(CASE WHEN arm = 1 THEN total END), 0)
+              AS BIGINT)
+  FROM g)
+SELECT stratum, a_purch, a_total, b_purch, b_total,
+       CAST(CASE WHEN CAST(a_purch AS HUGEINT) * b_total
+                      > CAST(b_purch AS HUGEINT) * a_total THEN 1
+                 WHEN CAST(a_purch AS HUGEINT) * b_total
+                      < CAST(b_purch AS HUGEINT) * a_total THEN -1
+                 ELSE 0 END AS BIGINT) AS sign
+FROM s ORDER BY stratum"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -21536,6 +21879,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_ccnet_buckets": q_docs_ccnet_buckets,
     "docs_bpe_fertility": q_docs_bpe_fertility,
     "lineitem_hilbert": q_lineitem_hilbert,
+    "events_hll_wau": q_events_hll_wau,
+    "lineitem_curve_prune": q_lineitem_curve_prune,
+    "events_simpson": q_events_simpson,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -21927,4 +22273,7 @@ def oracles() -> dict[str, str]:
         "docs_ccnet_buckets": O_DOCS_CCNET_BUCKETS(),
         "docs_bpe_fertility": O_DOCS_BPE_FERTILITY(),
         "lineitem_hilbert": O_LINEITEM_HILBERT(),
+        "events_hll_wau": O_EVENTS_HLL_WAU(),
+        "lineitem_curve_prune": O_LINEITEM_CURVE_PRUNE(),
+        "events_simpson": O_EVENTS_SIMPSON(),
     }
