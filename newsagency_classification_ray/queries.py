@@ -21432,6 +21432,252 @@ SELECT stratum, a_purch, a_total, b_purch, b_total,
 FROM s ORDER BY stratum"""
 
 
+# --------------------------------------------------------------------------
+# KG entity activity timelines (gaps-and-islands per agency)
+# --------------------------------------------------------------------------
+
+
+def q_kg_entity_timeline(sf_dir: str):
+    """Per-agency activity timeline over the mention KG: first/last
+    attested year, number of active years, the LONGEST consecutive-year
+    run (gaps-and-islands on the agency's own year set — the entity-
+    level sibling of events_streaks) and the peak year (max mentions,
+    ties to the earliest year). The lifespan dashboard for a historical
+    KG: which agencies are continuous presences vs episodic. One
+    bounded (qid, year) groupby (agencies × years grid); the island
+    scan and argmax run on that driver grid. Columns: (qid, first_year,
+    last_year, n_years, longest_run, peak_year, peak_n)."""
+    g = (_linked(sf_dir).map_batches(
+        lambda t: pa.table({"qid": t["qid"],
+                            "year": pc.cast(t["year"], pa.int64())}),
+        batch_format="pyarrow")
+        .groupby(["qid", "year"]).aggregate(Count(alias_name="n"))
+        .take_all())  # bounded: agencies x years
+    per: dict[str, dict[int, int]] = {}
+    for r in g:
+        per.setdefault(r["qid"], {})[int(r["year"])] = int(r["n"])
+    rows = []
+    for qid in sorted(per):
+        ys = sorted(per[qid])
+        longest, run = 1, 1
+        for a, b in zip(ys, ys[1:]):
+            run = run + 1 if b == a + 1 else 1
+            longest = max(longest, run)
+        peak_year = min(y for y in ys
+                        if per[qid][y] == max(per[qid].values()))
+        rows.append((qid, ys[0], ys[-1], len(ys), longest,
+                     peak_year, per[qid][peak_year]))
+    return pa.table({
+        "qid": pa.array([r[0] for r in rows], pa.string()),
+        "first_year": pa.array([r[1] for r in rows], pa.int64()),
+        "last_year": pa.array([r[2] for r in rows], pa.int64()),
+        "n_years": pa.array([r[3] for r in rows], pa.int64()),
+        "longest_run": pa.array([r[4] for r in rows], pa.int64()),
+        "peak_year": pa.array([r[5] for r in rows], pa.int64()),
+        "peak_n": pa.array([r[6] for r in rows], pa.int64())})
+
+
+O_KG_ENTITY_TIMELINE = lambda sf: f"""WITH {_pages_cte(sf)},
+g AS (SELECT qid, year, CAST(count(*) AS BIGINT) AS n
+      FROM sql_mentions WHERE qid <> 'NIL' GROUP BY 1, 2),
+r AS (SELECT qid, year, n,
+             year - row_number() OVER (PARTITION BY qid ORDER BY year)
+               AS grp
+      FROM g),
+runs AS (SELECT qid, grp, count(*) AS runlen FROM r GROUP BY 1, 2),
+a AS (SELECT qid, CAST(min(year) AS BIGINT) AS first_year,
+             CAST(max(year) AS BIGINT) AS last_year,
+             CAST(count(*) AS BIGINT) AS n_years
+      FROM g GROUP BY qid),
+b AS (SELECT qid, CAST(max(runlen) AS BIGINT) AS longest_run
+      FROM runs GROUP BY qid),
+pk AS (SELECT qid, year, n,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY n DESC, year) AS rk
+       FROM g),
+c AS (SELECT qid, CAST(year AS BIGINT) AS peak_year,
+             CAST(n AS BIGINT) AS peak_n
+      FROM pk WHERE rk = 1)
+SELECT a.qid, a.first_year, a.last_year, a.n_years, b.longest_run,
+       c.peak_year, c.peak_n
+FROM a JOIN b USING (qid) JOIN c USING (qid) ORDER BY a.qid"""
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion of lexical and vector rankings
+# --------------------------------------------------------------------------
+
+_RRF_K = 60     # the standard RRF dampening constant
+_RRF_TOP = 10   # fused results returned
+
+
+def q_docs_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al.) of the BM25 lexical
+    ranking and the embedding inner-product ranking — the score-free
+    hybrid fusion (docs_hybrid_search re-scores; RRF only consumes
+    RANKS, so it is immune to score-scale mismatch). Each list is
+    top-15; rrf_nano(d) = round(1e9/(60+rank_lex)) +
+    round(1e9/(60+rank_vec)) with each term quantized BEFORE the sum
+    (order-free exact int64), absent-list terms contributing 0; final
+    order (rrf_nano desc, doc_id).
+
+    Distributed shape: BM25 is the existing two-bounded-pass stage; the
+    vector ranking is a broadcast-query per-block int64 matmul with a
+    local top-15 combiner (the MMR/brute_force_topk shape); fusion runs
+    on ≤30 driver rows. Columns: (rank, doc_id, rrf_nano)."""
+    bm = rt.bm25_topk(ops.read_table(sf_dir, "documents",
+                                     ["doc_id", "text"]),
+                      _BM25_TERMS, k=15)
+    bm_t = bm if isinstance(bm, pa.Table) else pa.concat_tables(
+        list(bm.iter_batches(batch_format="pyarrow")))
+    pairs = sorted(zip(bm_t["score_micro"].to_pylist(),
+                       bm_t["doc_id"].to_pylist()),
+                   key=lambda p: (-p[0], p[1]))
+    rank_a = {int(d): i + 1 for i, (_, d) in enumerate(pairs)}
+
+    emb = ops.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtab = emb.map_batches(
+        lambda t: t.filter(pc.equal(pc.cast(t["vec_id"], pa.int64()),
+                                    _HYBRID_QUERY_VEC)),
+        batch_format="pyarrow").take_all()
+    q = np.array([_q6(x) for x in qtab[0]["embedding"]], np.int64)
+    qref = ray.put(q)
+
+    def local_top(t: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        m = np.array([[_q6(x) for x in v]
+                      for v in t["embedding"].to_pylist()], np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = m @ qv
+        keep = ids != _HYBRID_QUERY_VEC
+        ids, s = ids[keep], s[keep]
+        sel = np.lexsort((ids, -s))[:15]
+        return pa.table({"vec_id": pa.array(ids[sel], pa.int64()),
+                         "dot": pa.array(s[sel], pa.int64())})
+
+    part = emb.map_batches(local_top, batch_format="pyarrow").take_all()
+    part.sort(key=lambda r: (-int(r["dot"]), int(r["vec_id"])))
+    rank_b = {int(r["vec_id"]): i + 1 for i, r in enumerate(part[:15])}
+
+    fused = []
+    for d in sorted(set(rank_a) | set(rank_b)):
+        s = (_div_nano(1, _RRF_K + rank_a[d]) if d in rank_a else 0) \
+            + (_div_nano(1, _RRF_K + rank_b[d]) if d in rank_b else 0)
+        fused.append((d, s))
+    fused.sort(key=lambda p: (-p[1], p[0]))
+    fused = fused[:_RRF_TOP]
+    return pa.table({
+        "rank": pa.array(range(1, len(fused) + 1), pa.int64()),
+        "doc_id": pa.array([d for d, _ in fused], pa.int64()),
+        "rrf_nano": pa.array([s for _, s in fused], pa.int64())})
+
+
+def O_DOCS_RRF_FUSION() -> str:
+    qz = ("CAST(sign(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) "
+          "* floor(abs(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) "
+          "+ 0.5) AS BIGINT)")
+    return f"""
+WITH bmq AS MATERIALIZED (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id) AS ra
+  FROM ({O_DOCS_BM25_TOPK})),
+ev AS MATERIALIZED (
+  SELECT vec_id, CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS i,
+         {qz} AS qv
+  FROM embeddings),
+qv AS (SELECT i, qv FROM ev WHERE vec_id = {_HYBRID_QUERY_VEC}),
+dots AS (
+  SELECT e.vec_id, CAST(sum(e.qv * q.qv) AS BIGINT) AS dot
+  FROM ev e JOIN qv q USING (i)
+  WHERE e.vec_id <> {_HYBRID_QUERY_VEC}
+  GROUP BY e.vec_id),
+eb AS (SELECT CAST(vec_id AS BIGINT) AS doc_id,
+              row_number() OVER (ORDER BY dot DESC, vec_id) AS rb
+       FROM dots ORDER BY dot DESC, vec_id LIMIT 15),
+f AS (
+  SELECT coalesce(bmq.doc_id, eb.doc_id) AS doc_id,
+         coalesce({_sql_div_nano('1', f'{_RRF_K} + bmq.ra')}, 0)
+         + coalesce({_sql_div_nano('1', f'{_RRF_K} + eb.rb')}, 0)
+           AS rrf_nano
+  FROM bmq FULL OUTER JOIN eb ON bmq.doc_id = eb.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id)
+            AS BIGINT) AS rank,
+       doc_id, CAST(rrf_nano AS BIGINT) AS rrf_nano
+FROM f ORDER BY rrf_nano DESC, doc_id LIMIT {_RRF_TOP}"""
+
+
+# --------------------------------------------------------------------------
+# Partition-key planner: balance audit of candidate shuffle keys
+# --------------------------------------------------------------------------
+
+_PLANNER_KEYS = ["l_linestatus", "l_partkey", "l_returnflag", "l_suppkey"]
+
+
+def q_lineitem_partition_planner(sf_dir: str):
+    """Shuffle-key planner: for each candidate partition column of the
+    fact table, the balance statistics a planner consults before picking
+    the exchange key — distinct-key count, the heaviest key's share, and
+    the Gini impurity 1 − Σ(c_k/N)² (exact rational: _div_nano(Σc², N²);
+    1e9 ≅ perfectly spread, low = one key dominates). The planner-facing
+    generalization of lineitem_key_skew (which profiles ONE key).
+
+    Distributed shape per key: per-batch partial counts → one
+    key-cardinality-bounded groupby → per-count-block (Σc², max, n)
+    partials folded on the driver (O(blocks) rows — per-key counts are
+    never gathered). Columns: (col, n_rows, n_keys, max_share_nano,
+    gini_impurity_nano)."""
+    rows_out = []
+    for col in _PLANNER_KEYS:
+        li = ops.read_table(sf_dir, "lineitem", [col])
+
+        def partial(t: pa.Table, col=col) -> pa.Table:
+            g = t.group_by([col]).aggregate([([], "count_all")])
+            return g.rename_columns([col, "c"])
+
+        counts = (li.map_batches(partial, batch_format="pyarrow")
+                  .groupby(col).aggregate(Sum("c", alias_name="c")))
+
+        def fold(t: pa.Table) -> pa.Table:
+            c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"ssq": pa.array([int((c * c).sum())],
+                                             pa.int64()),
+                             "cmax": pa.array([int(c.max())], pa.int64()),
+                             "nk": pa.array([len(c)], pa.int64()),
+                             "n": pa.array([int(c.sum())], pa.int64())})
+
+        parts = counts.map_batches(fold, batch_format="pyarrow",
+                                   batch_size=None).take_all()  # O(blocks)
+        ssq = sum(int(r["ssq"]) for r in parts)
+        cmax = max(int(r["cmax"]) for r in parts)
+        nk = sum(int(r["nk"]) for r in parts)
+        n = sum(int(r["n"]) for r in parts)
+        rows_out.append((col, n, nk, _div_nano(cmax, n),
+                         10**9 - _div_nano(ssq, n * n)))
+    return pa.table({
+        "col": pa.array([r[0] for r in rows_out], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows_out], pa.int64()),
+        "n_keys": pa.array([r[2] for r in rows_out], pa.int64()),
+        "max_share_nano": pa.array([r[3] for r in rows_out], pa.int64()),
+        "gini_impurity_nano": pa.array([r[4] for r in rows_out],
+                                       pa.int64())})
+
+
+def O_LINEITEM_PARTITION_PLANNER() -> str:
+    parts = []
+    for col in _PLANNER_KEYS:
+        parts.append(f"""
+SELECT '{col}' AS col, CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST({_sql_div_nano('max(c)', 'sum(c)')} AS BIGINT)
+         AS max_share_nano,
+       CAST(1000000000 - ({_sql_div_nano(
+           'sum(CAST(c AS HUGEINT) * c)',
+           'CAST(sum(c) AS HUGEINT) * sum(c)')}) AS BIGINT)
+         AS gini_impurity_nano
+FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY {col})""")
+    return " UNION ALL ".join(parts) + " ORDER BY col"
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     # Driver correctness sampling checks the FIRST 50 entries only; rounds
     # 1-3 covered the original head, so round 4 rotates the 46 queries that
@@ -21882,6 +22128,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_hll_wau": q_events_hll_wau,
     "lineitem_curve_prune": q_lineitem_curve_prune,
     "events_simpson": q_events_simpson,
+    "kg_entity_timeline": q_kg_entity_timeline,
+    "docs_rrf_fusion": q_docs_rrf_fusion,
+    "lineitem_partition_planner": q_lineitem_partition_planner,
 }
 
 _SF001 = "/root/testdata/sf0.01"
@@ -22276,4 +22525,7 @@ def oracles() -> dict[str, str]:
         "events_hll_wau": O_EVENTS_HLL_WAU(),
         "lineitem_curve_prune": O_LINEITEM_CURVE_PRUNE(),
         "events_simpson": O_EVENTS_SIMPSON(),
+        "kg_entity_timeline": O_KG_ENTITY_TIMELINE(_SF001),
+        "docs_rrf_fusion": O_DOCS_RRF_FUSION(),
+        "lineitem_partition_planner": O_LINEITEM_PARTITION_PLANNER(),
     }
