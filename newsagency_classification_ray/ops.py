@@ -5735,3 +5735,39 @@ def huffman_total_bits(counts: list[int]) -> int:
         total += a + b
         heapq.heappush(h, a + b)
     return total
+
+
+def read_parquet_unify(path_or_files) -> Dataset:
+    """Schema-evolution-safe parquet source: scans every fragment FOOTER
+    for the union-by-name schema (first-seen type wins), then null-fills
+    absent columns per block so every downstream exchange sees ONE
+    schema. Ray's raw ``read_parquet`` over mixed-schema fragments emits
+    per-file block schemas (with a 'may lead to unexpected behavior'
+    warning) and breaks groupbys; this is the evolution-aware read a
+    long-lived lakehouse table needs after columns were added over time.
+    Footer scan is metadata-only (no row bytes leave storage)."""
+    import glob as _glob
+
+    if isinstance(path_or_files, str):
+        files = sorted(_glob.glob(os.path.join(path_or_files, "*.parquet")))
+    else:
+        files = list(path_or_files)
+    import pyarrow.parquet as _pq
+
+    fields: dict[str, pa.DataType] = {}
+    for f in files:
+        for fld in _pq.read_schema(f):
+            fields.setdefault(fld.name, fld.type)
+    uschema = pa.schema([pa.field(k, v) for k, v in fields.items()])
+
+    def fill(t: pa.Table) -> pa.Table:
+        cols = []
+        for fld in uschema:
+            if fld.name in t.column_names:
+                cols.append(pc.cast(t[fld.name], fld.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, fld.type))
+        return pa.table(dict(zip(uschema.names, cols)))
+
+    return ray.data.read_parquet(files).map_batches(
+        fill, batch_format="pyarrow")
