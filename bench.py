@@ -259,6 +259,19 @@ def run_bench() -> dict:
           lambda: Q.QUERIES["docs_cluster_quality"](sf_dir).count())
     timed("part_jw_names",
           lambda: Q.QUERIES["part_jw_names"](sf_dir).count())
+    # this-session additions: all-pairs DBSCAN, 199-way hash
+    # rerandomization, set-similarity self-join, per-key stateful replay,
+    # fact-fact interval backlog
+    timed("embeddings_dbscan",
+          lambda: Q.QUERIES["embeddings_dbscan"](sf_dir).num_rows)
+    timed("events_permutation_test",
+          lambda: Q.QUERIES["events_permutation_test"](sf_dir).num_rows)
+    timed("supplier_part_jaccard",
+          lambda: Q.QUERIES["supplier_part_jaccard"](sf_dir).num_rows)
+    timed("events_token_bucket",
+          lambda: Q.QUERIES["events_token_bucket"](sf_dir).count())
+    timed("orders_open_backlog",
+          lambda: Q.QUERIES["orders_open_backlog"](sf_dir).num_rows)
 
     headline = queries["kg_flagship"]
     result = {
