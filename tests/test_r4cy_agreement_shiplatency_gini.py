@@ -52,7 +52,11 @@ def test_monthly_ship_latency_matches_pandas():
         row = t.loc[m]
         assert row.n_orders == n
         assert row.med_days_x2 == med2
-    assert (t.med_days_x2 >= 0).all()
+    # medians live inside the observed gap range (the synthetic data
+    # DOES contain ship-before-order rows — see lineitem_business_rules
+    # — so negative medians are legitimate, not a bug)
+    assert t.med_days_x2.min() >= 2 * o.gap.min()
+    assert t.med_days_x2.max() <= 2 * o.gap.max()
 
 
 def test_user_gini_matches_bruteforce():
