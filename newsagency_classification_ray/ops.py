@@ -5771,3 +5771,172 @@ def read_parquet_unify(path_or_files) -> Dataset:
 
     return ray.data.read_parquet(files).map_batches(
         fill, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Katz centrality (truncated attenuated walk counts)
+# --------------------------------------------------------------------------
+
+
+def katz(
+    edges: Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    alpha: float = 0.05,
+    iters: int = 4,
+    round_decimals: int = 9,
+    broadcast_threshold: int = 65536,
+    driver_edge_limit: int = 500_000,
+) -> Dataset:
+    """``iters``-truncated Katz index over a directed weighted edge list:
+    ``x = Σ_{k=1..iters} α^k (Aᵀ)^k 1`` via the fixed-point recurrence
+    ``x ← round(α · Aᵀ(x + 1))`` from ``x = 0`` — the attenuated
+    walk-count centrality (all incoming walks, geometrically damped),
+    which sees multi-hop volume where degree sees only hop 1 and, unlike
+    PageRank, does NOT normalize away a neighbor's own out-volume.
+    Truncation makes the result well-defined regardless of spectral
+    radius (no α < 1/λ_max requirement); per-iteration rounding to
+    ``round_decimals`` makes re-runs bit-stable within a regime exactly
+    as in :func:`pagerank` (same caveat: regimes differ in float
+    partial-sum decomposition, so rounding-boundary data could in
+    principle flip an ulp across regimes).
+
+    Same three-regime layout as :func:`pagerank` (the recurrence is a
+    strict simplification — no degree division, no dangling term):
+
+    * ``edges ≤ driver_edge_limit``: canonically-sorted edges iterate on
+      the driver (a constructed KG backbone is node-scale tiny).
+    * ``nodes ≤ broadcast_threshold``: one streaming pass per iteration;
+      every edge block emits a dense contribution partial over the
+      broadcast node index, partials reduce in canonical byte order.
+    * otherwise fully distributed: per iteration ``contrib = edges ⋈ x
+      (on src) → groupby(dst).sum``, ``x = nodes ⟕ contrib``; only
+      node-scale tables materialize.
+
+    Returns ``(node, katz)`` with float64 ``katz``.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    w_expr = (lambda t: pc.cast(t[weight], pa.float64())) if weight else (
+        lambda t: pa.array(np.ones(len(t)), type=pa.float64()))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t[src], "dst": t[dst], "w": w_expr(t)})
+
+    e = _compact(edges.map_batches(project, batch_format="pyarrow")).materialize()
+
+    n_edges = e.count()
+    if 0 < n_edges <= driver_edge_limit:
+        rows = sorted(((r["src"], r["dst"], float(r["w"])) for r in e.take_all()))
+        nodes_l = sorted({a for a, _, _ in rows} | {b for _, b, _ in rows})
+        pos = {v: i for i, v in enumerate(nodes_l)}
+        nn = len(nodes_l)
+        si = np.asarray([pos[a] for a, _, _ in rows], dtype=np.int64)
+        di = np.asarray([pos[b] for _, b, _ in rows], dtype=np.int64)
+        wv = np.asarray([x for _, _, x in rows], dtype=np.float64)
+        x = np.zeros(nn)
+        for _ in range(iters):
+            c = np.zeros(nn)
+            np.add.at(c, di, wv * (x[si] + 1.0))
+            x = np.round(alpha * c, round_decimals)
+        node_type = e.schema().base_schema.field("src").type
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes_l, type=node_type),
+            "katz": pa.array(x, type=pa.float64()),
+        }))
+
+    nodes = _compact(distinct(
+        e.map_batches(lambda t: pa.table({"node": t["src"]}),
+                      batch_format="pyarrow")
+        .union(e.map_batches(lambda t: pa.table({"node": t["dst"]}),
+                             batch_format="pyarrow")),
+        ["node"],
+    )).materialize()
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda t: t.append_column("katz", pa.array([], type=pa.float64())),
+            batch_format="pyarrow",
+        )
+
+    if n <= broadcast_threshold:
+        node_type = nodes.schema().base_schema.field("node").type
+        node_vals = sorted(r["node"] for r in nodes.take_all())
+        iref = ray.put(node_vals)
+
+        def dense_partial(xref):
+            def fn(t: pa.Table) -> pa.Table:
+                vals = ray.get(iref)
+                idx = pd.Index(vals)
+                si = idx.get_indexer(t["src"].to_pylist())
+                di = idx.get_indexer(t["dst"].to_pylist())
+                w_arr = t["w"].to_numpy(zero_copy_only=False)
+                xv = ray.get(xref)
+                v = np.zeros(len(vals))
+                np.add.at(v, di, w_arr * (xv[si] + 1.0))
+                return pa.table({"v": pa.array([v.tolist()],
+                                               type=pa.list_(pa.float64()))})
+            return fn
+
+        def reduce_vec(ds: Dataset) -> "np.ndarray":
+            # canonical sort before reducing: arrival order is
+            # nondeterministic and float addition non-associative
+            vecs = [np.asarray(row["v"], dtype=np.float64)
+                    for row in ds.take_all()]
+            vecs.sort(key=lambda a: a.tobytes())
+            out = np.zeros(n)
+            for v in vecs:
+                out += v
+            return out
+
+        x = np.zeros(n)
+        for _ in range(iters):
+            xref = ray.put(x)
+            c = reduce_vec(e.map_batches(dense_partial(xref),
+                                         batch_format="pyarrow"))
+            x = np.round(alpha * c, round_decimals)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(node_vals, type=node_type),
+            "katz": pa.array(x, type=pa.float64()),
+        }))
+
+    rank = nodes.map_batches(
+        lambda t: t.append_column(
+            "katz", pa.array(np.zeros(len(t)), type=pa.float64())),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        contrib = _compact(
+            hash_join(e, rank, on=("src",), right_on=("node",))
+            .map_batches(
+                lambda t: pa.table({
+                    "dst": t["dst"],
+                    "c": pc.multiply(
+                        t["w"], pc.add(t["katz"], pa.scalar(1.0))),
+                }),
+                batch_format="pyarrow",
+            )
+            .groupby("dst").aggregate(Sum("c", alias_name="c"))
+        )
+
+        def renew(t: pa.Table) -> pa.Table:
+            c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+            c = np.nan_to_num(c, nan=0.0)
+            return pa.table({
+                "node": t["node"],
+                "katz": pa.array(np.round(alpha * c, round_decimals),
+                                 type=pa.float64()),
+            })
+
+        rank = _compact(hash_join(nodes, contrib, on=("node",),
+                                  right_on=("dst",),
+                                  how="left_outer").map_batches(
+            renew, batch_format="pyarrow"
+        )).materialize()
+
+    return rank
