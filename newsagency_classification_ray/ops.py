@@ -5940,3 +5940,150 @@ def katz(
         )).materialize()
 
     return rank
+
+
+def core_numbers(
+    und_edges: Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    driver_edge_limit: int = 500_000,
+    max_iters: int = 10_000,
+) -> Dataset:
+    """FULL core decomposition — every node's core number (the largest k
+    such that the node survives k-core peeling), vs :func:`kcore`'s single
+    fixed-k membership. Input: DISTINCT undirected edges (each pair once,
+    either orientation); isolated nodes never appear.
+
+    Two regimes, identical integer results (degree peeling is exact
+    integer math — no float regime caveats):
+
+    * ``edges ≤ driver_edge_limit``: dense numpy mask peeling on the
+      driver (a constructed KG backbone is node-scale tiny) — ascending-k
+      rounds of the same boolean-mask peel the kcore oracle uses.
+    * larger graphs: ascending-k distributed peeling over a symmetrized
+      edge Dataset that SHRINKS monotonically — per round a per-batch
+      degree combiner + node-bounded groupby, survivors semi-joined back
+      onto both endpoints (:func:`hash_join_sized`); nodes dropped while
+      constructing the k-core get core number k−1. Only node-scale
+      tables materialize per round; total rounds are bounded by the
+      graph degeneracy (cap RAISES, no-silent-caps rule).
+
+    Returns (node, core) sorted by node.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t[src], "dst": t[dst]})
+
+    e = _compact(und_edges.map_batches(project,
+                                       batch_format="pyarrow")).materialize()
+    n_edges = e.count()
+    node_type = (e.schema().base_schema.field("src").type
+                 if n_edges else pa.string())
+
+    if n_edges <= driver_edge_limit:
+        pairs = sorted((r["src"], r["dst"]) for r in e.take_all())
+        nodes_l = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+        pos = {v: i for i, v in enumerate(nodes_l)}
+        ai = np.asarray([pos[a] for a, _ in pairs], dtype=np.int64)
+        bi = np.asarray([pos[b] for _, b in pairs], dtype=np.int64)
+        nn = len(nodes_l)
+        core = np.zeros(nn, dtype=np.int64)
+        alive = np.ones(nn, dtype=bool)
+        k = 1
+        rounds = 0
+        while alive.any():
+            # construct the k-core; drops get core k-1
+            while True:
+                rounds += 1
+                if rounds > max_iters:
+                    raise RuntimeError(
+                        f"core_numbers: no convergence in {max_iters} "
+                        f"peel rounds — raise max_iters")
+                keep = alive[ai] & alive[bi]
+                deg = np.zeros(nn, dtype=np.int64)
+                np.add.at(deg, ai[keep], 1)
+                np.add.at(deg, bi[keep], 1)
+                drop = alive & (deg < k)
+                if not drop.any():
+                    break
+                core[drop] = k - 1
+                alive &= ~drop
+            k += 1
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes_l, type=node_type),
+            "core": pa.array(core, pa.int64()),
+        })).sort("node")
+
+    sym = e.union(e.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+        batch_format="pyarrow")).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["src"]).aggregate([("src", "count")])
+        return pa.table({"src": g["src"],
+                         "d": pc.cast(g["src_count"], pa.int64())})
+
+    # live node set is tracked EXPLICITLY: a node whose last edge vanishes
+    # (both endpoints peeled) disappears from the degree table entirely —
+    # it must still receive a core number (it is degree-0 at the current
+    # level, i.e. dropped at k with core k−1).
+    cur_nodes = _compact(distinct(
+        sym.map_batches(lambda t: pa.table({"src": t["src"]}),
+                        batch_format="pyarrow"), ["src"])).materialize()
+    dropped_parts: list[Dataset] = []
+    k = 2
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds > max_iters:
+            raise RuntimeError(
+                f"core_numbers: no convergence in {max_iters} peel "
+                f"rounds — raise max_iters")
+        if cur_nodes.count() == 0:
+            break
+        deg = (sym.map_batches(deg_partial, batch_format="pyarrow")
+               .groupby("src").aggregate(Sum("d", alias_name="degree"))
+               ).materialize()
+        alive = _compact(deg.map_batches(
+            lambda t, kk=k: t.filter(pc.greater_equal(
+                t["degree"], pa.scalar(kk, pa.int64()))).select(["src"]),
+            batch_format="pyarrow")).materialize()
+        n_alive = alive.count()
+        if n_alive:
+            dead = hash_join_sized(cur_nodes, alive, on=("src",),
+                                   how="left_anti").materialize()
+        else:
+            dead = cur_nodes
+        n_dead = dead.count()
+        if n_dead:
+            dropped_parts.append(dead.map_batches(
+                lambda t, c=k - 1: pa.table({
+                    "node": t["src"],
+                    "core": pa.array(np.full(len(t), c), pa.int64())}),
+                batch_format="pyarrow").materialize())
+        if n_alive == 0:
+            break
+        cur_nodes = alive
+        if n_dead == 0:
+            k += 1  # k-core constructed; go peel at the next level
+            continue
+        alive_c = _compact(alive)
+        sym = hash_join_sized(sym, alive_c, on=("src",), how="left_semi")
+        sym = hash_join_sized(
+            sym, alive_c.map_batches(
+                lambda t: pa.table({"dst": t["src"]}),
+                batch_format="pyarrow"),
+            on=("dst",), how="left_semi").materialize()
+
+    if not dropped_parts:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], type=node_type),
+            "core": pa.array([], pa.int64())}))
+    out = dropped_parts[0]
+    for d in dropped_parts[1:]:
+        out = out.union(d)
+    return out.sort("node")
