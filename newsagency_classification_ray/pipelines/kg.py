@@ -398,3 +398,111 @@ def flagship(
     edges = build_edges(trip, cooc)
     return {"pages": pages, "mentions": mentions, "triples": trip,
             "canonical": canon, "cooccurrence": cooc, "nodes": nodes, "edges": edges}
+
+
+def extract_mentions_checkpointed(
+    pages_dir: str,
+    out_root: str,
+    *,
+    wave_size: int = 1,
+    model: str = "alias",
+    tagger_concurrency: int | tuple[int, int] = (1, 8),
+) -> dict:
+    """INPUT-shard-level extraction checkpointing — the resume unit a
+    10¹²-doc crawl actually has: each pages shard's mentions land in
+    their own ``shard=<name>`` partition with a lineage manifest
+    (``state.manifest``: input fragment, row count, order-insensitive
+    content hash, wall); a resumed run re-extracts ONLY shards whose
+    manifest is missing. Complements :func:`graph.write_partitioned`,
+    which checkpoints the OUTPUT side by hash bucket — together they
+    cover both failure units (a lost input shard task, a lost output
+    partition write).
+
+    Shards are processed in waves of ``wave_size`` (default 1:
+    sequential shards, FULL cluster parallelism inside each shard — at
+    crawl scale one shard alone saturates the cluster, and each branch
+    of a wave carries its own tagger/linker actor-pool minimums, so
+    wave × 2 pool-minimum actors must fit the session's CPU budget
+    before raising this; a 4-CPU test session deadlocks at wave 8).
+    Within a wave the branches execute as ONE streaming union. The
+    manifest is written AFTER the wave's data files (crash ⇒ no
+    manifest ⇒ redone).
+
+    Cross-shard duplicate pages cannot dedup inside a shard run —
+    :func:`read_checkpointed_mentions` re-applies the mention-row dedup
+    (mention-scale, cheap) so the union is byte-equal to a monolithic
+    ``extract_mentions`` run.
+
+    Returns ``{written: [...], skipped: [...], row_count}``.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from ..state.manifest import (batch_content_hash, combine_hashes,
+                                  incomplete_partitions, write_manifest)
+
+    shards = sorted(_glob.glob(_os.path.join(pages_dir, "*.parquet")))
+
+    def key_of(f: str) -> str:
+        return "shard=" + _os.path.splitext(_os.path.basename(f))[0]
+
+    keys = [key_of(f) for f in shards]
+    todo = set(incomplete_partitions(out_root, keys))
+    skipped = sorted(set(keys) - todo)
+    todo_files = [f for f in shards if key_of(f) in todo]
+    written: list[str] = []
+    total = 0
+    for w0 in range(0, len(todo_files), wave_size):
+        wave = todo_files[w0:w0 + wave_size]
+        t0 = _time.time()
+        ds = None
+        for f in wave:
+            m = extract_mentions(read_pages(f), model=model,
+                                 tagger_concurrency=tagger_concurrency)
+            tag = key_of(f).split("=", 1)[1]
+            b = m.map_batches(
+                lambda t, s=tag: t.append_column(
+                    "shard", pa.array([s] * len(t), pa.string())),
+                batch_format="pyarrow")
+            ds = b if ds is None else ds.union(b)
+        for f in wave:  # scrub stale partials from a crashed run
+            pdir = _os.path.join(out_root, key_of(f))
+            if _os.path.isdir(pdir):
+                _shutil.rmtree(pdir)
+        ds.write_parquet(out_root, partition_cols=["shard"])
+        for f in wave:
+            pdir = _os.path.join(out_root, key_of(f))
+            _os.makedirs(pdir, exist_ok=True)
+            nrows = 0
+            hashes = []
+            import pyarrow.parquet as _pq
+
+            for fp in sorted(_glob.glob(_os.path.join(pdir, "*.parquet"))):
+                pf = _pq.ParquetFile(fp)
+                for rg in range(pf.num_row_groups):
+                    tbl = pf.read_row_group(rg)
+                    nrows += len(tbl)
+                    hashes.append(batch_content_hash(tbl))
+            write_manifest(pdir, key_of(f), nrows, combine_hashes(hashes),
+                           [f], _time.time() - t0)
+            written.append(key_of(f))
+            total += nrows
+    return {"written": written, "skipped": skipped, "row_count": total}
+
+
+def read_checkpointed_mentions(out_root: str, *, dedup: bool = True) -> Dataset:
+    """Union of all checkpointed shard partitions, with the mention-row
+    dedup re-applied (cross-shard duplicate pages; see
+    :func:`extract_mentions_checkpointed`) so the result is equal to a
+    monolithic :func:`extract_mentions` run over the whole corpus."""
+    import glob as _glob
+    import os as _os
+
+    files = sorted(_glob.glob(_os.path.join(out_root, "shard=*", "*.parquet")))
+    ds = ray.data.read_parquet(files).map_batches(
+        lambda t: t.drop_columns(["shard"]) if "shard" in t.column_names
+        else t,
+        batch_format="pyarrow")
+    return dedup_mentions(ds) if dedup else ds
