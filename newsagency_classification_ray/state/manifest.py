@@ -87,3 +87,40 @@ def is_complete(partition_dir: str) -> bool:
 def incomplete_partitions(out_root: str, keys: Iterable[str]) -> list[str]:
     """Partition keys under ``out_root`` that still need computing (resume set)."""
     return [k for k in keys if not is_complete(os.path.join(out_root, k))]
+
+
+def find_orphans(out_root: str) -> dict[str, list[str]]:
+    """VACUUM candidate census: files sitting in partition directories
+    that have NO valid manifest (crashed writes, stray copies, a manifest
+    deleted to force a redo). By the atomic-publish invariant (manifest
+    written after data, tmp+rename) a manifest-less partition's files are
+    unpublished partials — safe to delete; a partition WITH a manifest
+    owns all its files and is never touched. Returns
+    ``{partition_dir: [files...]}`` for every orphaned partition that
+    contains at least one file."""
+    out: dict[str, list[str]] = {}
+    if not os.path.isdir(out_root):
+        return out
+    for name in sorted(os.listdir(out_root)):
+        pdir = os.path.join(out_root, name)
+        if not os.path.isdir(pdir) or is_complete(pdir):
+            continue
+        files = sorted(
+            os.path.join(pdir, f) for f in os.listdir(pdir)
+            if f != MANIFEST_NAME)
+        if files:
+            out[pdir] = files
+    return out
+
+
+def vacuum(out_root: str) -> dict[str, list[str]]:
+    """Delete every orphaned partial found by :func:`find_orphans`
+    (including the now-empty partition directories) and return what was
+    removed — the lakehouse VACUUM step a resumable writer needs so
+    crashed runs cannot leak disk forever."""
+    import shutil
+
+    orphans = find_orphans(out_root)
+    for pdir in orphans:
+        shutil.rmtree(pdir, ignore_errors=True)
+    return orphans
