@@ -69,8 +69,8 @@ def test_bloom_prune_no_false_negatives_and_exact_actual():
         .set_index("probe_key")
     li = pq.read_table(f"{SF}/lineitem.parquet",
                        columns=["l_orderkey", "l_partkey"]).to_pandas()
-    li["p"] = li.l_orderkey.astype(np.int64) % Q._BLOOM_PARTS
-    for key in Q._BLOOM_PROBES:
+    li["p"] = li.l_orderkey.astype(np.int64) % Q._BPRUNE_PARTS
+    for key in Q._BPRUNE_PROBES:
         actual = li[li.l_partkey == key].p.nunique()
         row = t.loc[key]
         assert int(row.n_actual) == actual
