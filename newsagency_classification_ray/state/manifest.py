@@ -124,3 +124,71 @@ def vacuum(out_root: str) -> dict[str, list[str]]:
     for pdir in orphans:
         shutil.rmtree(pdir, ignore_errors=True)
     return orphans
+
+
+def merkle_tree(out_root: str, fanout: int = 16) -> dict:
+    """ANTI-ENTROPY partition digest (Dynamo/Cassandra-style Merkle
+    summary) over a manifested output directory: leaves are the
+    per-partition ``(content_hash, row_count)`` pairs the manifests
+    already record, grouped into ``fanout`` buckets by a stable hash of
+    the partition key; bucket digests roll up into one root digest. Two
+    replicas (or two runs) compare roots in O(1), then only the buckets
+    whose digests differ, then only those buckets' partitions — the sync
+    cost scales with the DIVERGENCE, not the table size. Returns
+    ``{root, buckets: {bucket: digest}, leaves: {key: (hash, rows)}}``.
+    """
+    import hashlib
+
+    leaves: dict[str, tuple[int, int]] = {}
+    if os.path.isdir(out_root):
+        for name in sorted(os.listdir(out_root)):
+            pdir = os.path.join(out_root, name)
+            m = read_manifest(pdir) if os.path.isdir(pdir) else None
+            if m is not None:
+                leaves[name] = (int(m["content_hash"]), int(m["row_count"]))
+
+    def bucket_of(key: str) -> int:
+        return int.from_bytes(hashlib.md5(key.encode()).digest()[:4],
+                              "little") % fanout
+
+    bdata: dict[int, list[str]] = {}
+    for k in leaves:
+        bdata.setdefault(bucket_of(k), []).append(k)
+    buckets: dict[int, str] = {}
+    for b, keys in bdata.items():
+        h = hashlib.md5()
+        for k in sorted(keys):
+            h.update(f"{k}|{leaves[k][0]}|{leaves[k][1]};".encode())
+        buckets[b] = h.hexdigest()
+    root_h = hashlib.md5()
+    for b in sorted(buckets):
+        root_h.update(f"{b}:{buckets[b]};".encode())
+    return {"root": root_h.hexdigest(), "buckets": buckets,
+            "leaves": leaves}
+
+
+def merkle_diff(tree_a: dict, tree_b: dict, fanout: int = 16) -> dict:
+    """Compare two :func:`merkle_tree` summaries: equal roots short-
+    circuit to an empty diff; otherwise only partitions inside the
+    DIFFERING buckets are inspected (keys in equal buckets are provably
+    identical and never touched — the anti-entropy saving). Returns
+    ``{only_a, only_b, changed}`` (partition-key lists, sorted)."""
+    import hashlib
+
+    if tree_a["root"] == tree_b["root"]:
+        return {"only_a": [], "only_b": [], "changed": []}
+    differing = {b for b in set(tree_a["buckets"]) | set(tree_b["buckets"])
+                 if tree_a["buckets"].get(b) != tree_b["buckets"].get(b)}
+
+    def bucket_of(key: str) -> int:
+        return int.from_bytes(hashlib.md5(key.encode()).digest()[:4],
+                              "little") % fanout
+
+    la = {k: v for k, v in tree_a["leaves"].items()
+          if bucket_of(k) in differing}
+    lb = {k: v for k, v in tree_b["leaves"].items()
+          if bucket_of(k) in differing}
+    only_a = sorted(set(la) - set(lb))
+    only_b = sorted(set(lb) - set(la))
+    changed = sorted(k for k in set(la) & set(lb) if la[k] != lb[k])
+    return {"only_a": only_a, "only_b": only_b, "changed": changed}
