@@ -192,3 +192,56 @@ def merkle_diff(tree_a: dict, tree_b: dict, fanout: int = 16) -> dict:
     only_b = sorted(set(lb) - set(la))
     changed = sorted(k for k in set(la) & set(lb) if la[k] != lb[k])
     return {"only_a": only_a, "only_b": only_b, "changed": changed}
+
+
+def compact_partition(partition_dir: str) -> dict:
+    """OPTIMIZE step: rewrite a published partition's many small data
+    files into ONE parquet file, preserving content exactly — the
+    order-insensitive ``content_hash`` and ``row_count`` are recomputed
+    and must equal the manifest's (raises otherwise; the manifest is then
+    updated in place with a ``compacted_from`` note). Small-file
+    proliferation is the natural debris of parallel writers; compaction
+    trades a rewrite for read efficiency without touching lineage.
+    Returns ``{files_before, files_after, row_count}``; a partition with
+    ≤1 data file is a no-op."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m = read_manifest(partition_dir)
+    if m is None:
+        raise ValueError(f"compact_partition: {partition_dir} has no "
+                         f"manifest (unpublished partial — vacuum it)")
+    files = sorted(glob.glob(os.path.join(partition_dir, "*.parquet")))
+    if len(files) <= 1:
+        return {"files_before": len(files), "files_after": len(files),
+                "row_count": int(m["row_count"])}
+    parts, hashes, nrows = [], [], 0
+    for fp in files:
+        f = pq.ParquetFile(fp)
+        for rg in range(f.num_row_groups):
+            t = f.read_row_group(rg)
+            parts.append(t)
+            nrows += len(t)
+            hashes.append(batch_content_hash(t))
+    h = combine_hashes(hashes)
+    if nrows != int(m["row_count"]) or h != int(m["content_hash"]):
+        raise ValueError(
+            f"compact_partition: {partition_dir} content "
+            f"({nrows} rows, hash {h}) does not match its manifest "
+            f"({m['row_count']} rows, hash {m['content_hash']}) — "
+            f"refusing to rewrite corrupted data")
+    merged = pa.concat_tables(parts, promote_options="default")
+    tmp = os.path.join(partition_dir, "compacted.parquet.tmp")
+    pq.write_table(merged, tmp)
+    final = os.path.join(partition_dir, "compacted.parquet")
+    os.replace(tmp, final)
+    for fp in files:
+        if os.path.abspath(fp) != os.path.abspath(final):
+            os.remove(fp)
+    write_manifest(partition_dir, m["partition_key"], nrows, h,
+                   m.get("input_fragments"), m.get("wall_s"),
+                   extra={"compacted_from": len(files)})
+    return {"files_before": len(files), "files_after": 1,
+            "row_count": nrows}
