@@ -272,6 +272,19 @@ def run_bench() -> dict:
           lambda: Q.QUERIES["events_token_bucket"](sf_dir).count())
     timed("orders_open_backlog",
           lambda: Q.QUERIES["orders_open_backlog"](sf_dir).num_rows)
+    # round-4-closing additions: the heaviest of the new operator families
+    timed("events_overlap_join",
+          lambda: Q.QUERIES["events_overlap_join"](sf_dir).count())
+    timed("kg_katz", lambda: Q.QUERIES["kg_katz"](sf_dir).num_rows)
+    timed("kg_core_numbers",
+          lambda: Q.QUERIES["kg_core_numbers"](sf_dir).count())
+    timed("lineitem_poisson_bootstrap",
+          lambda: Q.QUERIES["lineitem_poisson_bootstrap"](sf_dir).count())
+    timed("kg_incremental_cooccurrence",
+          lambda: Q.QUERIES["kg_incremental_cooccurrence"](sf_dir).count())
+    timed("docs_distinct_ngram_diversity",
+          lambda: Q.QUERIES["docs_distinct_ngram_diversity"]
+          (sf_dir).num_rows)
 
     headline = queries["kg_flagship"]
     result = {

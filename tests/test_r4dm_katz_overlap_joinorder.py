@@ -76,10 +76,10 @@ def test_katz_truncation_is_walk_sum():
 def test_kg_katz_query_runs():
     t = Q.QUERIES["kg_katz"](SF)
     df = t.to_pandas() if not isinstance(t, pd.DataFrame) else t
-    assert set(df.columns) == {"node", "katz_nano"}
-    assert len(df) > 0 and (df.katz_nano >= 0).all()
+    assert set(df.columns) == {"node", "katz_share_nano"}
+    assert len(df) > 0 and (df.katz_share_nano >= 0).all()
     # symmetrized co-occurrence graph: every node receives some walk mass
-    assert (df.katz_nano > 0).all()
+    assert (df.katz_share_nano > 0).all()
 
 
 def test_overlap_join_matches_bruteforce():

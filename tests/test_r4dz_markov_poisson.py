@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import hashlib
-import struct
 from collections import Counter
 
 import numpy as np
@@ -66,16 +64,13 @@ def test_poisson_bootstrap_matches_bruteforce_and_is_calibrated():
         columns=["l_orderkey", "l_linenumber",
                  "l_extendedprice"]).to_pandas()
     cents = np.round(li.l_extendedprice.to_numpy() * 100).astype(np.int64)
-    th = np.asarray(Q._poisson1_thresholds())
     assert len(t) == Q._PB_B
+    w = Q._pb_weight_matrix(Q._pb_key_u64(
+        li.l_orderkey.to_numpy().astype(np.int64),
+        li.l_linenumber.to_numpy().astype(np.int64)))
     for b in (0, 7, 31):  # spot-check three replicates exactly
-        u = np.array([struct.unpack("<Q", hashlib.md5(
-            f"pb:{b}:{o}:{l}".encode()).digest()[8:])[0]
-            for o, l in zip(li.l_orderkey, li.l_linenumber)],
-            dtype=np.uint64) / 2.0 ** 64
-        w = np.searchsorted(th, u, side="right").astype(np.int64)
-        assert int(t.loc[b].total_cents) == int((w * cents).sum())
-        assert int(t.loc[b].n_effective) == int(w.sum())
+        assert int(t.loc[b].total_cents) == int((w[:, b] * cents).sum())
+        assert int(t.loc[b].n_effective) == int(w[:, b].sum())
     # Poisson(1) weights: effective n stays within ±5 sd of n
     n = len(cents)
     assert (np.abs(t.n_effective - n) < 5 * np.sqrt(n)).all()
