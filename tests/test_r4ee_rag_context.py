@@ -22,9 +22,7 @@ def test_rag_context_packs_best_chunks_within_budget():
     assert (np.diff(t.score.to_numpy()) <= 0).all()
     assert (t.score > 0).all()
     # chunks really come from the BM25 top-5 candidate docs
-    bm = Q.QUERIES["docs_bm25_topk"](SF)
-    bm_df = bm.to_pandas() if not hasattr(bm, "num_rows") else \
-        bm.to_pandas()
+    bm_df = Q.QUERIES["docs_bm25_topk"](SF).to_pandas()
     top5 = set(bm_df.sort_values(
         ["score_micro", "doc_id"], ascending=[False, True])
         .head(Q._RAG_K_DOCS).doc_id.astype(int))

@@ -31,8 +31,6 @@ def test_mention_contexts_windows_are_exact():
     # and every emitted (url, surface) really is single-occurrence
     sub = t.sample(min(25, len(t)), random_state=5)
     page_text = {}
-    for r in Q._mentions(SF).take_all():
-        pass  # mentions carry no text; recompute via pages below
     from newsagency_classification_ray.functions.html import extract_text
     from newsagency_classification_ray.sources.pages import ensure_pages
     import glob
