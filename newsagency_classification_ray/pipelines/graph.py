@@ -55,6 +55,37 @@ except ImportError:
         _sys.modules["fsspec.implementations.http"] = _stub
 
 
+def _hash_partition_files(pdir: str) -> tuple[int, int]:
+    """Row count + order-insensitive content hash of one just-written
+    partition directory — streamed row-group-wise (a partition need never
+    fit in memory). Module-level so both checkpoint layers (output-side
+    :func:`write_partitioned`, input-side
+    ``kg.extract_mentions_checkpointed``) dispatch it as the SAME Ray
+    task, one per partition: a serial driver loop here is the resume
+    layer's bottleneck at 10⁵ crawl shards."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    nrows = 0
+    hashes = []
+    for fp in sorted(_glob.glob(os.path.join(pdir, "*.parquet"))):
+        f = pq.ParquetFile(fp)
+        for rg in range(f.num_row_groups):
+            tbl = f.read_row_group(rg)
+            nrows += len(tbl)
+            hashes.append(batch_content_hash(tbl))
+    return nrows, combine_hashes(hashes)
+
+
+def hash_partition_task():
+    """The Ray-remote wrapper, created lazily so importing this module
+    never requires an initialized Ray session."""
+    import ray
+
+    return ray.remote(num_cpus=1)(_hash_partition_files)
+
+
 def _crc_bucket_col(col: pa.ChunkedArray | pa.Array, buckets: int) -> pa.Array:
     """Deterministic partition id per key — vectorized (a per-row Python
     crc32 loop here would serialize the write path at scale). Uses pandas'
@@ -117,23 +148,7 @@ def write_partitioned(
     # partition count, not CPUs)
     import ray
 
-    @ray.remote(num_cpus=1)
-    def _hash_partition(pdir: str) -> tuple[int, int]:
-        import glob as _glob
-
-        import pyarrow.parquet as pq
-
-        # stream row-group-wise: a partition need never fit in memory
-        nrows = 0
-        hashes = []
-        for fp in sorted(_glob.glob(os.path.join(pdir, "*.parquet"))):
-            f = pq.ParquetFile(fp)
-            for rg in range(f.num_row_groups):
-                tbl = f.read_row_group(rg)
-                nrows += len(tbl)
-                hashes.append(batch_content_hash(tbl))
-        return nrows, combine_hashes(hashes)
-
+    _hash_partition = hash_partition_task()
     written = []
     total = 0
     pending: dict[int, object] = {}

@@ -222,6 +222,82 @@ def canonicalize(mentions: Dataset, salt_buckets: int = DEFAULT_SALT_BUCKETS) ->
     return desalted.groupby(keys).aggregate(Sum("n", alias_name="n_mentions"))
 
 
+def _emit_pairs_sorted_runs(t: pa.Table) -> pa.Table:
+    """Vectorized unordered-pair emitter over a block whose rows belong to
+    whole (host, year) groups: one LOCAL Arrow sort puts each group's qids
+    in canonical order, a run-boundary compare (``slice``'d ``not_equal``,
+    no per-group Python call) finds the groups, and per ≥2-row run a
+    ``triu_indices`` gather emits the pairs — the same kernel shape that
+    took the supplier-pair rework from 52 s to 13 s and
+    ``dedup._pairs_from_sorted_buckets`` uses for LSH buckets. String
+    columns are gathered with ONE ``pc.take`` over concatenated indices
+    (no ``to_pylist``). At web scale (10⁶–10⁸ host×year groups) this
+    replaces millions of per-group ``map_groups`` Python invocations with
+    O(runs) numpy work inside O(blocks) batch calls.
+
+    NB: group fns receive AND return Arrow — pandas-format blocks make
+    every downstream exchange fall off the fast sort path (~17× slower,
+    measured at sf0.1).
+    """
+    empty = pa.table({
+        "src_qid": pa.array([], type=pa.string()),
+        "dst_qid": pa.array([], type=pa.string()),
+        "year": pa.array([], type=pa.int32()),
+        "weight": pa.array([], type=pa.int64()),
+        "freq_src": pa.array([], type=pa.int64()),
+        "freq_dst": pa.array([], type=pa.int64()),
+    })
+    n = len(t)
+    if n < 2:
+        return empty
+    order = pc.sort_indices(t, sort_keys=[("host", "ascending"),
+                                          ("year", "ascending"),
+                                          ("qid", "ascending")])
+    t = t.take(order).combine_chunks()
+    host, year = t["host"], t["year"]
+    diff = pc.or_(
+        pc.not_equal(host.slice(1), host.slice(0, n - 1)),
+        pc.not_equal(year.slice(1), year.slice(0, n - 1)),
+    ).to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.concatenate(([True], diff)))
+    ends = np.append(starts[1:], n)
+    ia_parts, ib_parts = [], []
+    for s, e in zip(starts, ends):
+        length = e - s
+        if length < 2:
+            continue
+        ii, jj = np.triu_indices(length, k=1)
+        ia_parts.append(ii + s)
+        ib_parts.append(jj + s)
+    if not ia_parts:
+        return empty
+    ia = np.concatenate(ia_parts)
+    ib = np.concatenate(ib_parts)
+    ns = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    yr = pc.cast(year, pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.table({
+        "src_qid": pc.take(t["qid"], pa.array(ia)),
+        "dst_qid": pc.take(t["qid"], pa.array(ib)),
+        "year": pa.array(yr[ia].astype(np.int32)),
+        "weight": pa.array(np.ones(len(ia), dtype=np.int64)),
+        "freq_src": pa.array(ns[ia]),
+        "freq_dst": pa.array(ns[ib]),
+    })
+
+
+def cooccurrence_pair_contribs(counts: Dataset) -> Dataset:
+    """Per-(host, year) unordered pair contributions (weight=1 rows, NOT
+    final-aggregated) from a (host, year, qid, n) count table. The range
+    sort keys on EXACTLY the group key (host, year) so rows with equal
+    keys land in one output block (Ray's range partitioner assigns by
+    searchsorted on the full sort key — same contiguity guarantee the LSH
+    band path relies on); :func:`_emit_pairs_sorted_runs` then emits each
+    group's pairs with no per-group Python call. Property-tested equal to
+    the per-group ``map_groups`` formulation."""
+    return counts.sort(["host", "year"]).map_batches(
+        _emit_pairs_sorted_runs, batch_format="pyarrow", batch_size=None)
+
+
 def cooccurrence_edges(mentions: Dataset) -> Dataset:
     """A3: (agency, co_occurs_with, agency) edges per (host, year) group.
 
@@ -230,7 +306,8 @@ def cooccurrence_edges(mentions: Dataset) -> Dataset:
     with the endpoint frequencies; edge weight = number of groups in which the
     pair co-occurs. Keys are canonically ordered src_qid < dst_qid so the
     undirected edge dedupes exactly (FIXTURES.md F6).
-    Pre-aggregated to (host, year, qid, n) partials before the group shuffle.
+    Pre-aggregated to (host, year, qid, n) partials before the group shuffle;
+    pair emission is the sorted run-boundary kernel (no per-group Python).
     """
     linked = mentions.map_batches(
         lambda t: t.filter(pc.not_equal(t["qid"], "NIL")).select(["host", "year", "qid"]),
@@ -240,35 +317,7 @@ def cooccurrence_edges(mentions: Dataset) -> Dataset:
                                  batch_format="pyarrow")
     counts = partial.groupby(["host", "year", "qid"]).aggregate(Sum("n", alias_name="n"))
 
-    def emit_pairs(g: pa.Table) -> pa.Table:
-        # NB: group fns receive AND return Arrow — pandas-format blocks make
-        # every downstream exchange fall off the fast sort path (~17× slower,
-        # measured at sf0.1).
-        empty = pa.table({
-            "src_qid": pa.array([], type=pa.string()),
-            "dst_qid": pa.array([], type=pa.string()),
-            "year": pa.array([], type=pa.int32()),
-            "weight": pa.array([], type=pa.int64()),
-            "freq_src": pa.array([], type=pa.int64()),
-            "freq_dst": pa.array([], type=pa.int64()),
-        })
-        if len(g) < 2:
-            return empty
-        qids = np.asarray(g["qid"].to_pylist(), dtype=object)
-        ns = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(qids, kind="stable")
-        qids, ns = qids[order], ns[order]
-        ii, jj = np.triu_indices(len(qids), k=1)
-        return pa.table({
-            "src_qid": pa.array(qids[ii], type=pa.string()),
-            "dst_qid": pa.array(qids[jj], type=pa.string()),
-            "year": pa.array(np.full(len(ii), g["year"][0].as_py(), dtype=np.int32)),
-            "weight": pa.array(np.ones(len(ii), dtype=np.int64)),
-            "freq_src": pa.array(ns[ii]),
-            "freq_dst": pa.array(ns[jj]),
-        })
-
-    pairs = counts.groupby(["host", "year"]).map_groups(emit_pairs, batch_format="pyarrow")
+    pairs = cooccurrence_pair_contribs(counts)
     out = pairs.groupby(["src_qid", "dst_qid", "year"]).aggregate(
         Sum("weight", alias_name="weight"),
         Sum("freq_src", alias_name="freq_src"),
@@ -440,8 +489,7 @@ def extract_mentions_checkpointed(
     import shutil as _shutil
     import time as _time
 
-    from ..state.manifest import (batch_content_hash, combine_hashes,
-                                  incomplete_partitions, write_manifest)
+    from ..state.manifest import incomplete_partitions, write_manifest
 
     shards = sorted(_glob.glob(_os.path.join(pages_dir, "*.parquet")))
 
@@ -472,20 +520,21 @@ def extract_mentions_checkpointed(
             if _os.path.isdir(pdir):
                 _shutil.rmtree(pdir)
         ds.write_parquet(out_root, partition_cols=["shard"])
+        # manifest pass: one Ray task per shard partition (same
+        # _hash_partition_files task as graph.write_partitioned — a
+        # serial driver row-group loop here was the resume layer's
+        # bottleneck at 10⁵ crawl shards)
+        from .graph import hash_partition_task
+
+        _hash_partition = hash_partition_task()
+        pending = []
         for f in wave:
             pdir = _os.path.join(out_root, key_of(f))
             _os.makedirs(pdir, exist_ok=True)
-            nrows = 0
-            hashes = []
-            import pyarrow.parquet as _pq
-
-            for fp in sorted(_glob.glob(_os.path.join(pdir, "*.parquet"))):
-                pf = _pq.ParquetFile(fp)
-                for rg in range(pf.num_row_groups):
-                    tbl = pf.read_row_group(rg)
-                    nrows += len(tbl)
-                    hashes.append(batch_content_hash(tbl))
-            write_manifest(pdir, key_of(f), nrows, combine_hashes(hashes),
+            pending.append((f, pdir, _hash_partition.remote(pdir)))
+        for f, pdir, ref in pending:
+            nrows, h = ray.get(ref)
+            write_manifest(pdir, key_of(f), nrows, h,
                            [f], _time.time() - t0)
             written.append(key_of(f))
             total += nrows
@@ -500,7 +549,15 @@ def read_checkpointed_mentions(out_root: str, *, dedup: bool = True) -> Dataset:
     import glob as _glob
     import os as _os
 
-    files = sorted(_glob.glob(_os.path.join(out_root, "shard=*", "*.parquet")))
+    from ..state.manifest import partition_data_files
+
+    # resolve each shard's files via its manifest's data_files commit
+    # list (NOT a bare glob): after a crashed compaction, compacted +
+    # original files can coexist and only the manifest says which set
+    # is live
+    files = sorted(
+        f for pdir in _glob.glob(_os.path.join(out_root, "shard=*"))
+        for f in partition_data_files(pdir))
     ds = ray.data.read_parquet(files).map_batches(
         lambda t: t.drop_columns(["shard"]) if "shard" in t.column_names
         else t,

@@ -1,0 +1,179 @@
+"""Round-5 fixes: atomic compaction commit list, merkle fanout travel,
+vectorized co-occurrence pair kernel ≡ per-group formulation."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from newsagency_classification_ray.pipelines.kg import (
+    _emit_pairs_sorted_runs, cooccurrence_pair_contribs)
+from newsagency_classification_ray.state.manifest import (
+    batch_content_hash, compact_partition, find_orphans, merkle_diff,
+    merkle_tree, partition_data_files, read_manifest, vacuum,
+    write_manifest)
+
+
+def _mk_partition(pdir: str, n_files: int = 3) -> int:
+    os.makedirs(pdir, exist_ok=True)
+    rows, hashes = 0, []
+    for i in range(n_files):
+        t = pa.table({"x": pa.array([i * 10 + j for j in range(4)],
+                                    pa.int64())})
+        pq.write_table(t, os.path.join(pdir, f"f{i}.parquet"))
+        rows += len(t)
+        hashes.append(batch_content_hash(t))
+    h = sum(hashes) & ((1 << 64) - 1)
+    write_manifest(pdir, os.path.basename(pdir), rows, h)
+    return rows
+
+
+def test_manifest_records_data_files(tmp_path):
+    pdir = str(tmp_path / "part=0")
+    _mk_partition(pdir)
+    m = read_manifest(pdir)
+    assert m["data_files"] == ["f0.parquet", "f1.parquet", "f2.parquet"]
+    assert [os.path.basename(f) for f in partition_data_files(pdir)] == \
+        m["data_files"]
+
+
+def test_compact_commit_point_is_the_manifest(tmp_path):
+    """Simulate the crash window ADVICE flagged: manifest has flipped to
+    the compacted file but the originals were never deleted. Readers via
+    partition_data_files must see exactly one copy; vacuum must GC the
+    originals without touching the live file."""
+    pdir = str(tmp_path / "part=0")
+    rows = _mk_partition(pdir)
+    res = compact_partition(pdir)
+    assert res == {"files_before": 3, "files_after": 1, "row_count": rows}
+    # recreate the crash window: put the originals back on disk
+    for i in range(3):
+        t = pa.table({"x": pa.array([i * 10 + j for j in range(4)],
+                                    pa.int64())})
+        pq.write_table(t, os.path.join(pdir, f"f{i}.parquet"))
+    # manifest commit list still says: only the compacted file is live
+    live = partition_data_files(pdir)
+    assert [os.path.basename(f) for f in live] == ["compacted.parquet"]
+    total = sum(len(pq.read_table(f)) for f in live)
+    assert total == rows  # no double counting despite 4 files on disk
+    orph = find_orphans(str(tmp_path))
+    assert sorted(os.path.basename(f) for f in orph[pdir]) == \
+        ["f0.parquet", "f1.parquet", "f2.parquet"]
+    vacuum(str(tmp_path))
+    left = sorted(os.path.basename(f)
+                  for f in glob.glob(os.path.join(pdir, "*.parquet")))
+    assert left == ["compacted.parquet"]
+    assert read_manifest(pdir) is not None  # published partition survives
+
+
+def test_compact_of_legacy_manifest_publishes_list_first(tmp_path):
+    pdir = str(tmp_path / "part=1")
+    rows = _mk_partition(pdir)
+    # strip the data_files field to simulate a manifest written before
+    # the commit-list era
+    mp = os.path.join(pdir, "_manifest.json")
+    m = json.load(open(mp))
+    del m["data_files"]
+    json.dump(m, open(mp, "w"))
+    res = compact_partition(pdir)
+    assert res["files_after"] == 1
+    assert read_manifest(pdir)["data_files"] == ["compacted.parquet"]
+    assert sum(len(pq.read_table(f))
+               for f in partition_data_files(pdir)) == rows
+
+
+def test_merkle_fanout_travels_with_tree(tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for root in (a, b):
+        for k in ("part=0", "part=1"):
+            pdir = os.path.join(root, k)
+            os.makedirs(pdir)
+            write_manifest(pdir, k, 5, 11, data_files=[])
+    ta4 = merkle_tree(a, fanout=4)
+    tb4 = merkle_tree(b, fanout=4)
+    assert ta4["fanout"] == 4
+    assert merkle_diff(ta4, tb4) == {"only_a": [], "only_b": [],
+                                     "changed": []}
+    # divergence under non-default fanout is found (the old independent
+    # fanout parameter silently mis-bucketed leaves here)
+    write_manifest(os.path.join(b, "part=1"), "part=1", 6, 99,
+                   data_files=[])
+    d = merkle_diff(ta4, merkle_tree(b, fanout=4))
+    assert d["changed"] == ["part=1"]
+    # mismatched fanouts refuse to compare
+    import pytest
+
+    with pytest.raises(ValueError):
+        merkle_diff(ta4, merkle_tree(b, fanout=8))
+
+
+def _pairs_reference(counts: pa.Table) -> set[tuple]:
+    """Independent per-group pair derivation (the old map_groups
+    semantics) over an in-memory count table."""
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in counts.to_pylist():
+        groups[(r["host"], int(r["year"]))].append((r["qid"], int(r["n"])))
+    out = set()
+    for (host, year), members in groups.items():
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                out.add((members[i][0], members[j][0], year, 1,
+                         members[i][1], members[j][1]))
+    return out
+
+
+def test_cooccurrence_pair_kernel_matches_per_group(ray_session):
+    rng = np.random.RandomState(5)
+    hosts = [f"h{i}.example" for i in range(17)]
+    rows = []
+    seen = set()
+    for _ in range(400):
+        h = hosts[rng.randint(len(hosts))]
+        y = int(1870 + rng.randint(4))
+        q = f"Q{rng.randint(12)}"
+        if (h, y, q) in seen:
+            continue
+        seen.add((h, y, q))
+        rows.append((h, y, q, int(1 + rng.randint(9))))
+    t = pa.table({
+        "host": pa.array([r[0] for r in rows], pa.string()),
+        "year": pa.array([r[1] for r in rows], pa.int32()),
+        "qid": pa.array([r[2] for r in rows], pa.string()),
+        "n": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    want = _pairs_reference(t)
+    # many small input blocks → the range sort must still co-locate each
+    # (host, year) group in one output block for the kernel to see it whole
+    ds = ray.data.from_arrow(t).repartition(13)
+    got_t = pa.concat_tables(list(
+        cooccurrence_pair_contribs(ds).iter_batches(batch_format="pyarrow")))
+    got = set(zip(got_t["src_qid"].to_pylist(), got_t["dst_qid"].to_pylist(),
+                  (int(y) for y in got_t["year"].to_pylist()),
+                  (int(w) for w in got_t["weight"].to_pylist()),
+                  (int(a) for a in got_t["freq_src"].to_pylist()),
+                  (int(b) for b in got_t["freq_dst"].to_pylist())))
+    assert got == want
+    # canonical ordering invariant: src < dst everywhere
+    assert bool(pc.all(pc.less(got_t["src_qid"],
+                               got_t["dst_qid"])).as_py())
+
+
+def test_pair_kernel_empty_and_singleton_blocks():
+    empty = pa.table({"host": pa.array([], pa.string()),
+                      "year": pa.array([], pa.int32()),
+                      "qid": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    assert len(_emit_pairs_sorted_runs(empty)) == 0
+    single = pa.table({"host": pa.array(["a"]), "year": pa.array([1900]),
+                       "qid": pa.array(["Q1"]), "n": pa.array([3])})
+    assert len(_emit_pairs_sorted_runs(single)) == 0
