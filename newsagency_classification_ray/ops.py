@@ -19,9 +19,14 @@ import ray.data
 from ray.data import Dataset
 
 
-def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> Dataset:
-    """Read one /root/testdata table, pruning columns at the read (S1)."""
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
+               filter: "pc.Expression | None" = None) -> Dataset:
+    """Read one /root/testdata table, pruning columns at the read (S1).
+    ``filter`` (a ``pyarrow.compute`` field expression) rides into the
+    parquet fragment scanner so non-matching row groups never leave
+    storage — row pruning at the read, the S1 discipline extended to rows."""
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                                 columns=columns, filter=filter)
 
 
 def broadcast_join(
@@ -763,7 +768,8 @@ def ktruss(edges: Dataset, *, src: str = "u", dst: str = "v",
                 "v": pa.array([p[1] for p in pairs], pa.string()),
                 "support": pa.array([sup[p] for p in pairs], pa.int64())})
         supd = edge_common_neighbors(cur, src="u", dst="v").materialize()
-        keep = supd.filter(lambda r: r["common"] >= min_support).materialize()
+        keep = supd.filter(
+            expr=f"common >= {int(min_support)}").materialize()
         if keep.count() == n_cur:
             out = keep.map_batches(
                 lambda t: pa.table({"u": t["u"], "v": t["v"],
@@ -1178,7 +1184,7 @@ def skew_join(
     est = partials.groupby("k").aggregate(Sum("c", alias_name="c"))
     eff_threshold = max(hot_threshold - d_total, 0)
     hot = [r["k"] for r in est.filter(
-        lambda r: r["c"] > eff_threshold).take_all()]
+        expr=f"c > {int(eff_threshold)}").take_all()]
     if not hot:
         return hash_join(left, right, on=(on,))
     hot_set = pa.array(hot)

@@ -107,7 +107,8 @@ def q3_shipping_priority(sf_dir: str):
 
     orders = ops.read_table(
         sf_dir, "orders",
-        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pc.field("o_orderdate") < cut)
 
     def o_prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t["o_orderdate"], cut))
@@ -124,7 +125,8 @@ def q3_shipping_priority(sf_dir: str):
 
     li = ops.read_table(sf_dir, "lineitem",
                         ["l_orderkey", "l_shipdate", "l_extendedprice",
-                         "l_discount"])
+                         "l_discount"],
+                        filter=pc.field("l_shipdate") > cut)
 
     def l_prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"], cut))
@@ -189,7 +191,9 @@ def q4_order_priority(sf_dir: str):
     """
     lo, hi = _ts(_Q4_LO), _ts(_Q4_HI)
     orders = ops.read_table(sf_dir, "orders",
-                            ["o_orderkey", "o_orderdate", "o_orderpriority"])
+                            ["o_orderkey", "o_orderdate", "o_orderpriority"],
+                            filter=(pc.field("o_orderdate") >= lo)
+                            & (pc.field("o_orderdate") < hi))
 
     def o_prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
@@ -252,7 +256,9 @@ def q10_returned_items(sf_dir: str):
     is the O(blocks*20) driver merge."""
     lo, hi = _ts(_Q10_LO), _ts(_Q10_HI)
     orders = ops.read_table(sf_dir, "orders",
-                            ["o_orderkey", "o_custkey", "o_orderdate"])
+                            ["o_orderkey", "o_custkey", "o_orderdate"],
+                            filter=(pc.field("o_orderdate") >= lo)
+                            & (pc.field("o_orderdate") < hi))
 
     def o_prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
@@ -262,7 +268,8 @@ def q10_returned_items(sf_dir: str):
 
     li = ops.read_table(sf_dir, "lineitem",
                         ["l_orderkey", "l_returnflag", "l_extendedprice",
-                         "l_discount"])
+                         "l_discount"],
+                        filter=pc.field("l_returnflag") == "R")
 
     def l_prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["l_returnflag"], "R"))
@@ -338,7 +345,9 @@ def q14_promo_revenue(sf_dir: str):
     lo, hi = _ts(_Q14_LO), _ts(_Q14_HI)
     li = ops.read_table(sf_dir, "lineitem",
                         ["l_partkey", "l_shipdate", "l_extendedprice",
-                         "l_discount"])
+                         "l_discount"],
+                        filter=(pc.field("l_shipdate") >= lo)
+                        & (pc.field("l_shipdate") < hi))
 
     def l_prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
@@ -807,7 +816,9 @@ def q15_top_supplier(sf_dir: str):
     lo, hi = _ts(_Q15_LO), _ts(_Q15_HI)
     li = ops.read_table(sf_dir, "lineitem",
                         ["l_suppkey", "l_shipdate", "l_extendedprice",
-                         "l_discount"])
+                         "l_discount"],
+                        filter=(pc.field("l_shipdate") >= lo)
+                        & (pc.field("l_shipdate") < hi))
 
     def l_prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
@@ -1098,7 +1109,9 @@ def q6_forecast_revenue(sf_dir: str):
     lo, hi = _ts(_Q6_LO), _ts(_Q6_HI)
     li = ops.read_table(sf_dir, "lineitem",
                         ["l_shipdate", "l_discount", "l_quantity",
-                         "l_extendedprice"])
+                         "l_extendedprice"],
+                        filter=(pc.field("l_shipdate") >= lo)
+                        & (pc.field("l_shipdate") < hi))
 
     def partial(t: pa.Table) -> pa.Table:
         disc_pct = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
@@ -1151,7 +1164,9 @@ def q12_line_priority(sf_dir: str):
     exchanges at most 2 rows per block per status value."""
     lo, hi = _ts(_Q12_LO), _ts(_Q12_HI)
     li = ops.read_table(sf_dir, "lineitem",
-                        ["l_orderkey", "l_shipdate", "l_linestatus"])
+                        ["l_orderkey", "l_shipdate", "l_linestatus"],
+                        filter=(pc.field("l_shipdate") >= lo)
+                        & (pc.field("l_shipdate") < hi))
 
     def l_prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
@@ -1313,7 +1328,9 @@ def q20_promotion_suppliers(sf_dir: str):
 
     li = ops.read_table(sf_dir, "lineitem",
                         ["l_partkey", "l_suppkey", "l_shipdate",
-                         "l_quantity"])
+                         "l_quantity"],
+                        filter=(pc.field("l_shipdate") >= lo)
+                        & (pc.field("l_shipdate") < hi))
 
     def l_prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),

@@ -177,3 +177,61 @@ def test_pair_kernel_empty_and_singleton_blocks():
     single = pa.table({"host": pa.array(["a"]), "year": pa.array([1900]),
                        "qid": pa.array(["Q1"]), "n": pa.array([3])})
     assert len(_emit_pairs_sorted_runs(single)) == 0
+
+
+def test_skew_join_detects_per_block_diffuse_hot_key(ray_session,
+                                                     monkeypatch):
+    """The floor-bound armor (ops.py skew_join): a hot key whose per-block
+    counts fall below each block's top-64 cutoff in MOST blocks. The plain
+    per-key top-list sum (est=500) sits under hot_threshold=530, so the
+    pre-floor-bound detector missed it; the truncation-floor correction
+    (D=60 here) lowers the effective threshold to 470 and the key routes
+    through the salted path — asserted by spying the join key — with the
+    result still exactly equal to the plain hash join."""
+    import newsagency_classification_ray.ops as ops_mod
+    from newsagency_classification_ray.ops import hash_join, skew_join
+
+    blocks = []
+    # 10 dominant blocks: H in the top list (50 each -> est 500), no
+    # truncation (floor 0)
+    for b in range(10):
+        keys = ["H"] * 50 + [f"dom{b}_{i}" for i in range(10)]
+        blocks.append(pa.table({
+            "k": pa.array(keys, pa.string()),
+            "lval": pa.array(np.arange(len(keys)) + b * 1000,
+                             pa.int64())}))
+    # 20 diffuse blocks: 70 unique decoys x3 beat H's x2, so H is
+    # truncated out of the top-64 list; floor = 3 per block -> D = 60
+    for b in range(20):
+        keys = [f"dif{b}_{i}" for i in range(70) for _ in range(3)] + \
+            ["H", "H"]
+        blocks.append(pa.table({
+            "k": pa.array(keys, pa.string()),
+            "lval": pa.array(np.arange(len(keys)) + (b + 10) * 1000,
+                             pa.int64())}))
+    true_h = sum(sum(1 for k in t["k"].to_pylist() if k == "H")
+                 for t in blocks)
+    assert true_h == 540  # genuinely above the 530 threshold
+    left = ray.data.from_arrow(blocks)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(["H"] + [f"dif0_{i}" for i in range(5)], pa.string()),
+        "rval": pa.array(np.arange(6, dtype=np.int64) * 10, pa.int64())}))
+
+    join_keys = []
+    orig = ops_mod.hash_join
+
+    def spy(l, r, **kw):
+        join_keys.append(kw.get("on"))
+        return orig(l, r, **kw)
+
+    monkeypatch.setattr(ops_mod, "hash_join", spy)
+    got = skew_join(left, right, "k", salt=4, hot_threshold=530)
+    rows_got = sorted((r["k"], r["lval"], r["rval"])
+                      for r in got.take_all())
+    monkeypatch.setattr(ops_mod, "hash_join", orig)
+    exp = hash_join(left, right, on=("k",))
+    rows_exp = sorted((r["k"], r["lval"], r["rval"])
+                      for r in exp.take_all())
+    assert rows_got == rows_exp
+    # the salted path engaged: the executed join keyed on (k, _salt)
+    assert join_keys and join_keys[-1] == ("k", "_salt")
