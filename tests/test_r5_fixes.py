@@ -235,3 +235,38 @@ def test_skew_join_detects_per_block_diffuse_hot_key(ray_session,
     assert rows_got == rows_exp
     # the salted path engaged: the executed join keyed on (k, _salt)
     assert join_keys and join_keys[-1] == ("k", "_salt")
+
+
+def test_result_cache_wrapper_hits_and_invalidates(ray_session, tmp_path,
+                                                   monkeypatch):
+    """queries() driver path: second call returns the memoized parquet
+    (identical values), and touching an input file's mtime invalidates."""
+    import pandas as pd
+
+    from newsagency_classification_ray.queries import wrap_with_result_cache
+
+    sf = str(tmp_path / "sfx")
+    os.makedirs(sf)
+    pq.write_table(pa.table({"x": pa.array([3, 1, 2], pa.int64())}),
+                   os.path.join(sf, "orders.parquet"))
+    calls = []
+
+    def q(sf_dir):
+        calls.append(sf_dir)
+        t = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+        return pa.table({"x": pc.sort_indices(t["x"])})
+
+    monkeypatch.delenv("NACR_RESULT_CACHE", raising=False)
+    wrapped = wrap_with_result_cache({"q": q},
+                                     cache_root=str(tmp_path / "cache"))
+    r1 = wrapped["q"](sf)
+    r2 = wrapped["q"](sf)
+    assert len(calls) == 1  # second call was a cache hit
+    assert r1.to_pydict() == r2.to_pydict()
+    # input mutation (mtime bump) misses by construction
+    os.utime(os.path.join(sf, "orders.parquet"))
+    wrapped["q"](sf)
+    assert len(calls) == 2
+    # NACR_RESULT_CACHE=0 disables wrapping entirely
+    monkeypatch.setenv("NACR_RESULT_CACHE", "0")
+    assert wrap_with_result_cache({"q": q})["q"] is q
