@@ -270,3 +270,66 @@ def test_result_cache_wrapper_hits_and_invalidates(ray_session, tmp_path,
     # NACR_RESULT_CACHE=0 disables wrapping entirely
     monkeypatch.setenv("NACR_RESULT_CACHE", "0")
     assert wrap_with_result_cache({"q": q})["q"] is q
+
+
+def test_user_window_kernels_block_split_invariance(ray_session):
+    """The r5 coverage/streak kernels rely on the range sort co-locating
+    each user's rows in one block; verify against a driver-side reference
+    under aggressively small input blocks."""
+    import collections
+
+    import newsagency_classification_ray.queries as Q
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    users = rng.randint(0, 37, n).astype(np.int64)
+    ts = np.sort(rng.randint(0, 5_000_000_000, n).astype(np.int64))
+    rng.shuffle(ts)
+    types = np.array(["view", "cart", "purchase"])[rng.randint(0, 3, n)]
+    eid = np.arange(n, dtype=np.int64)
+    t = pa.table({
+        "user_id": pa.array(users),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "event_id": pa.array(eid),
+        "event_type": pa.array(types),
+    })
+    W = Q._COVER_W_US
+
+    ref_cov = {}
+    ref_streak = {}
+    by_user = collections.defaultdict(list)
+    for u, s, e, ty in zip(users, ts, eid, types):
+        by_user[int(u)].append((int(s), int(e), ty))
+    for u, rows in by_user.items():
+        rows.sort()
+        tss = [r[0] for r in rows]
+        cov = sum(min(b - a, W) for a, b in zip(tss, tss[1:])) + W
+        isl = 1 + sum(1 for a, b in zip(tss, tss[1:]) if b - a > W)
+        ref_cov[u] = (cov, isl)
+        best, count, cur = 1, 1, 1
+        prev = rows[0][2]
+        for _, _, ty in rows[1:]:
+            if ty == prev:
+                cur += 1
+            else:
+                cur = 1
+                count += 1
+            best = max(best, cur)
+            prev = ty
+        ref_streak[u] = (best, count)
+
+    ds = ray.data.from_arrow(t).repartition(17)
+    monkey_read = lambda sf_dir, name, cols: ds.map_batches(
+        lambda b, c=tuple(cols): b.select(list(c)), batch_format="pyarrow")
+    import newsagency_classification_ray.ops as ops_mod
+    orig = ops_mod.read_table
+    ops_mod.read_table = monkey_read
+    try:
+        cov = {int(r["user_id"]): (int(r["covered_us"]), int(r["n_islands"]))
+               for r in Q.q_events_user_coverage("ignored").take_all()}
+        st = {int(r["user_id"]): (int(r["max_streak"]), int(r["n_runs"]))
+              for r in Q.q_events_user_streaks("ignored").take_all()}
+    finally:
+        ops_mod.read_table = orig
+    assert cov == ref_cov
+    assert st == ref_streak
