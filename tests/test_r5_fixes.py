@@ -333,3 +333,25 @@ def test_user_window_kernels_block_split_invariance(ray_session):
         ops_mod.read_table = orig
     assert cov == ref_cov
     assert st == ref_streak
+
+
+def test_result_cache_declines_oversized_results(tmp_path, monkeypatch):
+    import newsagency_classification_ray.queries as Q
+
+    monkeypatch.delenv("NACR_RESULT_CACHE", raising=False)
+    monkeypatch.setattr(Q, "_CACHE_MAX_ROWS", 10)
+    calls = []
+
+    def q(sf_dir):
+        calls.append(1)
+        return pa.table({"x": pa.array(np.arange(50, dtype=np.int64))})
+
+    sf = str(tmp_path / "sfy")
+    os.makedirs(sf)
+    wrapped = Q.wrap_with_result_cache({"q": q},
+                                       cache_root=str(tmp_path / "c"))
+    r1 = wrapped["q"](sf)
+    r2 = wrapped["q"](sf)
+    assert len(r1) == len(r2) == 50       # the answer still flows through
+    assert len(calls) == 2                # but is never memoized
+    assert not list((tmp_path / "c").rglob("*.parquet"))
