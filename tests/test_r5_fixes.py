@@ -355,3 +355,56 @@ def test_result_cache_declines_oversized_results(tmp_path, monkeypatch):
     assert len(r1) == len(r2) == 50       # the answer still flows through
     assert len(calls) == 2                # but is never memoized
     assert not list((tmp_path / "c").rglob("*.parquet"))
+
+
+def test_compacted_shard_partitions_read_identically(ray_session,
+                                                     tmp_path):
+    """End-to-end: compact every checkpointed mentions shard partition,
+    scatter fake leftover originals (the mid-compaction crash window),
+    and require read_checkpointed_mentions to return exactly the
+    monolithic extraction — proving the reader resolves shards through
+    the manifest's data_files commit list, not a glob."""
+    import shutil
+
+    import pandas as pd
+
+    from newsagency_classification_ray.pipelines import kg
+    from newsagency_classification_ray.sources.pages import ensure_pages
+
+    pages = ensure_pages("/root/testdata/sf0.001")
+    out = str(tmp_path / "ckpt")
+    kg.extract_mentions_checkpointed(pages, out)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    full = canon(kg.extract_mentions(kg.read_pages(pages)).to_pandas())
+    for pdir in sorted(glob.glob(os.path.join(out, "shard=*"))):
+        # simulate parallel-writer debris: split the shard's single file
+        # into two, republish the manifest (content identical)
+        m = read_manifest(pdir)
+        [src] = partition_data_files(pdir)
+        t = pq.read_table(src)
+        half = max(1, len(t) // 2)
+        pq.write_table(t.slice(0, half), os.path.join(pdir, "a.parquet"))
+        pq.write_table(t.slice(half), os.path.join(pdir, "b.parquet"))
+        os.remove(src)
+        write_manifest(pdir, m["partition_key"], m["row_count"],
+                       m["content_hash"], m.get("input_fragments"))
+        res = compact_partition(pdir)
+        assert res["files_before"] == 2 and res["files_after"] == 1
+        # crash window: put stale extras back on disk
+        for i, live in enumerate(partition_data_files(pdir)):
+            shutil.copy(live, os.path.join(pdir, f"leftover_{i}.parquet"))
+        assert [os.path.basename(f)
+                for f in partition_data_files(pdir)] == \
+            ["compacted.parquet"]
+    ckpt = canon(kg.read_checkpointed_mentions(out).to_pandas())
+    pd.testing.assert_frame_equal(ckpt, full)
+    # vacuum clears the leftovers, keeps every published partition whole
+    removed = vacuum(out)
+    assert removed and all("leftover_" in os.path.basename(f)
+                           for fs in removed.values() for f in fs)
+    ckpt2 = canon(kg.read_checkpointed_mentions(out).to_pandas())
+    pd.testing.assert_frame_equal(ckpt2, full)
